@@ -1,0 +1,64 @@
+"""Column-expression helpers (pure built-ins — JVM-side, codegen-friendly).
+
+Everything here returns a ``Column`` built from ``pyspark.sql.functions``
+higher-order functions, so vector math stays inside Tungsten instead of
+round-tripping rows through Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array<numeric> columns via zip_with + aggregate."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    """L2 norm of an array<numeric> column."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a, b) -> Column:
+    """Cosine similarity of two array<numeric> columns. NULL-safe only in the
+    sense of propagating nulls; zero vectors yield NULL (0/0)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a, b) -> Column:
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def token_count(text) -> Column:
+    """Whitespace token count; empty/blank strings count 0."""
+    text = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def normalized_text(text) -> Column:
+    """Canonical text for exact dedup: lowercase, trim, collapse whitespace."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def content_hash(text, bits: int = 256) -> Column:
+    """Stable content hash for exact dedup (SURVEY §2.8 F7 / §2.11 X1)."""
+    return F.sha2(normalized_text(text), bits)

@@ -1,0 +1,196 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+Reference parity:
+- SRC3 json scan w/ inference  -> ``read_json``        (transformation_job.py:37-38)
+- SRC4 catalog table scan      -> ``spark.read.table`` (etl_glue_job.py:28-31)
+- SRC5/SNK1 parquet scan/sink  -> ``read_parquet`` / ``write_parquet``
+                                                        (transformation_job.py:45)
+- SNK2 JDBC warehouse sink     -> ``write_jdbc``       (etl_glue_job.py:18-43)
+- SNK3 object IO / existence   -> ``path_exists``      (lamda_function.py:31-37)
+- SRC1/SRC2 http fetch + zip   -> ``fetch_url`` / ``expand_zip``
+                                                        (data_ingestion_func.py:19-21,
+                                                         lambda_unzip_function.py:18-22)
+
+At 100 TB the scan path is partitioned Parquet; filters/column pruning push
+down automatically (verify with ``df.explain`` → PushedFilters/ReadSchema).
+"""
+
+from __future__ import annotations
+
+import io as _io
+import os
+import zipfile
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """SRC5: columnar scan; Catalyst pushes predicates + prunes columns."""
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    multiline: bool = True,
+) -> DataFrame:
+    """SRC3 (transformation_job.py:37-38): JSON scan.
+
+    Schema inference is a full extra pass over the data — at 100 TB pass an
+    explicit ``schema`` (pin once, then reuse) instead of inferring per run.
+    """
+    reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_table(spark: SparkSession, name: str) -> DataFrame:
+    """SRC4 (etl_glue_job.py:28-31): read a catalog table by name."""
+    return spark.read.table(name)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal/raw source: (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Iterable[str] | None = None,
+) -> None:
+    """SNK1 (transformation_job.py:45) + partitioning for scale.
+
+    ``partition_by`` turns downstream equality filters on those columns into
+    partition pruning (whole directories skipped at planning time).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """SNK2 (etl_glue_job.py:18-43): warehouse load.
+
+    The reference stages through S3 for Redshift COPY; plain JDBC writes one
+    batch-insert stream per partition — repartition the input to control
+    warehouse write concurrency. Operational-only in this environment (no
+    warehouse container); exercised by tests against an in-memory path.
+    """
+    writer = df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """SNK3 existence probe (lamda_function.py:31-37) via the Hadoop FS API —
+    works for file://, hdfs://, s3a:// alike."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+    return bool(fs.exists(hadoop_path))
+
+
+def fetch_url(url: str, dest_path: str, chunk_bytes: int = 1 << 20) -> str:
+    """SRC1 (data_ingestion_func.py:19-21): stream a remote archive to local/
+    object storage without buffering whole in memory. Driver-side utility —
+    at scale fetch a manifest and fan out reads via ``read_binary_files``."""
+    import urllib.request
+
+    with urllib.request.urlopen(url) as resp, open(dest_path, "wb") as out:  # noqa: S310
+        while True:
+            chunk = resp.read(chunk_bytes)
+            if not chunk:
+                break
+            out.write(chunk)
+    return dest_path
+
+
+def expand_zip(
+    zip_path: str, out_dir: str, suffix: str = ".json"
+) -> list[str]:
+    """SRC2 (lambda_unzip_function.py:18-22, lamda_function.py:24-28):
+    expand a zip archive, keeping only ``suffix`` members."""
+    os.makedirs(out_dir, exist_ok=True)
+    written: list[str] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for member in zf.namelist():
+            if suffix and not member.endswith(suffix):
+                continue
+            target = os.path.join(out_dir, os.path.basename(member))
+            with zf.open(member) as src, open(target, "wb") as dst:
+                dst.write(src.read())
+            written.append(target)
+    return written
+
+
+def expand_zip_distributed(spark: SparkSession, zips_path: str, suffix: str = ".json") -> DataFrame:
+    """SRC2 at scale: read zip archives as binary files and fan members out to
+    rows on executors (no driver bottleneck). Returns (archive, member, content)."""
+    import pandas as pd
+
+    binary = read_binary_files(spark, zips_path)
+
+    def _explode_members(batches):
+        for pdf in batches:
+            rows = {"archive": [], "member": [], "content": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(_io.BytesIO(content)) as zf:
+                    for member in zf.namelist():
+                        if suffix and not member.endswith(suffix):
+                            continue
+                        rows["archive"].append(path)
+                        rows["member"].append(member)
+                        rows["content"].append(zf.read(member))
+            yield pd.DataFrame(rows)
+
+    return binary.select("path", "content").mapInPandas(
+        _explode_members, schema="archive string, member string, content binary"
+    )
+
+
+def load_star(spark: SparkSession, sf_dir: str, register_views: bool = True):
+    """Load the driver's star-schema fixtures; optionally register temp views
+    so the SQL surface (spark.sql) works over the same names as DuckDB."""
+    from .plans import normalize_nanos_ts
+
+    dfs = {}
+    for name in STAR_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = normalize_nanos_ts(spark.read.parquet(path))
+            dfs[name] = df
+            if register_views:
+                df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,279 @@
+"""Deduplication operators (SURVEY.md §2.11 X1/X2) for LLM training-data
+pipelines: exact, MinHash-LSH near-dup, SimHash, and n-gram Jaccard.
+
+Scale design: every variant avoids the O(n²) all-pairs comparison — exact
+dedup is one hash-shuffle; MinHash/SimHash block candidates into buckets so
+only within-bucket pairs are scored; Jaccard joins on shared shingles so
+disjoint documents never meet.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import content_hash, normalized_text
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X1: keep the smallest-id row per normalized-content hash.
+
+    One shuffle on the 256-bit content hash; at 100 TB the hash is uniform so
+    no skew. Equivalent SQL: group by hash, keep min(id).
+    """
+    w = Window.partitionBy("__hash").orderBy(F.asc(id_col))
+    return (
+        df.withColumn("__hash", content_hash(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__hash", "__rn")
+    )
+
+
+def shingles(text, n: int = 3):
+    """Distinct word n-gram shingles of a text column (JVM-side only).
+
+    tokens -> sliding n-grams via transform over index sequence -> dedup.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalized_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        )
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
+    """MinHash signature as array<bigint>: min over shingles of
+    xxhash64(shingle, salt_i) for each of ``num_hashes`` salted hash fns.
+    Pure built-ins — no Python in the loop.
+    """
+    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.array(
+        *[
+            F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """X2: candidate near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline: shingle -> minhash signature -> split into ``bands`` bands ->
+    hash each band -> self-join on (band_idx, band_hash) -> estimate Jaccard
+    as fraction of agreeing signature positions -> filter.
+
+    The band join is the LSH trick: only documents agreeing on a full band
+    collide, so the shuffle is O(n·bands), never O(n²). Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+        .withColumn("__sh", shingles("__text", n))
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_signature("__sh", num_hashes, seed))
+        .select("__id", "__sig")
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """X2 keep-one: drop every row that has a near-duplicate with a smaller
+    id (single-link, one hop). Full transitive closure needs iterated
+    connected components; one hop is the standard large-corpus compromise
+    (each surviving doc is guaranteed not-near-dup of any smaller survivor
+    within one link)."""
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(text, bits: int = 64, seed: int = 42):
+    """X2 variant: SimHash fingerprint of a text column as one bigint.
+
+    Per token: 64-bit hash; per bit: +1 if set else -1; sum over tokens;
+    fingerprint bit = sign. Entirely higher-order functions (one aggregate
+    over the token array, no shuffle, no UDF).
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    toks = F.split(normalized_text(text), " ")
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(
+                    F.shiftright(F.xxhash64(t, F.lit(seed)), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc.bitwiseOR(v),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup candidates: block by the 4 16-bit quarters of the
+    fingerprint (pigeonhole: hamming<=3 guarantees one equal quarter; wider
+    radii trade recall) then score exact Hamming distance within blocks."""
+    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col, seed=seed).alias("__fp"))
+    quarters = fp.select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__fp"), q * 16).bitwiseAND(F.lit(0xFFFF))
+                    for q in range(4)
+                ]
+            )
+        ).alias("q_idx", "q_val"),
+    )
+    a, b = quarters.alias("a"), quarters.alias("b")
+    hamming = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.shiftright(
+                    F.col("fp_a").bitwiseXOR(F.col("fp_b")), i
+                ).bitwiseAND(F.lit(1)),
+            ),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.q_idx") == F.col("b.q_idx"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__fp").alias("fp_a"),
+            F.col("b.__fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
+
+    Inverted-index join: explode shingles, self-join on shingle, count
+    common, |A∪B| = |A|+|B|-common. Documents sharing nothing never pair, so
+    cost is Σ (docs per shingle)² — at 100 TB drop ultra-frequent shingles
+    first (stopword-gram cap) to bound the hottest posting lists.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
+        .withColumn("__size", F.size("__sh"))
+        .filter(F.col("__size") > 0)
+    )
+    exploded = sh.select("__id", "__size", F.explode("__sh").alias("__gram"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__gram") == F.col("b.__gram")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__size").alias("size_a"),
+            F.col("b.__size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,217 @@
+"""Vector similarity search (SURVEY.md §2.11 X3, §2.3 J10).
+
+Three tiers, same output contract (query_id, vec_id, sim):
+- ``brute_force_topk``  — exact, O(probes × corpus); correctness baseline.
+- ``ivf_topk``          — inverted-file: assign corpus to centroids, probe
+  only the nearest ``nprobe`` cells; the 100 TB path.
+- ``lsh_topk``          — random-hyperplane LSH bucketing (cosine).
+
+All vector math is higher-order functions (JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..functions import cosine_similarity
+
+
+def _as_double_array(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine: broadcast the (small) probe set against the corpus.
+
+    One pass over the corpus, no corpus shuffle: cross-join against broadcast
+    probes, per-probe top-k via row_number. At 100 TB this is the *exact*
+    fallback; use ivf_topk when the probe set or corpus is large.
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("__cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an inverted file (IVF) index.
+
+    Build: pick ``n_centroids`` deterministic sample vectors as centroids
+    (cheap k-means-free variant; swap in KMeans at scale), assign every
+    corpus vector to its nearest centroid (broadcast centroids — one narrow
+    pass). Search: route each probe to its ``nprobe`` nearest centroids and
+    score only those cells. Corpus work drops by ~n_centroids/nprobe.
+
+    The centroid assignment is also the partitioning key, so each cell's
+    vectors co-locate — at 100 TB write the corpus bucketed by cell id and
+    searches never touch irrelevant partitions.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("__cvec"),
+    )
+    # Deterministic pseudo-centroids: hash-ordered sample of the corpus.
+    cents = (
+        c.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+            F.col("__cvec").alias("__centroid"),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("cell"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine_similarity(F.col("__cvec"), F.col("__centroid")))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cell", "__cvec")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    )
+    w_route = Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cell"))
+    routed = (
+        p.crossJoin(F.broadcast(cents))
+        .withColumn("__csim", cosine_similarity(F.col("__pvec"), F.col("__centroid")))
+        .withColumn("__rn", F.row_number().over(w_route))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell", "__pvec")
+    )
+    scored = (
+        assigned.join(F.broadcast(routed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_top))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+def random_hyperplane_bucket(vec_col, n_planes: int = 16, dim: int = 64, seed: int = 42):
+    """Cosine-LSH bucket id: sign pattern of <v, h_j> for ``n_planes``
+    deterministic pseudo-random hyperplanes (hash-derived, reproducible
+    across engines and runs — no RNG state)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for j in range(n_planes):
+        # plane component i = centered hash in [-0.5, 0.5): uniform, seedable
+        dot_j = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: x
+                * (
+                    (F.pmod(F.xxhash64(i, F.lit(seed * 1000 + j)), F.lit(10000)).cast("double") / 10000.0)
+                    - 0.5
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot_j > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the probe's LSH bucket are
+    scored. Bucket id is an equi-join key, so the plan is a plain hash join —
+    the O(n²) pair space never materializes."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("__cvec"),
+    ).withColumn("bucket", random_hyperplane_bucket("__cvec", n_planes, dim, seed))
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    ).withColumn("bucket", random_hyperplane_bucket("__pvec", n_planes, dim, seed))
+    scored = (
+        c.join(F.broadcast(p), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    min_sim: float = 0.95,
+    n_planes: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (X2 embedding variant): LSH
+    self-join, then exact cosine filter. Returns (id_a, id_b, sim), a<b."""
+    c = df.select(
+        F.col(id_col).alias("__id"),
+        _as_double_array(F.col(vec_col)).alias("__vec"),
+    ).withColumn("bucket", random_hyperplane_bucket("__vec", n_planes, dim, seed))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6)
+        )
+        .filter(F.col("sim") >= min_sim)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "sim")
+    )

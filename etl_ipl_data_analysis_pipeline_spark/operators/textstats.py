@@ -1,0 +1,117 @@
+"""Text analysis operators (SURVEY.md §2.11 X4): language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure column expressions — a 100 TB corpus profile is one narrow pass +
+one small aggregate; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions import normalized_text, token_count
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Real pipelines plug fastText/CLD3 in via pandas_udf; the heuristic keeps
+# the operator dependency-free and deterministic.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans"),
+    "es": ("el", "la", "los", "de", "que", "es", "una"),
+}
+
+
+def _marker_ratio(tokens, markers: tuple[str, ...]):
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*[F.lit(m) for m in markers])))
+    return hits.cast("double") / F.greatest(F.size(tokens), F.lit(1)).cast("double")
+
+
+def lang_id(text):
+    """Stopword-marker language guess: highest marker-hit ratio wins;
+    'und' (undetermined) when nothing matches."""
+    tokens = F.split(normalized_text(text), " ")
+    scores = [(lang, _marker_ratio(tokens, m)) for lang, m in _LANG_MARKERS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    # reversed so earlier languages win ties deterministically
+    for lang, score in reversed(scores):
+        guess = F.when((score == best_score) & (best_score > 0), lang).otherwise(guess)
+    return guess
+
+
+def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality signals: length, token count, mean word length,
+    alpha/space/punct ratios, uppercase ratio, and a composite score in
+    [0,1]. Heuristics follow the public Gopher/C4-style filters (length and
+    symbol-ratio gates)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(text, r"[^ \t\n]", ""))
+    n_punct = n_chars - n_alpha - n_digit - n_space
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    mean_word_len = (n_chars - n_space).cast("double") / F.greatest(n_tokens, F.lit(1)).cast(
+        "double"
+    )
+    alpha_ratio = n_alpha.cast("double") / safe_chars
+    punct_ratio = n_punct.cast("double") / safe_chars
+    # Composite: reward alpha-heavy, mid-length docs; punish punctuation soup.
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+_FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def doc_fingerprint(text, seed: int = 42):
+    """Polynomial rolling hash over normalized tokens — an order-sensitive
+    fingerprint (reordered text fingerprints differently, unlike a
+    bag-of-words hash). fp = Σ hash(tok_i)·31^i mod (2^31-1); operands stay
+    below 2^31 so products never overflow ANSI bigint arithmetic."""
+    toks = F.split(normalized_text(text), " ")
+    mod = F.lit(_FP_MOD)
+    return F.aggregate(
+        toks,
+        F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
+        lambda acc, t: F.struct(
+            F.pmod(acc["h"] + F.pmod(F.xxhash64(t, F.lit(seed)), mod) * acc["p"], mod).alias("h"),
+            F.pmod(acc["p"] * F.lit(31), mod).alias("p"),
+        ),
+        lambda acc: acc["h"],
+    )
+
+
+def corpus_profile(df: DataFrame, text_col: str = "text", group_col: str | None = None) -> DataFrame:
+    """Aggregate corpus statistics (optionally per group): doc counts, token
+    totals, length distribution quantiles — the summary a data curator reads
+    before/after each filtering stage."""
+    q = text_quality(df, text_col=text_col, id_col=df.columns[0])
+    keys = [group_col] if group_col else []
+    if group_col:
+        q = df.select(group_col, text_col).join(
+            q, df[df.columns[0]] == q[q.columns[0]], "inner"
+        )
+    agg = q.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_chars_m, 0.5)"), 4).alias("med_chars"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )
+    return agg

@@ -1,0 +1,264 @@
+"""LLM training-data pipeline queries (SURVEY.md §2.11 X1-X5) over the
+``documents`` and ``embeddings`` fixtures.
+
+SQL-expressible ops carry a DuckDB oracle; LSH/fingerprint ops are
+rows-only (seeded + deterministic) per the driver contract, with property
+tests in tests/test_llm_ops.py backing them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..functions import normalized_text, token_count
+from ..operators import dedup, similarity, textstats
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# X1: exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_sha,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY content_sha
+    """,
+    tags=("X1", "F7", "A2"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: survivor id + copy count per normalized-content
+    hash. One shuffle on a uniform 256-bit key — no skew at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "content_sha", F.sha2(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), 256)
+        )
+        .groupBy("content_sha")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "content_sha", "n_copies")
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("X1",),
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 keep-first surviving rows (operator form: operators.dedup.exact_dedup)."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(normalized_text("text"))).orderBy(F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2: near-dup dedup — MinHash LSH, SimHash, n-gram Jaccard (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_pairs", oracle=None, tags=("X2", "J10"))
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (seeded; rows-only check —
+    banding is not SQL-expressible). Properties tested: symmetry-free
+    (a<b), est_jaccard ∈ [0,1], self-pairs absent."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_near_dup_pairs(d, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_survivors", oracle=None, tags=("X2",))
+def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(d, min_jaccard=0.5).select("doc_id", "lang", "source")
+
+
+@register("dedup_simhash", oracle=None, tags=("X2",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (seeded, deterministic)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash("text").alias("fingerprint"))
+
+
+@register("dedup_jaccard_pairs", oracle=None, tags=("X2",))
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join (no O(n²))."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_embedding_pairs", oracle=None, tags=("X2", "J10"))
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(e, min_sim=0.9).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# X3: similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_cosine",
+    oracle="""
+    WITH probes AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS pvec
+        FROM embeddings WHERE vec_id < 5
+    )
+    SELECT query_id, vec_id, sim FROM (
+        SELECT query_id, e.vec_id,
+               round(list_dot_product(pvec, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(pvec, pvec))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) AS sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(list_dot_product(pvec, e.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(pvec, pvec))
+                        * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+                     6) DESC, e.vec_id) AS rn
+        FROM probes, embeddings e
+        WHERE e.vec_id != query_id
+    ) WHERE rn <= 5
+    """,
+    tags=("X3", "J10"),
+)
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-5 cosine neighbors for probe vectors (vec_id<5).
+    The exact baseline that ivf/lsh variants are property-tested against."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(e, probes, k=5, probe_id_col="query_id")
+
+
+@register("topk_cosine_ivf", oracle=None, tags=("X3",))
+def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (probe 4 of 16 cells — the 100 TB scale path)."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(e, probes, k=5, probe_id_col="query_id")
+
+
+@register("topk_cosine_lsh", oracle=None, tags=("X3", "J10"))
+def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(e, probes, k=5, n_planes=8, probe_id_col="query_id")
+
+
+# ---------------------------------------------------------------------------
+# X4: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           length(text)                                                 AS n_chars_m,
+           len(regexp_extract_all(text, '[A-Za-z]+'))                   AS n_words_alpha
+    FROM documents
+    """,
+    tags=("X4",),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + alpha-word count (regex token
+    families). All JVM-side regex — one narrow pass at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_m"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), F.lit(0))).alias(
+            "n_words_alpha"
+        ),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                 / greatest(length(text), 1), 4) AS alpha_ratio
+    FROM documents
+    """,
+    tags=("X4",),
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals (oracle-checked subset; the full composite score with
+    punct/upper ratios lives in operators.textstats.text_quality)."""
+    d = load(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        token_count("text").alias("n_tokens"),
+        F.round(n_alpha.cast("double") / F.greatest(n_chars, F.lit(1)), 4).alias("alpha_ratio"),
+    )
+
+
+@register(
+    "lang_profile",
+    oracle="""
+    SELECT lang, source,
+           count(*)                    AS n_docs,
+           sum(n_chars)                AS total_chars,
+           round(avg(n_chars), 4)      AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("X4", "A4"),
+)
+def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register("text_lang_id", oracle=None, tags=("X4",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-marker language ID (deterministic; rows-only —
+    the marker sets are engine code, not SQL)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
+
+
+@register("text_fingerprint", oracle=None, tags=("X4", "F7"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint (seeded)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", textstats.doc_fingerprint("text").alias("fingerprint"))

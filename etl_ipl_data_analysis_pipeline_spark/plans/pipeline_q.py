@@ -1,0 +1,245 @@
+"""Pipeline-operator queries (SURVEY.md §2.2 P1-P4, §1.3 schema drift,
+§2.9 ledger, §2.3 J9 as-of): the reference's CORE transforms exercised over
+deterministic inline fixtures (independent of sf_dir) plus the events table.
+
+Oracles for the inline-fixture queries are golden-row VALUES (the fixture
+is fixed, so the expected output is enumerable) or the equivalent SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Row, SparkSession
+
+from ..operators import joins as tjoins
+from ..operators.flatten import flatten
+from ..operators.ledger import discover_new_files, pending_for_stage
+from ..operators.schema_diff import schema_diff
+from . import load, register
+
+
+def _nested_fixture(spark: SparkSession) -> DataFrame:
+    """Miniature of the cricsheet match-document shape (FIXTURES.md §5):
+    struct + array-of-struct-of-array nesting, one empty array."""
+    rows = [
+        Row(
+            match_id=1,
+            info=Row(city="Mumbai", season="2024"),
+            innings=[
+                Row(
+                    team="A",
+                    deliveries=[
+                        Row(batter="a1", runs=Row(total=4)),
+                        Row(batter="a2", runs=Row(total=1)),
+                    ],
+                ),
+                Row(team="B", deliveries=[Row(batter="b1", runs=Row(total=6))]),
+            ],
+        ),
+        Row(
+            match_id=2,
+            info=Row(city="Chennai", season="2024"),
+            innings=[],
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@register(
+    "flatten_nested",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Mumbai', '2024', 'A', 'a1', CAST(4 AS BIGINT)),
+        (1, 'Mumbai', '2024', 'A', 'a2', 1),
+        (1, 'Mumbai', '2024', 'B', 'b1', 6),
+        (2, 'Chennai', '2024', NULL, NULL, NULL)
+    ) AS t(match_id, info_city, info_season, innings_team,
+           innings_deliveries_batter, innings_deliveries_runs_total)
+    """,
+    tags=("P1", "P2", "P3", "P4"),
+)
+def flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint flatten of the nested match fixture (explode_outer mode —
+    match 2 with no innings keeps its row, null-padded). Oracle = golden rows."""
+    df = _nested_fixture(spark)
+    out = flatten(df, mode="outer")
+    return out.select(
+        F.col("match_id").cast("int"),
+        "info_city",
+        "info_season",
+        "innings_team",
+        "innings_deliveries_batter",
+        "innings_deliveries_runs_total",
+    )
+
+
+@register(
+    "flatten_reference_mode",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'Mumbai', 'A', 'a1', CAST(4 AS BIGINT)),
+        (1, 'Mumbai', 'A', 'a2', 1),
+        (1, 'Mumbai', 'B', 'b1', 6)
+    ) AS t(match_id, info_city, innings_team,
+           innings_deliveries_batter, innings_deliveries_runs_total)
+    """,
+    tags=("P3", "P4"),
+)
+def flatten_reference_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful inner-explode mode (transformation_job.py:32):
+    match 2 (empty innings) disappears — the documented semantics decision."""
+    df = _nested_fixture(spark)
+    out = flatten(df, mode="reference")
+    return out.select(
+        F.col("match_id").cast("int"),
+        "info_city",
+        "innings_team",
+        "innings_deliveries_batter",
+        "innings_deliveries_runs_total",
+    )
+
+
+@register(
+    "flatten_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    """,
+    tags=("P2", "F4", "SRC3"),
+)
+def flatten_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC3+P4 over real data: parse events.props with a pinned schema
+    (from_json, one parse) then flatten the struct — the scan-side pattern
+    for semi-structured columns at scale."""
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.select("event_id", F.from_json("props", "k bigint").alias("props"))
+    return flatten(parsed).withColumnRenamed("props_k", "props_k")
+
+
+_SCHEMA_V1 = [
+    ("match_id", "bigint"),
+    ("city", "string"),
+    ("total_runs", "bigint"),
+    ("winner", "string"),
+]
+_SCHEMA_V2 = [
+    ("match_id", "bigint"),
+    ("city", "string"),
+    ("total_runs", "double"),  # type changed
+    ("venue", "string"),  # added (winner dropped)
+]
+
+
+@register(
+    "schema_drift",
+    oracle="""
+    WITH new AS (SELECT * FROM (VALUES
+            ('match_id','bigint'), ('city','string'),
+            ('total_runs','double'), ('venue','string')) AS t(name, type)),
+         old AS (SELECT * FROM (VALUES
+            ('match_id','bigint'), ('city','string'),
+            ('total_runs','bigint'), ('winner','string')) AS t(name, type))
+    SELECT coalesce(new.name, old.name) AS name,
+           CASE WHEN old.name IS NULL THEN 'added'
+                WHEN new.name IS NULL THEN 'dropped'
+                WHEN new.type != old.type THEN 'type_changed' END AS change,
+           old.type AS old_type,
+           new.type AS new_type
+    FROM new FULL OUTER JOIN old ON new.name = old.name
+    WHERE (old.name IS NULL OR new.name IS NULL OR new.type != old.type)
+    """,
+    tags=("SE1", "SE2", "SE3", "J3"),
+)
+def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift classification (compare_schema.py:29-53 rebuilt): full-outer
+    join of two schema versions → added/dropped/type_changed."""
+    new = spark.createDataFrame(_SCHEMA_V2, "name string, type string")
+    old = spark.createDataFrame(_SCHEMA_V1, "name string, type string")
+    return schema_diff(new, old)
+
+
+_LEDGER_ROWS = [
+    ("match_001", True, True, True, True),
+    ("match_002", True, True, False, False),
+    ("match_003", True, False, False, False),
+    ("match_004", True, True, True, False),
+]
+_LISTING = [("match_001",), ("match_003",), ("match_005",), ("match_006",)]
+
+
+@register(
+    "ledger_new_files",
+    oracle="""
+    WITH listing AS (SELECT * FROM (VALUES
+            ('match_001'), ('match_003'), ('match_005'), ('match_006')) AS t(file_key)),
+         ledger AS (SELECT * FROM (VALUES
+            ('match_001'), ('match_002'), ('match_003'), ('match_004')) AS t(file_key))
+    SELECT file_key FROM listing
+    WHERE file_key NOT IN (SELECT file_key FROM ledger)
+    """,
+    tags=("L1", "J2"),
+)
+def ledger_new_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-file discovery (final_DAG.py:71-72): listing − ledger anti-join."""
+    listing = spark.createDataFrame(_LISTING, "file_key string")
+    ledger = spark.createDataFrame(
+        _LEDGER_ROWS,
+        "file_key string, ingested boolean, crawled boolean, transformed boolean, loaded boolean",
+    )
+    return discover_new_files(listing, ledger)
+
+
+@register(
+    "ledger_pending",
+    oracle="""
+    SELECT file_key FROM (VALUES
+        ('match_001', true, true, true, true),
+        ('match_002', true, true, false, false),
+        ('match_003', true, false, false, false),
+        ('match_004', true, true, true, false)
+    ) AS t(file_key, ingested, crawled, transformed, loaded)
+    WHERE ingested AND crawled AND NOT transformed
+    """,
+    tags=("L2", "P6", "J1"),
+)
+def ledger_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-gate predicate (final_DAG.py:69): rows ready for transform."""
+    ledger = spark.createDataFrame(
+        _LEDGER_ROWS,
+        "file_key string, ingested boolean, crawled boolean, transformed boolean, loaded boolean",
+    )
+    return pending_for_stage(ledger, "transformed").select("file_key")
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           q.value AS last_value, q.event_id AS matched_event
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON p.user_id = q.user_id AND q.ts <= p.ts
+    """,
+    tags=("J9",),
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest prior (or simultaneous)
+    view by the same user. Union-and-carry implementation — one shuffle,
+    no range explosion (operators/joins.py). Oracle: DuckDB native ASOF."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("last_value"), F.col("event_id").alias("matched_event")
+    )
+    out = tjoins.asof_join(
+        purchases,
+        views.withColumnRenamed("ts", "v_ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="v_ts",
+        right_cols=["last_value", "matched_event"],
+    )
+    return out.select("event_id", "user_id", "ts", "last_value", "matched_event")

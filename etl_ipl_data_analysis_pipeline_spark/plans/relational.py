@@ -1,0 +1,780 @@
+"""Relational surface (SURVEY.md §2.2-2.8): joins, aggregations, windows,
+sorts, set ops, scalar functions — all Spark built-ins, zero UDFs, so every
+query stays inside WholeStageCodegen and pushes filters to the parquet scan.
+
+Scale notes apply per-query in docstrings; the common ones:
+- dimension joins use ``broadcast()`` — at 100 TB region/nation/supplier
+  stay broadcastable, customer/part flip to shuffle joins automatically when
+  over the threshold (AQE re-checks at runtime).
+- aggregates are partial (map-side combine) before the shuffle — free from
+  Catalyst for all ``groupBy().agg()`` below.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from . import load, register
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A4, A5, A6, A7, A8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A4", "A1", "F3"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical hash-aggregate. Single shuffle on a
+    low-cardinality key; partial aggregation makes the shuffle O(groups)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*)                    AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("A5", "A2"),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (expands to two-phase agg). The approx variant
+    (approx_count_distinct / HLL++) is bench-only — never oracle-checked."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)      AS n_bulk,
+           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)     AS n_discounted,
+           round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2)
+                                                                  AS taxed_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A7", "F6"),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: `sum(when(...))` — one pass, no extra shuffle
+    per condition (vs. the naive N filtered scans)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("taxed_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           grouping(l_returnflag) * 2 + grouping(l_linestatus) AS grp_id,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("A6",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level totals in one pass (Expand + single aggregate — no
+    re-reading the fact table per level)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("grp_id"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "grp_id",
+        "sum_qty",
+        "n_rows",
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           round(sum(o_totalprice), 2)      AS sum_price,
+           count(*)                         AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A6",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                              AS n_docs,
+           round(avg(n_chars), 4)                AS avg_chars,
+           round(stddev_samp(n_chars), 4)        AS sd_chars,
+           round(var_samp(n_chars), 4)           AS var_chars,
+           round(quantile_cont(n_chars, 0.5), 4) AS med_chars,
+           min(n_chars)                          AS min_chars,
+           max(n_chars)                          AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("A8", "X4"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical profile per language. `percentile` is the exact variant
+    (matches DuckDB quantile_cont); percentile_approx is reserved for
+    bench-scale profiling where exactness isn't oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
+        F.round(F.var_samp("n_chars"), 4).alias("var_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("med_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J4, J5, J6, J7, J8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_top_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J4", "A4", "SO3"),
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-N.
+    customer is broadcast (filtered dim); orders⋈lineitem shuffles on the
+    order key; top-N compiles to TakeOrderedAndProject (no global sort)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("J4", "A4"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. All dims broadcast; the only large
+    shuffle is lineitem⋈orders. Catalyst reorders the dim joins after the
+    selective region filter — verify with explain(): one SortMergeJoin max."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey,
+           count(o_orderkey)                          AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("J5", "A4"),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer keeps order-less customers (count=0). count(col) skips
+    nulls on both engines."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    tags=("J5",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, "nationkey", "full")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+    tags=("J6", "J1"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi = EXISTS. Generalizes the reference's per-key ledger lookup
+    (final_DAG.py:63-73) into one distributed join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("J6", "J2", "L1"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti = NOT EXISTS — the reference's new-file discovery
+    (stream_upload_to_s3.py:44-46) as a set operation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_theta_pairs",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("J7",),
+)
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join (equi + inequality): unordered same-region nation pairs.
+    The equi part keys the shuffle; the inequality is a post-filter, so this
+    stays a hash join, not a nested-loop cross product."""
+    n = load(spark, sf_dir, "nation")
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT e.event_id, count(*) AS n_follow
+    FROM events e
+    JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    tags=("J8",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events within 1h after each error, per user. The user_id
+    equi-key bounds the pair space; at 100 TB add coarse time-bucket keys to
+    both sides (bucket = floor(ts/1h), join on bucket±1) so the range filter
+    runs per-bucket instead of per-user-history."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").alias("e")
+    f = ev.alias("f")
+    return (
+        e.join(
+            f,
+            (F.col("e.user_id") == F.col("f.user_id"))
+            & (F.col("f.ts") > F.col("e.ts"))
+            & (F.col("f.ts") <= F.col("e.ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("e.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (W1-W4) + sorts/limits (SO1-SO3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rn,
+           rank()       OVER (PARTITION BY c_nationkey
+                              ORDER BY c_mktsegment)              AS seg_rank
+    FROM customer
+    """,
+    tags=("W1",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows — one shuffle on the partition key, sort within."""
+    c = load(spark, sf_dir, "customer")
+    w_bal = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_seg = Window.partitionBy("c_nationkey").orderBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w_bal).alias("rn"),
+        F.rank().over(w_seg).alias("seg_rank"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value)  OVER w, 4) AS delta_prev,
+           round(lead(value) OVER w - value, 4) AS delta_next,
+           round(first_value(value) OVER w, 4)  AS first_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("W2",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - F.col("value"), 4).alias("delta_next"),
+        F.round(F.first("value").over(w), 4).alias("first_val"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_spent,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+               AS rolling_avg_3
+    FROM orders
+    """,
+    tags=("W3",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias(
+            "running_spent"
+        ),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4).alias("rolling_avg_3"),
+    )
+
+
+@register(
+    "topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("W4", "SO1"),
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group — generalizes the reference's retain-N version GC
+    (compare_schema.py:78-82). row_number + filter; Spark pushes the rank
+    limit into the sort (WindowGroupLimit) so no full per-group sort at scale."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("SO1", "SO3"),
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — per-partition heaps, no global
+    sort shuffle. This is how retain-N survives 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SE1-SE4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("SE1",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A − B by key: nations with customers but no suppliers — the
+    added/dropped-columns diff (compare_schema.py:35-53) as a set op."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.distinct().exceptAll(s.distinct())
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("SE4",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT nationkey, count(*) AS n FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+    tags=("SE4",),
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "distinct_dedup",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    tags=("A2",),
+)
+def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (final_DAG.py:144 set() dedup): distinct as a distributed agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (F1-F7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                                    AS brand_u,
+           replace(p_type, ' ', '_')                         AS type_snake,
+           length(p_name)                                    AS name_len,
+           split_part(p_type, ' ', 1)                        AS type_head,
+           CASE WHEN p_name LIKE '%5' THEN 1 ELSE 0 END      AS ends_5,
+           concat(p_brand, ':', CAST(p_size AS VARCHAR))     AS brand_size
+    FROM part
+    """,
+    tags=("F1", "P8"),
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family (F1): the reference's rsplit/endswith/f-string moves
+    (final_DAG.py:65,144; lamda_function.py:26) as native column exprs."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.length("p_name").alias("name_len"),
+        F.substring_index("p_type", " ", 1).alias("type_head"),
+        F.when(F.col("p_name").endswith("5"), 1).otherwise(0).alias("ends_5"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                        AS order_year,
+           month(o_orderdate)                       AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS VARCHAR) AS order_ymd,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+    FROM orders
+    """,
+    tags=("F2",),
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (F2): strftime-style keys (data_ingestion_func.py:12)
+    + calendar arithmetic. Session TZ is UTC on both engines."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("order_ymd"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_y2k"
+        ),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                THEN 'high' ELSE 'low' END            AS k_bucket
+    FROM events
+    """,
+    tags=("F4",),
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (F4): ledger/payload parse (stream_upload_to_s3.py:40,55)
+    → get_json_object / from_json. At scale prefer from_json with a pinned
+    schema (single parse, typed columns) over repeated get_json_object."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_bucket"),
+    )
+
+
+@register(
+    "hash_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           md5(o_orderstatus)                     AS status_md5,
+           sha256(CAST(o_orderkey AS VARCHAR))    AS key_sha,
+           CASE o_orderstatus WHEN 'O' THEN 'open'
+                              WHEN 'F' THEN 'finished'
+                              ELSE 'partial' END  AS status_name
+    FROM orders
+    """,
+    tags=("F7", "F6"),
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/id family (F7) — content-hash dedup keys à la
+    stream_upload_to_s3.py:44 — plus CASE conditionals (F6)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.md5("o_orderstatus").alias("status_md5"),
+        F.sha2(F.col("o_orderkey").cast("string"), 256).alias("key_sha"),
+        F.when(F.col("o_orderstatus") == "O", "open")
+        .when(F.col("o_orderstatus") == "F", "finished")
+        .otherwise("partial")
+        .alias("status_name"),
+    )
+
+
+@register(
+    "key_normalization",
+    oracle="""
+    SELECT DISTINCT
+           regexp_replace(concat('landing/', lang, '/doc_', CAST(doc_id AS VARCHAR), '.json'),
+                          '\\.[^.]*$', '') AS file_key,
+           split_part(concat('landing/', lang, '/doc_', CAST(doc_id AS VARCHAR), '.json'),
+                      '/', 1)             AS prefix
+    FROM documents
+    """,
+    tags=("P8", "F1"),
+)
+def key_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (final_DAG.py:65,90): strip-extension + prefix-split key derivation,
+    built over a synthesized path column."""
+    d = load(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("landing/"), F.col("lang"), F.lit("/doc_"), F.col("doc_id").cast("string"),
+        F.lit(".json"),
+    )
+    return d.select(
+        F.regexp_replace(path, r"\.[^.]*$", "").alias("file_key"),
+        F.split_part(path, F.lit("/"), F.lit(1)).alias("prefix"),
+    ).distinct()

@@ -1,0 +1,138 @@
+"""Event-time window queries (SURVEY.md §2.9 L5-L6) over the ``events``
+fixture — batch mode here (oracle-checkable); the same expressions run
+under Structured Streaming in etl_ipl_data_analysis_pipeline_spark/streaming
+(tests prove batch/stream equivalence).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from . import load, register
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("L5",),
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows. Spark's window() start is
+    epoch-aligned, same as DuckDB time_bucket."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes') AS window_start,
+               value FROM events
+    )
+    GROUP BY window_start
+    """,
+    tags=("L5",),
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min / 5 min slide): every event lands in two
+    windows; equivalent to two offset tumbling bucketings unioned."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL '30 minutes'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("L5", "L6"),
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user. Spark's session_window start =
+    first event ts, which the lag/cumsum sessionization reproduces in SQL."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "window_tumbling_late_data",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts <= (SELECT max(ts) FROM events) - INTERVAL '1 hour'
+    GROUP BY window_start
+    """,
+    tags=("L5",),
+)
+def window_tumbling_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-projected: drop events newer than
+    max(ts) - 1h (what a watermarked stream would not yet have finalized),
+    then hourly windows. The streaming twin lives in streaming/windows.py."""
+    ev = load(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.join(F.broadcast(max_ts))
+        .filter(F.col("ts") <= F.col("m") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )

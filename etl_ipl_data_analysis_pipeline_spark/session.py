@@ -1,0 +1,64 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Design notes (SURVEY.md §4, §7): AQE is on so skewed joins/aggregations are
+re-planned at runtime; the session timezone is pinned to UTC so timestamp
+semantics match the DuckDB oracle; Arrow is enabled for the (rare) Pandas-UDF
+paths; shuffle partitions default small for local testing but are
+env-overridable for cluster runs (at 100 TB you want O(cores×3) partitions or
+AQE coalescing from a high initial count).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Broadcast threshold: dims (region/nation/customer/supplier/part at test SF)
+# should broadcast; at 100 TB only region/nation-sized dims stay under this.
+_DEFAULT_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def get_spark(
+    app_name: str = "etl-ipl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a tuned SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` (local parallelism),
+    ``SPARK_GRAFT_SHUFFLE`` (shuffle partitions).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        # AQE: runtime re-planning — partition coalescing, skew-join splitting,
+        # dynamic broadcast conversion. Essential at scale, harmless locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(_DEFAULT_BROADCAST_BYTES))
+        # Arrow for pandas_udf / applyInPandas / toPandas boundaries.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Read timestamps as-written; avoid int96 rebase surprises.
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark type;
+        # read as long and convert at the scan wrapper (plans.load).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
