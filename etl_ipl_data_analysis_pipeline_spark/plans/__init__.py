@@ -45,7 +45,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_read_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs every scan depends on, applied here because the
+    caller may hand us a session built elsewhere (the driver does): parquet
+    TIMESTAMP(NANOS) has no Spark type — read as long (converted in
+    normalize_nanos_ts) — and the session timezone must be UTC to match the
+    DuckDB oracle's timestamp semantics."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_read_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     return normalize_nanos_ts(df)
 
