@@ -1,0 +1,124 @@
+"""Benchmark harness (driver contract): time the headline queries and print
+ONE JSON line.
+
+    {"metric": "headline_total", "value": <sum of per-query sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_RUNS  timed runs per query, median reported (default 1)
+  SPARK_GRAFT_BENCH_QUERIES  comma-separated override of the query set
+
+Execution is forced with the noop sink (full pipeline runs JVM-side, no
+driver collect skew). A query that errors is recorded as null and excluded
+from the total, so one failure never produces an empty bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per expensive plan family (scan-agg, star join, window,
+# range/as-of join, flatten, dedup, ANN, text) — the shapes that dominate at
+# 100 TB, not the trivial lookups.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue",
+    "q5_region_revenue",
+    "agg_rollup",
+    "agg_stats",
+    "window_running_sum",
+    "topn_per_group",
+    "join_range",
+    "asof_join_events",
+    "window_tumbling",
+    "flatten_json_props",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "topk_cosine",
+    "text_quality",
+    "lang_profile",
+]
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def run_once(fn, spark, sf_dir: str) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINE
+
+    from etl_ipl_data_analysis_pipeline_spark.plans import load_all
+
+    registry = load_all()
+    spark = build_spark(cpus)
+
+    # one warm-up pass (JIT, parquet footer cache) outside the timings
+    try:
+        run_once(registry["q1_pricing_summary"].fn, spark, sf_dir)
+    except Exception:
+        pass
+
+    timings: dict[str, float | None] = {}
+    for name in names:
+        spec = registry.get(name)
+        if spec is None:
+            timings[name] = None
+            continue
+        try:
+            samples = [run_once(spec.fn, spark, sf_dir) for _ in range(n_runs)]
+            timings[name] = round(statistics.median(samples), 3)
+        except Exception as e:
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = None
+
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
