@@ -19,14 +19,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """X1: keep the smallest-id row per normalized-content hash.
 
     One shuffle on the 256-bit content hash; at 100 TB the hash is uniform so
-    no skew. Equivalent SQL: group by hash, keep min(id).
+    no skew, and ``min_by`` gets map-side partial aggregation (a window
+    row_number would shuffle every duplicate row before discarding it).
+    Equivalent SQL: group by hash, keep min(id).
     """
-    w = Window.partitionBy("__hash").orderBy(F.asc(id_col))
+    cols = df.columns
     return (
         df.withColumn("__hash", content_hash(text_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__hash", "__rn")
+        .groupBy("__hash")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
 
 
@@ -51,6 +53,10 @@ def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
     """MinHash signature as array<bigint>: min over shingles of
     xxhash64(shingle, salt_i) for each of ``num_hashes`` salted hash fns.
     Pure built-ins — no Python in the loop.
+
+    Expression form (num_hashes array traversals per row). For bulk
+    signature computation prefer :func:`minhash_signatures`, which hashes
+    each shingle once and combines map-side.
     """
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     return F.array(
@@ -58,6 +64,39 @@ def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
             F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(seed + i))))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Bulk MinHash signatures as (__id, __sig array<bigint>).
+
+    Explode shingles once, compute all ``num_hashes`` salted hashes per
+    shingle, then groupBy-min: one shuffle on doc id with map-side partial
+    mins, so each shingle is hashed exactly once (vs. ``num_hashes`` array
+    traversals per document in the expression form). At 100 TB the combine
+    step shrinks the shuffle to num_hashes longs per document.
+
+    Documents whose text yields zero shingles drop out (explode of an empty
+    array emits no rows) — same contract as filtering size(shingles) > 0.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__gram")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("__gram"), F.lit(seed + i))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("__id")
+        .agg(*mins)
+        .select("__id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("__sig"))
     )
 
 
@@ -82,28 +121,35 @@ def minhash_near_dup_pairs(
     (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
-        .withColumn("__sh", shingles("__text", n))
-        .filter(F.size("__sh") > 0)
-        .withColumn("__sig", minhash_signature("__sh", num_hashes, seed))
-        .select("__id", "__sig")
-    )
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
     banded = sig.select(
         "__id",
         "__sig",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast("string")
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
+                            "string"
+                        )
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band_idx", "band_hash"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(num_hashes))
+    # est_jaccard is computed inside the band join and the signature arrays
+    # are projected away before dropDuplicates, so only (id_a, id_b, est)
+    # crosses the dedup shuffle — never the num_hashes-long arrays.
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -113,19 +159,10 @@ def minhash_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__sig").alias("sig_a"),
-            F.col("b.__sig").alias("sig_b"),
+            F.round(est, 4).alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(float(num_hashes))
-    )
-    return (
-        pairs.withColumn("est_jaccard", F.round(est, 4))
         .filter(F.col("est_jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -154,28 +191,34 @@ def simhash(text, bits: int = 64, seed: int = 42):
     """
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(normalized_text(text), " ")
+    # Bit indices are static Python ints (F.shiftright requires an int
+    # numBits, not a Column), so the per-bit array is built with a Python
+    # loop — still one fully JVM-side expression per row.
     counts = F.aggregate(
         toks,
         F.array_repeat(F.lit(0), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.shiftright(F.xxhash64(t, F.lit(seed)), i).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t, F.lit(seed)), i).bitwiseAND(F.lit(1))
+                        == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                    for i in range(bits)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
+    # Bit masks as signed-64 literals (1 << 63 wraps to the sign bit).
+    masks = [(1 << i) - (1 << 64) if i >= 63 else (1 << i) for i in range(bits)]
     return F.aggregate(
         F.zip_with(
             counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc.bitwiseOR(v),
@@ -206,17 +249,10 @@ def simhash_near_dup_pairs(
         ).alias("q_idx", "q_val"),
     )
     a, b = quarters.alias("a"), quarters.alias("b")
-    hamming = F.size(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: F.shiftright(
-                    F.col("fp_a").bitwiseXOR(F.col("fp_b")), i
-                ).bitwiseAND(F.lit(1)),
-            ),
-            lambda v: v == 1,
-        )
-    )
+    # Hamming distance = popcount of XOR, one JVM intrinsic; computed inside
+    # the block join so the fingerprints are projected away before the
+    # pair-dedup shuffle.
+    hamming = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp")))
     return (
         a.join(
             b,
@@ -227,13 +263,10 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__fp").alias("fp_a"),
-            F.col("b.__fp").alias("fp_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -243,13 +276,22 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle.
 
     Inverted-index join: explode shingles, self-join on shingle, count
     common, |A∪B| = |A|+|B|-common. Documents sharing nothing never pair, so
-    cost is Σ (docs per shingle)² — at 100 TB drop ultra-frequent shingles
-    first (stopword-gram cap) to bound the hottest posting lists.
+    cost is Σ (docs per shingle)².
+
+    ``max_df`` caps the hottest posting lists: shingles appearing in more
+    than ``max_df`` documents are dropped before the self-join (a single
+    stop-phrase shingle shared by 1M docs would otherwise emit 10¹² pairs).
+    Dropped shingles no longer count toward the intersection, so with the
+    cap on the similarity is a lower-bound estimate — the standard trade at
+    corpus scale. Implemented as a window count over the shingle key, which
+    hash-partitions both join inputs by shingle so the self-join reuses the
+    exchange instead of shuffling again.
     """
     sh = (
         df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
@@ -257,6 +299,11 @@ def jaccard_pairs(
         .filter(F.col("__size") > 0)
     )
     exploded = sh.select("__id", "__size", F.explode("__sh").alias("__gram"))
+    if max_df is not None:
+        gram_df = F.count(F.lit(1)).over(Window.partitionBy("__gram"))
+        exploded = exploded.withColumn("__df", gram_df).filter(
+            F.col("__df") <= max_df
+        ).drop("__df")
     a, b = exploded.alias("a"), exploded.alias("b")
     common = (
         a.join(

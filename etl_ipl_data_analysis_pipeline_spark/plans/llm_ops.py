@@ -96,11 +96,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dedup.simhash("text").alias("fingerprint"))
 
 
+@register("dedup_simhash_pairs", oracle=None, tags=("X2",))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: quarter-blocked (pigeonhole) then
+    exact Hamming ≤ 8 over the 64-bit fingerprints (catches 22/25 of the
+    fixture's Jaccard≥0.5 near-dups at sf0.01). Seeded xxhash64 has no
+    DuckDB twin, so rows-only; properties (a<b, hamming bounds, planted
+    near-dups collide) are covered in tests/test_dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+
+
 @register("dedup_jaccard_pairs", oracle=None, tags=("X2",))
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join (no O(n²))."""
+    """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join (no O(n²)).
+    max_df caps stop-phrase posting lists (cap >> corpus at this SF, so the
+    result is still exact here; the cap path is property-tested)."""
     d = load(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, min_jaccard=0.5).orderBy("id_a", "id_b")
+    return dedup.jaccard_pairs(d, min_jaccard=0.5, max_df=10_000).orderBy("id_a", "id_b")
 
 
 @register("dedup_embedding_pairs", oracle=None, tags=("X2", "J10"))
