@@ -62,3 +62,37 @@ def normalized_text(text) -> Column:
 def content_hash(text, bits: int = 256) -> Column:
     """Stable content hash for exact dedup (SURVEY §2.8 F7 / §2.11 X1)."""
     return F.sha2(normalized_text(text), bits)
+
+
+def stable_sum(col, digits: int = 2) -> Column:
+    """Order-independent rounded sum of a double column.
+
+    Double summation order varies with partitioning, so round(sum(double))
+    can flip on a half-way boundary between runs (or vs. another engine).
+    Casting each row to DECIMAL(38,10) first makes addition exact and
+    associative; the final cast back to double is a single deterministic
+    rounding. Oracle twin: round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS
+    DOUBLE), d).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(38,10)")).cast("double"), digits)
+
+
+def stable_avg(col, digits: int = 4) -> Column:
+    """Order-independent rounded mean of a double column (see stable_sum);
+    exact decimal sum divided by the non-null count in double — one
+    deterministic division. Oracle twin: round(CAST(sum(CAST(x AS
+    DECIMAL(38,10))) AS DOUBLE) / count(x), d)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(38,10)")).cast("double") / F.count(c), digits
+    )
+
+
+def stable_avg_long(col, digits: int = 4) -> Column:
+    """Order-independent rounded mean of an integral column. Spark's
+    avg(long) accumulates in double (order-dependent); sum(long) is exact,
+    so divide that in double instead. Oracle twin: round(CAST(sum(x) AS
+    DOUBLE) / count(x), d)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c).cast("double") / F.count(c), digits)

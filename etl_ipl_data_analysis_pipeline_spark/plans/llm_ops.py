@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions import normalized_text, token_count
+from ..functions import normalized_text, stable_avg_long, token_count
 from ..operators import dedup, similarity, textstats
 from . import load, register
 
@@ -247,18 +247,21 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            count(*)                    AS n_docs,
            sum(n_chars)                AS total_chars,
-           round(avg(n_chars), 4)      AS avg_chars
+           round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 4) AS avg_chars
     FROM documents
     GROUP BY lang, source
     """,
     tags=("X4", "A4"),
 )
 def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg over a long column divides the exact integer sum in double
+    (stable_avg_long) — Spark's avg(long) accumulates doubles in partition
+    order and can flip the rounded hash."""
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        stable_avg_long("n_chars", 4).alias("avg_chars"),
     )
 
 

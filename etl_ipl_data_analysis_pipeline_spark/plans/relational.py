@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import load, register
+from ..functions import stable_avg, stable_avg_long, stable_sum
 
 # ---------------------------------------------------------------------------
 # Aggregations (A1, A4, A5, A6, A7, A8)
@@ -26,13 +27,18 @@ from . import load, register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4)                                    AS avg_qty,
-           round(avg(l_extendedprice), 4)                               AS avg_price,
-           round(avg(l_discount), 4)                                    AS avg_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2)      AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(l_quantity), 4)
+               AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) / count(l_extendedprice), 4)
+               AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(l_discount), 4)
+               AS avg_disc,
            count(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -42,20 +48,22 @@ from . import load, register
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical hash-aggregate. Single shuffle on a
-    low-cardinality key; partial aggregation makes the shuffle O(groups)."""
+    low-cardinality key; partial aggregation makes the shuffle O(groups).
+    Double sums go through stable_sum/stable_avg (exact decimal
+    accumulation) so the value hash can't flip with summation order."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_sum("l_quantity", 2).alias("sum_qty"),
+            stable_sum("l_extendedprice", 2).alias("sum_base_price"),
+            stable_sum(disc_price, 2).alias("sum_disc_price"),
+            stable_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            stable_avg("l_quantity", 4).alias("avg_qty"),
+            stable_avg("l_extendedprice", 4).alias("avg_price"),
+            stable_avg("l_discount", 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -88,8 +96,8 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)      AS n_bulk,
            sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)     AS n_discounted,
-           round(sum(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2)
-                                                                  AS taxed_price
+           round(CAST(sum(CAST(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END
+                               AS DECIMAL(38,10))) AS DOUBLE), 2) AS taxed_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -102,8 +110,8 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
         F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
-        F.round(
-            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)), 2
+        stable_sum(
+            F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0), 2
         ).alias("taxed_price"),
     )
 
@@ -114,7 +122,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            grouping(l_returnflag) * 2 + grouping(l_linestatus) AS grp_id,
-           round(sum(l_quantity), 2) AS sum_qty,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_qty,
            count(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -126,7 +134,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reading the fact table per level)."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        stable_sum("l_quantity", 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_rows"),
         (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("grp_id"),
     ).select(
@@ -143,7 +151,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
            coalesce(o_orderpriority, 'ALL') AS orderpriority,
-           round(sum(o_totalprice), 2)      AS sum_price,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_price,
            count(*)                         AS n_orders
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -155,7 +163,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            stable_sum("o_totalprice", 2).alias("sum_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .select(
@@ -172,9 +180,17 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*)                              AS n_docs,
-           round(avg(n_chars), 4)                AS avg_chars,
-           round(stddev_samp(n_chars), 4)        AS sd_chars,
-           round(var_samp(n_chars), 4)           AS var_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 4) AS avg_chars,
+           CASE WHEN count(*) < 2 THEN NULL ELSE
+               round(sqrt((CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DOUBLE)
+                           - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE) / count(*))
+                          / (count(*) - 1)), 4)
+           END                                   AS sd_chars,
+           CASE WHEN count(*) < 2 THEN NULL ELSE
+               round((CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS DOUBLE)
+                      - CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE) / count(*))
+                     / (count(*) - 1), 4)
+           END                                   AS var_chars,
            round(quantile_cont(n_chars, 0.5), 4) AS med_chars,
            min(n_chars)                          AS min_chars,
            max(n_chars)                          AS max_chars
@@ -185,14 +201,21 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical profile per language. `percentile` is the exact variant
-    (matches DuckDB quantile_cont); percentile_approx is reserved for
-    bench-scale profiling where exactness isn't oracle-checked."""
+    (matches DuckDB quantile_cont). Variance/stddev are computed from exact
+    integer sums (sum-of-squares in DECIMAL(38,0) — overflow-proof at any
+    corpus size) with one deterministic float evaluation, because both
+    engines' streaming var_samp accumulate doubles in partition order and
+    can round() differently run to run."""
     d = load(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    s1 = F.sum("n_chars").cast("double")
+    s2 = F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1)
     return d.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.stddev_samp("n_chars"), 4).alias("sd_chars"),
-        F.round(F.var_samp("n_chars"), 4).alias("var_chars"),
+        n.alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 4).alias("avg_chars"),
+        F.when(n < 2, F.lit(None)).otherwise(F.round(F.sqrt(var), 4)).alias("sd_chars"),
+        F.when(n < 2, F.lit(None)).otherwise(F.round(var, 4)).alias("var_chars"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("med_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
@@ -208,7 +231,8 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_revenue",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -235,7 +259,7 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -248,7 +272,8 @@ def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -281,7 +306,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -293,7 +318,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            count(o_orderkey)                          AS n_orders,
-           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spent
+           round(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 0.0), 2)
+               AS total_spent
     FROM customer
     LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey
@@ -310,7 +336,13 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast("double"),
+                    F.lit(0.0),
+                ),
+                2,
+            ).alias("total_spent"),
         )
     )
 

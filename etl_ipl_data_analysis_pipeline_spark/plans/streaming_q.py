@@ -9,6 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from ..functions import stable_sum
 from . import load, register
 
 
@@ -18,7 +19,7 @@ from . import load, register
     SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
            event_type,
            count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -32,7 +33,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            stable_sum("value", 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -41,7 +42,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_sliding",
     oracle="""
-    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    SELECT window_start, count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_value
     FROM (
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, value FROM events
         UNION ALL
@@ -60,7 +61,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            stable_sum("value", 2).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -83,7 +84,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM marked
     )
     SELECT user_id, min(ts) AS session_start,
-           count(*) AS n_events, round(sum(value), 2) AS sum_value
+           count(*) AS n_events, round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_value
     FROM sessions
     GROUP BY user_id, session_no
     """,
@@ -97,7 +98,7 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            stable_sum("value", 2).alias("sum_value"),
         )
         .select(
             "user_id",
