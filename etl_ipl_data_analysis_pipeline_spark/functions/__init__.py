@@ -64,6 +64,14 @@ def content_hash(text, bits: int = 256) -> Column:
     return F.sha2(normalized_text(text), bits)
 
 
+def sort_key_int(col, default: int = 0) -> Column:
+    """SO2: integer sort key from a string column, non-numeric -> default
+    (reference: compare_schema.py:66-70 casts version labels to int with a
+    0 fallback so non-numeric names sort first deterministically)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.cast("int"), F.lit(default))
+
+
 def stable_sum(col, digits: int = 2) -> Column:
     """Order-independent rounded sum of a double column.
 

@@ -103,7 +103,7 @@ def write_jdbc(
     The reference stages through S3 for Redshift COPY; plain JDBC writes one
     batch-insert stream per partition — repartition the input to control
     warehouse write concurrency. Operational-only in this environment (no
-    warehouse container); exercised by tests against an in-memory path.
+    warehouse container or JDBC driver jar to run against).
     """
     writer = df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batchsize))
@@ -183,8 +183,9 @@ def expand_zip_distributed(spark: SparkSession, zips_path: str, suffix: str = ".
 def load_star(spark: SparkSession, sf_dir: str, register_views: bool = True):
     """Load the driver's star-schema fixtures; optionally register temp views
     so the SQL surface (spark.sql) works over the same names as DuckDB."""
-    from .plans import normalize_nanos_ts
+    from .plans import ensure_read_confs, normalize_nanos_ts
 
+    ensure_read_confs(spark)
     dfs = {}
     for name in STAR_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -194,3 +195,32 @@ def load_star(spark: SparkSession, sf_dir: str, register_views: bool = True):
             if register_views:
                 df.createOrReplaceTempView(name)
     return dfs
+
+
+def retry(
+    fn,
+    attempts: int = 5,
+    base_delay: float = 1.0,
+    exceptions: tuple[type[BaseException], ...] = (Exception,),
+    sleep=None,
+):
+    """L4 (final_DAG.py:216-230): call ``fn()`` with exponential backoff —
+    attempt n sleeps base_delay * 2**n before retrying; the last failure
+    re-raises. ``sleep`` is injectable for tests.
+
+    Driver-side orchestration only (fetches, warehouse loads, flaky
+    metastore calls) — never wrap per-row work in this; executor-side
+    resilience is Spark's task retry."""
+    import time as _time
+
+    sleep = sleep or _time.sleep
+    last: BaseException | None = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except exceptions as e:  # noqa: PERF203
+            last = e
+            if attempt < attempts - 1:
+                sleep(base_delay * (2**attempt))
+    assert last is not None
+    raise last

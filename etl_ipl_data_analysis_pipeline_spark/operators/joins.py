@@ -67,6 +67,27 @@ def asof_join(
     return out.drop("__side", "__ts", "__rpayload", "__match")
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+
+
+def interval_seconds(interval: str) -> int:
+    """Parse a whole-second interval string ('1 hour', '-30 minutes') to
+    seconds. Casting an INTERVAL literal to long does NOT do this — Spark
+    returns the value in the interval's own unit (INTERVAL '1 hour' -> 1),
+    which once made the buckets below one second wide."""
+    qty_s, unit = interval.strip().split()
+    unit = unit.lower().rstrip("s")
+    if unit not in _INTERVAL_UNIT_SECONDS:
+        raise ValueError(f"unsupported interval unit: {interval!r}")
+    return int(qty_s) * _INTERVAL_UNIT_SECONDS[unit]
+
+
 def range_join_bucketed(
     left: DataFrame,
     right: DataFrame,
@@ -82,22 +103,30 @@ def range_join_bucketed(
     its window overlaps, the join is equi on (key, bucket), and the exact
     range predicate filters within. Pair space = per-bucket, not per-key-
     history — this is the plan a naive BETWEEN join can't give you.
+
+    Bucket math runs on integer epoch seconds with widths parsed by
+    interval_seconds, so a left row fans out to exactly
+    (upper - lower) / bucket + 1 (or +2 at truncation edges) bucket rows;
+    intervals must be whole seconds. The exact predicate still compares
+    full-precision timestamps.
     """
-    bucket_s = F.expr(f"INTERVAL {bucket}")
+    bucket_sec = interval_seconds(bucket)
+    lo_sec = interval_seconds(lower)
+    hi_sec = interval_seconds(upper)
+    if bucket_sec <= 0 or hi_sec < lo_sec:
+        raise ValueError("bucket must be positive and upper >= lower")
     lo = F.expr(f"INTERVAL {lower}")
     hi = F.expr(f"INTERVAL {upper}")
     l2 = left.withColumn(
         "__bkt",
         F.explode(
             F.sequence(
-                F.floor((F.col(left_ts) + lo).cast("long") / bucket_s.cast("long")),
-                F.floor((F.col(left_ts) + hi).cast("long") / bucket_s.cast("long")),
+                F.floor((F.col(left_ts).cast("long") + lo_sec) / bucket_sec),
+                F.floor((F.col(left_ts).cast("long") + hi_sec) / bucket_sec),
             )
         ),
     )
-    r2 = right.withColumn(
-        "__bkt", F.floor(F.col(right_ts).cast("long") / bucket_s.cast("long"))
-    )
+    r2 = right.withColumn("__bkt", F.floor(F.col(right_ts).cast("long") / bucket_sec))
     cond = (F.col(f"__r.{right_ts}") > F.col(f"__l.{left_ts}") + lo) & (
         F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}") + hi
     ) & (F.col("__l.__bkt") == F.col("__r.__bkt"))

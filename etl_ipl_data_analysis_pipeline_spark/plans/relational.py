@@ -16,7 +16,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import load, register
-from ..functions import stable_avg, stable_avg_long, stable_sum
+from ..functions import sort_key_int, stable_avg, stable_avg_long, stable_sum
+from ..operators import joins
 
 # ---------------------------------------------------------------------------
 # Aggregations (A1, A4, A5, A6, A7, A8)
@@ -475,6 +476,38 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT e.event_id, count(*) AS n_follow
+    FROM events e
+    JOIN events f
+      ON e.user_id = f.user_id
+     AND f.ts > e.ts
+     AND f.ts <= e.ts + INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    tags=("J8",),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics (and oracle) as join_range, via the coarse time-bucket
+    plan (operators.joins.range_join_bucketed): the equi key becomes
+    (user_id, bucket), so one hot user's long history no longer lands on a
+    single reducer pair-space — this is the variant that survives skewed
+    keys at 100 TB. Identical output proves the rewrite."""
+    ev = load(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error")
+    joined = joins.range_join_bucketed(
+        e, ev, on="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour", bucket="1 hour",
+    )
+    return (
+        joined.groupBy(F.col("__l.event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_follow"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions (W1-W4) + sorts/limits (SO1-SO3)
 # ---------------------------------------------------------------------------
@@ -600,6 +633,33 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
         "o_orderkey", "o_totalprice", "o_orderdate"
     ).limit(10)
+
+
+@register(
+    "sort_key_cast",
+    oracle="""
+    SELECT source,
+           coalesce(try_cast(regexp_extract(source, '([0-9]+)', 1) AS INTEGER), 0)
+               AS source_no,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    ORDER BY source_no, source
+    """,
+    tags=("SO2",),
+)
+def sort_key_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO2 (reference compare_schema.py:66-70): numeric sort key from a
+    string label via coalesce(cast, default) — 'src10' sorts after 'src9'
+    instead of lexicographically, non-numeric labels default to 0."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("source_no", sort_key_int(F.regexp_extract("source", r"(\d+)", 1)))
+        .select("source", "source_no", "n_docs")
+        .orderBy("source_no", "source")
+    )
 
 
 # ---------------------------------------------------------------------------
