@@ -1,0 +1,140 @@
+"""End-to-end ingest pipeline (SURVEY.md §3.1): the reference's DAG chain —
+fetch → unzip → read JSON → flatten → schema-drift gate → parquet → ledger
+update (final_DAG.py:349's 14-task sequence) — as one composable function.
+
+Batch-incremental by construction: every run discovers only files absent
+from the ledger, so re-running against an unchanged landing zone is a
+no-op (the run-twice idempotency contract, L3). The streaming twin of the
+same semantics is streaming/incremental.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import expand_zip, fetch_url, write_parquet
+from .io import read_json as _read_json
+from .operators.flatten import flatten
+from .operators.ledger import (
+    discover_new_files,
+    empty_ledger,
+    ingest_new,
+    mark_stage,
+    strip_extension,
+)
+from .operators.schema_diff import (
+    drift_report,
+    schema_diff,
+    schema_snapshot,
+)
+
+
+@dataclass
+class RunResult:
+    processed_files: int
+    rows_written: int
+    drift: str | None  # drift report when the schema changed, else None
+    skipped: bool  # True when no new files were found
+
+
+def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
+    if os.path.exists(ledger_path):
+        return spark.read.parquet(ledger_path)
+    return empty_ledger(spark)
+
+
+def _save_small_table(df: DataFrame, path: str) -> None:
+    """Overwrite a small control table (ledger / schema registry). The read
+    side is materialized to rows first — Spark reads lazily, so writing
+    over a path still referenced by the plan would corrupt it."""
+    spark = df.sparkSession
+    rows = df.collect()
+    spark.createDataFrame(rows, df.schema).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def run_ingest(
+    spark: SparkSession,
+    source: str,
+    landing_dir: str,
+    out_dir: str,
+    ledger_path: str,
+    schema_registry_path: str | None = None,
+    json_schema=None,
+    on_drift: str = "warn",
+) -> RunResult:
+    """One pipeline run. ``source`` is a zip path or http(s) URL; JSON
+    members land in ``landing_dir``, flattened rows append to ``out_dir``.
+
+    Drift gate: the flattened schema is compared against the newest
+    snapshot in ``schema_registry_path``; ``on_drift='block'`` raises
+    (compare_schema.py's alert-and-stop), 'warn' records the report in the
+    result and proceeds.
+    """
+    if on_drift not in ("warn", "block"):
+        raise ValueError("on_drift must be 'warn' or 'block'")
+
+    # 1. acquire + expand (SRC1/SRC2). fetch_url streams to the landing zone.
+    if source.startswith(("http://", "https://")):
+        archive = os.path.join(landing_dir, os.path.basename(source) or "archive.zip")
+        os.makedirs(landing_dir, exist_ok=True)
+        fetch_url(source, archive)
+    else:
+        archive = source
+    members = expand_zip(archive, landing_dir, suffix=".json")
+
+    # 2. incremental discovery (L1): listing vs ledger by normalized key.
+    listing = spark.createDataFrame(
+        [(m,) for m in sorted(members)], "path string"
+    ).withColumn("file_key", strip_extension(F.expr("reverse(split(path, '/'))[0]")))
+    ledger = _load_ledger(spark, ledger_path)
+    fresh = discover_new_files(listing, ledger).cache()
+    new_paths = [r["path"] for r in fresh.select("path").collect()]
+    if not new_paths:
+        return RunResult(0, 0, None, skipped=True)
+
+    # 3. read + flatten (SRC3, P1-P4) — only the new files.
+    raw = _read_json(spark, new_paths, schema=json_schema)
+    flat = flatten(raw)
+
+    # 4. drift gate (J3/SE2/SE3) against the newest registry snapshot.
+    drift_msg = None
+    if schema_registry_path is not None:
+        new_snap_rows = schema_snapshot(spark, flat, version_id=0).select("name", "type")
+        if os.path.exists(schema_registry_path):
+            registry = spark.read.parquet(schema_registry_path)
+            latest = registry.agg(F.max("version_id")).first()[0]
+            old = registry.filter(F.col("version_id") == latest).select("name", "type")
+            diff = schema_diff(new_snap_rows, old)
+            if not diff.isEmpty():
+                drift_msg = drift_report(diff)
+                if on_drift == "block":
+                    raise RuntimeError(drift_msg)
+            next_version = latest + 1 if drift_msg else latest
+            if drift_msg:
+                updated = registry.unionByName(
+                    schema_snapshot(spark, flat, version_id=next_version)
+                )
+                _save_small_table(updated, schema_registry_path)
+        else:
+            _save_small_table(
+                schema_snapshot(spark, flat, version_id=1), schema_registry_path
+            )
+
+    # 5. write (SNK1). Append — each run adds only its new files' rows.
+    rows_written = flat.count()
+    write_parquet(flat, out_dir, mode="append")
+
+    # 6. ledger update (L2/L3): new keys ingested, then marked through
+    # crawled/transformed (this runner performs both stages).
+    keys = fresh.select("file_key")
+    ledger = ingest_new(ledger, keys)
+    ledger = mark_stage(ledger, keys, "crawled")
+    ledger = mark_stage(ledger, keys, "transformed")
+    _save_small_table(ledger, ledger_path)
+    fresh.unpersist()
+
+    return RunResult(len(new_paths), rows_written, drift_msg, skipped=False)
