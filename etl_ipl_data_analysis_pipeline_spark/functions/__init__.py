@@ -69,7 +69,9 @@ def sort_key_int(col, default: int = 0) -> Column:
     (reference: compare_schema.py:66-70 casts version labels to int with a
     0 fallback so non-numeric names sort first deterministically)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(c.cast("int"), F.lit(default))
+    # try_cast: ANSI mode (Spark 4 default) makes a plain cast THROW on
+    # malformed strings instead of yielding NULL.
+    return F.coalesce(c.try_cast("int"), F.lit(default))
 
 
 def stable_sum(col, digits: int = 2) -> Column:

@@ -65,8 +65,11 @@ def decode_image(content: bytes) -> tuple[int, int, list[float]]:
 
 def _fake_decode(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """Deterministic stand-in: 'dimensions' and 'features' derived from
-    content bytes — stable across runs/partitionings."""
-    h = hash(bytes(content[:64])) & 0x7FFFFFFF
+    content bytes — stable across runs/partitionings (crc32, not Python
+    hash(), which is salted per process)."""
+    import zlib
+
+    h = zlib.crc32(bytes(content[:64])) & 0x7FFFFFFF
     width, height = 16 + h % 1024, 16 + (h >> 10) % 1024
     feat = [((h >> (i % 24)) & 0xFF) / 255.0 for i in range(dim)]
     return width, height, feat

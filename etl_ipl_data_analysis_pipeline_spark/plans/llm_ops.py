@@ -3,7 +3,8 @@
 
 SQL-expressible ops carry a DuckDB oracle; LSH/fingerprint ops are
 rows-only (seeded + deterministic) per the driver contract, with property
-tests in tests/test_llm_ops.py backing them.
+tests in tests/test_dedup.py and tests/test_similarity.py backing them
+(planted near-duplicates, estimator-vs-exact tolerance, recall floors).
 """
 
 from __future__ import annotations

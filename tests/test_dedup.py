@@ -1,0 +1,106 @@
+"""Property tests for the dedup family (SURVEY §5, VERDICT r1 item 4):
+planted near-duplicates are found, pair invariants hold, the jaccard
+posting-list cap bounds blowup on a stop-phrase corpus."""
+
+import pyspark.sql.functions as F
+
+from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+
+def test_exact_dedup_keeps_min_id_per_content(spark, docs):
+    out = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 200 not in ids  # 200 is an exact copy of 0
+    assert len(ids) == 25  # 26 docs - 1 exact dup
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    assert {r["doc_id"] for r in dedup.exact_dedup(df).collect()} == {1, 3}
+
+
+def test_minhash_pairs_invariants(spark, docs):
+    pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.0).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)  # canonical order, no self
+    assert all(0.0 <= r["est_jaccard"] <= 1.0 for r in pairs)
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))  # deduped
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5).collect()
+    }
+    planted = {(i, 100 + i) for i in range(5)} | {(0, 200)}
+    assert planted <= pairs
+
+
+def test_minhash_dedup_drops_only_near_dups(spark, docs):
+    survivors = {r["doc_id"] for r in dedup.minhash_dedup(docs, min_jaccard=0.5).collect()}
+    assert set(range(20)) <= survivors  # originals survive (smaller ids)
+    assert survivors.isdisjoint({100, 101, 102, 103, 104, 200})
+
+
+def test_simhash_deterministic_and_distinct(spark, docs):
+    a = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", dedup.simhash("text").alias("fp")).collect()}
+    b = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", dedup.simhash("text").alias("fp")).collect()}
+    assert a == b  # seeded, stable
+    assert len(set(a.values())) > 1  # not degenerate
+
+
+def test_simhash_identical_docs_hamming_zero(spark, docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=16).collect()
+    by_key = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert by_key.get((0, 200)) == 0  # exact copy
+    assert all(0 <= h <= 16 for h in by_key.values())
+
+
+def test_simhash_planted_near_dups_low_hamming(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=16).collect()
+    }
+    found = sum(1 for i in range(5) if (i, 100 + i) in pairs)
+    assert found >= 4  # 1-token change moves few fingerprint bits
+
+
+def test_jaccard_exact_value_on_known_pair(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c x} -> J = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x")], "doc_id long, text string"
+    )
+    rows = dedup.jaccard_pairs(df, min_jaccard=0.0).collect()
+    assert len(rows) == 1
+    assert abs(rows[0]["jaccard"] - 1 / 3) < 1e-4
+
+
+def test_jaccard_max_df_caps_stop_phrase_blowup(spark):
+    # 40 docs sharing one stop phrase; without the cap every pair collides.
+    stop = "please subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [(i, f"unique{i} text{i} {stop}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.jaccard_pairs(df, min_jaccard=0.0).count()
+    capped = dedup.jaccard_pairs(df, min_jaccard=0.0, max_df=5).count()
+    assert uncapped == 40 * 39 / 2  # full stop-phrase cross product
+    assert capped == 0  # hot shingles dropped -> no surviving candidates
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, docs):
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_near_dup_pairs(docs, num_hashes=64, min_jaccard=0.0).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, min_jaccard=0.0).collect()
+    }
+    common = set(est) & set(exact)
+    assert common  # planted pairs overlap
+    for k in common:
+        assert abs(est[k] - exact[k]) < 0.25  # 64-perm estimator tolerance

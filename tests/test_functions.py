@@ -1,0 +1,76 @@
+"""Column-helper tests: text stats, vector math, stable aggregates,
+sort keys."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark import functions as fn
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("   ",), ("single",)], "t string"
+    ).select(fn.token_count("t").alias("n"))
+    assert [r["n"] for r in df.collect()] == [3, 0, 0, 1]
+
+
+def test_cosine_similarity_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        "a array<double>, b array<double>",
+    ).select(fn.cosine_similarity("a", "b").alias("s"))
+    got = [r["s"] for r in df.collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(-1.0)
+
+
+def test_l2_distance(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    ).select(fn.l2_distance("a", "b").alias("d"))
+    assert df.first()["d"] == pytest.approx(5.0)
+
+
+def test_normalized_text_and_hash_agree(spark):
+    df = spark.createDataFrame(
+        [("  Hello   World ",), ("hello world",)], "t string"
+    ).select(fn.content_hash("t").alias("h"))
+    hashes = [r["h"] for r in df.collect()]
+    assert hashes[0] == hashes[1]
+
+
+def test_sort_key_int_default(spark):
+    df = spark.createDataFrame([("12",), ("x",), (None,)], "s string").select(
+        fn.sort_key_int("s").alias("k")
+    )
+    assert [r["k"] for r in df.collect()] == [12, 0, 0]
+
+
+def test_stable_sum_is_partition_invariant(spark):
+    vals = [(float(i) * 0.1,) for i in range(1, 1001)]
+    a = (
+        spark.createDataFrame(vals, "x double")
+        .agg(fn.stable_sum("x", 2).alias("s"))
+        .first()["s"]
+    )
+    b = (
+        spark.createDataFrame(vals, "x double")
+        .repartition(17)
+        .agg(fn.stable_sum("x", 2).alias("s"))
+        .first()["s"]
+    )
+    assert a == b == pytest.approx(sum(v[0] for v in vals), abs=0.01)
+
+
+def test_stable_avg_long_exact_division(spark):
+    df = spark.createDataFrame([(1,), (2,), (4,)], "x long")
+    assert df.agg(fn.stable_avg_long("x", 4).alias("a")).first()["a"] == pytest.approx(
+        7 / 3, abs=1e-4
+    )

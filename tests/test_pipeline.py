@@ -1,0 +1,96 @@
+"""End-to-end pipeline integration (SURVEY §5.4): run-twice idempotency,
+drift gate semantics, retry util."""
+
+import json
+import os
+import zipfile
+
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark.io import retry
+from etl_ipl_data_analysis_pipeline_spark.pipeline import run_ingest
+
+
+def make_zip(tmp_path, name, files):
+    path = str(tmp_path / name)
+    with zipfile.ZipFile(path, "w") as zf:
+        for fname, records in files.items():
+            zf.writestr(fname, json.dumps(records))
+    return path
+
+
+@pytest.fixture()
+def pipe_args(tmp_path):
+    return dict(
+        landing_dir=str(tmp_path / "landing"),
+        out_dir=str(tmp_path / "out"),
+        ledger_path=str(tmp_path / "ledger.parquet"),
+        schema_registry_path=str(tmp_path / "registry.parquet"),
+    )
+
+
+def test_run_twice_is_idempotent(spark, tmp_path, pipe_args):
+    z = make_zip(tmp_path, "b1.zip", {
+        "f1.json": [{"id": 1, "user": {"name": "u1", "tags": ["a", "b"]}}],
+        "f2.json": [{"id": 2, "user": {"name": "u2", "tags": ["c"]}}],
+    })
+    r1 = run_ingest(spark, z, **pipe_args)
+    assert (r1.processed_files, r1.rows_written, r1.skipped) == (2, 3, False)
+    r2 = run_ingest(spark, z, **pipe_args)
+    assert r2.skipped and r2.processed_files == 0
+    assert spark.read.parquet(pipe_args["out_dir"]).count() == 3  # unchanged
+
+
+def test_incremental_batch_appends_only_new(spark, tmp_path, pipe_args):
+    z1 = make_zip(tmp_path, "b1.zip", {"f1.json": [{"id": 1, "v": "a"}]})
+    z2 = make_zip(tmp_path, "b2.zip", {
+        "f1.json": [{"id": 1, "v": "a"}],   # already processed
+        "f3.json": [{"id": 3, "v": "c"}],   # new
+    })
+    run_ingest(spark, z1, **pipe_args)
+    r = run_ingest(spark, z2, **pipe_args)
+    assert r.processed_files == 1
+    assert spark.read.parquet(pipe_args["out_dir"]).count() == 2
+
+
+def test_drift_warn_records_and_proceeds(spark, tmp_path, pipe_args):
+    run_ingest(spark, make_zip(tmp_path, "b1.zip", {"f1.json": [{"id": 1}]}), **pipe_args)
+    r = run_ingest(
+        spark,
+        make_zip(tmp_path, "b2.zip", {"f2.json": [{"id": 2, "extra": "x"}]}),
+        **pipe_args,
+    )
+    assert r.drift and "added: extra" in r.drift
+    assert r.processed_files == 1
+
+
+def test_drift_block_raises_and_file_stays_eligible(spark, tmp_path, pipe_args):
+    run_ingest(spark, make_zip(tmp_path, "b1.zip", {"f1.json": [{"id": 1, "v": "s"}]}), **pipe_args)
+    z2 = make_zip(tmp_path, "b2.zip", {"f2.json": [{"id": 2, "v": 3}]})
+    with pytest.raises(RuntimeError, match="type_changed"):
+        run_ingest(spark, z2, on_drift="block", **pipe_args)
+    # blocked file left out of the ledger -> warn-mode retry processes it
+    r = run_ingest(spark, z2, on_drift="warn", **pipe_args)
+    assert r.processed_files == 1
+
+
+def test_retry_backoff_and_reraise():
+    delays, calls = [], {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert retry(flaky, attempts=5, base_delay=0.5, sleep=delays.append) == "ok"
+    assert delays == [0.5, 1.0]  # base * 2^n
+
+    with pytest.raises(ValueError):
+        retry(
+            lambda: (_ for _ in ()).throw(ValueError("permanent")),
+            attempts=3,
+            base_delay=1.0,
+            sleep=delays.append,
+        )
+    assert delays[2:] == [1.0, 2.0]  # retried twice then re-raised

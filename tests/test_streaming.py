@@ -1,0 +1,87 @@
+"""Batch/stream equivalence (SURVEY §2.9 L5/L6): the streaming window
+twins produce exactly the batch queries' results; the AvailableNow file
+pipeline is exactly-once across runs; the stateful operator matches batch
+aggregation."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark import streaming as strm
+from etl_ipl_data_analysis_pipeline_spark.plans import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def stream_vs_batch(spark, sf_dir, stream_fn, batch_query, registry, name):
+    out = strm.run_available_now(
+        stream_fn(strm.read_events_stream(spark, sf_dir)), name
+    )
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in registry[batch_query].fn(spark, sf_dir).collect()}
+    assert s == b
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, registry):
+    stream_vs_batch(spark, sf_dir, strm.tumbling_stream, "window_tumbling", registry, "t_tum")
+
+
+def test_sliding_stream_equals_batch(spark, sf_dir, registry):
+    stream_vs_batch(spark, sf_dir, strm.sliding_stream, "window_sliding", registry, "t_sli")
+
+
+def test_session_stream_equals_batch(spark, sf_dir, registry):
+    stream_vs_batch(spark, sf_dir, strm.session_stream, "window_session", registry, "t_ses")
+
+
+def test_append_mode_withholds_open_windows(spark, sf_dir, registry):
+    out = strm.run_available_now(
+        strm.tumbling_stream(strm.read_events_stream(spark, sf_dir)),
+        "t_append",
+        output_mode="append",
+    )
+    sub = {tuple(r) for r in out.collect()}
+    full = {tuple(r) for r in registry["window_tumbling"].fn(spark, sf_dir).collect()}
+    assert sub < full  # strict subset: final unflushed window(s) absent
+    assert len(sub) >= len(full) - 5
+
+
+def test_file_pipeline_exactly_once(spark, sf_dir, tmp_path):
+    src = os.path.join(sf_dir, "events.parquet")
+    dst, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    n1 = strm.file_stream_pipeline(
+        spark, src, dst, ckpt, transform=lambda df: df.filter(F.col("event_type") == "click")
+    )
+    rows1 = spark.read.parquet(dst).count()
+    n2 = strm.file_stream_pipeline(
+        spark, src, dst, ckpt, transform=lambda df: df.filter(F.col("event_type") == "click")
+    )
+    assert n1 >= 1 and n2 == 0
+    assert spark.read.parquet(dst).count() == rows1
+
+
+def test_stateful_totals_match_batch(spark, sf_dir):
+    totals = strm.run_available_now(
+        strm.user_running_totals(strm.read_events_stream(spark, sf_dir)),
+        "t_state",
+        output_mode="update",
+    )
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("bn"), F.sum("value").alias("bv"))
+    )
+    final = totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("total_value").alias("v")
+    )
+    joined = final.join(batch, "user_id").collect()
+    assert joined
+    for r in joined:
+        assert r["n"] == r["bn"]
+        assert abs(r["v"] - r["bv"]) < 1e-6
