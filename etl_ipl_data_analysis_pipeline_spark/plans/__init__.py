@@ -78,6 +78,6 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all plan modules (side-effect: registration) and return REGISTRY."""
-    from . import llm_ops, pipeline_q, relational, streaming_q  # noqa: F401
+    from . import ext_q, llm_ops, pipeline_q, relational, streaming_q  # noqa: F401
 
     return REGISTRY

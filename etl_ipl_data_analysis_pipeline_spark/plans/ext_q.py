@@ -1,0 +1,177 @@
+"""Extended-surface queries: multimodal plumbing (X5), the Arrow UDF
+surfaces (U3 scalar pandas_udf, U5 grouped-agg pandas_udf "UDAF"), the
+collect-to-list report (A3), and the emptiness guard (SE3).
+
+Multimodal inputs are synthesized deterministically from the documents
+fixture (text bytes + magic-byte headers keyed on doc_id) — the binary
+plumbing, sniffing, and Arrow batching are the real article; only the
+payload is synthetic because the testdata ships no media files.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import multimodal
+from . import load, register
+
+_MAGIC = {0: "89504E470D0A1A0A", 1: "FFD8FFE0", 2: "52494646", 3: "00010203"}
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(path, content, length) shaped like a binaryFile scan, built from the
+    documents fixture: content = magic bytes (by doc_id % 4) + utf8 text."""
+    d = load(spark, sf_dir, "documents")
+    magic = F.unhex(
+        F.when(F.col("doc_id") % 4 == 0, _MAGIC[0])
+        .when(F.col("doc_id") % 4 == 1, _MAGIC[1])
+        .when(F.col("doc_id") % 4 == 2, _MAGIC[2])
+        .otherwise(_MAGIC[3])
+    )
+    return d.select(
+        F.concat(F.lit("mem://doc/"), F.col("doc_id")).alias("path"),
+        F.col("doc_id"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("content"),
+    ).withColumn("length", F.octet_length("content").cast("long"))
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'riff' ELSE 'unknown' END AS format,
+           octet_length(encode(text)) + CASE doc_id % 4 WHEN 0 THEN 8 ELSE 4 END
+               AS n_bytes
+    FROM documents
+    """,
+    tags=("X5",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 metadata path: binary payloads through attach_metadata's
+    magic-byte sniffing (JVM-side), verified against the constructed
+    headers. Payload size = utf8 text + header length."""
+    media = _media_from_documents(spark, sf_dir)
+    tagged = multimodal.attach_metadata(media.drop("doc_id"))
+    ids = media.select("path", "doc_id")
+    return tagged.join(ids, "path").select("doc_id", "format", "n_bytes")
+
+
+@register("multimodal_features", oracle=None, tags=("X5", "U4"))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 decode path: Arrow-batched mapInPandas with the deterministic
+    fake decoder (real decode is an environment-gated stub). Rows-only —
+    crc32-derived features have no SQL twin; determinism is covered by
+    tests/test_multimodal.py."""
+    media = multimodal.attach_metadata(_media_from_documents(spark, sf_dir).drop("doc_id"))
+    return (
+        multimodal.extract_features(media, fake=True, dim=8)
+        .select("media_id", "format", "n_bytes", "width", "height", "feature")
+        .orderBy("media_id")
+    )
+
+
+@register("multimodal_frames", oracle=None, tags=("X5", "U4"))
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 frame-sampling plumbing: per-media fan-out to frame rows."""
+    media = multimodal.attach_metadata(_media_from_documents(spark, sf_dir).drop("doc_id"))
+    return (
+        multimodal.sample_frames(media, every_n=4)
+        .select("media_id", "frame_idx", F.octet_length("frame").alias("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+@register(
+    "scalar_pandas_udf_score",
+    oracle="""
+    SELECT doc_id,
+           round(length(text)::DOUBLE /
+                 (1 + CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END),
+                 4) AS density
+    FROM documents
+    """,
+    tags=("U3",),
+)
+def scalar_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: scalar Arrow pandas_udf (chars-per-token density). The stance
+    stands — built-ins beat UDFs and every hot path here uses them — but
+    the vectorized escape hatch is part of the declared surface, so it is
+    exercised and oracle-checked."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def density(text: pd.Series) -> pd.Series:
+        toks = text.str.strip().str.split().str.len().fillna(0)
+        return (text.str.len() / (1 + toks)).round(4)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", density("text").alias("density"))
+
+
+@register(
+    "udaf_median_pandas",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("U5",),
+)
+def udaf_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: grouped-aggregate pandas_udf (a UDAF). Median is sort-based, so
+    the float result is order-independent — safe to oracle-check, unlike a
+    summation-based custom aggregate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def median(v: pd.Series) -> float:
+        return round(float(v.median()), 4)
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(median("o_totalprice").alias("median_price"))
+
+
+@register(
+    "agg_collect_list",
+    oracle="""
+    SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+           count(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("A3",),
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 collect-to-list report (the reference's driver-side accumulation
+    as a distributed agg): sorted distinct sources per language."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "emptiness_guard",
+    oracle="""
+    SELECT count(*) = 0 AS is_empty, count(*) AS n_violations
+    FROM orders WHERE o_totalprice < 0
+    """,
+    tags=("P7", "SE3"),
+)
+def emptiness_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/SE3 emptiness gate as a query: a data-quality predicate whose
+    violation set must be empty (the drift gate's isEmpty check in
+    relational form). Plans to a partial-count — no full scan
+    materialization."""
+    o = load(spark, sf_dir, "orders")
+    violations = o.filter(F.col("o_totalprice") < 0)
+    return violations.agg(
+        (F.count(F.lit(1)) == 0).alias("is_empty"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
