@@ -108,11 +108,39 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
 
 
-@register("dedup_jaccard_pairs", oracle=None, tags=("X2",))
+@register(
+    "dedup_jaccard_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               END
+             ) AS grams
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh WHERE len(grams) > 0
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, round(n_common / (sa + sb - n_common), 4) AS jaccard
+    FROM pairs
+    WHERE round(n_common / (sa + sb - n_common), 4) >= 0.5
+    """,
+    tags=("X2",),
+)
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index join (no O(n²)).
     max_df caps stop-phrase posting lists (cap >> corpus at this SF, so the
-    result is still exact here; the cap path is property-tested)."""
+    result is still exact here and the DuckDB oracle — a cap-free
+    inverted-index twin — hash-matches; the cap path is property-tested)."""
     d = load(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(d, min_jaccard=0.5, max_df=10_000).orderBy("id_a", "id_b")
 
@@ -266,10 +294,39 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_lang_id", oracle=None, tags=("X4",))
+@register(
+    "text_lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','that')))::DOUBLE
+          / greatest(len(toks), 1) AS s_en,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein')))::DOUBLE
+          / greatest(len(toks), 1) AS s_de,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans')))::DOUBLE
+          / greatest(len(toks), 1) AS s_fr,
+        len(list_filter(toks, x -> x IN ('el','la','los','de','que','es','una')))::DOUBLE
+          / greatest(len(toks), 1) AS s_es
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE WHEN s_en = best AND best > 0 THEN 'en'
+           WHEN s_de = best AND best > 0 THEN 'de'
+           WHEN s_fr = best AND best > 0 THEN 'fr'
+           WHEN s_es = best AND best > 0 THEN 'es'
+           ELSE 'und' END AS lang_guess
+    FROM (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM r)
+    """,
+    tags=("X4",),
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-marker language ID (deterministic; rows-only —
-    the marker sets are engine code, not SQL)."""
+    """Heuristic stopword-marker language ID. Deterministic marker-ratio
+    scoring with en>de>fr>es tie priority — mirrored exactly by the DuckDB
+    oracle (same normalization, marker sets, and CASE order)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
 

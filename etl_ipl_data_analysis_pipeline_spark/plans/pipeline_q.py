@@ -243,3 +243,122 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["last_value", "matched_event"],
     )
     return out.select("event_id", "user_id", "ts", "last_value", "matched_event")
+
+
+# ---------------------------------------------------------------------------
+# L2 state machine + SO1 retain-N (fixture-driven, fully oracle-checked)
+# ---------------------------------------------------------------------------
+
+_LEDGER_LOG = [
+    # append-only ledger log: (file_key, ingested, crawled, transformed, loaded, updated_at)
+    ("match_001", True, False, False, False, "2024-01-01 10:00:00"),
+    ("match_001", True, True, False, False, "2024-01-01 11:00:00"),
+    ("match_001", True, True, True, False, "2024-01-02 09:30:00"),
+    ("match_002", True, False, False, False, "2024-01-01 10:05:00"),
+    ("match_002", True, True, False, False, "2024-01-03 08:00:00"),
+    ("match_003", True, False, False, False, "2024-01-04 12:00:00"),
+]
+
+
+@register(
+    "ledger_latest_state",
+    oracle="""
+    SELECT file_key, ingested, crawled, transformed, loaded, updated_at
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY file_key ORDER BY updated_at DESC) AS rn
+      FROM (VALUES
+        ('match_001', true, false, false, false, TIMESTAMP '2024-01-01 10:00:00'),
+        ('match_001', true, true,  false, false, TIMESTAMP '2024-01-01 11:00:00'),
+        ('match_001', true, true,  true,  false, TIMESTAMP '2024-01-02 09:30:00'),
+        ('match_002', true, false, false, false, TIMESTAMP '2024-01-01 10:05:00'),
+        ('match_002', true, true,  false, false, TIMESTAMP '2024-01-03 08:00:00'),
+        ('match_003', true, false, false, false, TIMESTAMP '2024-01-04 12:00:00')
+      ) AS t(file_key, ingested, crawled, transformed, loaded, updated_at)
+    ) WHERE rn = 1
+    """,
+    tags=("L2",),
+)
+def ledger_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact an append-only ledger log to last-writer-wins current state
+    (operators/ledger.latest_state) — the Delta-style MERGE as a window."""
+    from ..operators.ledger import latest_state
+
+    log = spark.createDataFrame(
+        [(k, i, c, t, l, __import__("datetime").datetime.fromisoformat(ts)) for k, i, c, t, l, ts in _LEDGER_LOG],
+        "file_key string, ingested boolean, crawled boolean, transformed boolean, "
+        "loaded boolean, updated_at timestamp",
+    )
+    return latest_state(log)
+
+
+@register(
+    "ledger_mark_stage",
+    oracle="""
+    SELECT file_key, ingested,
+           crawled OR file_key IN ('match_002', 'match_003') AS crawled,
+           transformed, loaded
+    FROM (VALUES
+        ('match_001', true, true, true, true),
+        ('match_002', true, true, false, false),
+        ('match_003', true, false, false, false),
+        ('match_004', true, true, true, false)
+    ) AS t(file_key, ingested, crawled, transformed, loaded)
+    """,
+    tags=("L2",),
+)
+def ledger_mark_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched stage flip (final_DAG.py:92-96): set crawled=true for the
+    given keys via broadcast join + conditional update. updated_at (a
+    current_timestamp audit column) is projected off for determinism."""
+    from ..operators.ledger import mark_stage
+
+    ledger = spark.createDataFrame(
+        _LEDGER_ROWS,
+        "file_key string, ingested boolean, crawled boolean, transformed boolean, loaded boolean",
+    ).withColumn("updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    keys = spark.createDataFrame([("match_002",), ("match_003",)], "file_key string")
+    return mark_stage(ledger, keys, "crawled").select(
+        "file_key", "ingested", "crawled", "transformed", "loaded"
+    )
+
+
+_SNAPSHOT_ROWS = [
+    # (version_id, name, type): four schema snapshots; retain the newest 2
+    (1, "match_id", "bigint"),
+    (1, "city", "string"),
+    (2, "match_id", "bigint"),
+    (2, "city", "string"),
+    (2, "season", "string"),
+    (3, "match_id", "bigint"),
+    (3, "season", "string"),
+    (4, "match_id", "bigint"),
+    (4, "season", "string"),
+    (4, "venue", "string"),
+]
+
+
+@register(
+    "retain_versions",
+    oracle="""
+    SELECT version_id, name, type
+    FROM (VALUES
+        (1, 'match_id', 'bigint'), (1, 'city', 'string'),
+        (2, 'match_id', 'bigint'), (2, 'city', 'string'), (2, 'season', 'string'),
+        (3, 'match_id', 'bigint'), (3, 'season', 'string'),
+        (4, 'match_id', 'bigint'), (4, 'season', 'string'), (4, 'venue', 'string')
+    ) AS t(version_id, name, type)
+    WHERE version_id IN (
+      SELECT version_id FROM (
+        SELECT DISTINCT version_id FROM (VALUES (1), (2), (3), (4)) AS v(version_id)
+      ) ORDER BY version_id DESC LIMIT 2
+    )
+    """,
+    tags=("SO1",),
+)
+def retain_versions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retain-N snapshot GC (compare_schema.py:73-89 rebuilt): keep the
+    newest N schema versions via rank-over-distinct-versions + semi join."""
+    from ..operators.schema_diff import retain_versions
+
+    snaps = spark.createDataFrame(_SNAPSHOT_ROWS, "version_id int, name string, type string")
+    return retain_versions(snaps, n=2)

@@ -91,6 +91,21 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_distinct", oracle=None, tags=("A5",))
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 approx variant: HLL++ count-distinct of orders per segment. The
+    sketch estimate is engine-specific (Spark HLL++ vs DuckDB HLL differ by
+    design) so this is rows-only; tests/test_functions.py asserts the
+    estimate is within rsd of the exact count. At 100 TB this is THE
+    distinct-count plan — fixed-size sketch, map-side combine, no distinct
+    expansion shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_custs_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 @register(
     "agg_filtered",
     oracle="""

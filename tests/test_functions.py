@@ -74,3 +74,16 @@ def test_stable_avg_long_exact_division(spark):
     assert df.agg(fn.stable_avg_long("x", 4).alias("a")).first()["a"] == pytest.approx(
         7 / 3, abs=1e-4
     )
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """A5 approx variant: HLL++ estimate within 3x the declared rsd of the
+    exact distinct count (3 sigma; rsd=0.02 -> 6% tolerance)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 20_000).select((F.col("id") % 3_137).alias("k"))
+    row = df.agg(
+        F.approx_count_distinct("k", rsd=0.02).alias("approx"),
+        F.countDistinct("k").alias("exact"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.06
