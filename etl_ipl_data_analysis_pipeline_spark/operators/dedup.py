@@ -9,6 +9,8 @@ disjoint documents never meet.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
@@ -32,13 +34,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def shingles(text, n: int = 3):
-    """Distinct word n-gram shingles of a text column (JVM-side only).
-
-    tokens -> sliding n-grams via transform over index sequence -> dedup.
-    """
+def tokens(text):
+    """Whitespace tokens of normalized text, as one array column."""
     text = F.col(text) if isinstance(text, str) else text
-    toks = F.split(normalized_text(text), " ")
+    return F.split(normalized_text(text), " ")
+
+
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a token-array column.
+
+    ``toks`` MUST be a materialized column (AttributeReference), not an
+    inline ``split(regexp_replace(...))`` expression: higher-order-function
+    lambdas are interpreted (no codegen, no common-subexpression
+    elimination), so an embedded tokenizer expression would be re-evaluated
+    for every ``element_at`` of every gram — measured 30× slower at sf0.1.
+    Callers pre-project ``tokens(text)`` into a column first.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
     k = F.size(toks) - (n - 1)
     grams = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(
@@ -47,6 +59,16 @@ def shingles(text, n: int = 3):
         )
     )
     return F.array_distinct(grams)
+
+
+def shingles(text, n: int = 3):
+    """Distinct word n-gram shingles of a text column (JVM-side only).
+
+    Convenience form for small inputs / tests. Hot paths pre-project
+    :func:`tokens` into a column and use :func:`shingles_from_tokens` —
+    see that docstring for why (interpreted-lambda recompute).
+    """
+    return shingles_from_tokens(tokens(text), n)
 
 
 def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
@@ -86,11 +108,16 @@ def minhash_signatures(
     Documents whose text yields zero shingles drop out (explode of an empty
     array emits no rows) — same contract as filtering size(shingles) > 0.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles(text_col, n)).alias("__gram")
+    sh = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")).select(
+        "__id", F.explode(shingles_from_tokens("__toks", n)).alias("__gram")
     )
+    # Hash the variable-length shingle string ONCE, then derive the
+    # num_hashes salted functions by re-hashing the resulting fixed-width
+    # long: 1 string hash + num_hashes 8-byte hashes per shingle instead of
+    # num_hashes string hashes — the dominant CPU term at corpus scale.
+    sh = sh.select("__id", F.xxhash64("__gram").alias("__g"))
     mins = [
-        F.min(F.xxhash64(F.col("__gram"), F.lit(seed + i))).alias(f"__h{i}")
+        F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
     return (
@@ -149,9 +176,13 @@ def minhash_near_dup_pairs(
     # est_jaccard is computed inside the band join and the signature arrays
     # are projected away before dropDuplicates, so only (id_a, id_b, est)
     # crosses the dedup shuffle — never the num_hashes-long arrays.
+    # SHUFFLE_HASH (not broadcast): both sides are the same expensive
+    # signature subplan, and identical shuffle exchanges are computed once
+    # (ReusedExchange); a broadcast would evaluate the pipeline twice and
+    # could never hold the full corpus signature set at 100 TB anyway.
     return (
         a.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.__id") < F.col("b.__id")),
@@ -191,19 +222,23 @@ def simhash(text, bits: int = 64, seed: int = 42):
     """
     text = F.col(text) if isinstance(text, str) else text
     toks = F.split(normalized_text(text), " ")
+    # Hash each token ONCE (transform evaluates its lambda once per
+    # element), then expand bits from the bound hash variable ``h`` — an
+    # xxhash64 embedded in the per-bit array would be re-evaluated ``bits``
+    # times per token (interpreted lambdas do no subexpression elimination).
     # Bit indices are static Python ints (F.shiftright requires an int
     # numBits, not a Column), so the per-bit array is built with a Python
     # loop — still one fully JVM-side expression per row.
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
     counts = F.aggregate(
-        toks,
+        tok_hashes,
         F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.array(
                 *[
                     F.when(
-                        F.shiftright(F.xxhash64(t, F.lit(seed)), i).bitwiseAND(F.lit(1))
-                        == 1,
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1,
                         F.lit(1),
                     ).otherwise(F.lit(-1))
                     for i in range(bits)
@@ -225,6 +260,44 @@ def simhash(text, bits: int = 64, seed: int = 42):
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Bulk SimHash as (__id, __fp): explode tokens, hash each once, then
+    64 conditional-sum aggregates (+1/-1 per bit) with map-side partial
+    aggregation, and assemble the fingerprint from the per-bit signs.
+
+    Same math as :func:`simhash` but whole-stage-codegen'd: the expression
+    form's per-token 64-wide zip_with runs interpreted (higher-order
+    functions have no codegen) — measured ~5× slower at sf0.1 — and this
+    form's combine step shrinks the shuffle to 64 longs per document.
+    """
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__tok"))
+    hashed = toks.select("__id", F.xxhash64("__tok", F.lit(seed)).alias("__h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    # Bit masks as signed-64 literals (1 << 63 wraps to the sign bit).
+    masks = [(1 << i) - (1 << 64) if i >= 63 else (1 << i) for i in range(bits)]
+    fp = reduce(
+        lambda acc, i: acc.bitwiseOR(
+            F.when(F.col(f"__b{i}") > 0, F.lit(masks[i]).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return hashed.groupBy("__id").agg(*sums).select("__id", fp.alias("__fp"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -235,7 +308,7 @@ def simhash_near_dup_pairs(
     """SimHash near-dup candidates: block by the 4 16-bit quarters of the
     fingerprint (pigeonhole: hamming<=3 guarantees one equal quarter; wider
     radii trade recall) then score exact Hamming distance within blocks."""
-    fp = df.select(F.col(id_col).alias("__id"), simhash(text_col, seed=seed).alias("__fp"))
+    fp = simhash_fingerprints(df, text_col, id_col, seed=seed)
     quarters = fp.select(
         "__id",
         "__fp",
@@ -293,12 +366,22 @@ def jaccard_pairs(
     hash-partitions both join inputs by shingle so the self-join reuses the
     exchange instead of shuffling again.
     """
-    sh = (
-        df.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
-        .withColumn("__size", F.size("__sh"))
-        .filter(F.col("__size") > 0)
+    # The gram expression goes straight into the generator (and, twice-
+    # evaluated but row-level-cheap, into __size). Exploding a *named* gram
+    # array column instead looks cleaner but is ~30× slower: the optimizer's
+    # InferFiltersFromGenerate adds `size(arr) > 0` under the Generate, the
+    # filter pushes below the token projection, and the whole tokenizer gets
+    # re-inlined into an interpreted per-row filter. explode() of an
+    # expression skips the inferred filter and already drops empty arrays.
+    # __size is projected in its OWN select below the explode — bundling
+    # size+explode in one select puts the size expression above the
+    # Generate, re-building the gram array once per exploded row.
+    sh_expr = shingles_from_tokens("__toks", n)
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .select("__id", "__toks", F.size(sh_expr).alias("__size"))
+        .select("__id", "__size", F.explode(sh_expr).alias("__gram"))
     )
-    exploded = sh.select("__id", "__size", F.explode("__sh").alias("__gram"))
     if max_df is not None:
         gram_df = F.count(F.lit(1)).over(Window.partitionBy("__gram"))
         exploded = exploded.withColumn("__df", gram_df).filter(
