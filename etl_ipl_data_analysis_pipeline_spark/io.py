@@ -90,6 +90,32 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Iterable[str],
+    num_buckets: int = 32,
+    sort_cols: Iterable[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """SNK1 scale variant: hash-bucketed (optionally sorted) parquet table.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle (sort-merge over co-located buckets; with sort_cols
+    the per-bucket sort is pre-done too) — the standard way to amortize one
+    write-time shuffle across every downstream join/agg on that key.
+    Catalog-backed because bucket metadata lives in the table definition
+    (plain ``.parquet(path)`` files can't record it).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -431,6 +431,33 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    SELECT p.p_brand,
+           sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS sum_qty,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    tags=("J4",),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact⋈dim join via salting (operators/joins.salted_join):
+    result is row-identical to the plain join — the oracle IS the plain
+    join — while each hot part key spreads over 16 reducers. The hedge for
+    when AQE skew-split can't apply (co-partitioned downstream agg)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
+    p = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"), "p_brand")
+    joined = joins.salted_join(li, p, "partkey", salt=16)
+    return joined.groupBy("p_brand").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "join_theta_pairs",
     oracle="""
     SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey

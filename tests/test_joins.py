@@ -99,3 +99,61 @@ def test_interval_seconds_parsing():
     assert joins.interval_seconds("1 week") == 604800
     with pytest.raises(ValueError):
         joins.interval_seconds("5 fortnights")
+
+
+# ---------------------------------------------------------------------------
+# salted join (skew) + bucketed co-located join
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed fact: one hot key holding most rows
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(200)] + [(2, i) for i in range(5)] + [(3, i) for i in range(5)],
+        "k int, v int",
+    )
+    dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (4, "unmatched")], "k int, name string")
+    plain = sorted(fact.join(dim, "k").collect())
+    salted = sorted(joins.salted_join(fact, dim, "k", salt=8).collect())
+    assert salted == plain
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, 10), (9, 90)], "k int, v int")
+    dim = spark.createDataFrame([(1, "one")], "k int, name string")
+    out = sorted(joins.salted_join(fact, dim, "k", how="left", salt=4).collect())
+    assert len(out) == 2
+    assert [r["name"] for r in out] == ["one", None]
+
+
+def test_salted_join_spreads_hot_key(spark):
+    fact = spark.createDataFrame([(1, i) for i in range(1000)], "k int, v int")
+    import pyspark.sql.functions as F
+    n_salts = (
+        fact.withColumn("__salt", (F.rand(42) * 8).cast("int"))
+        .select("__salt").distinct().count()
+    )
+    assert n_salts == 8  # the hot key really lands on every salt partition
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from etl_ipl_data_analysis_pipeline_spark.io import write_bucketed
+
+    left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "t_bleft", ["k"], num_buckets=4, sort_cols=["k"], path=str(tmp_path / "bl"))
+    write_bucketed(right, "t_bright", ["k"], num_buckets=4, sort_cols=["k"], path=str(tmp_path / "br"))
+    try:
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+            assert joined.count() == 1000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan  # co-located buckets: shuffle-free join
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
