@@ -1,0 +1,73 @@
+"""IO surface (SURVEY.md §2.1 SRC1-SRC3, SNK1, SNK3): fetch, zip expansion
+(local + distributed), JSON scan, parquet round-trip, existence probe."""
+
+import json
+import os
+import zipfile
+
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark import io as tio
+
+
+@pytest.fixture(scope="module")
+def zip_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("zips")
+    payloads = {
+        "match_001.json": {"id": 1, "info": {"city": "Mumbai"}},
+        "match_002.json": {"id": 2, "info": {"city": "Chennai"}},
+    }
+    zpath = root / "matches.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for name, doc in payloads.items():
+            zf.writestr(f"archive/{name}", json.dumps(doc))
+        zf.writestr("archive/readme.txt", "not json")
+    return str(zpath), root
+
+
+def test_fetch_url_streams_file_scheme(zip_fixture, tmp_path):
+    zpath, _ = zip_fixture
+    dest = str(tmp_path / "fetched.zip")
+    out = tio.fetch_url("file://" + zpath, dest)
+    assert out == dest
+    assert os.path.getsize(dest) == os.path.getsize(zpath)
+
+
+def test_expand_zip_filters_suffix(zip_fixture, tmp_path):
+    zpath, _ = zip_fixture
+    members = tio.expand_zip(zpath, str(tmp_path / "out"), suffix=".json")
+    assert sorted(os.path.basename(m) for m in members) == ["match_001.json", "match_002.json"]
+
+
+def test_expand_zip_distributed_matches_local(spark, zip_fixture):
+    zpath, root = zip_fixture
+    df = tio.expand_zip_distributed(spark, str(root), suffix=".json")
+    rows = {r["member"].split("/")[-1]: r["content"] for r in df.collect()}
+    assert sorted(rows) == ["match_001.json", "match_002.json"]
+    assert json.loads(rows["match_001.json"])["info"]["city"] == "Mumbai"
+
+
+def test_read_json_then_parquet_roundtrip(spark, zip_fixture, tmp_path):
+    zpath, _ = zip_fixture
+    members = tio.expand_zip(zpath, str(tmp_path / "json"), suffix=".json")
+    df = tio.read_json(spark, members)
+    out = str(tmp_path / "pq")
+    tio.write_parquet(df, out)
+    back = spark.read.parquet(out)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    assert back.schema == df.schema
+
+
+def test_write_parquet_partition_by_prunes_dirs(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id int, grp string")
+    out = str(tmp_path / "part")
+    tio.write_parquet(df, out, partition_by=["grp"])
+    assert sorted(d for d in os.listdir(out) if d.startswith("grp=")) == ["grp=a", "grp=b"]
+    assert spark.read.parquet(out).filter("grp = 'a'").count() == 2
+
+
+def test_path_exists_probe(spark, tmp_path):
+    f = tmp_path / "x.txt"
+    f.write_text("hi")
+    assert tio.path_exists(spark, "file://" + str(f))
+    assert not tio.path_exists(spark, "file://" + str(tmp_path / "missing.txt"))
