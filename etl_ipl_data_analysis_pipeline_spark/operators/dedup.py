@@ -407,3 +407,90 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Distributed connected components over a pair list: returns
+    (node, component) where component is the smallest node id in the
+    component. Alternating large-star / small-star contraction (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges in O(log n) rounds, each round two shuffles (a groupBy-min
+    and a join), never materializing anything bigger than the edge list.
+
+    Used for full transitive closure of near-duplicate clusters, where the
+    one-hop compromise in :func:`minhash_dedup` over- or under-merges
+    chains. Each iteration is localCheckpoint'ed to cut lineage (swap for
+    ``checkpoint`` with a checkpoint dir on a real cluster).
+    """
+    edges = (
+        pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def _min_nbr(e_sym: DataFrame) -> DataFrame:
+        return e_sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    for _ in range(max_iter):
+        # large-star: every neighbor v > u links to u's component min
+        e_sym = _sym(edges)
+        mins = _min_nbr(e_sym)
+        large = (
+            e_sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star: canonicalize edges toward the smaller endpoint, then
+        # link u and its smaller neighbors to the overall min
+        canon = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = canon.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            canon.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        new_edges = small.localCheckpoint(eager=True)
+        # converged when every edge points directly at a component root
+        # (no u appears as a v of another edge): one anti-join probe
+        non_root = (
+            new_edges.alias("x")
+            .join(new_edges.alias("y"), F.col("x.v") == F.col("y.u"), "left_semi")
+            .count()
+        )
+        edges = new_edges
+        if non_root == 0:
+            break
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """X2 keep-one with FULL transitive closure: connected components over
+    the near-dup pair graph, keep the smallest id per component. The
+    cluster-exact upgrade of :func:`minhash_dedup`."""
+    pairs = minhash_near_dup_pairs(df, text_col, id_col, **kwargs)
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -336,3 +336,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint (seeded)."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", textstats.doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(2 AS BIGINT), CAST(1 AS BIGINT)), (3, 1), (4, 1), (6, 5), (9, 8)
+    ) AS t(node, component)
+    """,
+    tags=("X2",),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components over a fixed pair graph
+    (chain 1-2-3-4, pair 5-6, V-shape 8-9/8 via shared node): golden-VALUES
+    oracle since the iterative algorithm has no single-query SQL twin."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (8, 9), (9, 8)], "id_a long, id_b long"
+    )
+    return dedup.connected_components(pairs)
+
+
+@register("dedup_minhash_survivors_cc", oracle=None, tags=("X2",))
+def dedup_minhash_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one dedup with FULL transitive closure (connected components
+    over the MinHash near-dup graph) — the cluster-exact upgrade of
+    dedup_minhash_survivors. Rows-only; CC itself is golden-tested by
+    dedup_connected_components and tests/test_dedup.py."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_cc(d, min_jaccard=0.5).select("doc_id", "lang", "source")

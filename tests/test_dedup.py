@@ -104,3 +104,31 @@ def test_minhash_estimates_track_exact_jaccard(spark, docs):
     assert common  # planted pairs overlap
     for k in common:
         assert abs(est[k] - exact[k]) < 0.25  # 64-perm estimator tolerance
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {2: 1, 3: 1, 4: 1, 6: 5}
+
+
+def test_connected_components_merges_via_shared_node(spark):
+    # two pairs sharing node 3: {1,3} and {2,3} must merge into one component
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {2: 1, 3: 1}
+
+
+def test_minhash_dedup_cc_collapses_transitive_cluster(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    drift1 = base.replace("tonight", "today")
+    drift2 = drift1.replace("quick", "swift")  # near drift1, further from base
+    docs = spark.createDataFrame(
+        [(1, base), (2, drift1), (3, drift2), (10, "completely unrelated text about spark planning")],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_dedup_cc(docs, min_jaccard=0.4)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 10]  # whole drift chain collapses to its min id
