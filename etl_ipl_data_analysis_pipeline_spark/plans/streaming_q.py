@@ -137,3 +137,31 @@ def window_tumbling_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
     )
+
+
+@register(
+    "stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("L6", "U4"),
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 under the oracle gate: an ACTUAL Structured Streaming run —
+    applyInPandasWithState per-user accumulators, file source,
+    Trigger.AvailableNow, memory sink — whose final state must equal the
+    batch groupBy. Output is integer-only (counts) so the hash can't flip
+    on float summation order; the float total is asserted separately in
+    tests/test_streaming.py."""
+    from ..streaming import incremental, stateful, windows
+
+    totals = windows.run_available_now(
+        stateful.user_running_totals(incremental.read_events_stream(spark, sf_dir)),
+        "q_stateful_running_totals",
+        output_mode="update",
+    )
+    # update mode emits one row per (user, micro-batch); the final state is
+    # the max accumulator value per user
+    return totals.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
