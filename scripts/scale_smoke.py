@@ -1,0 +1,86 @@
+"""10x scale smoke: replicate the sf0.1 documents/embeddings fixtures with
+shifted ids (~50k docs) and run the heaviest operator families, printing
+one JSON line of wall-times. Verifies the scale story empirically — the
+shapes that must stay near-linear (bucketed self-joins, partial-agg
+signatures, iterative CC) actually do.
+
+Usage: python scripts/scale_smoke.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale-smoke")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup, similarity
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    base = load(spark, sf_dir, "documents")
+    n_base = base.count()
+    # shift ids per replica; perturb text so replicas aren't pure exact dups
+    docs = None
+    for r in range(factor):
+        rep = base.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
+        )
+        docs = rep if docs is None else docs.unionByName(rep)
+    docs = docs.repartition(64).localCheckpoint(eager=True)  # materialize once
+
+    emb = load(spark, sf_dir, "embeddings")
+    embs = None
+    for r in range(factor):
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"), "embedding"
+        )
+        embs = rep if embs is None else embs.unionByName(rep)
+    embs = embs.repartition(64).localCheckpoint(eager=True)
+
+    def t(fn):
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2)
+
+    timings = {
+        "n_docs": n_base * factor,
+        "exact_dedup": t(lambda: dedup.exact_dedup(docs)),
+        "minhash_pairs": t(lambda: dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)),
+        "jaccard_pairs": t(lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=100_000)),
+        "simhash_pairs": t(lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=8)),
+        "embedding_pairs": t(lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9)),
+    }
+    t0 = time.time()
+    pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)
+    comp = dedup.connected_components(pairs)
+    n_comp = comp.count()
+    timings["connected_components"] = round(time.time() - t0, 2)
+    timings["n_component_edges"] = n_comp
+    print(json.dumps({"metric": "scale_smoke", "factor": factor, "timings": timings}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
