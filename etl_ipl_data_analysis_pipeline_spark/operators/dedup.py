@@ -381,9 +381,15 @@ def jaccard_pairs(
         df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
         .select("__id", "__toks", F.size(sh_expr).alias("__size"))
         .select("__id", "__size", F.explode(sh_expr).alias("__gram"))
+        # join/shuffle on the 8-byte gram hash, not the gram string: at
+        # corpus scale the posting-list self-join moves ~100×-the-corpus
+        # rows, and 8-byte keys shrink the exchange + make the equality a
+        # long compare. A 64-bit collision merging two posting lists is a
+        # ~n²/2⁶⁴ event — far below the LSH false-positive floor.
+        .select("__id", "__size", F.xxhash64("__gram").alias("__g"))
     )
     if max_df is not None:
-        gram_df = F.count(F.lit(1)).over(Window.partitionBy("__gram"))
+        gram_df = F.count(F.lit(1)).over(Window.partitionBy("__g"))
         exploded = exploded.withColumn("__df", gram_df).filter(
             F.col("__df") <= max_df
         ).drop("__df")
@@ -391,7 +397,7 @@ def jaccard_pairs(
     common = (
         a.join(
             b,
-            (F.col("a.__gram") == F.col("b.__gram")) & (F.col("a.__id") < F.col("b.__id")),
+            (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")),
         )
         .groupBy(
             F.col("a.__id").alias("id_a"),
