@@ -175,3 +175,40 @@ def emptiness_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) == 0).alias("is_empty"),
         F.count(F.lit(1)).alias("n_violations"),
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+           count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus),
+           CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+           count(DISTINCT o_orderdate),
+           CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("A4", "A5", "F3"),
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan data profile of orders (operators/profile.py): null counts,
+    exact NDV, min/max per column. String/int/date columns only — double
+    min/max stringification differs between engines."""
+    from ..operators.profile import profile
+
+    o = load(spark, sf_dir, "orders")
+    return profile(o, ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"])

@@ -87,3 +87,16 @@ def test_approx_count_distinct_within_rsd(spark):
         F.countDistinct("k").alias("exact"),
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.06
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], "x int, s string"
+    )
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["x"]["n_rows"] == 4 and rows["x"]["n_nulls"] == 1
+    assert rows["x"]["n_distinct"] == 3
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
