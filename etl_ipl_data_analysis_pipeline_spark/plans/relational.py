@@ -912,3 +912,28 @@ def key_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(path, r"\.[^.]*$", "").alias("file_key"),
         F.split_part(path, F.lit("/"), F.lit(1)).alias("prefix"),
     ).distinct()
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5)      AS qty_p50,
+           quantile_cont(l_quantity, 0.95)     AS qty_p95,
+           quantile_cont(l_extendedprice, 0.5) AS price_p50
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("A8",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based, deterministic — both
+    engines produce bit-identical doubles, unlike summation-order-dependent
+    sums). At 100 TB swap percentile() for percentile_approx(): fixed-size
+    GK sketch, map-side combine, rank error ≤ 1/accuracy."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("qty_p50"),
+        F.percentile("l_quantity", 0.95).alias("qty_p95"),
+        F.percentile("l_extendedprice", 0.5).alias("price_p50"),
+    )
