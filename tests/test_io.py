@@ -71,3 +71,25 @@ def test_path_exists_probe(spark, tmp_path):
     f.write_text("hi")
     assert tio.path_exists(spark, "file://" + str(f))
     assert not tio.path_exists(spark, "file://" + str(tmp_path / "missing.txt"))
+
+
+def test_read_table_catalog_scan(spark):
+    # SRC4: catalog-backed scan (temp view here; saveAsTable in
+    # test_joins' bucketed case covers the persistent-table path)
+    spark.createDataFrame([(1, "x")], "id int, v string").createOrReplaceTempView("t_cat")
+    try:
+        assert tio.read_table(spark, "t_cat").count() == 1
+    finally:
+        spark.catalog.dropTempView("t_cat")
+
+
+def test_driver_entry_contract(spark):
+    # the driver's smoke: entry() runs on a caller-supplied session and
+    # returns a stable-schema DataFrame
+    import __spark_entry__ as entry
+
+    df = entry.entry(spark)
+    assert df.count() >= 0
+    assert df.columns == entry.entry(spark).columns
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs)  # every oracle key has a query
