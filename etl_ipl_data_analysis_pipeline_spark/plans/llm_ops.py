@@ -180,7 +180,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE e.vec_id != query_id
     ) WHERE rn <= 5
     """,
-    tags=("X3", "J10"),
+    tags=("X3", "J10", "F5"),
 )
 def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-5 cosine neighbors for probe vectors (vec_id<5).

@@ -56,7 +56,7 @@ def _nested_fixture(spark: SparkSession) -> DataFrame:
     ) AS t(match_id, info_city, info_season, innings_team,
            innings_deliveries_batter, innings_deliveries_runs_total)
     """,
-    tags=("P1", "P2", "P3", "P4"),
+    tags=("P1", "P2", "P3", "P4", "U1", "F5"),
 )
 def flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixpoint flatten of the nested match fixture (explode_outer mode —
@@ -149,7 +149,7 @@ _SCHEMA_V2 = [
     FROM new FULL OUTER JOIN old ON new.name = old.name
     WHERE (old.name IS NULL OR new.name IS NULL OR new.type != old.type)
     """,
-    tags=("SE1", "SE2", "SE3", "J3"),
+    tags=("SE1", "SE2", "SE3", "J3", "U2"),
 )
 def schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift classification (compare_schema.py:29-53 rebuilt): full-outer
@@ -362,3 +362,35 @@ def retain_versions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     snaps = spark.createDataFrame(_SNAPSHOT_ROWS, "version_id int, name string, type string")
     return retain_versions(snaps, n=2)
+
+
+@register(
+    "ledger_ingest_idempotent",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('match_001', true, true,  true,  true),
+        ('match_002', true, true,  false, false),
+        ('match_003', true, false, false, false),
+        ('match_004', true, true,  true,  false),
+        ('match_005', true, false, false, false),
+        ('match_006', true, false, false, false)
+    ) AS t(file_key, ingested, crawled, transformed, loaded)
+    """,
+    tags=("L3", "L2", "J2"),
+)
+def ledger_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 idempotent ingest: applying ingest_new TWICE with the same
+    listing yields exactly one row per key — the anti-join drops
+    already-seen keys, so the second application is a no-op (the run-twice
+    contract, mirrored by tests/test_pipeline.py at pipeline level).
+    updated_at (current_timestamp audit) projected off for determinism."""
+    from ..operators.ledger import ingest_new
+
+    ledger = spark.createDataFrame(
+        _LEDGER_ROWS,
+        "file_key string, ingested boolean, crawled boolean, transformed boolean, loaded boolean",
+    ).withColumn("updated_at", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    listing = spark.createDataFrame(_LISTING, "file_key string")
+    once = ingest_new(ledger, listing)
+    twice = ingest_new(once, listing)
+    return twice.select("file_key", "ingested", "crawled", "transformed", "loaded")

@@ -45,7 +45,7 @@ from ..operators import joins
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
-    tags=("A4", "A1", "F3"),
+    tags=("A4", "A1", "F3", "SRC5", "P5"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical hash-aggregate. Single shuffle on a
