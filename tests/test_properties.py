@@ -1,0 +1,86 @@
+"""Hypothesis property tests: Spark operators vs pure-Python mirrors on
+randomized inputs. Few examples per property (each example is a Spark
+job); the point is shape coverage the fixed fixtures can't give."""
+
+import re
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+TEXTS = st.lists(
+    st.text(alphabet="abc XYZ,.!\t", min_size=0, max_size=60), min_size=1, max_size=8
+)
+
+
+def _py_tokens(text: str) -> list[str]:
+    # .strip(" ") not .strip(): Spark's trim() (and DuckDB's) strips SPACES
+    # only, so a leading tab survives into the whitespace-collapse step —
+    # the two engines agree with each other, and the mirror must follow
+    return re.sub(r"\s+", " ", text.strip(" ").lower()).split(" ")
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = _py_tokens(text)
+    if len(toks) <= n - 1:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_shingles_match_python_mirror(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["sh"])
+        for r in df.select("doc_id", dedup.shingles("text").alias("sh")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == _py_shingles(t), (t, got[i], _py_shingles(t))
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_minhash_estimates_bounded_and_ordered(spark, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_near_dup_pairs(df, min_jaccard=0.0).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=12))
+def test_connected_components_roots_are_minima(spark, edges_flat):
+    # build arbitrary edge list by pairing consecutive ints
+    pairs = [
+        (a, b) for a, b in zip(edges_flat[::2], edges_flat[1::2]) if a != b
+    ]
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    comp = dedup.connected_components(df).collect()
+    # python union-find mirror
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    expected = {}
+    for n in parent:
+        expected[n] = find(n)
+    got = {r["node"]: r["component"] for r in comp}
+    for n, root in expected.items():
+        if n != root:
+            assert got[n] == root, (pairs, got, expected)
