@@ -88,10 +88,10 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_pandas_udf_score",
     oracle="""
     SELECT doc_id,
-           round(length(text)::DOUBLE /
+           floor(length(text)::DOUBLE /
                  (1 + CASE WHEN length(trim(text)) = 0 THEN 0
-                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END),
-                 4) AS density
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)
+                 * 10000 + 0.5) / 10000 AS density
     FROM documents
     """,
     tags=("U3",),
@@ -100,13 +100,21 @@ def scalar_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: scalar Arrow pandas_udf (chars-per-token density). The stance
     stands — built-ins beat UDFs and every hot path here uses them — but
     the vectorized escape hatch is part of the declared surface, so it is
-    exercised and oracle-checked."""
+    exercised and oracle-checked.
+
+    Rounding is floor(x·10⁴+0.5)/10⁴ on BOTH sides: numpy's round() is
+    half-to-even while DuckDB's is half-away, and len/(1+toks) ratios land
+    on exact .xxxx5 boundaries often enough to flip the hash (22 docs at
+    sf0.1). The explicit form is the same double arithmetic in both
+    engines."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def density(text: pd.Series) -> pd.Series:
         toks = text.str.strip().str.split().str.len().fillna(0)
-        return (text.str.len() / (1 + toks)).round(4)
+        raw = text.str.len() / (1 + toks)
+        return np.floor(raw * 10000 + 0.5) / 10000
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", density("text").alias("density"))
