@@ -937,3 +937,30 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.95).alias("qty_p95"),
         F.percentile("l_extendedprice", 0.5).alias("price_p50"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS n_last_hour
+    FROM events
+    """,
+    tags=("W3", "F2"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 RANGE frame (value-based, not row-based): events per user in the
+    trailing hour — the sliding-aggregate shape rows-frames can't express
+    when timestamps are irregular. Count only (integer — no float hash
+    risk); one shuffle on user_id like any window."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
