@@ -51,11 +51,15 @@ def test_q1_aggregate_has_partial_phase(spark, sf_dir, qs):
 
 
 def test_minhash_band_join_projects_sigs_before_dedup_shuffle(spark, sf_dir, qs):
-    # the pair-dedup exchange must move only (id_a, id_b, est) — never the
-    # 32-long signature arrays
+    # the pair-dedup aggregate (above the band self-join) must operate on
+    # (id_a, id_b, est) only — the 32-long signature arrays are projected
+    # off before that shuffle
     plan = _optimized(qs["dedup_minhash_pairs"](spark, sf_dir))
-    seg = plan.split("Join Inner")[0]  # everything above the band self-join
-    assert "__sig" not in seg.split("Aggregate")[0] or "est_jaccard" in seg
+    dedup_aggs = [
+        l for l in plan.split("\n") if "Aggregate [id_a" in l
+    ]
+    assert dedup_aggs, "pair-dedup aggregate missing from plan"
+    assert all("__sig" not in l for l in dedup_aggs)
 
 
 def test_topk_cosine_has_no_rank_window(spark, sf_dir, qs):
