@@ -6,7 +6,9 @@ Three tiers, same output contract (query_id, vec_id, sim):
   only the nearest ``nprobe`` cells; the 100 TB path.
 - ``lsh_topk``          — random-hyperplane LSH bucketing (cosine).
 
-All vector math is higher-order functions (JVM-side); no Python UDFs.
+Vector scoring is higher-order functions (JVM-side); the IVF/LSH index-
+build steps use Arrow-vectorized pandas UDFs (numpy matmul) where the
+expression form would re-evaluate per element — see each docstring.
 """
 
 from __future__ import annotations
@@ -98,48 +100,44 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k via an inverted file (IVF) index.
 
-    Build: pick ``n_centroids`` deterministic sample vectors as centroids
-    (cheap k-means-free variant; swap in KMeans at scale), assign every
-    corpus vector to its nearest centroid (broadcast centroids — one narrow
-    pass). Search: route each probe to its ``nprobe`` nearest centroids and
-    score only those cells. Corpus work drops by ~n_centroids/nprobe.
+    Build: spherical k-means centroids (:func:`kmeans_centroids`, a real
+    Lloyd refinement — not a raw sample), then assign every corpus vector
+    to its nearest centroid with one Arrow-vectorized matmul pass. Search:
+    route each probe to its ``nprobe`` nearest centroids (same UDF,
+    argsort) and score only those cells. Corpus work drops by
+    ~n_centroids/nprobe. An earlier version assigned via
+    crossJoin(centroids) + per-vector row_number window — that shuffles
+    n_centroids× the corpus; the matmul pass is narrow (no shuffle at all).
 
-    The centroid assignment is also the partitioning key, so each cell's
-    vectors co-locate — at 100 TB write the corpus bucketed by cell id and
-    searches never touch irrelevant partitions.
+    The cell id is also the partitioning key, so each cell's vectors
+    co-locate — at 100 TB write the corpus bucketed by cell id
+    (io.write_bucketed) and searches never touch irrelevant partitions.
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("__cvec"),
     )
-    # Deterministic pseudo-centroids: hash-ordered sample of the corpus.
-    cents = (
-        c.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
-            F.col("__cvec").alias("__centroid"),
-        )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("__csim"), F.asc("cell"))
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine_similarity(F.col("__cvec"), F.col("__centroid")))
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vec_id", "cell", "__cvec")
-    )
+    cents = kmeans_centroids(corpus, n_centroids, 2, id_col, vec_col, seed)
+    cn = _normalize_rows(cents)
+
+    def _nearest_cells(vs):
+        x = _normalize_rows(np.stack(vs.to_numpy()))
+        order = np.argsort(-(x @ cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    nearest_cells = F.pandas_udf(_nearest_cells, ArrayType(IntegerType()))
+
+    assigned = c.withColumn("cell", F.element_at(nearest_cells("__cvec"), 1))
     p = probes.select(
         F.col(probe_id_col).alias("query_id"),
         _as_double_array(F.col(vec_col)).alias("__pvec"),
     )
-    w_route = Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cell"))
-    routed = (
-        p.crossJoin(F.broadcast(cents))
-        .withColumn("__csim", cosine_similarity(F.col("__pvec"), F.col("__centroid")))
-        .withColumn("__rn", F.row_number().over(w_route))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "cell", "__pvec")
+    routed = p.select(
+        "query_id", "__pvec", F.explode(nearest_cells("__pvec")).alias("cell")
     )
     scored = (
         assigned.join(F.broadcast(routed), "cell")
@@ -290,3 +288,71 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= min_sim)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def _normalize_rows(x):
+    import numpy as np
+
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return x / norms
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Spherical k-means centroids as a k×dim numpy array (driver-side
+    model, like MLlib's): hash-ordered deterministic init, then ``iters``
+    Lloyd rounds — assign every vector to its nearest centroid with one
+    Arrow-vectorized matmul pass (no cross-join, no per-vector window),
+    recompute each centroid as the mean of its members (grouped-agg pandas
+    UDF), collect k×dim back. Per round: one narrow pass + one shuffle of
+    (cell, vec) with map-side batching — the canonical distributed k-means
+    cost, O(n·k) compute and O(n) shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_array(F.col(vec_col)).alias("__vec")
+    )
+    init = (
+        c.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
+        .limit(k)
+        .orderBy("vec_id")
+        .collect()
+    )
+    cents = _normalize_rows(np.array([r["__vec"] for r in init]))
+
+    def assign_udf(cmat):
+        cn = _normalize_rows(cmat)
+
+        def _assign(vs):
+            x = _normalize_rows(np.stack(vs.to_numpy()))
+            return pd.Series((x @ cn.T).argmax(axis=1).astype("int32"))
+
+        return F.pandas_udf(_assign, IntegerType())
+
+    def _mean_vec(vs):
+        import numpy as np  # noqa: F811  (ships by value to executors)
+
+        return np.stack(vs.to_numpy()).mean(axis=0).tolist()
+
+    mean_vec = F.pandas_udf(_mean_vec, ArrayType(DoubleType()), F.PandasUDFType.GROUPED_AGG)
+
+    for _ in range(iters):
+        assigned = c.withColumn("cell", assign_udf(cents)("__vec"))
+        new = {
+            r["cell"]: np.array(r["c"])
+            for r in assigned.groupBy("cell").agg(mean_vec("__vec").alias("c")).collect()
+        }
+        cents = _normalize_rows(
+            np.stack([new.get(i, cents[i]) for i in range(k)])  # empty cell: keep old
+        )
+    return cents

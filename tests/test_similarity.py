@@ -119,3 +119,17 @@ def test_embedding_near_dup_planted_recall(spark, vectors):
     found = len(pairs & planted)
     assert found >= 9  # multi-table LSH recall at sim ~0.999
     assert all(a < b for a, b in pairs)
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    from etl_ipl_data_analysis_pipeline_spark.operators.similarity import kmeans_centroids
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    e = load(spark, sf_dir, "embeddings")
+    c1 = kmeans_centroids(e, k=8, iters=2)
+    c2 = kmeans_centroids(e, k=8, iters=2)
+    assert c1.shape == (8, 64)
+    assert np.allclose(c1, c2)  # deterministic under fixed seed
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)  # unit-normalized
