@@ -48,13 +48,26 @@ def read_json(
     path: str,
     schema=None,
     multiline: bool = True,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """SRC3 (transformation_job.py:37-38): JSON scan.
 
     Schema inference is a full extra pass over the data — at 100 TB pass an
     explicit ``schema`` (pin once, then reuse) instead of inferring per run.
+
+    ``corrupt_col``: PERMISSIVE capture of malformed documents into that
+    column instead of failing the job (one bad file in a million must not
+    kill a 100 TB ingest; filter `col IS NOT NULL` into a quarantine sink).
+    Requires an explicit ``schema`` (Spark drops the corrupt column during
+    inference), and the column must be declared StringType in it.
     """
     reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if corrupt_col is not None:
+        if schema is None:
+            raise ValueError("corrupt_col requires an explicit schema")
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

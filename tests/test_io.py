@@ -93,3 +93,22 @@ def test_driver_entry_contract(spark):
     assert df.columns == entry.entry(spark).columns
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs)  # every oracle key has a query
+
+
+def test_read_json_permissive_quarantines_corrupt(spark, tmp_path):
+    good = tmp_path / "good.json"
+    bad = tmp_path / "bad.json"
+    good.write_text('{"id": 1, "v": "ok"}')
+    bad.write_text('{"id": 2, "v": ')  # truncated document
+    df = tio.read_json(
+        spark,
+        [str(good), str(bad)],
+        schema="id long, v string, _corrupt string",
+        corrupt_col="_corrupt",
+    )
+    rows = df.collect()
+    assert len(rows) == 2  # the bad file is a row, not a job failure
+    ok = [r for r in rows if r["_corrupt"] is None]
+    quarantined = [r for r in rows if r["_corrupt"] is not None]
+    assert len(ok) == 1 and ok[0]["id"] == 1
+    assert len(quarantined) == 1 and quarantined[0]["id"] is None
