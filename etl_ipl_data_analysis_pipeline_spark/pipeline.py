@@ -39,6 +39,7 @@ class RunResult:
     rows_written: int
     drift: str | None  # drift report when the schema changed, else None
     skipped: bool  # True when no new files were found
+    quarantined: int = 0  # malformed documents diverted to quarantine_dir
 
 
 def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
@@ -65,6 +66,7 @@ def run_ingest(
     schema_registry_path: str | None = None,
     json_schema=None,
     on_drift: str = "warn",
+    quarantine_dir: str | None = None,
 ) -> RunResult:
     """One pipeline run. ``source`` is a zip path or http(s) URL; JSON
     members land in ``landing_dir``, flattened rows append to ``out_dir``.
@@ -73,6 +75,11 @@ def run_ingest(
     snapshot in ``schema_registry_path``; ``on_drift='block'`` raises
     (compare_schema.py's alert-and-stop), 'warn' records the report in the
     result and proceeds.
+
+    ``quarantine_dir`` (requires ``json_schema``): malformed JSON documents
+    are captured PERMISSIVE-ly, written there as (path, raw text), and
+    excluded from the flatten — one corrupt file degrades to a quarantine
+    row instead of failing the whole run.
     """
     if on_drift not in ("warn", "block"):
         raise ValueError("on_drift must be 'warn' or 'block'")
@@ -97,7 +104,33 @@ def run_ingest(
         return RunResult(0, 0, None, skipped=True)
 
     # 3. read + flatten (SRC3, P1-P4) — only the new files.
-    raw = _read_json(spark, new_paths, schema=json_schema)
+    n_quarantined = 0
+    if quarantine_dir is not None and json_schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema_q = (
+            StructType(list(json_schema.fields) + [StructField("_corrupt", StringType())])
+            if isinstance(json_schema, StructType)
+            else json_schema + ", _corrupt string"
+        )
+        # cache() is REQUIRED before projecting the corrupt column alone:
+        # Spark refuses corrupt-column-only queries on raw JSON otherwise
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). The batch
+        # is only this run's new files, so the cache is small by design.
+        raw = (
+            _read_json(spark, new_paths, schema=schema_q, corrupt_col="_corrupt")
+            .withColumn("_src", F.input_file_name())
+            .cache()
+        )
+        bad = raw.filter(F.col("_corrupt").isNotNull()).select(
+            F.col("_src").alias("path"), F.col("_corrupt").alias("raw")
+        )
+        n_quarantined = bad.count()
+        if n_quarantined:
+            write_parquet(bad, quarantine_dir, mode="append")
+        raw = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt", "_src")
+    else:
+        raw = _read_json(spark, new_paths, schema=json_schema)
     flat = flatten(raw)
 
     # 4. drift gate (J3/SE2/SE3) against the newest registry snapshot.
@@ -137,4 +170,4 @@ def run_ingest(
     _save_small_table(ledger, ledger_path)
     fresh.unpersist()
 
-    return RunResult(len(new_paths), rows_written, drift_msg, skipped=False)
+    return RunResult(len(new_paths), rows_written, drift_msg, skipped=False, quarantined=n_quarantined)

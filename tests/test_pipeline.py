@@ -94,3 +94,24 @@ def test_retry_backoff_and_reraise():
             sleep=delays.append,
         )
     assert delays[2:] == [1.0, 2.0]  # retried twice then re-raised
+
+
+def test_quarantine_diverts_corrupt_files(spark, tmp_path, pipe_args):
+    path = str(tmp_path / "bq.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("ok.json", json.dumps({"id": 1, "v": "fine"}))
+        zf.writestr("broken.json", '{"id": 2, "v": ')  # truncated
+    qdir = str(tmp_path / "quarantine")
+    r = run_ingest(
+        spark, path, **pipe_args, json_schema="id long, v string", quarantine_dir=qdir
+    )
+    assert not r.skipped
+    assert r.quarantined == 1
+    assert r.rows_written == 1  # only the clean doc reached the sink
+    q = spark.read.parquet(qdir)
+    assert q.count() == 1 and q.columns == ["path", "raw"]
+    # second run: both files are ledgered (incl. the quarantined one), no rework
+    r2 = run_ingest(
+        spark, path, **pipe_args, json_schema="id long, v string", quarantine_dir=qdir
+    )
+    assert r2.skipped
