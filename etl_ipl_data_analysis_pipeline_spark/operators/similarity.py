@@ -190,14 +190,18 @@ def lsh_topk(
     """Approximate top-k: only corpus vectors in the probe's LSH bucket are
     scored. Bucket id is an equi-join key, so the plan is a plain hash join —
     the O(n²) pair space never materializes."""
+    # same PRNG stream as random_hyperplane_bucket (n_tables=1 → table 0
+    # uses `seed` directly), but one Arrow matmul instead of n_planes
+    # interpreted aggregate passes per row
+    bucket_udf = multi_table_buckets_udf(n_planes, 1, dim, seed)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("__cvec"),
-    ).withColumn("bucket", random_hyperplane_bucket("__cvec", n_planes, dim, seed))
+    ).withColumn("bucket", F.element_at(bucket_udf("__cvec"), 1))
     p = probes.select(
         F.col(probe_id_col).alias("query_id"),
         _as_double_array(F.col(vec_col)).alias("__pvec"),
-    ).withColumn("bucket", random_hyperplane_bucket("__pvec", n_planes, dim, seed))
+    ).withColumn("bucket", F.element_at(bucket_udf("__pvec"), 1))
     scored = (
         c.join(F.broadcast(p), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
