@@ -943,7 +943,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id,
-           count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+           count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
                AS n_last_hour
     FROM events
@@ -954,7 +954,12 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 RANGE frame (value-based, not row-based): events per user in the
     trailing hour — the sliding-aggregate shape rows-frames can't express
     when timestamps are irregular. Count only (integer — no float hash
-    risk); one shuffle on user_id like any window."""
+    risk); one shuffle on user_id like any window.
+
+    Oracle sort key is floor(epoch(ts)): Spark's unix_timestamp TRUNCATES
+    to whole seconds while DuckDB's epoch() keeps the fraction — with
+    sub-second event times the 3600s frame boundaries differ (bit at
+    sf0.1, invisible at sf0.01)."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
