@@ -69,6 +69,12 @@ def main() -> int:
         "exact_dedup": t(lambda: dedup.exact_dedup(docs)),
         "minhash_pairs": t(lambda: dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)),
         "jaccard_pairs": t(lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=100_000)),
+        # replication makes every gram's posting list ~factor× longer, so the
+        # uncapped self-join grows ~factor² — the capped run shows max_df
+        # bounding exactly that blowup (lower-bound similarity semantics)
+        "jaccard_pairs_capped": t(
+            lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=3 * factor)
+        ),
         "simhash_pairs": t(lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=8)),
         "embedding_pairs": t(lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9)),
     }
