@@ -53,6 +53,21 @@ def token_count(text) -> Column:
     )
 
 
+BPE_PRETOKEN_PATTERN = r"'[A-Za-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def subword_token_count(text) -> Column:
+    """BPE-style pre-tokenizer segment count (GPT-2-ish: contractions,
+    letter runs, ≤3-digit number runs, single punctuation — the segments a
+    byte-pair merge would start from). A cheap, deterministic proxy for
+    "how many LLM tokens is this corpus" that runs as one JVM-side
+    regexp_count — no tokenizer library, no UDF. The pattern is restricted
+    to constructs Java regex and RE2 (DuckDB) interpret identically, so
+    the count is oracle-checkable."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_PATTERN))
+
+
 def normalized_text(text) -> Column:
     """Canonical text for exact dedup: lowercase, trim, collapse whitespace."""
     text = F.col(text) if isinstance(text, str) else text

@@ -365,3 +365,29 @@ def dedup_minhash_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_connected_components and tests/test_dedup.py."""
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_dedup_cc(d, min_jaccard=0.5).select("doc_id", "lang", "source")
+
+
+@register(
+    "text_subword_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '''[A-Za-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+               AS n_subword,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_whitespace
+    FROM documents
+    """,
+    tags=("X4", "F1"),
+)
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer segment count next to the whitespace count —
+    the 'how many LLM tokens' estimate (functions.subword_token_count),
+    one JVM-side regexp_count, RE2/Java-portable pattern."""
+    from ..functions import subword_token_count
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        subword_token_count("text").alias("n_subword"),
+        token_count(F.col("text")).alias("n_whitespace"),
+    )

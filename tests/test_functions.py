@@ -100,3 +100,17 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert rows["x"]["n_distinct"] == 3
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "b"
+
+
+def test_subword_token_count_segments(spark):
+    from etl_ipl_data_analysis_pipeline_spark import functions as fn
+
+    rows = spark.createDataFrame(
+        [
+            ("it's 2024, ok!",),   # it + 's + 202 + 4 + , + ok + ! = 7
+            ("",),                  # empty -> 0
+            ("12345",),             # 123 + 45 -> 2 (3-digit chunking)
+        ],
+        "t string",
+    ).select(fn.subword_token_count("t").alias("n")).collect()
+    assert [r["n"] for r in rows] == [7, 0, 2]
