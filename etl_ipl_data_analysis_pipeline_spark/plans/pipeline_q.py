@@ -394,3 +394,59 @@ def ledger_ingest_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     once = ingest_new(ledger, listing)
     twice = ingest_new(once, listing)
     return twice.select("file_key", "ingested", "crawled", "transformed", "loaded")
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           CASE WHEN q.ts >= p.ts - INTERVAL 1 HOUR THEN q.value END AS last_value_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON p.user_id = q.user_id AND q.ts <= p.ts
+    """,
+    tags=("J9", "J8"),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance: the latest prior view only
+    counts within 1 hour — older matches null out (DuckDB mirrors this as
+    ASOF + CASE, since the latest-≤ match is unique)."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("last_value_1h")
+    )
+    out = tjoins.asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="v_ts",
+        right_cols=["last_value_1h"], tolerance="1 hour",
+    )
+    return out.select("event_id", "user_id", "ts", "last_value_1h")
+
+
+@register(
+    "asof_join_strict",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, q.value AS prev_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+      ON p.user_id = q.user_id AND q.ts < p.ts
+    """,
+    tags=("J9",),
+)
+def asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-prior as-of (q.ts < p.ts): simultaneous events never match
+    — the lookahead-safe variant for feature generation."""
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("prev_value")
+    )
+    out = tjoins.asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="v_ts",
+        right_cols=["prev_value"], strict=True,
+    )
+    return out.select("event_id", "user_id", "ts", "prev_value")
