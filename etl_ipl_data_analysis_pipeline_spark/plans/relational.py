@@ -969,3 +969,89 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("A6",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube compile to):
+    status totals + priority totals in ONE scan + one Expand — not two
+    jobs unioned."""
+    o = load(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS orderpriority,
+               count(*) AS n_orders
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """,
+        o=o,
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle="""
+    SELECT o_orderpriority,
+           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END
+                               AS DECIMAL(38,10))) AS DOUBLE), 2) AS open_total,
+           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                               AS DECIMAL(38,10))) AS DOUBLE), 2) AS filled_total,
+           round(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END
+                               AS DECIMAL(38,10))) AS DOUBLE), 2) AS partial_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A4", "A7"),
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a PINNED value list — an unpinned pivot() runs an extra
+    distinct job to discover columns and makes the schema data-dependent;
+    at scale always pin. Compiles to the same single-pass conditional agg
+    as the oracle's CASE columns."""
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(stable_sum("o_totalprice", 2))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("O").alias("open_total"),
+        F.col("F").alias("filled_total"),
+        F.col("P").alias("partial_total"),
+    )
+
+
+@register(
+    "unpivot_nation_metrics",
+    oracle="""
+    SELECT n_nationkey, 'regionkey' AS metric, CAST(n_regionkey AS BIGINT) AS value
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'name_len', length(n_name) FROM nation
+    """,
+    tags=("P3", "SE4"),
+)
+def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long): one Expand node, no self-union of scans —
+    the oracle's UNION ALL reads the table twice, unpivot reads it once."""
+    n = load(spark, sf_dir, "nation")
+    wide = n.select(
+        "n_nationkey",
+        F.col("n_regionkey").cast("long").alias("regionkey"),
+        F.length("n_name").cast("long").alias("name_len"),
+    )
+    return wide.unpivot(
+        ["n_nationkey"], ["regionkey", "name_len"], "metric", "value"
+    )
