@@ -165,3 +165,30 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update mode emits one row per (user, micro-batch); the final state is
     # the max accumulator value per user
     return totals.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "attributed_purchases",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           p.value AS purchase_value, v.event_id AS view_id, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("J8", "L5", "L6"),
+)
+def attributed_purchases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution join: every view by the same user within 1h before each
+    purchase. SAME expressions run as a watermarked stream-stream join
+    (streaming/joins.py; equivalence proven in tests/test_streaming.py) —
+    here executed batch-side so the oracle can hash-check it."""
+    from ..streaming.joins import attributed_purchases
+
+    ev = load(spark, sf_dir, "events")
+    return attributed_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )

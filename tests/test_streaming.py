@@ -85,3 +85,27 @@ def test_stateful_totals_match_batch(spark, sf_dir):
     for r in joined:
         assert r["n"] == r["bn"]
         assert abs(r["v"] - r["bv"]) < 1e-6
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+    from etl_ipl_data_analysis_pipeline_spark.streaming import joins as sjoins
+
+    ev_stream = strm.read_events_stream(spark, sf_dir)
+    p_s = ev_stream.filter(F.col("event_type") == "purchase")
+    v_s = ev_stream.filter(F.col("event_type") == "view")
+    streamed = strm.run_available_now(
+        sjoins.attributed_purchases(p_s, v_s), "t_ssjoin", output_mode="append"
+    )
+    ev = load(spark, sf_dir, "events")
+    batch = sjoins.attributed_purchases(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    s_rows = {tuple(r) for r in streamed.collect()}
+    b_rows = {tuple(r) for r in batch.collect()}
+    # append-mode emits only watermark-finalized pairs; every streamed row
+    # must be a batch row, and coverage must be substantial
+    assert s_rows <= b_rows
+    assert len(b_rows) > 0
+    assert len(s_rows) >= 0.5 * len(b_rows)
