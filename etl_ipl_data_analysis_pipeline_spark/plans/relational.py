@@ -54,18 +54,38 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation) so the value hash can't flip with summation order."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dsum(c):
+        c = F.col(c) if isinstance(c, str) else c
+        return F.sum(c.cast("decimal(38,10)")).cast("double")
+
+    # sum+avg pairs share ONE decimal aggregate each (qty, price) — the avg
+    # is derived in the post-agg projection, not re-accumulated
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_sum("l_quantity", 2).alias("sum_qty"),
-            stable_sum("l_extendedprice", 2).alias("sum_base_price"),
-            stable_sum(disc_price, 2).alias("sum_disc_price"),
-            stable_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
-            stable_avg("l_quantity", 4).alias("avg_qty"),
-            stable_avg("l_extendedprice", 4).alias("avg_price"),
-            stable_avg("l_discount", 4).alias("avg_disc"),
+            dsum("l_quantity").alias("__s_qty"),
+            dsum("l_extendedprice").alias("__s_price"),
+            dsum(disc_price).alias("__s_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("__s_charge"),
+            dsum("l_discount").alias("__s_disc"),
+            F.count("l_quantity").alias("__n_qty"),
+            F.count("l_extendedprice").alias("__n_price"),
+            F.count("l_discount").alias("__n_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round("__s_qty", 2).alias("sum_qty"),
+            F.round("__s_price", 2).alias("sum_base_price"),
+            F.round("__s_disc_price", 2).alias("sum_disc_price"),
+            F.round("__s_charge", 2).alias("sum_charge"),
+            F.round(F.col("__s_qty") / F.col("__n_qty"), 4).alias("avg_qty"),
+            F.round(F.col("__s_price") / F.col("__n_price"), 4).alias("avg_price"),
+            F.round(F.col("__s_disc") / F.col("__n_disc"), 4).alias("avg_disc"),
+            "count_order",
         )
     )
 
