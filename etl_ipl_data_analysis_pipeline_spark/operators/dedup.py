@@ -73,17 +73,21 @@ def shingles(text, n: int = 3):
 
 def minhash_signature(shingle_col, num_hashes: int = 32, seed: int = 42):
     """MinHash signature as array<bigint>: min over shingles of
-    xxhash64(shingle, salt_i) for each of ``num_hashes`` salted hash fns.
-    Pure built-ins — no Python in the loop.
+    xxhash64(xxhash64(shingle), salt_i) — the string is hashed to a long
+    once, then each salted function re-hashes the fixed-width long, the
+    same scheme (and thus identical signatures; tested) as the bulk
+    :func:`minhash_signatures`. Pure built-ins — no Python in the loop.
 
     Expression form (num_hashes array traversals per row). For bulk
-    signature computation prefer :func:`minhash_signatures`, which hashes
-    each shingle once and combines map-side.
+    signature computation prefer the bulk form, which hashes each shingle
+    once and combines map-side.
     """
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
     return F.array(
         *[
-            F.array_min(F.transform(col, lambda s: F.xxhash64(s, F.lit(seed + i))))
+            F.array_min(
+                F.transform(col, lambda s: F.xxhash64(F.xxhash64(s), F.lit(seed + i)))
+            )
             for i in range(num_hashes)
         ]
     )

@@ -132,3 +132,27 @@ def test_minhash_dedup_cc_collapses_transitive_cluster(spark):
     out = dedup.minhash_dedup_cc(docs, min_jaccard=0.4)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 10]  # whole drift chain collapses to its min id
+
+
+def test_minhash_expression_form_matches_bulk(spark):
+    # the per-row expression form and the explode/groupBy bulk form hash
+    # the same shingles with the same salts -> identical signatures
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different document about spark plans")],
+        "doc_id long, text string",
+    )
+    expr_sigs = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id",
+            dedup.minhash_signature(dedup.shingles("text"), num_hashes=8).alias("sig"),
+        ).collect()
+    }
+    bulk_sigs = {
+        r["__id"]: r["__sig"]
+        for r in dedup.minhash_signatures(docs, num_hashes=8).collect()
+    }
+    assert expr_sigs == bulk_sigs

@@ -133,3 +133,25 @@ def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
     assert c1.shape == (8, 64)
     assert np.allclose(c1, c2)  # deterministic under fixed seed
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)  # unit-normalized
+
+
+def test_expression_and_udf_bucketing_agree(spark):
+    # random_hyperplane_bucket (pure-expression fallback, no Arrow) and
+    # multi_table_buckets_udf table 0 share one PRNG stream — same buckets
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators.similarity import (
+        multi_table_buckets_udf,
+        random_hyperplane_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(16)]) for i in range(40)],
+        "vec_id long, v array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        random_hyperplane_bucket("v", n_planes=8, dim=16, seed=42).alias("expr_b"),
+        F.element_at(multi_table_buckets_udf(8, 1, 16, 42)("v"), 1).alias("udf_b"),
+    ).collect()
+    assert all(r["expr_b"] == r["udf_b"] for r in out)
