@@ -22,7 +22,7 @@ from pyspark.sql.types import StructType
 def schema_snapshot(spark: SparkSession, df: DataFrame, version_id: int) -> DataFrame:
     """Snapshot a DataFrame's schema as (version_id, name, type) rows —
     replaces the Glue catalog version record (compare_schema.py:107-111)."""
-    rows = [(version_id, f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    rows = [(version_id, name, dtype) for name, dtype in spark_schema_to_rows(df.schema)]
     return spark.createDataFrame(rows, "version_id long, name string, type string")
 
 

@@ -16,7 +16,7 @@ stops — the ledger becomes Spark's own offset log.
   ``applyInPandasWithState`` (L6).
 """
 
-from .incremental import file_stream_pipeline, read_events_stream
+from .incremental import checkpoint_dir, file_stream_pipeline, read_events_stream
 from .stateful import user_running_totals
 from .windows import (
     run_available_now,
@@ -27,6 +27,7 @@ from .windows import (
 
 __all__ = [
     "file_stream_pipeline",
+    "checkpoint_dir",
     "read_events_stream",
     "run_available_now",
     "session_stream",

@@ -114,3 +114,14 @@ def test_subword_token_count_segments(spark):
         "t string",
     ).select(fn.subword_token_count("t").alias("n")).collect()
     assert [r["n"] for r in rows] == [7, 0, 2]
+
+
+def test_corpus_profile_totals(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators.textstats import corpus_profile
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "four five"), (3, "")], "doc_id long, text string"
+    )
+    row = corpus_profile(df).first()
+    assert row["n_docs"] == 3
+    assert row["total_tokens"] == 5

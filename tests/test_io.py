@@ -112,3 +112,13 @@ def test_read_json_permissive_quarantines_corrupt(spark, tmp_path):
     quarantined = [r for r in rows if r["_corrupt"] is not None]
     assert len(ok) == 1 and ok[0]["id"] == 1
     assert len(quarantined) == 1 and quarantined[0]["id"] is None
+
+
+def test_load_star_registers_views(spark, sf_dir):
+    tables = tio.load_star(spark, sf_dir)
+    try:
+        assert "lineitem" in tables and tables["nation"].count() == 25
+        assert spark.sql("SELECT count(*) FROM nation").first()[0] == 25
+    finally:
+        for name in tables:
+            spark.catalog.dropTempView(name)

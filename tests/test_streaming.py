@@ -52,7 +52,7 @@ def test_append_mode_withholds_open_windows(spark, sf_dir, registry):
 
 def test_file_pipeline_exactly_once(spark, sf_dir, tmp_path):
     src = os.path.join(sf_dir, "events.parquet")
-    dst, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    dst, ckpt = str(tmp_path / "out"), strm.checkpoint_dir(str(tmp_path), "events")
     n1 = strm.file_stream_pipeline(
         spark, src, dst, ckpt, transform=lambda df: df.filter(F.col("event_type") == "click")
     )
