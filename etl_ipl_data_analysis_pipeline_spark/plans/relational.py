@@ -1075,3 +1075,43 @@ def unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["n_nationkey"], ["regionkey", "name_len"], "metric", "value"
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           CAST(round(CAST(o.o_totalprice AS DECIMAL(38,10)), 2) AS DOUBLE) AS o_totalprice,
+           round(CAST(t.sum_qty AS DOUBLE), 2) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,10))) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(38,10))) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+    tags=("A4", "J4", "P6"),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HIGH-cardinality groupBy (every order key) with a
+    HAVING filter, then join back to orders. The different beast from q1's
+    6-group agg: the shuffle is O(orders), partial aggregation matters, and
+    AQE sizes the agg→join exchange at runtime. The filter on the aggregate
+    runs BEFORE the join, so only qualifying groups shuffle into it."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")).alias("__sq"))
+        .filter(F.col("__sq") > 150)
+        .select("l_orderkey", F.round(F.col("__sq").cast("double"), 2).alias("sum_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice").cast("decimal(38,10)"), 2)
+        .cast("double")
+        .alias("o_totalprice"),
+        "sum_qty",
+    )
