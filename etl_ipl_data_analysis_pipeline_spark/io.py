@@ -263,3 +263,40 @@ def retry(
                 sleep(base_delay * (2**attempt))
     assert last is not None
     raise last
+
+
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path via the Hadoop FS API (works for any
+    supported scheme, same as path_exists)."""
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hadoop_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(hadoop_path).getLength())
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_mb: int = 128,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_mb`` files. Returns (n_files_before, n_files_after).
+
+    The small-file problem is THE operational tax of incremental appends
+    (each pipeline run adds a file per partition; a year of hourly runs =
+    ~10⁴ files whose open/footer costs dominate scans). Periodic compaction
+    into scan-sized files restores read throughput. Uses coalesce() when
+    shrinking (no shuffle — merges existing partitions) and repartition()
+    only if the source has too FEW partitions.
+    """
+    df = spark.read.parquet(src_dir)
+    n_before = df.rdd.getNumPartitions()
+    total = dir_bytes(spark, src_dir)
+    n_target = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil div
+    out = df.coalesce(n_target) if n_target < n_before else df.repartition(n_target)
+    out.write.mode("overwrite").parquet(dest_dir)
+    n_after = len(
+        [f for f in os.listdir(dest_dir) if f.endswith(".parquet")]
+    ) if os.path.isdir(dest_dir) else n_target
+    return n_before, n_after
