@@ -450,3 +450,35 @@ def asof_join_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["prev_value"], strict=True,
     )
     return out.select("event_id", "user_id", "ts", "prev_value")
+
+
+@register(
+    "incremental_summary_merge",
+    oracle="""
+    SELECT k,
+           count(*) AS n_rows,
+           CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS sum_value,
+           min(v) AS min_value,
+           max(v) AS max_value
+    FROM (
+      SELECT k, CAST(v AS DOUBLE) AS v FROM (VALUES
+          ('a', 1.0), ('a', 2.0), ('b', 10.0),
+          ('a', 3.0), ('c', 7.0), ('b', -1.0)
+      ) AS t(k, v)
+    )
+    GROUP BY k
+    """,
+    tags=("L3", "A4", "L1"),
+)
+def incremental_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: two batches partial-aggregated then
+    MERGED (operators/incremental.py) must equal the one-shot groupBy over
+    all rows — which is exactly what the oracle computes."""
+    from ..operators import incremental as inc
+
+    b1 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double")
+    b2 = spark.createDataFrame([("a", 3.0), ("c", 7.0), ("b", -1.0)], "k string, v double")
+    merged = inc.merge_summaries(
+        inc.aggregate_batch(b1, ["k"], "v"), inc.aggregate_batch(b2, ["k"], "v"), ["k"]
+    )
+    return merged.withColumn("sum_value", F.col("sum_value").cast("double"))

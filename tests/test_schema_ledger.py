@@ -109,3 +109,29 @@ def test_strip_extension_key_normalization(spark):
         [("a/b/match_1.json",), ("x.tar.gz",), ("plain",)], "p string"
     ).select(L.strip_extension("p").alias("k"))
     assert [r["k"] for r in df.collect()] == ["a/b/match_1", "x.tar", "plain"]
+
+
+def test_incremental_summary_equals_full_recompute(spark):
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import incremental as inc
+
+    b1 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    )
+    b2 = spark.createDataFrame(
+        [("a", 3.0), ("c", 7.0), ("b", -1.0)], "k string, v double"
+    )
+    summary = inc.aggregate_batch(b1, ["k"], "v")
+    summary = inc.merge_summaries(summary, inc.aggregate_batch(b2, ["k"], "v"), ["k"])
+    got = {
+        r["k"]: (r["n_rows"], float(r["sum_value"]), r["min_value"], r["max_value"], r["avg_value"])
+        for r in inc.summary_with_avg(summary).collect()
+    }
+    full = inc.summary_with_avg(inc.aggregate_batch(b1.unionByName(b2), ["k"], "v"))
+    want = {
+        r["k"]: (r["n_rows"], float(r["sum_value"]), r["min_value"], r["max_value"], r["avg_value"])
+        for r in full.collect()
+    }
+    assert got == want
+    assert got["a"] == (3, 6.0, 1.0, 3.0, 2.0)
