@@ -69,9 +69,13 @@ def subword_token_count(text) -> Column:
 
 
 def normalized_text(text) -> Column:
-    """Canonical text for exact dedup: lowercase, trim, collapse whitespace."""
+    """Canonical text for exact dedup: lowercase, collapse whitespace runs
+    to single spaces, THEN trim. Order matters: trim() strips only SPACES
+    (same in DuckDB), so trimming first leaves a leading "\\t" behind as a
+    stray " " — collapsing first guarantees any edge whitespace IS a space.
+    Oracle twin: trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
     text = F.col(text) if isinstance(text, str) else text
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
 def content_hash(text, bits: int = 256) -> Column:

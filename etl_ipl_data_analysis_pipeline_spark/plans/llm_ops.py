@@ -25,7 +25,7 @@ from . import load, register
     "dedup_exact",
     oracle="""
     SELECT min(doc_id) AS doc_id,
-           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_sha,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_sha,
            count(*) AS n_copies
     FROM documents
     GROUP BY content_sha
@@ -52,7 +52,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang FROM (
         SELECT doc_id, lang,
                row_number() OVER (
-                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    ORDER BY doc_id) AS rn
         FROM documents
     ) WHERE rn = 1
@@ -113,7 +113,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
       FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -299,7 +299,7 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id, lang,
-             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
       FROM documents
     ), r AS (
       SELECT doc_id, lang,

@@ -1,0 +1,76 @@
+"""Empty/degenerate-input behavior: every operator must degrade to an
+empty or identity result, never throw — at 100 TB some partition, some
+day, WILL be empty."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark.operators import dedup, joins, similarity
+from etl_ipl_data_analysis_pipeline_spark.operators.profile import profile
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_exact_dedup_empty(spark, empty_docs):
+    assert dedup.exact_dedup(empty_docs).count() == 0
+
+
+def test_minhash_pairs_empty(spark, empty_docs):
+    assert dedup.minhash_near_dup_pairs(empty_docs).count() == 0
+
+
+def test_jaccard_pairs_empty(spark, empty_docs):
+    assert dedup.jaccard_pairs(empty_docs, max_df=10).count() == 0
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_minhash_dedup_cc_no_pairs_keeps_all(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    assert dedup.minhash_dedup_cc(docs, min_jaccard=0.9).count() == 2
+
+
+def test_asof_join_empty_right_keeps_left_nulled(spark):
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 1.0)], "sym string, ts string, price double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame([], "sym string, ts timestamp, quote double")
+    out = joins.asof_join(left, right, on="sym").collect()
+    assert len(out) == 1 and out[0]["quote"] is None
+
+
+def test_salted_join_empty_dim(spark):
+    fact = spark.createDataFrame([(1, 2)], "k int, v int")
+    dim = spark.createDataFrame([], "k int, name string")
+    assert joins.salted_join(fact, dim, "k").count() == 0
+    assert joins.salted_join(fact, dim, "k", how="left").count() == 1
+
+
+def test_brute_force_topk_empty_corpus(spark):
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    assert similarity.brute_force_topk(emb, probes, probe_id_col="vec_id").count() == 0
+
+
+def test_profile_empty_table(spark):
+    df = spark.createDataFrame([], "x int, s string")
+    rows = {r["column"]: r for r in profile(df).collect()}
+    assert rows["x"]["n_rows"] == 0 and rows["x"]["n_distinct"] == 0
+    assert rows["x"]["min_value"] is None
+
+
+def test_whitespace_only_corpus_dedups_together(spark):
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "\t\n"), (3, "")], "doc_id long, text string"
+    )
+    # all normalize to empty -> one content-hash group survives
+    assert dedup.exact_dedup(docs).count() == 1

@@ -15,10 +15,10 @@ TEXTS = st.lists(
 
 
 def _py_tokens(text: str) -> list[str]:
-    # .strip(" ") not .strip(): Spark's trim() (and DuckDB's) strips SPACES
-    # only, so a leading tab survives into the whitespace-collapse step —
-    # the two engines agree with each other, and the mirror must follow
-    return re.sub(r"\s+", " ", text.strip(" ").lower()).split(" ")
+    # collapse-then-trim, like functions.normalized_text: after collapsing,
+    # any edge whitespace is a single space, so the engines' space-only
+    # trim() equals a full strip
+    return re.sub(r"\s+", " ", text.lower()).strip(" ").split(" ")
 
 
 def _py_shingles(text: str, n: int = 3) -> set[str]:
