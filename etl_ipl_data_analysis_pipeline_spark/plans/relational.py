@@ -1115,3 +1115,41 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
         "sum_qty",
     )
+
+
+@register(
+    "q4_exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("J1", "J6", "A4", "F2"),
+)
+def q4_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — Catalyst decorrelates it into a
+    left-semi join (each order counted once however many line items
+    qualify), then the tiny groupBy. Written as SQL on purpose: the
+    subquery-decorrelation path is part of the engine surface a SQL user
+    exercises."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {o} o
+        WHERE EXISTS (
+          SELECT 1 FROM {li} l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """,
+        o=o,
+        li=li,
+    )
