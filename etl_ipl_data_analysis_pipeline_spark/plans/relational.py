@@ -1153,3 +1153,30 @@ def q4_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o=o,
         li=li,
     )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_above_avg
+    FROM lineitem
+    WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    tags=("J1", "A4", "P6"),
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: rows above the global mean. Catalyst plans
+    the subquery as one 1-row aggregate broadcast into the scan filter —
+    two passes total, not a per-row subquery. avg is only compared (>),
+    never output, so float repr can't flip the integer-count hash."""
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n_above_avg
+        FROM {li}
+        WHERE l_quantity > (SELECT avg(l_quantity) FROM {li})
+        GROUP BY l_returnflag
+        """,
+        li=li,
+    )
