@@ -1180,3 +1180,64 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         li=li,
     )
+
+
+@register(
+    "window_rank_extras",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)  OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS balance_quartile,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
+           round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey), 6) AS cume
+    FROM customer
+    """,
+    tags=("W1",),
+)
+def window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 beyond rank/dense_rank: ntile quartiles, percent_rank, cume_dist.
+    Tie-broken on c_custkey so both engines order identically; the ratio
+    outputs are exact k/n divisions — same doubles on both sides."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "q4_not_exists_clean_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("J2", "J6", "A4"),
+)
+def q4_not_exists_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS dual of q4_exists_late_orders — decorrelates to a left
+    ANTI join with the same correlated condition."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {o} o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {li} l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+        """,
+        o=o,
+        li=li,
+    )
