@@ -391,3 +391,37 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         subword_token_count("text").alias("n_subword"),
         token_count(F.col("text")).alias("n_whitespace"),
     )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    tags=("X2", "F1", "J7"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching, BLOCKED by nation key so the pair
+    space is Σ block² rather than n² — the same never-all-pairs discipline
+    as the text dedup family, with levenshtein as the scorer (both engines
+    implement the identical integer DP)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
