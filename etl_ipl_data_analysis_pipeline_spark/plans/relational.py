@@ -1241,3 +1241,74 @@ def q4_not_exists_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o=o,
         li=li,
     )
+
+
+@register(
+    "date_spine_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS lo, max(o_orderdate) AS hi FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT s.day, coalesce(d.n, 0) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    tags=("F2", "J5", "A1"),
+)
+def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily order counts: generate the full date spine with
+    sequence() (no driver-side range loop) and left-join the daily counts,
+    so zero-order days exist as rows — the shape every time-series rollup
+    needs before windowing. The spine is one row exploded JVM-side; the
+    join broadcasts it against the pre-aggregated (tiny) daily counts."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+    tags=("W2", "F6"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """last_value IGNORE NULLS — carry the most recent purchase amount
+    forward over every event (the fill-forward primitive as-of joins build
+    on). Tie-broken on event_id so both engines agree on frame order."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_purchase_value"),
+    )
