@@ -1312,3 +1312,23 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_value"),
     )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+    """,
+    tags=("SE1", "SE4"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each occurrence cancels one
+    occurrence, duplicates survive by count), vs. set_except's distinct
+    semantics. Spark plans it as a count-propagating aggregate + generate,
+    one shuffle, no join."""
+    li = load(spark, sf_dir, "lineitem")
+    left = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
+    right = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    return left.exceptAll(right)
