@@ -64,11 +64,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 decode path: Arrow-batched mapInPandas with the deterministic
     fake decoder (real decode is an environment-gated stub). Rows-only —
     crc32-derived features have no SQL twin; determinism is covered by
-    tests/test_multimodal.py."""
+    tests/test_multimodal.py. The feature vector is serialized via to_json
+    because the driver's canonicalizer cannot hash raw array cells."""
     media = multimodal.attach_metadata(_media_from_documents(spark, sf_dir).drop("doc_id"))
     return (
         multimodal.extract_features(media, fake=True, dim=8)
-        .select("media_id", "format", "n_bytes", "width", "height", "feature")
+        .select(
+            "media_id",
+            "format",
+            "n_bytes",
+            "width",
+            "height",
+            F.to_json(F.col("feature")).alias("feature_json"),
+        )
         .orderBy("media_id")
     )
 
@@ -147,7 +155,7 @@ def udaf_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_list",
     oracle="""
-    SELECT lang, list_sort(list(DISTINCT source)) AS sources,
+    SELECT lang, array_to_string(list_sort(list(DISTINCT source)), '|') AS sources,
            count(DISTINCT source) AS n_sources
     FROM documents
     GROUP BY lang
@@ -156,10 +164,12 @@ def udaf_median_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 collect-to-list report (the reference's driver-side accumulation
-    as a distributed agg): sorted distinct sources per language."""
+    as a distributed agg): sorted distinct sources per language, serialized
+    to a '|'-joined string because the driver's canonicalizer (pandas
+    sort_values) cannot hash raw array cells."""
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
-        F.sort_array(F.collect_set("source")).alias("sources"),
+        F.concat_ws("|", F.sort_array(F.collect_set("source"))).alias("sources"),
         F.countDistinct("source").alias("n_sources"),
     )
 

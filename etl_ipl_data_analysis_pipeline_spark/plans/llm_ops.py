@@ -275,7 +275,7 @@ def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            count(*)                    AS n_docs,
-           sum(n_chars)                AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            round(CAST(sum(n_chars) AS DOUBLE) / count(n_chars), 4) AS avg_chars
     FROM documents
     GROUP BY lang, source
@@ -406,22 +406,65 @@ def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X2", "F1", "J7"),
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy matching, BLOCKED by nation key so the pair
-    space is Σ block² rather than n² — the same never-all-pairs discipline
-    as the text dedup family, with levenshtein as the scorer (both engines
-    implement the identical integer DP)."""
+    """Edit-distance fuzzy matching via DELETION-NEIGHBORHOOD blocking.
+
+    Round-2 verdict flagged the old nation-only blocking as quadratic
+    (block size grows O(n), pair space O(n²/25)). The fix: for
+    levenshtein(a,b) <= k, deleting <= k chars from each side always
+    reaches a common string (align optimally; drop substituted chars from
+    both, inserted chars from b, deleted chars from a — at most k drops per
+    side). So candidates = pairs sharing any (nation, delete-<=2 variant)
+    key, which has EXACT recall — the output is identical to the
+    declarative oracle — while candidate generation is O(n * C(L,2)) rows
+    with bounded block sizes at any corpus scale, never O(n²).
+
+    The join key is xxhash64(nation, variant): an 8-byte shuffle key
+    instead of a 153x-replicated string; hash collisions only ever ADD
+    candidates, which the final levenshtein(...) <= 2 verifier removes.
+    """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
+    # delete-0 (the name itself), delete-1 (position i), delete-2 (i < j);
+    # array_union dedupes per-row identical variants (repeated chars).
+    variants = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                """
+                array_union(
+                  array(c_name),
+                  array_union(
+                    transform(sequence(1, length(c_name)),
+                      i -> concat(substring(c_name, 1, i-1), substring(c_name, i+1))),
+                    CASE WHEN length(c_name) >= 2 THEN
+                      flatten(transform(sequence(1, length(c_name) - 1),
+                        i -> transform(sequence(i + 1, length(c_name)),
+                          j -> concat(substring(c_name, 1, i-1),
+                                      substring(c_name, i+1, j-i-1),
+                                      substring(c_name, j+1)))))
+                    ELSE array() END
+                  )
+                )
+                """
+            )
+        ).alias("variant"),
+        F.col("c_nationkey"),
+    ).select(
+        "c_custkey", "c_name", F.xxhash64("c_nationkey", "variant").alias("vh")
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.vh") == F.col("b.vh")) & (F.col("a.c_custkey") < F.col("b.c_custkey")))
         .select(
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
         )
-        .filter(F.col("dist") <= 2)
+        .distinct()  # a close pair shares many variants; score each pair once
     )
+    return cand.select(
+        "key_a",
+        "key_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= 2)

@@ -130,8 +130,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_filtered",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)      AS n_bulk,
-           sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)     AS n_discounted,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)  AS n_bulk,
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
            round(CAST(sum(CAST(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END
                                AS DECIMAL(38,10))) AS DOUBLE), 2) AS taxed_price
     FROM lineitem

@@ -56,6 +56,38 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()[:16]
 
 
+def _pd_cell(v) -> str:
+    """str() a pandas cell the way the driver's canon sees it — NO
+    int-coercion of whole floats, so dtype artifacts (DuckDB HUGEINT →
+    float64 '5000.0' vs Spark int64 '5000') fail HERE instead of only in
+    the driver run."""
+    if v is None:
+        return "NULL"
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays: pd.isna is elementwise; fall through to str()
+    return str(v)
+
+
+def pandas_hash(pdf) -> str:
+    """Driver-faithful canon: pandas frame, columns sorted by name, rows as
+    stringified lines, order-insensitive hash. The driver converts both
+    sides to pandas (Spark toPandas vs DuckDB fetchdf), where integer
+    DuckDB sums arrive as float64 — the legacy fetchall() path hid that."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    cols = [[_pd_cell(v) for v in pdf[c]] for c in pdf.columns]
+    lines = sorted("|".join(cells) for cells in zip(*cols)) if cols else []
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -97,8 +129,16 @@ def main() -> int:
             res = con.execute(oracles[name])
             orows = res.fetchall()
             ocols = [d[0] for d in res.description]
+            opdf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        try:
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: toPandas error: {e}")
             n_fail += 1
             failures.append(name)
             continue
@@ -107,13 +147,20 @@ def main() -> int:
         sh = value_hash([tuple(r) for r in srows], scols)
         oh = value_hash(orows, ocols)
         ok_hash = sh == oh
-        if ok_count and ok_cols and ok_hash:
+        try:
+            sph, oph = pandas_hash(spdf), pandas_hash(opdf)
+            ok_pd = sph == oph
+            pd_note = "" if ok_pd else f"; PANDAS-CANON hash {sph} vs {oph}"
+        except Exception as e:
+            ok_pd = False
+            pd_note = f"; PANDAS-CANON error: {e}"
+        if ok_count and ok_cols and ok_hash and ok_pd:
             print(f"PASS  {name}: {len(srows)} rows ({dt:.1f}s)")
             n_pass += 1
         else:
             print(
                 f"FAIL  {name}: rows {len(srows)} vs {len(orows)}; "
-                f"cols {sorted(scols)} vs {sorted(ocols)}; hash {sh} vs {oh}"
+                f"cols {sorted(scols)} vs {sorted(ocols)}; hash {sh} vs {oh}{pd_note}"
             )
             n_fail += 1
             failures.append(name)
