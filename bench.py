@@ -7,7 +7,7 @@ ONE JSON line.
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[] parallelism (default 32)
-  SPARK_GRAFT_BENCH_RUNS  timed runs per query, median reported (default 1)
+  SPARK_GRAFT_BENCH_RUNS  timed runs per query, median reported (default 3)
   SPARK_GRAFT_BENCH_QUERIES  comma-separated override of the query set
 
 Execution is forced with the noop sink (full pipeline runs JVM-side, no
@@ -74,7 +74,7 @@ def run_once(fn, spark, sf_dir: str) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
@@ -99,6 +99,12 @@ def main() -> int:
             timings[name] = None
             continue
         try:
+            # per-query warm-up outside the timings: the r2 driver run came
+            # in uniformly ~2x the recorded local numbers — cold JIT/codegen
+            # per plan shape, not plan regressions. One untimed pass per
+            # query makes the reported medians measure the PLAN, not the
+            # JVM's first sight of it.
+            run_once(spec.fn, spark, sf_dir)
             samples = [run_once(spec.fn, spark, sf_dir) for _ in range(n_runs)]
             timings[name] = round(statistics.median(samples), 3)
         except Exception as e:

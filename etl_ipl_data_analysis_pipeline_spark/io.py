@@ -290,13 +290,23 @@ def compact_parquet(
     shrinking (no shuffle — merges existing partitions) and repartition()
     only if the source has too FEW partitions.
     """
+    def _count_parquet_files(d: str) -> int:
+        # Hadoop FS listStatus (like dir_bytes) so the count is real files
+        # on ANY supported scheme, not read partitions or a local listdir
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(d)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isFile() and st.getPath().getName().endswith(".parquet")
+        )
+
     df = spark.read.parquet(src_dir)
-    n_before = df.rdd.getNumPartitions()
+    n_before = _count_parquet_files(src_dir)
+    n_parts = df.rdd.getNumPartitions()
     total = dir_bytes(spark, src_dir)
     n_target = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil div
-    out = df.coalesce(n_target) if n_target < n_before else df.repartition(n_target)
+    out = df.coalesce(n_target) if n_target < n_parts else df.repartition(n_target)
     out.write.mode("overwrite").parquet(dest_dir)
-    n_after = len(
-        [f for f in os.listdir(dest_dir) if f.endswith(".parquet")]
-    ) if os.path.isdir(dest_dir) else n_target
-    return n_before, n_after
+    return n_before, _count_parquet_files(dest_dir)

@@ -109,11 +109,16 @@ def minhash_signatures(
     traversals per document in the expression form). At 100 TB the combine
     step shrinks the shuffle to num_hashes longs per document.
 
-    Documents whose text yields zero shingles drop out (explode of an empty
-    array emits no rows) — same contract as filtering size(shingles) > 0.
+    Documents whose text yields zero tokens (empty / whitespace-only /
+    all-punctuation) are filtered out BEFORE shingling: split of an empty
+    normalized string yields [''], which would otherwise give every such
+    doc the same single empty-string shingle and pair them all at
+    est_jaccard 1.0.
     """
-    sh = df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks")).select(
-        "__id", F.explode(shingles_from_tokens("__toks", n)).alias("__gram")
+    sh = (
+        df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
+        .filter(F.size(F.filter("__toks", lambda t: t != F.lit(""))) > 0)
+        .select("__id", F.explode(shingles_from_tokens("__toks", n)).alias("__gram"))
     )
     # Hash the variable-length shingle string ONCE, then derive the
     # num_hashes salted functions by re-hashing the resulting fixed-width
@@ -486,6 +491,17 @@ def connected_components(
         edges = new_edges
         if non_root == 0:
             break
+    else:
+        # max_iter exhausted without convergence: the edge set still has
+        # chains, so downstream keep-one would silently under-merge
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds "
+            f"({non_root} non-root edges remain); components are partial",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
 
 

@@ -332,6 +332,12 @@ def kmeans_centroids(
         .orderBy("vec_id")
         .collect()
     )
+    if not init:
+        # empty corpus: no centroids (callers' matmul against a 0×dim model
+        # assigns nothing) — never np.stack([]) below
+        dim = 0
+        return np.zeros((0, dim))
+    k = min(k, len(init))  # corpus smaller than k: one centroid per vector
     cents = _normalize_rows(np.array([r["__vec"] for r in init]))
 
     def assign_udf(cmat):

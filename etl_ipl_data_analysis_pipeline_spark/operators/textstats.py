@@ -41,11 +41,17 @@ def lang_id(text):
     return guess
 
 
-def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def text_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-document quality signals: length, token count, mean word length,
     alpha/space/punct ratios, uppercase ratio, and a composite score in
     [0,1]. Heuristics follow the public Gopher/C4-style filters (length and
-    symbol-ratio gates)."""
+    symbol-ratio gates). ``keep`` names extra columns passed through
+    untouched (e.g. a grouping key for corpus_profile)."""
     text = F.col(text_col)
     n_chars = F.length(text)
     n_tokens = token_count(text)
@@ -66,6 +72,7 @@ def text_quality(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
     )
     return df.select(
+        *keep,
         F.col(id_col),
         n_chars.alias("n_chars_m"),
         n_tokens.alias("n_tokens"),
@@ -100,18 +107,25 @@ def doc_fingerprint(text, seed: int = 42):
 def corpus_profile(df: DataFrame, text_col: str = "text", group_col: str | None = None) -> DataFrame:
     """Aggregate corpus statistics (optionally per group): doc counts, token
     totals, length distribution quantiles — the summary a data curator reads
-    before/after each filtering stage."""
-    q = text_quality(df, text_col=text_col, id_col=df.columns[0])
+    before/after each filtering stage. One narrow pass + one small
+    aggregate; no self-join (the grouping key rides through text_quality).
+
+    Float discipline (oracle twin): token avg divides the exact integer sum
+    in double; quality avg decimal-sums the per-doc 4-dp-rounded scores so
+    summation order can't flip the rounded result; the median is sort-based
+    (deterministic in both engines)."""
+    from ..functions import stable_avg_long
+
     keys = [group_col] if group_col else []
-    if group_col:
-        q = df.select(group_col, text_col).join(
-            q, df[df.columns[0]] == q[q.columns[0]], "inner"
-        )
-    agg = q.groupBy(*keys).agg(
+    q = text_quality(df, text_col=text_col, id_col=df.columns[0], keep=tuple(keys))
+    return q.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        stable_avg_long("n_tokens", 4).alias("avg_tokens"),
         F.round(F.expr("percentile(n_chars_m, 0.5)"), 4).alias("med_chars"),
-        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_quality"),
     )
-    return agg

@@ -49,12 +49,24 @@ def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
 
 
 def _save_small_table(df: DataFrame, path: str) -> None:
-    """Overwrite a small control table (ledger / schema registry). The read
-    side is materialized to rows first — Spark reads lazily, so writing
-    over a path still referenced by the plan would corrupt it."""
+    """Overwrite a control table (ledger / schema registry) that the input
+    plan may still be READING from: write to a temp sibling path first, then
+    swap directories. Spark reads lazily, so writing straight over the
+    source path would corrupt the plan mid-read — and the previous
+    collect()-to-driver round-trip capped the ledger at driver memory
+    (one row per ingested file is 10⁷ rows at real fleet scale)."""
     spark = df.sparkSession
-    rows = df.collect()
-    spark.createDataFrame(rows, df.schema).coalesce(1).write.mode("overwrite").parquet(path)
+    tmp = f"{path}.__tmp__"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # re-point: remove the old dir, move the temp into place. Hadoop FS API
+    # so the swap works on any supported scheme, not just file://.
+    jvm = spark._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.rename(src, dst)
 
 
 def run_ingest(
@@ -83,6 +95,11 @@ def run_ingest(
     """
     if on_drift not in ("warn", "block"):
         raise ValueError("on_drift must be 'warn' or 'block'")
+    if quarantine_dir is not None and json_schema is None:
+        raise ValueError(
+            "quarantine_dir requires json_schema: PERMISSIVE corrupt-record "
+            "capture needs a pinned schema to know what a malformed row is"
+        )
 
     # 1. acquire + expand (SRC1/SRC2). fetch_url streams to the landing zone.
     if source.startswith(("http://", "https://")):
@@ -105,6 +122,7 @@ def run_ingest(
 
     # 3. read + flatten (SRC3, P1-P4) — only the new files.
     n_quarantined = 0
+    cached_raw = None
     if quarantine_dir is not None and json_schema is not None:
         from pyspark.sql.types import StringType, StructField, StructType
 
@@ -128,6 +146,7 @@ def run_ingest(
         n_quarantined = bad.count()
         if n_quarantined:
             write_parquet(bad, quarantine_dir, mode="append")
+        cached_raw = raw
         raw = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt", "_src")
     else:
         raw = _read_json(spark, new_paths, schema=json_schema)
@@ -160,6 +179,8 @@ def run_ingest(
     # 5. write (SNK1). Append — each run adds only its new files' rows.
     rows_written = flat.count()
     write_parquet(flat, out_dir, mode="append")
+    if cached_raw is not None:
+        cached_raw.unpersist()  # executor memory back; batch is re-readable
 
     # 6. ledger update (L2/L3): new keys ingested, then marked through
     # crawled/transformed (this runner performs both stages).

@@ -295,6 +295,51 @@ def lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_profile",
+    oracle=r"""
+    WITH m AS (
+      SELECT lang,
+             length(text) AS n_chars_m,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+             length(regexp_replace(text, '[^ \t\n]', '', 'g')) AS n_space
+      FROM documents
+    ), s AS (
+      SELECT lang, n_chars_m, n_tokens,
+             round(
+               least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+               + (CAST(n_alpha AS DOUBLE) / CAST(greatest(n_chars_m, 1) AS DOUBLE)) * 0.4
+               + (1.0 - least((CAST(n_chars_m - n_alpha - n_digit - n_space AS DOUBLE)
+                               / CAST(greatest(n_chars_m, 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2,
+               4) AS quality_score
+      FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / count(n_tokens), 4) AS avg_tokens,
+           round(quantile_cont(n_chars_m, 0.5), 4) AS med_chars,
+           round(CAST(sum(CAST(quality_score AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4)
+               AS avg_quality
+    FROM s
+    GROUP BY lang
+    """,
+    tags=("X4", "A4", "A8"),
+)
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 corpus profile (operators/textstats.corpus_profile): per-language
+    doc counts, token totals, exact-sum averages, median length, and the
+    decimal-summed average of the per-doc composite quality score — the
+    before/after summary of every corpus filtering stage."""
+    from ..operators.textstats import corpus_profile
+
+    d = load(spark, sf_dir, "documents")
+    return corpus_profile(d.select("doc_id", "lang", "text"), group_col="lang")
+
+
+@register(
     "text_lang_id",
     oracle=r"""
     WITH t AS (

@@ -482,3 +482,89 @@ def incremental_summary_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.aggregate_batch(b1, ["k"], "v"), inc.aggregate_batch(b2, ["k"], "v"), ["k"]
     )
     return merged.withColumn("sum_value", F.col("sum_value").cast("double"))
+
+
+@register(
+    "incremental_summary_avg",
+    oracle="""
+    SELECT k,
+           count(*) AS n_rows,
+           CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) AS sum_value,
+           min(v) AS min_value,
+           max(v) AS max_value,
+           round(CAST(sum(CAST(v AS DECIMAL(38,10))) / count(*) AS DOUBLE), 4) AS avg_value
+    FROM (
+      SELECT k, CAST(v AS DOUBLE) AS v FROM (VALUES
+          ('a', 1.0), ('a', 2.0), ('b', 10.0),
+          ('a', 3.0), ('c', 7.0), ('b', -1.0)
+      ) AS t(k, v)
+    )
+    GROUP BY k
+    """,
+    tags=("L3", "A4"),
+)
+def incremental_summary_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived-average view over the maintained summary state
+    (operators/incremental.summary_with_avg): avg itself is not
+    decomposable, but its (sum, count) state is — so the merged summary
+    reproduces the full-recompute average exactly."""
+    from ..operators import incremental as inc
+
+    b1 = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double")
+    b2 = spark.createDataFrame([("a", 3.0), ("c", 7.0), ("b", -1.0)], "k string, v double")
+    merged = inc.merge_summaries(
+        inc.aggregate_batch(b1, ["k"], "v"), inc.aggregate_batch(b2, ["k"], "v"), ["k"]
+    )
+    return inc.summary_with_avg(merged).withColumn(
+        "sum_value", F.col("sum_value").cast("double")
+    )
+
+
+@register(
+    "catalog_scan_bucketed",
+    oracle="""
+    SELECT n_name,
+           count(*) AS n_customers,
+           min(c_custkey) AS min_custkey,
+           max(c_custkey) AS max_custkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("SRC4", "SNK1", "J4", "A4"),
+)
+def catalog_scan_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC4 catalog-table scan (reference etl_glue_job.py:28-31's
+    glue-catalog read): customer is saveAsTable'd bucketed on c_nationkey
+    (io.write_bucketed), read BACK via spark.table() — the catalog carries
+    the bucket metadata plain parquet paths can't — then aggregated on the
+    bucket key (no shuffle for the agg; bucket files are already
+    co-located) and joined to the broadcast nation dim."""
+    from .. import io as gio
+
+    # Idempotent re-register: a prior session's managed-table directory in
+    # spark-warehouse/ survives the (in-memory) catalog, and saveAsTable
+    # refuses an existing location it doesn't own — drop both.
+    spark.sql("DROP TABLE IF EXISTS cat_customer_by_nation")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(wh, "cat_customer_by_nation")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
+
+    c = load(spark, sf_dir, "customer")
+    gio.write_bucketed(
+        c, "cat_customer_by_nation", ["c_nationkey"], num_buckets=8,
+        sort_cols=["c_custkey"],
+    )
+    t = gio.read_table(spark, "cat_customer_by_nation")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        t.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_customers", "min_custkey", "max_custkey")
+    )

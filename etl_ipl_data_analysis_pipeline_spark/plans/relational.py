@@ -454,7 +454,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_skew",
     oracle="""
     SELECT p.p_brand,
-           sum(CAST(l.l_quantity AS DECIMAL(38,2))) AS sum_qty,
+           round(CAST(sum(CAST(l.l_quantity AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_qty,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -472,7 +472,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"), "p_brand")
     joined = joins.salted_join(li, p, "partkey", salt=16)
     return joined.groupBy("p_brand").agg(
-        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("sum_qty"),
+        stable_sum("l_quantity", 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -1255,7 +1255,7 @@ def q4_not_exists_clean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
       FROM orders GROUP BY 1
     )
-    SELECT s.day, coalesce(d.n, 0) AS n_orders
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, coalesce(d.n, 0) AS n_orders
     FROM spine s LEFT JOIN daily d ON s.day = d.day
     """,
     tags=("F2", "J5", "A1"),
