@@ -1,0 +1,349 @@
+"""Training-data curation operators: deterministic splits, mixture /
+stratified sampling, repetition quality signals, PII redaction, benchmark
+decontamination, and token-budget shard packing.
+
+These are the corpus-preparation steps a large-scale LLM data pipeline
+runs between "raw deduped documents" and "training shards". Everything is
+built from JVM-side column expressions (no Python UDFs) and every operator
+is deterministic — re-running a split or a sample on the same corpus gives
+byte-identical output, which is what makes incremental re-curation and
+cross-engine verification possible.
+
+Determinism discipline: anything random-looking (splits, samples) is
+keyed on ``md5(key)`` — both Spark and DuckDB produce identical lowercase
+hex md5, so each operator has an exact ANSI-SQL oracle twin. Fractions are
+mapped to 8-hex-digit threshold strings (2^-32 resolution) compared
+lexicographically, which every engine orders the same way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .dedup import tokens
+
+
+def hex_threshold(frac: float) -> str:
+    """Map a fraction of the hash space to an 8-hex-digit threshold string:
+    a uniformly-hashed key falls below it with probability ``frac`` (to
+    2^-32). Shared by the Spark operators and their SQL oracle twins."""
+    return format(min(int(frac * 16**8), 16**8 - 1), "08x")
+
+
+def _hash_bucket(key, salt: str = "") -> Column:
+    """First 8 hex chars of md5(key || salt) — the deterministic 'random'
+    draw every curation decision is keyed on. Identical in DuckDB:
+    substr(md5(CAST(k AS VARCHAR) || salt), 1, 8)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Sequence[tuple[str, float]],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed key.
+
+    Each row lands in exactly one named split with probability equal to its
+    fraction (fractions must sum to ~1; the LAST split absorbs rounding).
+    Membership depends only on (key, salt) — stable across runs, engines,
+    partitionings, and corpus growth: adding documents never moves an
+    existing document between splits, which is the property that keeps a
+    held-out set held out as the corpus is re-crawled.
+
+    Scale: one narrow projection, no shuffle, no state. ``salt`` gives
+    independent re-draws (e.g. per-epoch subsampling) without touching data.
+    """
+    if len(splits) < 1:
+        raise ValueError("need at least one split")
+    bucket = _hash_bucket(key_col, salt)
+    expr = F.lit(splits[-1][0])  # last split takes the remainder
+    cum = 0.0
+    thresholds = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        thresholds.append((name, hex_threshold(cum)))
+    for name, thr in reversed(thresholds):
+        expr = F.when(bucket < thr, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group deterministic downsampling to target mixture weights.
+
+    Keeps each row iff its hash bucket falls below the group's fraction —
+    the way a pretraining mix is rebalanced (e.g. keep 100% of en, 40% of
+    each other language). Groups absent from ``fractions`` get ``default``.
+
+    Scale: narrow filter, no shuffle. For thousands of groups, swap the
+    literal CASE chain for a broadcast join against a (group, threshold)
+    dim — same semantics, same determinism.
+    """
+    bucket = _hash_bucket(key_col, salt)
+    thr = F.lit(hex_threshold(default))
+    for g, frac in sorted(fractions.items()):
+        thr = F.when(F.col(group_col) == g, F.lit(hex_threshold(frac))).otherwise(thr)
+    return df.filter(bucket < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-N-per-group deterministic sample: rank rows within each
+    group by md5(key) (key itself as tiebreak) and keep the first N. Unlike
+    fraction sampling this guarantees the per-group count (up to group
+    size), which is what evaluation-set construction wants.
+
+    Scale: one shuffle on the group key; the per-group sort is the standard
+    window top-N (no global sort). Skewed groups bound the reducer — for a
+    single giant group use the partial-top-N pattern from similarity.topk.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _hash_bucket(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )
+
+
+def _contiguous_grams(toks, n: int) -> Column:
+    """ALL contiguous word n-grams (with multiplicity — unlike
+    dedup.shingles_from_tokens which dedupes) as an array<string> column.
+    ``toks`` must be a materialized column, not an inline expression: HOF
+    lambdas are interpreted, so an embedded tokenizer would be re-evaluated
+    per gram (see the measured 30x note on shingles_from_tokens)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals:
+
+    - ``n_lines`` / ``dup_line_frac``: newline-split lines; fraction that
+      are repeats of an earlier line ((n - n_distinct) / n).
+    - ``dup_token_frac``: same over whitespace tokens — word-salad /
+      boilerplate detector.
+    - ``top_bigram_frac`` / ``top_trigram_frac``: fraction of all n-gram
+      occurrences taken by the single most frequent n-gram — high values
+      mean looping text ("batch batch batch").
+
+    Scale: line/token fractions are pure per-row expressions (no shuffle).
+    The two n-gram fractions each explode grams and aggregate on
+    (id, gram) then (id) — shuffles keyed by doc id with map-side partial
+    aggregation; gram strings never leave their doc's group, so reducer
+    load is bounded by document length, not corpus size.
+    """
+    idc = F.col(id_col)
+    base = df.select(
+        idc, F.col(text_col).alias("__text"), tokens(text_col).alias("__toks")
+    ).select(
+        idc,
+        "__text",
+        F.filter("__toks", lambda t: t != F.lit("")).alias("__toks"),
+    )
+
+    lines = F.filter(F.split(F.col("__text"), "\n"), lambda x: x != F.lit(""))
+    nl, nt = F.size(lines), F.size(F.col("__toks"))
+    expr_stats = base.select(
+        idc,
+        nl.alias("n_lines"),
+        F.round(
+            (nl - F.size(F.array_distinct(lines)))
+            / F.greatest(nl, F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_line_frac"),
+        nt.alias("n_tokens"),
+        F.round(
+            (nt - F.size(F.array_distinct(F.col("__toks"))))
+            / F.greatest(nt, F.lit(1)).cast("double"),
+            4,
+        ).alias("dup_token_frac"),
+    )
+
+    def top_gram_frac(n: int, out: str) -> DataFrame:
+        grams = base.select(
+            idc, F.explode(_contiguous_grams("__toks", n)).alias("__g")
+        )
+        per_gram = grams.groupBy(idc, "__g").agg(F.count(F.lit(1)).alias("__c"))
+        return per_gram.groupBy(idc).agg(
+            F.round(
+                F.max("__c") / F.sum("__c").cast("double"), 4
+            ).alias(out)
+        )
+
+    out = (
+        expr_stats.join(top_gram_frac(2, "top_bigram_frac"), id_col, "left")
+        .join(top_gram_frac(3, "top_trigram_frac"), id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+        )
+    )
+    return out
+
+
+# Character classes and quantifiers only — Java regex (Spark) and RE2
+# (DuckDB) interpret these identically, so counts and replacements are
+# oracle-checkable. Order matters: emails before phones (an email's digits
+# must not be half-eaten by the phone pattern).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect and redact emails, IPv4 addresses, and +-prefixed phone
+    numbers: per-doc match counts plus the text with each match replaced by
+    a typed placeholder. One narrow JVM-side pass (regexp_count +
+    regexp_replace), no shuffle, no UDF — at 100 TB this runs at scan
+    speed. Patterns are deliberately conservative (high precision): corpus
+    scrubbing wants no false redactions of ordinary text."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(text, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(text, F.lit(PII_PHONE)).alias("n_phones"),
+        clean.alias("clean_text"),
+    )
+
+
+def ngram_overlap(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count how many
+    of its distinct word n-grams also appear in the benchmark set, plus a
+    ``contaminated`` flag (any overlap). The standard n-gram membership
+    check run before training to drop eval-set leaks.
+
+    Scale: both sides reduce to DISTINCT (doc, gram) / (gram) sets before
+    the join — gram multiplicity never inflates the shuffle. The benchmark
+    gram set is tiny relative to the corpus (eval suites are small), so
+    Spark's planner broadcasts it; the corpus side then never shuffles at
+    all. Every corpus doc is preserved via the final left join (n_shared
+    0 for clean docs).
+    """
+    def grams(df: DataFrame, keep_id: bool):
+        g = df.select(
+            F.col(id_col), tokens(text_col).alias("__toks")
+        ).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_contiguous_grams("__toks", n))).alias("gram"),
+        )
+        return g if keep_id else g.select("gram").distinct()
+
+    bench_grams = grams(bench, keep_id=False)
+    shared = (
+        grams(corpus, keep_id=True)
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(shared, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def pack_token_shards(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Assign documents (in deterministic ``id_col`` order) to training
+    shards of ~``budget`` tokens: shard k holds the docs whose running
+    token count (exclusive of self) lies in [k*budget, (k+1)*budget).
+
+    The global running sum is computed WITHOUT a single-partition window
+    (the naive ``Window.orderBy(id)`` funnels 100 TB through one reducer):
+    range-partition by id, cum-sum within each partition, then add each
+    partition's prefix offset — the offsets table is one row per partition,
+    so the only global step is a broadcast join of a ~KB table. Token
+    counts are integers, so the two-phase sum is EXACTLY the global cumsum
+    regardless of partitioning.
+    """
+    idc = F.col(id_col)
+    ranged = df.repartitionByRange(num_ranges, idc).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(idc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = ranged.withColumn("__cum_in", F.sum(token_col).over(w_in))
+
+    # one row per partition — windowing this on a single partition is fine
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(token_col).alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        with_cum.join(F.broadcast(offsets), "__pid")
+        .select(
+            idc,
+            F.col(token_col).alias("n_tokens"),
+            (F.col("__off") + F.col("__cum_in") - F.col(token_col)).alias(
+                "cum_tokens_before"
+            ),
+            F.floor(
+                (F.col("__off") + F.col("__cum_in") - F.col(token_col))
+                / F.lit(budget)
+            ).alias("shard"),
+        )
+    )

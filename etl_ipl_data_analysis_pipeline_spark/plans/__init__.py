@@ -124,6 +124,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "catalog_scan_bucketed",
     "corpus_profile",
     "incremental_summary_avg",
+    "split_train_valtest",
+    "mixture_sample_lang",
+    "stratified_sample_lang",
+    "repetition_stats",
+    "pii_redaction",
+    "decontaminate_8gram",
+    "pack_token_shards",
     # -- r2 greens filling the remainder of the 50-entry window --
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -134,20 +141,20 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "profile_table",
     "dedup_exact",
     "dedup_exact_keep_first",
-    "dedup_jaccard_pairs",
-    "topk_cosine",
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
-    "dedup_connected_components",
-    "text_subword_tokens",
 )
 
 
 def load_all() -> dict[str, QuerySpec]:
     """Import all plan modules (side-effect: registration) and return
     REGISTRY, reordered so _DRIVER_WINDOW_PRIORITY comes first."""
-    from . import ext_q, llm_ops, pipeline_q, relational, streaming_q  # noqa: F401
+    from . import (  # noqa: F401
+        curation_q,
+        ext_q,
+        llm_ops,
+        pipeline_q,
+        relational,
+        streaming_q,
+    )
 
     ordered = {
         name: REGISTRY[name] for name in _DRIVER_WINDOW_PRIORITY if name in REGISTRY

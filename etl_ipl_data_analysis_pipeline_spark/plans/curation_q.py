@@ -1,0 +1,272 @@
+"""Training-data curation queries (operators/curation.py) over the
+``documents`` fixture: deterministic splits and samples, repetition
+signals, PII redaction, decontamination, shard packing.
+
+Every operator here is md5-keyed or purely arithmetic, so every query has
+an exact DuckDB oracle twin — the "random-looking" curation decisions are
+bit-reproducible across engines by construction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import curation
+from ..operators.curation import hex_threshold
+from . import load, register
+
+# DuckDB twin of operators.dedup.tokens(): whitespace tokens of
+# normalized text, empties filtered.
+_TOKS = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " x -> x <> '')"
+)
+
+
+def _grams(n: int, src: str = "t") -> str:
+    """DuckDB twin of curation._contiguous_grams: ALL contiguous word
+    n-grams with multiplicity (DuckDB list slices are inclusive)."""
+    return (
+        f"list_transform(range(1, greatest(len({src}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string({src}[i:i+{n - 1}], ' '))"
+    )
+
+
+_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_T_TRAIN, _T_VAL = hex_threshold(0.8), hex_threshold(0.9)
+
+
+@register(
+    "split_train_valtest",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T_TRAIN}'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T_VAL}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("X6", "F7"),
+)
+def split_train_valtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id):
+    stable under re-runs, engine changes, and corpus growth (an existing
+    doc never changes split when new docs arrive)."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return curation.hash_split(d, "doc_id", _SPLITS)
+
+
+_MIX = {"en": 1.0, "zh": 0.5, "es": 0.5}
+_MIX_DEFAULT = 0.25
+
+
+@register(
+    "mixture_sample_lang",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '{hex_threshold(1.0)}'
+                    WHEN 'es' THEN '{hex_threshold(0.5)}'
+                    WHEN 'zh' THEN '{hex_threshold(0.5)}'
+                    ELSE '{hex_threshold(_MIX_DEFAULT)}' END
+    """,
+    tags=("X6", "P6"),
+)
+def mixture_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: keep all English, half of zh/es, a quarter of
+    everything else — per-group deterministic downsampling to target
+    pretraining weights. Narrow filter, no shuffle."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.mixture_sample(d, "doc_id", "lang", _MIX, default=_MIX_DEFAULT)
+
+
+@register(
+    "stratified_sample_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+    ) <= 20
+    """,
+    tags=("X6", "W4"),
+)
+def stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-per-language deterministic sample (md5-ranked window
+    top-N) — evaluation-set construction with guaranteed group counts."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.stratified_sample(d, "lang", "doc_id", 20)
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(str_split(text, chr(10)), x -> x <> '') AS lines,
+             {_TOKS} AS toks
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, unnest({_grams(2, "toks")}) AS g FROM t
+    ), c2 AS (
+      SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+    ), f2 AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac
+      FROM c2 GROUP BY doc_id
+    ), g3 AS (
+      SELECT doc_id, unnest({_grams(3, "toks")}) AS g FROM t
+    ), c3 AS (
+      SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g
+    ), f3 AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_trigram_frac
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(lines) AS n_lines,
+           round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                 / greatest(len(lines), 1), 4) AS dup_line_frac,
+           len(toks) AS n_tokens,
+           round(CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(len(toks), 1), 4) AS dup_token_frac,
+           coalesce(f2.top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(f3.top_trigram_frac, 0.0) AS top_trigram_frac
+    FROM t LEFT JOIN f2 USING (doc_id) LEFT JOIN f3 USING (doc_id)
+    """,
+    tags=("X4", "X6", "F5", "A4"),
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-line and
+    duplicate-token fractions (pure expressions) plus most-frequent bi/
+    trigram occupancy (doc-keyed explode + partial agg)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return curation.repetition_stats(d)
+
+
+# Deterministic PII augmentation, expressed identically in both engines:
+# every third doc gains one email, one IPv4, and one phone number.
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4_SQL = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_PHONE_SQL = "\\+[0-9]{7,15}"
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from 10.0.'
+                       || CAST(doc_id % 256 AS VARCHAR)
+                       || '.7 call +1555000' || CAST(doc_id % 100 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS n_ipv4,
+           len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4_SQL}', '<IP>', 'g'),
+             '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+    FROM aug
+    """,
+    tags=("X6", "F1"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing at scan speed: counts + typed-placeholder redaction of
+    emails / IPv4s / phone numbers. The fixture corpus contains no PII, so
+    the query plants one of each on every third document — identically in
+    the oracle — then scrubs it back out."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = d.withColumn(
+        "text",
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com from 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".7 call +1555000"),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return curation.redact_pii(aug)
+
+
+@register(
+    "decontaminate_8gram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS} AS t FROM documents
+    ), cg AS (
+      SELECT doc_id, unnest(list_distinct({_grams(8, "t")})) AS gram
+      FROM toks WHERE source <> 'src0'
+    ), bg AS (
+      SELECT DISTINCT unnest(list_distinct({_grams(8, "t")})) AS gram
+      FROM toks WHERE source = 'src0'
+    ), sh AS (
+      SELECT doc_id, count(*) AS n_shared
+      FROM cg JOIN bg USING (gram) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(sh.n_shared, 0) AS n_shared,
+           coalesce(sh.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN sh USING (doc_id)
+    """,
+    tags=("X6", "J1", "A4"),
+)
+def decontaminate_8gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat source='src0' docs as the eval
+    suite; count each remaining doc's distinct word-8-grams that appear
+    anywhere in it (broadcast bench gram set — the corpus side never
+    shuffles)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    return curation.ngram_overlap(corpus, bench, n=8)
+
+
+@register(
+    "pack_token_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_tokens_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens_before,
+           CAST(floor(CAST(cum_tokens_before AS DOUBLE) / 4096) AS BIGINT) AS shard
+    FROM c
+    """,
+    tags=("X6", "W3"),
+)
+def pack_token_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment in deterministic doc_id order. The
+    running sum is the two-phase range-partitioned cumsum (per-partition
+    window + broadcast prefix offsets) — NOT a single-partition global
+    window; the oracle's plain window proves the distributed form exact."""
+    from ..functions import token_count
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return curation.pack_token_shards(d, "doc_id", "n_tokens", budget=4096)

@@ -1,0 +1,208 @@
+"""Curation operators: deterministic splits/samples, repetition signals,
+PII redaction, decontamination, shard packing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+
+def _md5_bucket(key: str, salt: str = "") -> str:
+    return hashlib.md5((key + salt).encode()).hexdigest()[:8]
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+
+
+class TestHashSplit:
+    def test_fractions_and_exclusivity(self, spark, ids):
+        out = curation.hash_split(
+            ids, "id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        )
+        counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == 2000  # total preserved, splits disjoint
+        assert 0.75 <= counts["train"] / 2000 <= 0.85
+        assert 0.06 <= counts["val"] / 2000 <= 0.14
+
+    def test_stable_under_corpus_growth(self, spark, ids):
+        """Adding rows never reassigns an existing row — membership is a
+        pure function of (key, salt)."""
+        small = curation.hash_split(
+            ids.filter(F.col("id") < 500), "id", [("a", 0.5), ("b", 0.5)]
+        )
+        big = curation.hash_split(ids, "id", [("a", 0.5), ("b", 0.5)])
+        joined = small.alias("s").join(
+            big.alias("b"), F.col("s.id") == F.col("b.id")
+        )
+        assert joined.filter(F.col("s.split") != F.col("b.split")).count() == 0
+
+    def test_matches_python_md5(self, spark, ids):
+        thr = curation.hex_threshold(0.3)
+        out = {r["id"]: r["split"] for r in curation.hash_split(
+            ids.filter(F.col("id") < 100), "id", [("x", 0.3), ("y", 0.7)]
+        ).collect()}
+        for i in range(100):
+            expect = "x" if _md5_bucket(str(i)) < thr else "y"
+            assert out[i] == expect, i
+
+    def test_salt_redraws(self, spark, ids):
+        a = curation.hash_split(ids, "id", [("x", 0.5), ("y", 0.5)], salt="s1")
+        b = curation.hash_split(ids, "id", [("x", 0.5), ("y", 0.5)], salt="s2")
+        moved = (
+            a.alias("a")
+            .join(b.alias("b"), F.col("a.id") == F.col("b.id"))
+            .filter(F.col("a.split") != F.col("b.split"))
+            .count()
+        )
+        assert 700 < moved < 1300  # ~half move under an independent draw
+
+
+class TestMixtureSample:
+    def test_group_rates(self, spark):
+        rows = [(i, "en" if i % 2 == 0 else "de") for i in range(4000)]
+        df = spark.createDataFrame(rows, "id bigint, lang string")
+        out = curation.mixture_sample(
+            df, "id", "lang", {"en": 1.0, "de": 0.25}
+        )
+        n = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert n["en"] == 2000  # keep-all really keeps all (mod 2^-32)
+        assert 400 <= n["de"] <= 600
+
+    def test_default_applies_to_unlisted_groups(self, spark):
+        df = spark.createDataFrame(
+            [(i, "xx") for i in range(1000)], "id bigint, lang string"
+        )
+        assert curation.mixture_sample(df, "id", "lang", {}, default=0.0).count() == 0
+
+
+class TestStratifiedSample:
+    def test_exact_counts_and_determinism(self, spark):
+        rows = [(i, f"g{i % 5}") for i in range(1000)]
+        df = spark.createDataFrame(rows, "id bigint, g string")
+        out = curation.stratified_sample(df, "g", "id", 17)
+        counts = [r["n"] for r in out.groupBy("g").agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        assert counts == [17] * 5
+        again = curation.stratified_sample(df, "g", "id", 17)
+        assert sorted(r["id"] for r in out.collect()) == sorted(
+            r["id"] for r in again.collect()
+        )
+
+    def test_small_group_returns_whole_group(self, spark):
+        df = spark.createDataFrame([(1, "g"), (2, "g")], "id bigint, g string")
+        assert curation.stratified_sample(df, "g", "id", 10).count() == 2
+
+
+class TestRepetitionStats:
+    def test_known_document(self, spark):
+        text = "aa bb\ncc dd\naa bb\nee ff"  # 4 lines, one duplicated
+        df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+        row = curation.repetition_stats(df).collect()[0]
+        assert row["n_lines"] == 4
+        assert row["dup_line_frac"] == pytest.approx(0.25)
+        # tokens: aa bb cc dd aa bb ee ff -> 8 tokens, 6 distinct
+        assert row["n_tokens"] == 8
+        assert row["dup_token_frac"] == pytest.approx(0.25)
+        # bigrams: "aa bb" x2 of 7 total
+        assert row["top_bigram_frac"] == pytest.approx(round(2 / 7, 4))
+
+    def test_looping_text_scores_high(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spam " * 50), (2, " ".join(f"w{i}" for i in range(50)))],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+        assert out[1]["top_bigram_frac"] == 1.0
+        assert out[2]["top_bigram_frac"] < 0.1
+        assert out[1]["dup_token_frac"] > 0.9
+
+    def test_empty_and_single_token(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "one")], "doc_id bigint, text string"
+        )
+        out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+        for i in (1, 2):
+            assert out[i]["n_tokens"] == 0
+            assert out[i]["top_bigram_frac"] == 0.0
+        assert out[3]["n_tokens"] == 1
+        assert out[3]["top_bigram_frac"] == 0.0  # no bigram from one token
+
+
+class TestRedactPII:
+    def test_redacts_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@ex-a.co.uk or 192.168.1.254 tel +12345678901"),
+                (2, "clean text without identifiers"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in curation.redact_pii(df).collect()}
+        assert out[1]["n_emails"] == 1
+        assert out[1]["n_ipv4"] == 1
+        assert out[1]["n_phones"] == 1
+        assert out[1]["clean_text"] == "mail <EMAIL> or <IP> tel <PHONE>"
+        assert out[2]["clean_text"] == "clean text without identifiers"
+        assert out[2]["n_emails"] == 0
+
+
+class TestNgramOverlap:
+    def test_planted_contamination(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog today")],
+            "doc_id bigint, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains the bench 8-gram "quick brown fox jumps over the lazy dog"
+                (1, "intro quick brown fox jumps over the lazy dog outro"),
+                (2, "totally unrelated words about data pipelines and spark"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r["doc_id"]: r for r in curation.ngram_overlap(
+            corpus, bench, n=8).collect()}
+        assert out[1]["contaminated"] is True
+        assert out[1]["n_shared"] >= 1
+        assert out[2]["contaminated"] is False
+        assert out[2]["n_shared"] == 0
+
+    def test_short_docs_never_match(self, spark):
+        bench = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+        corpus = spark.createDataFrame([(2, "a b c")], "doc_id bigint, text string")
+        out = curation.ngram_overlap(corpus, bench, n=8).collect()
+        assert out[0]["n_shared"] == 0  # 3 tokens < 8: no grams exist
+
+
+class TestPackTokenShards:
+    def test_matches_naive_cumsum(self, spark):
+        rows = [(i, (i * 37) % 100 + 1) for i in range(500)]
+        df = spark.createDataFrame(rows, "id bigint, w int")
+        out = {
+            r["id"]: (r["cum_tokens_before"], r["shard"])
+            for r in curation.pack_token_shards(
+                df, "id", "w", budget=512, num_ranges=8
+            ).collect()
+        }
+        cum = 0
+        for i, w in rows:  # already in id order
+            assert out[i] == (cum, cum // 512), i
+            cum += w
+
+    def test_shards_are_contiguous_ranges(self, spark):
+        df = spark.createDataFrame([(i, 10) for i in range(100)], "id bigint, w int")
+        out = curation.pack_token_shards(df, "id", "w", budget=100).collect()
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r["shard"], []).append(r["id"])
+        ids_in_order = [i for s in sorted(by_shard) for i in sorted(by_shard[s])]
+        assert ids_in_order == list(range(100))  # shard boundaries cut id order
+        assert all(len(v) == 10 for v in by_shard.values())  # 10 docs x 10 tokens
