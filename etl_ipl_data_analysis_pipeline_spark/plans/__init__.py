@@ -131,16 +131,16 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "decontaminate_8gram",
     "pack_token_shards",
+    "funnel_conversion",
+    "daily_retention",
+    "tfidf_top_terms",
+    "vocab_stats",
     # -- r2 greens filling the remainder of the 50-entry window --
     "q1_pricing_summary",
     "q3_top_revenue",
     "multimodal_metadata",
-    "scalar_pandas_udf_score",
-    "udaf_median_pandas",
     "emptiness_guard",
-    "profile_table",
     "dedup_exact",
-    "dedup_exact_keep_first",
 )
 
 
@@ -149,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
     REGISTRY, reordered so _DRIVER_WINDOW_PRIORITY comes first."""
     from . import (  # noqa: F401
         curation_q,
+        events_q,
         ext_q,
         llm_ops,
         pipeline_q,

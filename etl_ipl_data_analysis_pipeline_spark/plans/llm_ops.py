@@ -513,3 +513,121 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_b",
         F.levenshtein("name_a", "name_b").alias("dist"),
     ).filter(F.col("dist") <= 2)
+
+
+# ---------------------------------------------------------------------------
+# X4 (round 3): corpus lexical statistics
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " x -> x <> '')"
+)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+             CAST(dfreq.df AS BIGINT) AS df,
+             round(CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df, 4) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, score, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term
+      ) AS INT) AS rnk FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("X4", "A4", "W4"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per document by tf x (N/df) — TF-IDF
+    with a rational inverse-document-frequency so the score is an exact
+    integer ratio (one double division, bit-identical across engines;
+    log-based idf would hash-flip on libm last-ulp differences).
+
+    Scale: (doc, term) partial-agg shuffle, a vocab-keyed join for df
+    (partial-agged to one row per term), and the W4 top-N window keyed by
+    doc — no global sort, no driver collect."""
+    from ..operators.dedup import tokens
+
+    d = load(spark, sf_dir, "documents")
+    terms = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(F.filter("__toks", lambda t: t != F.lit(""))).alias("term"),
+        )
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 4),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+@register(
+    "vocab_stats",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), stats AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM terms GROUP BY term
+    )
+    SELECT term, freq, n_docs, rnk FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY freq DESC, term) AS INT) AS rnk
+      FROM stats
+    ) WHERE rnk <= 100
+    """,
+    tags=("X4", "A4", "SO3"),
+)
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per-term total frequency, document frequency, and
+    frequency rank (top 100). The explode shuffle partial-aggregates to one
+    row per (doc, term) then per term; the final rank window runs over the
+    VOCABULARY (orders of magnitude smaller than the corpus — the only
+    acceptable use of an unpartitioned window)."""
+    from ..operators.dedup import tokens
+
+    d = load(spark, sf_dir, "documents")
+    terms = (
+        d.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(F.filter("__toks", lambda t: t != F.lit(""))).alias("term"),
+        )
+    )
+    stats = terms.groupBy("term").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 100)
+        .select("term", "freq", "n_docs", "rnk")
+    )
