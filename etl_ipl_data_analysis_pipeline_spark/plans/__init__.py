@@ -135,12 +135,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "daily_retention",
     "tfidf_top_terms",
     "vocab_stats",
+    "stream_dedup_keys",
     # -- r2 greens filling the remainder of the 50-entry window --
     "q1_pricing_summary",
     "q3_top_revenue",
     "multimodal_metadata",
     "emptiness_guard",
-    "dedup_exact",
 )
 
 

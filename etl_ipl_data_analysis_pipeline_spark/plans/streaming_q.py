@@ -192,3 +192,28 @@ def attributed_purchases_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "view"),
     )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("L6", "X1", "A2"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-arrival (streaming/dedup.py) under the oracle
+    gate: an ACTUAL dropDuplicatesWithinWatermark run over the file-source
+    stream with Trigger.AvailableNow, projected to the deduped key set —
+    which must equal batch DISTINCT exactly. (The kept ROW per key is
+    arrival-order-dependent; the key SET is not, so that's what the hash
+    checks. tests/test_streaming.py asserts the row-level contract.)"""
+    from ..streaming import dedup as sdedup
+    from ..streaming import incremental, windows
+
+    out = windows.run_available_now(
+        sdedup.deduped_stream(incremental.read_events_stream(spark, sf_dir)),
+        "q_stream_dedup_keys",
+        output_mode="append",
+    )
+    return out.select("user_id", "event_type").distinct()

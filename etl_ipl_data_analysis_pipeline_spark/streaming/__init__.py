@@ -16,6 +16,7 @@ stops — the ledger becomes Spark's own offset log.
   ``applyInPandasWithState`` (L6).
 """
 
+from .dedup import deduped_stream
 from .incremental import checkpoint_dir, file_stream_pipeline, read_events_stream
 from .stateful import user_running_totals
 from .windows import (
@@ -26,6 +27,7 @@ from .windows import (
 )
 
 __all__ = [
+    "deduped_stream",
     "file_stream_pipeline",
     "checkpoint_dir",
     "read_events_stream",

