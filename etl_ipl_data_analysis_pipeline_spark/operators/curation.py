@@ -304,37 +304,49 @@ def pack_token_shards(
 
     The global running sum is computed WITHOUT a single-partition window
     (the naive ``Window.orderBy(id)`` funnels 100 TB through one reducer):
-    range-partition by id, cum-sum within each partition, then add each
-    partition's prefix offset — the offsets table is one row per partition,
-    so the only global step is a broadcast join of a ~KB table. Token
-    counts are integers, so the two-phase sum is EXACTLY the global cumsum
-    regardless of partitioning.
+    rows are bucketed into id ranges by approxQuantile boundaries (a cheap
+    sampled scan), cum-summed within each bucket, then shifted by the
+    bucket's prefix offset — one row per bucket, broadcast back. The
+    bucket expression is DATA-derived, so the per-bucket window's exchange
+    is the ONLY full shuffle (a repartitionByRange + spark_partition_id
+    formulation costs a second one: the window can't see that pids align
+    with the range exchange). Boundaries only steer parallelism — integer
+    sums make the result exactly the global cumsum for ANY bucketing.
     """
     idc = F.col(id_col)
-    ranged = df.repartitionByRange(num_ranges, idc).withColumn(
-        "__pid", F.spark_partition_id()
+    cuts = sorted(
+        set(
+            df.approxQuantile(
+                id_col, [i / num_ranges for i in range(1, num_ranges)], 0.001
+            )
+        )
     )
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (idc > F.lit(c)).cast("int")
+    bucketed = df.withColumn("__b", bucket)
+
     w_in = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__b")
         .orderBy(idc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_cum = ranged.withColumn("__cum_in", F.sum(token_col).over(w_in))
+    with_cum = bucketed.withColumn("__cum_in", F.sum(token_col).over(w_in))
 
-    # one row per partition — windowing this on a single partition is fine
+    # one row per bucket — windowing this on a single partition is fine
     w_off = (
         Window.partitionBy(F.lit(0))
-        .orderBy("__pid")
+        .orderBy("__b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        ranged.groupBy("__pid")
+        bucketed.groupBy("__b")
         .agg(F.sum(token_col).alias("__ptot"))
         .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
-        .select("__pid", "__off")
+        .select("__b", "__off")
     )
     return (
-        with_cum.join(F.broadcast(offsets), "__pid")
+        with_cum.join(F.broadcast(offsets), "__b")
         .select(
             idc,
             F.col(token_col).alias("n_tokens"),
