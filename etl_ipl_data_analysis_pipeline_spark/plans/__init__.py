@@ -136,11 +136,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "vocab_stats",
     "stream_dedup_keys",
+    "curate_corpus",
+    "event_value_outliers",
+    "label_centroids",
     # -- r2 greens filling the remainder of the 50-entry window --
     "q1_pricing_summary",
-    "q3_top_revenue",
-    "multimodal_metadata",
-    "emptiness_guard",
 )
 
 

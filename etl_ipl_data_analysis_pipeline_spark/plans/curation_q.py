@@ -270,3 +270,84 @@ def pack_token_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", token_count("text").alias("n_tokens")
     )
     return curation.pack_token_shards(d, "doc_id", "n_tokens", budget=4096)
+
+
+_QUALITY_SQL = """
+      SELECT doc_id, lang, text,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             round(
+               least(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                     AS DOUBLE) / 50.0, 1.0) * 0.4
+               + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                  / CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4
+               + (1.0 - least((CAST(length(text)
+                     - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     - length(regexp_replace(text, '[^ \\t\\n]', '', 'g')) AS DOUBLE)
+                   / CAST(greatest(length(text), 1) AS DOUBLE)) * 5.0, 1.0)) * 0.2,
+               4) AS quality_score
+"""
+
+
+@register(
+    "curate_corpus",
+    oracle=f"""
+    WITH survivors AS (
+      SELECT doc_id, lang, text
+      FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (
+                 PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                 ORDER BY doc_id
+               ) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), scored AS (
+      {_QUALITY_SQL.replace("FROM documents", "")} FROM survivors
+    ), gated AS (
+      SELECT doc_id, lang, n_tokens, quality_score
+      FROM scored
+      WHERE quality_score >= 0.5 AND n_tokens >= 10
+    ), mixed AS (
+      SELECT * FROM gated
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE lang WHEN 'en' THEN '{hex_threshold(1.0)}'
+                      ELSE '{hex_threshold(0.5)}' END
+    )
+    SELECT doc_id, lang, n_tokens, quality_score,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T_TRAIN}'
+                  THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_T_VAL}'
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM mixed
+    """,
+    tags=("X1", "X4", "X6"),
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline in one declarative plan: exact
+    dedup (keep-first) -> quality gate (composite score >= 0.5, >= 10
+    tokens) -> language mixture rebalance (all en, half of the rest) ->
+    deterministic train/val/test split. Each stage is the already-verified
+    operator; this query proves they COMPOSE — Catalyst collapses the whole
+    thing into one scan + one dedup shuffle + narrow filters."""
+    from pyspark.sql import Window as W
+
+    from ..functions import normalized_text
+    from ..operators.textstats import text_quality
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    w = W.partitionBy(normalized_text("text")).orderBy("doc_id")
+    survivors = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    scored = text_quality(survivors, keep=("lang",))
+    gated = scored.filter(
+        (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
+    ).select("doc_id", "lang", "n_tokens", "quality_score")
+    mixed = curation.mixture_sample(gated, "doc_id", "lang", {"en": 1.0}, default=0.5)
+    return curation.hash_split(mixed, "doc_id", _SPLITS)

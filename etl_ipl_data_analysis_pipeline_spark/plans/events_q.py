@@ -104,3 +104,43 @@ def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("b_user").alias("n_retained_next_day"),
         )
     )
+
+
+@register(
+    "event_value_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             count(value) AS n,
+             CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - sv / n) / sqrt((sq - sv * sv / n) / (n - 1)), 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - sv / n) / sqrt((sq - sv * sv / n) / (n - 1))) > 2.5
+    """,
+    tags=("A8", "J4", "P6"),
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 2.5). The mean/variance come from
+    decimal-exact sum and sum-of-squares (order-independent — a plain
+    stddev_samp would hash-flip on partition order), computed in one
+    partial-agged shuffle; the tiny per-type stats table broadcasts back
+    onto the scan, so the second pass is narrow."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(v.cast("decimal(38,10)")).cast("double").alias("sv"),
+        F.sum((v * v).cast("decimal(38,10)")).cast("double").alias("sq"),
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    mean = F.col("sv") / F.col("n")
+    std = F.sqrt((F.col("sq") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1))
+    z = (v - mean) / std
+    return (
+        j.filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

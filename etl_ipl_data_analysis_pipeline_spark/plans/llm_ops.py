@@ -631,3 +631,44 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 100)
         .select("term", "freq", "n_docs", "rnk")
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+    SELECT label, pos,
+           CAST(count(v) AS BIGINT) AS n,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)
+                 / count(v), 6) AS centroid
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tags=("X3", "A4", "F5"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long (label, pos, centroid) form — the
+    declarative version of IVF coarse-centroid building (similarity.py's
+    k-means does it iteratively for learned clusters; this is the one-pass
+    variant for labeled corpora). posexplode by dimension keeps everything
+    JVM-side: one (label, pos)-keyed shuffle with partial aggregation, no
+    vectors through Python. Long form also keeps the driver canon happy
+    (scalar columns, no arrays) and decimal sums make the mean
+    order-independent."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count("v").alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("double").cast("decimal(38,10)"))
+                .cast("double")
+                / F.count("v"),
+                6,
+            ).alias("centroid"),
+        )
+    )
