@@ -351,3 +351,70 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tokens", "quality_score")
     mixed = curation.mixture_sample(gated, "doc_id", "lang", {"en": 1.0}, default=0.5)
     return curation.hash_split(mixed, "doc_id", _SPLITS)
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 20) AS bucket,
+           least(CAST(floor(n_chars / 100) AS BIGINT), 20) * 100 AS chars_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("A4", "F3"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 100-char buckets with a 2000+
+    overflow bucket — the corpus-shape profile a curation run reads before
+    choosing length gates. Pure integer bucket arithmetic (no width_bucket
+    edge-rule divergence between engines); one partial-agged shuffle over
+    at most 21 groups."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(20)).cast("bigint")
+    return (
+        d.groupBy(bucket.alias("bucket"), (bucket * 100).alias("chars_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "quality_median_gate",
+    oracle=f"""
+    WITH scored AS (
+      {_QUALITY_SQL} FROM documents
+    ), med AS (
+      SELECT lang, quantile_cont(quality_score, 0.5) AS med_score
+      FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality_score
+    FROM scored s JOIN med USING (lang)
+    WHERE s.quality_score >= med_score
+    """,
+    tags=("X4", "A8", "P6"),
+)
+def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: keep each language's top half by composite
+    quality score. Unlike a fixed threshold, the per-language median
+    self-calibrates to corpora where languages score on different scales.
+    The median is exact (percentile <-> quantile_cont, same interpolation
+    over the already-4dp-rounded scores); the per-lang cut table broadcasts
+    back, so documents cross no shuffle."""
+    from ..operators.textstats import text_quality
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text_quality(d, keep=("lang",)).select(
+        "doc_id", "lang", "quality_score"
+    )
+    med = scored.groupBy("lang").agg(
+        F.expr("percentile(quality_score, 0.5)").alias("med_score")
+    )
+    return (
+        scored.join(F.broadcast(med), "lang")
+        .filter(F.col("quality_score") >= F.col("med_score"))
+        .select("doc_id", "lang", "quality_score")
+    )

@@ -107,6 +107,127 @@ def daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_user_value",
+    oracle="""
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           value,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("W2", "L2"),
+)
+def scd2_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an event stream: each user's
+    purchase value holds from its event time until the next purchase
+    (NULL valid_to = current row). One lead() window per user — a single
+    hash-partition on user_id, no joins; (ts, event_id) ordering makes the
+    interval chain deterministic under same-timestamp ties."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        "value",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type, next_type, count(*) AS n_pairs
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n_pairs,
+           floor(CAST(n_pairs AS DOUBLE)
+                 / sum(n_pairs) OVER (PARTITION BY event_type)
+                 * 10000 + 0.5) / 10000 AS p_next
+    FROM pairs
+    """,
+    tags=("W2", "A4"),
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: for every
+    (event_type -> next_type) pair, the count and conditional probability.
+    lead() shuffles once on user_id; the pair count is a 25-row aggregate,
+    so the normalizing window runs on a trivially small set. p_next uses
+    the explicit floor(x*1e4+0.5) rounding twin (both engines divide the
+    same exact integers in IEEE double, so the quotient is bit-equal)."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = W.partitionBy("event_type")
+    p = F.floor(
+        F.col("n_pairs").cast("double") / F.sum("n_pairs").over(tot) * 10000 + 0.5
+    ) / 10000
+    return pairs.select("event_type", "next_type", "n_pairs", p.alias("p_next"))
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN mad USING (event_type)
+    WHERE abs(e.value - med) > 3.5 * 1.4826 * mad
+    """,
+    tags=("A8", "P6", "J4"),
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median absolute deviation (|v - med| > 3.5 sigma
+    with sigma ~ 1.4826*MAD) — the estimator that survives the very
+    outliers a mean/stddev z-score absorbs. Two grouped exact medians
+    (percentile <-> quantile_cont, identical linear interpolation of IEEE
+    doubles), each a 5-row result broadcast back onto the scan; the raw
+    events never shuffle."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3.5 * 1.4826 * F.col("mad"))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
     "event_value_outliers",
     oracle="""
     WITH s AS (
@@ -144,3 +265,28 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
+
+
+@register("hll_daily_users", oracle=None, tags=("A5", "L1"))
+def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup (operators/sketches.py): per-day HLL
+    sketch state of user_id, then a grand total by UNIONING THE DAILY
+    STATES — the base table is scanned exactly once; the total row never
+    rescans events, which is the whole point at 100 TB of history. Output
+    is (day, est_users) plus a 'total' grain row. rows-only check: HLL has
+    no DuckDB twin, but the estimate is deterministic for a given input
+    set (hash-based registers, order-independent) and
+    tests/test_sketches.py pins it within rsd of exact."""
+    from ..operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    daily_state = sketches.sketch_distinct(
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"),
+        ["day"],
+        "user_id",
+    )
+    daily = sketches.estimate_distinct(daily_state, "est_users")
+    total = sketches.estimate_distinct(
+        sketches.merge_sketch_rollup(daily_state, []), "est_users"
+    ).select(F.lit("total").alias("day"), "est_users")
+    return daily.unionByName(total)

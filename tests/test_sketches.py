@@ -1,0 +1,75 @@
+"""Mergeable HLL sketch rollup (operators/sketches.py): accuracy vs exact
+countDistinct, and the associativity contract — union-of-partials must
+equal the single-shot sketch, which is what lets a 100 TB history answer
+distinct questions from O(bytes) state."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+
+def test_estimate_within_rsd(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id")
+    exact = ev.distinct().count()
+    est = sketches.estimate_distinct(
+        sketches.merge_sketch_rollup(
+            sketches.sketch_distinct(ev, [], "user_id"), []
+        )
+    ).collect()[0]["est_distinct"]
+    # lg_k=12 => ~1.6% standard error; allow 3 sigma plus integer slack
+    assert abs(est - exact) <= max(3, 0.05 * exact)
+
+
+def test_union_of_partials_equals_single_shot(spark, sf_dir):
+    """Merging per-day partial sketches must give the same registers (and
+    hence the same estimate) as sketching the whole set at once."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    merged = sketches.estimate_distinct(
+        sketches.merge_sketch_rollup(
+            sketches.sketch_distinct(ev, ["day"], "user_id"), []
+        )
+    ).collect()[0]["est_distinct"]
+    single = sketches.estimate_distinct(
+        sketches.sketch_distinct(ev, [], "user_id")
+    ).collect()[0]["est_distinct"]
+    assert merged == single
+
+
+def test_regrain_by_key(spark, sf_dir):
+    """Rolling (day, event_type) partials up to event_type grain matches
+    sketching event_type directly — re-aggregation to any coarser grain
+    needs only the summary table."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id"
+    )
+    fine = sketches.sketch_distinct(ev, ["day", "event_type"], "user_id")
+    regrained = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.estimate_distinct(
+            sketches.merge_sketch_rollup(fine, ["event_type"])
+        ).collect()
+    }
+    direct = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.estimate_distinct(
+            sketches.sketch_distinct(ev, ["event_type"], "user_id")
+        ).collect()
+    }
+    assert regrained == direct
+
+
+def test_hll_daily_users_query(spark, sf_dir):
+    from etl_ipl_data_analysis_pipeline_spark.plans import load_all
+
+    registry = load_all()
+    rows = registry["hll_daily_users"].fn(spark, sf_dir).collect()
+    days = [r["day"] for r in rows]
+    assert "total" in days and len(days) == len(set(days))
+    total = next(r["est_users"] for r in rows if r["day"] == "total")
+    per_day_max = max(r["est_users"] for r in rows if r["day"] != "total")
+    assert total >= per_day_max  # union can only grow the register set
