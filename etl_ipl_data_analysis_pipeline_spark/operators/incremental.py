@@ -46,6 +46,26 @@ def merge_summaries(current: DataFrame, increment: DataFrame, keys: list[str]) -
     )
 
 
+def upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Batch MERGE INTO (when-matched-update, when-not-matched-insert):
+    the updates batch overrides matching keys in ``current``; unmatched
+    update keys insert. Expressed as ``updates UNION (current ANTI-JOIN
+    updates)``; the union itself moves nothing. A batch is usually
+    O(increment) against an O(history) current, so the anti join
+    broadcasts the update KEY SET by default and history never shuffles;
+    pass broadcast_updates=False for rare giant batches (then bucket both
+    tables by the key so the shuffle is co-located)."""
+    key_set = updates.select(*keys)
+    if broadcast_updates:
+        key_set = F.broadcast(key_set)
+    return updates.unionByName(current.join(key_set, keys, "left_anti"))
+
+
 def summary_with_avg(summary: DataFrame, digits: int = 4) -> DataFrame:
     """Derive avg from the maintained (sum, count) state — avg itself is not
     decomposable, its state is."""

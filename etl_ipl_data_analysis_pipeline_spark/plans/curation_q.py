@@ -418,3 +418,71 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality_score") >= F.col("med_score"))
         .select("doc_id", "lang", "quality_score")
     )
+
+
+@register(
+    "feature_binning_decile",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT decile, count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM b GROUP BY decile
+    """,
+    tags=("W1", "A4"),
+)
+def feature_binning_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency feature binning: decile buckets over document
+    length with per-bucket bounds — the fit step of a quantile discretizer.
+    ntile needs a total order, which is the one legitimately global-sort
+    operator here ((n_chars, doc_id) tiebreak makes it deterministic);
+    at 100 TB you'd swap the exact sort for approxQuantile boundaries and
+    keep this exact form for the validation set."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "k_anonymity_suppress",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+    FROM customer c JOIN g USING (c_nationkey, c_mktsegment)
+    WHERE g.n >= 5
+    """,
+    tags=("P6", "A4", "J1"),
+)
+def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression (k=5) on the (nation, segment)
+    quasi-identifier: rows whose group is smaller than k are dropped
+    before the data leaves curation — the release-gate twin of PII
+    redaction. The group-size table is O(distinct QI combos), so it
+    broadcasts back onto the scan; a window-count formulation would
+    shuffle every row instead."""
+    c = load(spark, sf_dir, "customer")
+    g = (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+        .drop("n")
+    )
+    return c.join(
+        F.broadcast(g), ["c_nationkey", "c_mktsegment"]
+    ).select("c_custkey", "c_nationkey", "c_mktsegment")

@@ -568,3 +568,49 @@ def catalog_scan_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "n_customers", "min_custkey", "max_custkey")
     )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT -1, 0.0, 'N'
+    )
+    SELECT * FROM updates
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+    tags=("L3", "J2", "SE1"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO semantics (operators/incremental.upsert): an
+    update batch (every 10th order repriced, plus one brand-new key)
+    overrides matching keys and inserts the unmatched one. The update key
+    set broadcasts, so the O(history) side never shuffles — the exact
+    shape of a CDC-apply step against a 100 TB table. (*2 is an exact
+    binary rescale, so the doubles hash identically.)"""
+    from ..operators import incremental as inc
+
+    cur = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = (
+        cur.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 0.0, "N")],
+                "o_orderkey long, o_totalprice double, o_orderstatus string",
+            )
+        )
+    )
+    return inc.upsert(cur, upd, ["o_orderkey"])

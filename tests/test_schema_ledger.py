@@ -135,3 +135,20 @@ def test_incremental_summary_equals_full_recompute(spark):
     }
     assert got == want
     assert got["a"] == (3, 6.0, 1.0, 3.0, 2.0)
+
+
+def test_upsert_merge_semantics(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import incremental as inc
+
+    cur = spark.createDataFrame(
+        [(1, "old"), (2, "old"), (3, "old")], "k long, v string"
+    )
+    upd = spark.createDataFrame([(2, "new"), (9, "new")], "k long, v string")
+    got = {r["k"]: r["v"] for r in inc.upsert(cur, upd, ["k"]).collect()}
+    assert got == {1: "old", 2: "new", 3: "old", 9: "new"}
+    # idempotent: applying the same batch twice changes nothing
+    twice = inc.upsert(inc.upsert(cur, upd, ["k"]), upd, ["k"])
+    assert {r["k"]: r["v"] for r in twice.collect()} == got
+    # no-broadcast path is row-identical
+    nb = inc.upsert(cur, upd, ["k"], broadcast_updates=False)
+    assert {r["k"]: r["v"] for r in nb.collect()} == got
