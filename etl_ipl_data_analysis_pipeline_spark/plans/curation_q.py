@@ -486,3 +486,37 @@ def k_anonymity_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(
         F.broadcast(g), ["c_nationkey", "c_mktsegment"]
     ).select("c_custkey", "c_nationkey", "c_mktsegment")
+
+
+@register(
+    "sample_exact_k_per_lang",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+    tags=("X6", "W4"),
+)
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling: rank docs inside each language by
+    md5(doc_id) — a uniform, reproducible permutation — and keep the first
+    20. The deterministic twin of reservoir sampling: same guarantees
+    (uniform without replacement, exact k), plus stability across engines
+    and reruns. One hash-partition per group; no global sort."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )

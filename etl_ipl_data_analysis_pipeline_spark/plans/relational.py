@@ -1332,3 +1332,39 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = li.filter(F.col("l_returnflag") == "N").select("l_orderkey")
     right = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
     return left.exceptAll(right)
+
+
+@register(
+    "q6_forecast_revenue_sql",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10)))
+                 AS DOUBLE), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("A4", "P6", "F3"),
+)
+def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the RAW SQL front-end: the engine's second API
+    surface. The parquet table registers as a temp view and the query text
+    goes straight to spark.sql() — Catalyst produces the identical
+    scan+filter+agg plan as the DataFrame form (all four predicates reach
+    PushedFilters; one partial+final agg, no shuffle beyond the single-row
+    exchange). Proves a SQL-only user needs nothing but a view name."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice * l_discount
+                     AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )

@@ -217,3 +217,39 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("user_id", "event_type").distinct()
+
+
+@register(
+    "stream_cdc_latest_value",
+    oracle="""
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("L6", "L2", "W2"),
+)
+def stream_cdc_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply (streaming/cdc.py): a real foreachBatch +
+    AvailableNow run folds the event stream into a latest-row-per-user
+    state table via an associative arg-max merge — so the final state
+    equals the batch arg-max REGARDLESS of micro-batch boundaries, which
+    is exactly what the oracle computes. tests/test_streaming.py forces
+     1-file-per-trigger batching to prove the boundary independence."""
+    import tempfile
+
+    from ..streaming import cdc, incremental
+
+    state = tempfile.mkdtemp(prefix="cdc_state_") + "/latest"
+    out = cdc.run_cdc_apply(
+        incremental.read_events_stream(spark, sf_dir),
+        state,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return out.select("user_id", "event_type", "ts", "value")

@@ -14,8 +14,11 @@ stops — the ledger becomes Spark's own offset log.
   streaming twin).
 - :mod:`.stateful`    — custom stateful operator via
   ``applyInPandasWithState`` (L6).
+- :mod:`.cdc`         — foreachBatch latest-row state maintenance
+  (streaming CDC-apply; micro-batch-boundary independent).
 """
 
+from .cdc import latest_per_key, run_cdc_apply
 from .dedup import deduped_stream
 from .incremental import checkpoint_dir, file_stream_pipeline, read_events_stream
 from .stateful import user_running_totals
@@ -28,6 +31,8 @@ from .windows import (
 
 __all__ = [
     "deduped_stream",
+    "latest_per_key",
+    "run_cdc_apply",
     "file_stream_pipeline",
     "checkpoint_dir",
     "read_events_stream",

@@ -134,3 +134,47 @@ def test_stream_dedup_keys_match_batch_distinct(spark, sf_dir):
     assert keys == batch
     # row-level contract: emitted rows are real events (key + ts exists)
     assert len(rows) >= len(keys)
+
+
+def test_cdc_apply_batch_boundary_independence(spark, tmp_path):
+    """Splitting the source into 1-file micro-batches must yield the same
+    latest-row state as one shot — the merge is associative."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming import cdc
+
+    rows = [
+        (1, 10, "a", 1.0),
+        (2, 30, "b", 2.0),  # user 2's winner arrives in the FIRST file
+        (3, 20, "a", 3.0),
+        (1, 40, "c", 4.0),  # user 1's winner in the second file
+        (2, 25, "d", 5.0),
+        (3, 20, "e", 6.0),  # same ts as event 3: event_id breaks the tie
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, e, v) for i, (u, t, e, v) in enumerate(rows)],
+        "event_id long, user_id long, ts long, event_type string, value double",
+    )
+    src = str(tmp_path / "src")
+    # two files, three rows each, in arrival order
+    df.filter(F.col("event_id") < 3).coalesce(1).write.parquet(src + "/f0")
+    df.filter(F.col("event_id") >= 3).coalesce(1).write.parquet(src + "/f1")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in cdc.run_cdc_apply(
+            stream, str(tmp_path / "state"), ["user_id"], ["ts", "event_id"]
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"], r["value"])
+        for r in cdc.latest_per_key(df, ["user_id"], ["ts", "event_id"]).collect()
+    }
+    assert got == want
+    assert got[3] == (20, 5, 6.0)  # tie broken by event_id, not arrival
