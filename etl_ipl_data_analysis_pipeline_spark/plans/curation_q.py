@@ -332,19 +332,16 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens) -> language mixture rebalance (all en, half of the rest) ->
     deterministic train/val/test split. Each stage is the already-verified
     operator; this query proves they COMPOSE — Catalyst collapses the whole
-    thing into one scan + one dedup shuffle + narrow filters."""
-    from pyspark.sql import Window as W
-
-    from ..functions import normalized_text
+    thing into one scan + one dedup shuffle + narrow filters. The dedup
+    stage is the min_by-over-content-hash form (operators/dedup.py:20):
+    map-side partial aggregation collapses duplicates BEFORE the shuffle
+    and the key is a fixed-width hash, where a window row_number would
+    move every raw row (text included) on a long string key."""
+    from ..operators.dedup import exact_dedup
     from ..operators.textstats import text_quality
 
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    w = W.partitionBy(normalized_text("text")).orderBy("doc_id")
-    survivors = (
-        d.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    survivors = exact_dedup(d)
     scored = text_quality(survivors, keep=("lang",))
     gated = scored.filter(
         (F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10)
