@@ -230,3 +230,48 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     return profile(o, ["o_orderkey", "o_orderstatus", "o_orderdate", "o_orderpriority"])
+
+
+_HEXPOS = "strpos('0123456789abcdef', substr(d, {i}, 1)) - 1"
+_SYN_WORDS = (
+    "['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel',"
+    "'india','juliet','kilo','lima','mike','november','oscar','papa',"
+    "'quebec','romeo','sierra','tango']"
+)
+
+
+@register(
+    "synthetic_source_scan",
+    oracle=f"""
+    WITH ids AS (
+      SELECT i AS doc_id, md5(CAST(i AS VARCHAR)) AS d
+      FROM generate_series(0, 4999) t(i)
+    ), x AS (
+      SELECT doc_id,
+             ['en','es','zh','de','fr'][1 + ({_HEXPOS.format(i=1)}) % 5] AS lang,
+             array_to_string(list_transform(range(0, 16), j ->
+               {_SYN_WORDS}[1 + ((strpos('0123456789abcdef', substr(d, 2*j + 1, 1)) - 1) * 16
+                              + (strpos('0123456789abcdef', substr(d, 2*j + 2, 1)) - 1)) % 20]
+             ), ' ') AS text
+      FROM ids
+    )
+    SELECT doc_id, text, lang, CAST(length(text) AS INT) AS n_chars FROM x
+    """,
+    tags=("SRC5", "U4"),
+)
+def synthetic_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 V2 read path,
+    sources/synthetic.py): 5,000 synthetic documents generated straight on
+    the executors — partition planning + per-partition iterators, no
+    backing storage, no driver materialization. Every cell derives from
+    md5(doc_id), so DuckDB REGENERATES the identical table from
+    generate_series — the source itself is under the exact-hash gate."""
+    from ..sources import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("n", 5000)
+        .option("num_partitions", 8)
+        .load()
+    )

@@ -1368,3 +1368,31 @@ def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@register(
+    "variant_props_agg",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("F4", "A4"),
+)
+def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through the VARIANT type (Spark 4):
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the engine-native path for schema-flexible
+    columns, strictly cheaper at scale than per-access get_json_object
+    re-parses (one parse per row, shredded binary access after). The
+    oracle reads the same JSON relationally."""
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+    )

@@ -146,3 +146,29 @@ def test_partition_filter_prunes_at_plan_time(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(grp" in plan  # pruned, not scanned+filtered
     assert q.count() == 20
+
+
+def test_synthetic_datasource(spark):
+    """Custom V2 Python source: correct count for non-divisible partition
+    splits, bit-determinism across reads, and executor rows == the shared
+    row_for function."""
+    from etl_ipl_data_analysis_pipeline_spark.sources import (
+        register_synthetic_source,
+    )
+    from etl_ipl_data_analysis_pipeline_spark.sources.synthetic import row_for
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n", 103)
+        .option("start", 7)
+        .option("num_partitions", 4)
+        .load()
+    )
+    rows = {r["doc_id"]: (r["text"], r["lang"], r["n_chars"]) for r in df.collect()}
+    assert len(rows) == 103 and min(rows) == 7 and max(rows) == 109
+    for doc_id in (7, 50, 109):
+        want = row_for(doc_id)
+        assert rows[doc_id] == want[1:]
+    again = {r["doc_id"] for r in df.collect()}
+    assert again == set(rows)
