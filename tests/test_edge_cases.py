@@ -74,3 +74,43 @@ def test_whitespace_only_corpus_dedups_together(spark):
     )
     # all normalize to empty -> one content-hash group survives
     assert dedup.exact_dedup(docs).count() == 1
+
+
+def test_upsert_empty_updates_is_identity(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import incremental as inc
+
+    cur = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty = spark.createDataFrame([], "k long, v string")
+    assert [tuple(r) for r in inc.upsert(cur, empty, ["k"]).collect()] == [(1, "a")]
+    # empty current: everything inserts
+    assert inc.upsert(empty, cur, ["k"]).count() == 1
+
+
+def test_latest_per_key_empty(spark):
+    from etl_ipl_data_analysis_pipeline_spark.streaming import cdc
+
+    empty = spark.createDataFrame([], "k long, ts long, v string")
+    assert cdc.latest_per_key(empty, ["k"], ["ts"]).count() == 0
+
+
+def test_sketch_distinct_empty(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+
+    empty = spark.createDataFrame([], "day string, user_id long")
+    state = sketches.sketch_distinct(empty, ["day"], "user_id")
+    assert state.count() == 0
+    # global merge of an empty summary: one row, estimate 0
+    est = sketches.estimate_distinct(
+        sketches.merge_sketch_rollup(state, [])
+    ).collect()
+    assert len(est) == 1 and (est[0]["est_distinct"] or 0) == 0
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity as sim
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    cents = sim.kmeans_centroids(vecs, k=8, iters=2)
+    assert 1 <= len(cents) <= 2
