@@ -520,3 +520,83 @@ def minhash_dedup_cc(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_col: str | None = None,
+    k: int = 2,
+) -> DataFrame:
+    """Exact edit-distance pairs (levenshtein <= k, k in {1, 2}) via
+    DELETION-NEIGHBORHOOD blocking: if lev(a, b) <= k, deleting <= k chars
+    from each side reaches a common string, so candidates = pairs sharing
+    any (block, delete-<=k variant) key — exact recall with bounded block
+    sizes at any corpus scale, never O(n^2).
+
+    Perf shape (measured 26.7s -> 9.2s at sf0.1, see plans/llm_ops.py
+    fuzzy_name_pairs): variants come from exploded sequence generators +
+    one codegen'd CASE (interpreted transform() lambdas were 3x slower);
+    the verifier runs before the pair-dedup so distinct shuffles only
+    surviving (id_a, id_b, dist) triples; SHUFFLE_HASH lets AQE reuse the
+    variant exchange across the self-join.
+
+    Returns (id_a, id_b, dist) with id_a < id_b.
+    """
+    if k not in (1, 2):
+        raise ValueError("edit_distance_pairs supports k = 1 or 2")
+    name, idc = F.col(name_col), F.col(id_col)
+    block = F.col(block_col) if block_col else F.lit(0)
+    ln = F.length(name)
+    base = df.select(
+        idc.alias("__id"), name.alias("__name"), block.alias("__blk")
+    )
+    s1 = base.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.length("__name")))
+    )
+    if k == 2:
+        s2 = s1.withColumn(
+            "j",
+            F.explode(
+                F.when(F.col("i") == 0, F.array(F.lit(0))).otherwise(
+                    F.concat(
+                        F.array(F.lit(0)),
+                        F.sequence(F.col("i") + 1, F.length("__name")),
+                    )
+                )
+            ),
+        )
+    else:
+        s2 = s1.withColumn("j", F.lit(0))
+    variant = (
+        F.when(F.col("i") == 0, F.col("__name"))
+        .when(
+            F.col("j") == 0,
+            F.expr("concat(substring(__name, 1, i-1), substring(__name, i+1))"),
+        )
+        .otherwise(
+            F.expr(
+                "concat(substring(__name, 1, i-1),"
+                " substring(__name, i+1, j-i-1), substring(__name, j+1))"
+            )
+        )
+    )
+    variants = s2.select(
+        "__id", "__name", F.xxhash64("__blk", variant).alias("__vh")
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    return (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.__vh") == F.col("b.__vh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__name"), F.col("b.__name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= k)
+        .distinct()
+    )

@@ -479,57 +479,10 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     can reuse across the self-join instead of computing it twice.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
-    ln = F.length("c_name")
-    # deletion positions (i, j): (0,0) = the name itself; (i,0) = delete
-    # char i; (i,j>i) = delete chars i and j. Both explodes are sequence
-    # generators — whole-stage codegen, no interpreted lambdas.
-    s1 = c.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_name",
-        F.explode(F.sequence(F.lit(0), ln)).alias("i"),
-    )
-    s2 = s1.select(
-        "c_custkey",
-        "c_nationkey",
-        "c_name",
-        "i",
-        F.explode(
-            F.when(F.col("i") == 0, F.array(F.lit(0))).otherwise(
-                F.concat(F.array(F.lit(0)), F.sequence(F.col("i") + 1, ln))
-            )
-        ).alias("j"),
-    )
-    variant = (
-        F.when(F.col("i") == 0, F.col("c_name"))
-        .when(
-            F.col("j") == 0,
-            F.expr("concat(substring(c_name, 1, i-1), substring(c_name, i+1))"),
-        )
-        .otherwise(
-            F.expr(
-                "concat(substring(c_name, 1, i-1),"
-                " substring(c_name, i+1, j-i-1), substring(c_name, j+1))"
-            )
-        )
-    )
-    variants = s2.select(
-        "c_custkey", "c_name", F.xxhash64("c_nationkey", variant).alias("vh")
-    )
-    a, b = variants.alias("a"), variants.alias("b")
-    return (
-        a.join(
-            b.hint("SHUFFLE_HASH"),
-            (F.col("a.vh") == F.col("b.vh"))
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-        )
-        .select(
-            F.col("a.c_custkey").alias("key_a"),
-            F.col("b.c_custkey").alias("key_b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
-        )
-        .filter(F.col("dist") <= 2)
-        .distinct()  # a close pair shares many variants; emit each once
+    return dedup.edit_distance_pairs(
+        c, name_col="c_name", id_col="c_custkey", block_col="c_nationkey", k=2
+    ).select(
+        F.col("id_a").alias("key_a"), F.col("id_b").alias("key_b"), "dist"
     )
 
 

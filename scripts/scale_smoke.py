@@ -106,6 +106,25 @@ def main() -> int:
             )
         ),
     }
+    # fuzzy edit-distance blocking: replicate customers with pairwise-
+    # distant suffixes (aaa/bbb/... are >2 apart) so the TRUE pair set is
+    # exactly factor x the base — runtime must scale ~linearly with it
+    cust = load(spark, sf_dir, "customer")
+    custs = None
+    for r in range(factor):
+        rep = cust.select(
+            (F.col("c_custkey") + F.lit(r * 10_000_000)).alias("c_custkey"),
+            "c_nationkey",
+            F.concat(F.col("c_name"), F.lit(chr(97 + r) * 3)).alias("c_name"),
+        )
+        custs = rep if custs is None else custs.unionByName(rep)
+    custs = custs.repartition(64).localCheckpoint(eager=True)
+    timings["edit_distance_pairs"] = t(
+        lambda: dedup.edit_distance_pairs(
+            custs, "c_name", "c_custkey", block_col="c_nationkey", k=2
+        )
+    )
+
     t0 = time.time()
     pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)
     comp = dedup.connected_components(pairs)

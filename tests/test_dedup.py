@@ -156,3 +156,54 @@ def test_minhash_expression_form_matches_bulk(spark):
         for r in dedup.minhash_signatures(docs, num_hashes=8).collect()
     }
     assert expr_sigs == bulk_sigs
+
+
+def test_edit_distance_pairs_exact_recall(spark):
+    """Deletion-neighborhood blocking must find EVERY pair within k and
+    nothing else — compared against the brute-force cross join."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+    names = [
+        (1, "kitten"), (2, "sitten"), (3, "sittin"), (4, "sitting"),
+        (5, "kitten"), (6, "mittens"), (7, "xyzzy"), (8, "kit"),
+    ]
+    df = spark.createDataFrame(names, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(df, "name", "id", k=2).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == brute and (1, 5, 0) in got and (1, 2, 1) in got
+
+
+def test_edit_distance_pairs_blocking_excludes_cross_block(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "abc", 1), (2, "abd", 2)], "id long, name string, blk int"
+    )
+    assert dedup.edit_distance_pairs(df, "name", "id", block_col="blk", k=2).count() == 0
+    assert dedup.edit_distance_pairs(df, "name", "id", k=2).count() == 1
+
+
+def test_edit_distance_pairs_k1(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "abcde")], "id long, name string"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in dedup.edit_distance_pairs(df, "name", "id", k=1).collect()}
+    assert got == {(1, 2)}

@@ -78,3 +78,43 @@ def test_whole_stage_codegen_covers_relational_path(spark, sf_dir, qs):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(1)" in plan and "*(2)" in plan  # both agg phases codegen'd
+
+
+def test_k_anonymity_gate_broadcasts(spark, sf_dir, qs):
+    plan = _executed(qs["k_anonymity_suppress"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # group gate is O(QI combos), broadcast
+
+
+def test_label_centroids_single_shuffle(spark, sf_dir, qs):
+    plan = _executed(qs["label_centroids"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_" in plan  # per-dimension partial agg before it
+
+
+def test_q6_sql_pushes_all_predicates(spark, sf_dir, qs):
+    plan = _executed(qs["q6_forecast_revenue_sql"](spark, sf_dir))
+    # the range + quantity predicates reach the scan (the printed pushed-
+    # filter list truncates, so check the leading entries + ReadSchema
+    # pruning to the 4 referenced columns)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    scan = next(l for l in plan.split("\n") if "ReadSchema" in l)
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+
+
+def test_mad_outliers_broadcasts_stats(spark, sf_dir, qs):
+    plan = _executed(qs["mad_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # 5-row per-type stats broadcast back
+
+
+def test_edit_distance_verifier_precedes_pair_dedup(spark, sf_dir, qs):
+    # the distinct must aggregate (key_a, key_b, dist) AFTER the
+    # levenshtein filter — no string columns cross the dedup shuffle
+    plan = _optimized(qs["fuzzy_name_pairs"](spark, sf_dir))
+    agg_lines = [l for l in plan.split("\n") if "Aggregate" in l and "key_a" in l]
+    assert agg_lines and all("c_name" not in l for l in agg_lines)
+
+
+def test_merge_upsert_anti_join_broadcasts(spark, sf_dir, qs):
+    plan = _executed(qs["merge_upsert_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
