@@ -1396,3 +1396,78 @@ def variant_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") % 10).alias("k_mod"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("J4", "A4", "SO3"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items. The returnflag filter reaches the lineitem scan (the 2/3 of
+    lines that weren't returned are never read past the row group), nation
+    broadcasts, lineitem⋈orders is the one large join, and the final
+    top-20 is TakeOrderedAndProject — no global sort materializes."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,10)"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "try_funcs",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS type_num,
+           CASE WHEN value = 0 THEN NULL ELSE round(1.0 / value, 6) END
+               AS inv_value,
+           coalesce(TRY_CAST(event_type AS BIGINT), -1) AS type_or_default
+    FROM events
+    """,
+    tags=("F3", "F6"),
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression family: try_cast / try_divide return NULL
+    where the strict forms would throw (ANSI mode) or silently corrupt —
+    at a 100 TB scan, one malformed cell must not kill the job, and NULL
+    propagation keeps the failure visible and countable downstream."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999")
+        ).cast("bigint").alias("k_num"),
+        F.col("event_type").try_cast("bigint").alias("type_num"),
+        F.round(F.try_divide(F.lit(1.0), F.nullif("value", F.lit(0.0))), 6).alias(
+            "inv_value"
+        ),
+        F.coalesce(
+            F.col("event_type").try_cast("bigint"), F.lit(-1)
+        ).alias("type_or_default"),
+    )
