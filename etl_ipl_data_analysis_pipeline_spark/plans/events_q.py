@@ -290,3 +290,130 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketches.merge_sketch_rollup(daily_state, []), "est_users"
     ).select(F.lit("total").alias("day"), "est_users")
     return daily.unionByName(total)
+
+
+@register(
+    "resample_linear_interp",
+    oracle="""
+    WITH bounds AS (
+      -- time_bucket keeps the spine in naive timestamps (to_timestamp
+      -- would yield TIMESTAMPTZ and hash-mismatch Spark's naive buckets)
+      SELECT time_bucket(INTERVAL '15 minutes', min(ts)) AS lo,
+             time_bucket(INTERVAL '15 minutes', max(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+      FROM bounds
+    ), p AS (
+      -- floor(x*1e4+0.5)/1e4, not round(): the bucket means land on
+      -- .00005 boundaries often enough that engine round() semantics
+      -- diverge (11 of 2880 buckets at sf0.1)
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+             floor(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE)
+                   / count(value) * 10000 + 0.5) / 10000 AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), j AS (
+      SELECT s.bucket, p.v FROM spine s LEFT JOIN p USING (bucket)
+    ), f AS (
+      SELECT bucket, v,
+        last_value(v IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+        first_value(v IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+          (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      FROM j
+    )
+    SELECT bucket,
+           -- floor(x*1e4 + 0.5)/1e4 on BOTH engines: round(double, 4)
+           -- differs at half-way ulps (Spark rounds the exact decimal
+           -- expansion, DuckDB multiplies first). Association matches
+           -- Spark exactly: (nv-pv) * (num/den), not ((nv-pv)*num)/den.
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NULL THEN nv
+                       WHEN nv IS NULL THEN pv
+                       ELSE pv + (nv - pv) * ((epoch(bucket) - epoch(pb))
+                                            / (epoch(nb) - epoch(pb))) END)
+                 * 10000 + 0.5) / 10000 AS value_interp,
+           v IS NULL AS interpolated
+    FROM f
+    """,
+    tags=("W2", "W3", "F2"),
+)
+def resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with LINEAR interpolation: 15-minute buckets
+    of mean purchase value over the full spine, gaps filled by the
+    straight line between the nearest known neighbors (nearest-known at
+    the edges) — the upsampling primitive feature pipelines need where
+    forward-fill (date_spine_gap_fill) would bias toward the past.
+
+    Scale shape: the raw scan reduces to per-bucket aggregates FIRST
+    (one partial-agged shuffle); the spine and all windowing run over
+    O(spine) rows — 2,880 buckets for 30 days — so the unpartitioned
+    windows are bounded by resolution, not data. At a finer grain or
+    longer history, partition the spine windows by (series, day-range)
+    exactly like pack_token_shards buckets its cumsum. Interp arithmetic
+    is IEEE-deterministic: identical 4dp-rounded inputs, integer epoch
+    gaps, one final round."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.min("ts")) / 900) * 900
+        ).alias("lo"),
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp(F.max("ts")) / 900) * 900
+        ).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("bucket")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("value").cast("decimal(38,10)")).cast("double")
+                    / F.count("value")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("v")
+        )
+        .select(F.col("w.start").alias("bucket"), "v")
+    )
+    j = spine.join(p, "bucket", "left")
+    prev_w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, W.currentRow)
+    next_w = W.orderBy("bucket").rowsBetween(W.currentRow, W.unboundedFollowing)
+    known_bk = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    f = j.select(
+        "bucket",
+        "v",
+        F.last("v", ignorenulls=True).over(prev_w).alias("pv"),
+        F.last(known_bk, ignorenulls=True).over(prev_w).alias("pb"),
+        F.first("v", ignorenulls=True).over(next_w).alias("nv"),
+        F.first(known_bk, ignorenulls=True).over(next_w).alias("nb"),
+    )
+    frac = (
+        F.unix_timestamp("bucket") - F.unix_timestamp("pb")
+    ).cast("double") / (
+        F.unix_timestamp("nb") - F.unix_timestamp("pb")
+    ).cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return f.select(
+        "bucket",
+        (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
+        F.col("v").isNull().alias("interpolated"),
+    )

@@ -1471,3 +1471,71 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").try_cast("bigint"), F.lit(-1)
         ).alias("type_or_default"),
     )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'v1' AS batch
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice, o_orderpriority, 'v2' AS batch
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    tags=("SE4", "P5"),
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old batch that predates a column and a
+    new batch that has it, combined with unionByName(allowMissingColumns)
+    — missing columns NULL-fill instead of failing or binding by
+    position. This is every long-lived ingest pipeline's reality: the
+    reader evolves, history doesn't get rewritten."""
+    o = load(spark, sf_dir, "orders")
+    old = (
+        o.filter(F.col("o_orderdate") < "1997-01-01")
+        .select("o_orderkey", "o_totalprice", F.lit("v1").alias("batch"))
+    )
+    new = (
+        o.filter(F.col("o_orderdate") >= "1997-01-01")
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", F.lit("v2").alias("batch")
+        )
+    )
+    return old.unionByName(new, allowMissingColumns=True).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "batch"
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT l_orderkey,
+           count(*) AS n_lines,
+           array_to_string(list_sort(list(l_linenumber)), '|') AS line_nums,
+           list_sort(list(l_linenumber))[1] AS first_line,
+           CAST(max(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BOOLEAN)
+               AS has_big_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+    tags=("F5", "A3"),
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over grouped data: collect, sort, element
+    access, containment — with the arrays SERIALIZED (concat_ws) before
+    they cross the driver boundary, since the canon layer can't hash list
+    cells. One grouped shuffle; the array ops run on the already-reduced
+    per-order rows."""
+    li = load(spark, sf_dir, "lineitem")
+    arr = F.sort_array(F.collect_list("l_linenumber"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.concat_ws("|", arr).alias("line_nums"),
+            F.element_at(arr, 1).alias("first_line"),
+            F.array_contains(
+                F.collect_list(F.col("l_quantity") > 45), True
+            ).alias("has_big_qty"),
+        )
+    )
