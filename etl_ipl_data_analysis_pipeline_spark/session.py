@@ -62,3 +62,56 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def cluster_conf(
+    total_cores: int,
+    input_tb: float,
+    executor_mem_gb: int = 32,
+) -> dict[str, str]:
+    """Recommended conf for a REAL cluster run at the target scale — the
+    sizing arithmetic behind the local defaults above, made explicit.
+
+    The governing constraint is per-task shuffle block size: a shuffle
+    partition must fit comfortably in one task's memory share. With
+    executors at ``executor_mem_gb`` and ~5 cores each, a task owns
+    roughly mem/cores * 0.6 (unified memory fraction) — target shuffle
+    partitions of ~128-200 MB so spills are the exception. For 100 TB
+    input that means O(500k) initial shuffle partitions; AQE coalesces
+    the post-filter stages back down, which is why we set the INITIAL
+    number high and let coalescing find the real one (cheaper than
+    repartitioning upward mid-query when a stage under-provisioned).
+
+    Returned as a plain dict so callers pass it to get_spark(extra_conf=)
+    or spark-submit --conf lines.
+    """
+    # ~150 MB target shuffle blocks, bounded below by 2 tasks/core
+    shuffle_parts = max(
+        total_cores * 2, int(input_tb * 1024 * 1024 / 150)
+    )
+    return {
+        # scans: 256 MB splits keep the map-task count near the core
+        # count at full scan, without tiny-task scheduling overhead
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            shuffle_parts
+        ),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # a skewed partition is split when > 5x median and > 256 MB
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            256 * 1024 * 1024
+        ),
+        # only region/nation-scale dims broadcast at 100 TB; everything
+        # else must shuffle (a 1 GB "dim" x 1000 executors = 1 TB of
+        # driver fan-out)
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # long-lived wide jobs: external shuffle + compressed spills
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.executor.memory": f"{executor_mem_gb}g",
+    }

@@ -125,3 +125,17 @@ def test_corpus_profile_totals(spark):
     row = corpus_profile(df).first()
     assert row["n_docs"] == 3
     assert row["total_tokens"] == 5
+
+
+def test_cluster_conf_sizing():
+    from etl_ipl_data_analysis_pipeline_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=5000, input_tb=100.0)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    # 100 TB / 150 MB target blocks ~ 700k partitions, never below 2/core
+    assert parts >= 10_000 and parts == int(
+        conf["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]
+    )
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    small = cluster_conf(total_cores=64, input_tb=0.001)
+    assert int(small["spark.sql.shuffle.partitions"]) == 128  # 2x cores floor
