@@ -1539,3 +1539,78 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("has_big_qty"),
         )
     )
+
+
+@register(
+    "regex_funcs",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS id_digits,
+           CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INT)
+               AS n_digits,
+           regexp_matches(c_name, '^Customer#0*[0-9]+$') AS well_formed,
+           regexp_replace(c_name, '^Customer#0*', '', 'g') AS short_id
+    FROM customer
+    """,
+    tags=("F1",),
+)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (F1): extract / count / validate / rewrite in one
+    narrow JVM-side pass — the id-parsing shapes every ingest layer needs.
+    Pattern dialects agree here (POSIX classes avoided); anchored
+    validation and greedy prefix-strip behave identically."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("id_digits"),
+        F.length(F.regexp_replace("c_name", r"[^0-9]", "")).alias("n_digits"),
+        F.col("c_name").rlike(r"^Customer#0*[0-9]+$").alias("well_formed"),
+        F.regexp_replace("c_name", r"^Customer#0*", "").alias("short_id"),
+    )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    WITH per_line AS (
+      -- the fixture repeats linenumbers within an order; make the map
+      -- key unique by summing quantity per (order, line) first
+      SELECT l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS INT)) AS INT) AS qty
+      FROM lineitem
+      WHERE l_orderkey % 100 = 0
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey,
+           '{' || string_agg(format('"{}":{}', l_linenumber, qty),
+                             ',' ORDER BY l_linenumber) || '}' AS qty_map,
+           count(*) AS n_entries
+    FROM per_line
+    GROUP BY l_orderkey
+    """,
+    tags=("F5", "A3"),
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction per group: (linenumber -> quantity) maps built
+    from sorted entry arrays, serialized with to_json for the driver
+    boundary (map cells can't be hashed by the canon). Entry order inside
+    a map is undefined, so the array is sorted by key BEFORE
+    map_from_entries — that determinism rule is the whole trick."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("int")).cast("int").alias("qty")
+    )
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("key"), F.col("qty").alias("value")
+            )
+        )
+    )
+    return (
+        per_line.groupBy("l_orderkey")
+        .agg(
+            F.to_json(F.map_from_entries(entries)).alias("qty_map"),
+            F.count(F.lit(1)).alias("n_entries"),
+        )
+    )
