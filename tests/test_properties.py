@@ -84,3 +84,39 @@ def test_connected_components_roots_are_minima(spark, edges_flat):
     for n, root in expected.items():
         if n != root:
             assert got[n] == root, (pairs, got, expected)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=7),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_edit_distance_pairs_matches_brute_force(spark, names):
+    """Deletion-neighborhood blocking is EXACT for lev <= 2: on random
+    short strings (dense in near-pairs by construction) the blocked
+    result must equal the brute-force cross join — recall AND precision."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(list(enumerate(names)), "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in dedup.edit_distance_pairs(df, "name", "id", k=2).collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+        .collect()
+    }
+    assert got == want
