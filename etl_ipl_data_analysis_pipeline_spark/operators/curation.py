@@ -359,3 +359,30 @@ def pack_token_shards(
             ).alias("shard"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col,
+    salt: str = "",
+) -> DataFrame:
+    """Per-ROW deterministic importance sampling: keep each row with
+    probability equal to its own ``weight_col`` value (clamped to [0, 1])
+    — quality-weighted corpus downsampling, where a 0.9-quality document
+    survives 9x as often as a 0.1 one.
+
+    mixture_sample keys the threshold on a GROUP; here it is computed per
+    row, so the comparison is integer-vs-integer: the first 8 hex chars
+    of md5(key||salt) read as a uint32 draw against floor(w * 2^32).
+    Membership still depends only on (key, salt, weight) — stable across
+    runs, engines, and partitionings. DuckDB twin:
+    CAST(('0x' || substr(md5(...), 1, 8)) AS UBIGINT)
+      < floor(least(greatest(w, 0), 1) * 4294967296).
+    Scale: narrow filter, no shuffle, no state."""
+    weight = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    draw = F.conv(_hash_bucket(key_col, salt), 16, 10).cast("bigint")
+    thr = F.floor(
+        F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)) * F.lit(4294967296.0)
+    )
+    return df.filter(draw < thr)

@@ -517,3 +517,30 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      {_QUALITY_SQL} FROM documents
+    )
+    SELECT doc_id, quality_score
+    FROM scored
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          < floor(least(greatest(quality_score, 0), 1) * 4294967296)
+    """,
+    tags=("X6", "X4", "P6"),
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by per-row weight (operators/curation.
+    weighted_sample): each document survives with probability equal to
+    its own quality score, so the kept corpus is quality-tilted without a
+    hard cutoff — softer than quality_median_gate, deterministic unlike
+    rand(). The uint32 draw and the floor(w * 2^32) threshold are exact
+    integer comparisons on both engines."""
+    from ..operators.textstats import text_quality
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = text_quality(d).select("doc_id", "quality_score")
+    return curation.weighted_sample(scored, "doc_id", "quality_score")

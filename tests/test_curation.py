@@ -206,3 +206,27 @@ class TestPackTokenShards:
         ids_in_order = [i for s in sorted(by_shard) for i in sorted(by_shard[s])]
         assert ids_in_order == list(range(100))  # shard boundaries cut id order
         assert all(len(v) == 10 for v in by_shard.values())  # 10 docs x 10 tokens
+
+
+def test_weighted_sample_rates(spark):
+    """Survival rate tracks the per-row weight: weight-1.0 rows all
+    survive, weight-0 rows never do, and a 0.5 weight lands near half."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    df = spark.range(3000).select(
+        F.col("id"),
+        (F.when(F.col("id") % 3 == 0, 1.0)
+          .when(F.col("id") % 3 == 1, 0.0)
+          .otherwise(0.5)).alias("w"),
+    )
+    kept = curation.weighted_sample(df, "id", "w").groupBy("w").count().collect()
+    by_w = {r["w"]: r["count"] for r in kept}
+    assert by_w[1.0] == 1000
+    assert 0.0 not in by_w
+    assert 380 <= by_w[0.5] <= 620
+    # determinism: same input -> identical kept set
+    a = {r["id"] for r in curation.weighted_sample(df, "id", "w").collect()}
+    b = {r["id"] for r in curation.weighted_sample(df, "id", "w").collect()}
+    assert a == b
