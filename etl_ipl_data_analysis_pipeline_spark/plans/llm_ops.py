@@ -643,3 +643,42 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum')) AS l2
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           floor(l2 * 10000 + 0.5) / 10000 AS l2_norm,
+           l2 < 1e-12 AS is_zero
+    FROM n
+    """,
+    tags=("X3", "F5"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norms — the normalization pass every cosine pipeline
+    runs first (unit-normalize once, then every similarity is a plain dot
+    product). All JVM-side: F.aggregate folds the square-sum in array
+    order, which both engines share, so the doubles are bit-identical and
+    the floor-round is exact. Zero vectors are flagged rather than
+    divided by."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    l2 = F.sqrt(sq_sum)
+    return e.select(
+        "vec_id",
+        "label",
+        (F.floor(l2 * 10000 + 0.5) / 10000).alias("l2_norm"),
+        (l2 < 1e-12).alias("is_zero"),
+    )
