@@ -682,3 +682,42 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(l2 * 10000 + 0.5) / 10000).alias("l2_norm"),
         (l2 < 1e-12).alias("is_zero"),
     )
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH corpus AS (
+      SELECT DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 AS h
+      FROM documents WHERE source <> 'src0'
+    ), batch AS (
+      SELECT doc_id,
+             sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+      FROM documents WHERE source = 'src0'
+    )
+    SELECT b.doc_id FROM batch b
+    WHERE b.h NOT IN (SELECT h FROM corpus)
+    """,
+    tags=("X1", "J2", "L1"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: which documents of a NEW batch (source=src0)
+    are genuinely new against the EXISTING corpus — an anti join on the
+    normalized content hash. This is the recurring-crawl shape: the
+    corpus side reduces to distinct 32-byte hashes (in production, a
+    maintained hash table — O(corpus) once, not per batch), the batch
+    side is O(increment), and the anti join shuffles hashes, never
+    text."""
+    from ..functions import content_hash
+
+    d = load(spark, sf_dir, "documents")
+    corpus = (
+        d.filter(F.col("source") != "src0")
+        .select(content_hash("text").alias("h"))
+        .distinct()
+    )
+    batch = d.filter(F.col("source") == "src0").select(
+        "doc_id", content_hash("text").alias("h")
+    )
+    return batch.join(corpus, "h", "left_anti").select("doc_id")
