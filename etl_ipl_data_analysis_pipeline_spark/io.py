@@ -161,6 +161,68 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hadoop_path))
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
+
+
+def swap_directory(spark: SparkSession, tmp_path: str, path: str) -> None:
+    """Crash-safe swap of a freshly-written ``tmp_path`` dir into ``path``.
+
+    Two-phase: the live dir is renamed ASIDE (``path.__old__``) before the
+    temp is renamed in, so at every instant at least one complete copy of
+    the table survives on disk — a plain delete-then-rename has a window
+    where a crash leaves NOTHING at ``path``, and a streaming checkpoint
+    that already marked the batch committed would then silently rebuild
+    state from scratch. ``recover_swapped`` is the matching read-side
+    repair. Hadoop FS API so the swap works on any scheme, not just
+    file:// (object stores without atomic rename need a manifest-commit
+    protocol instead; this is the HDFS-class discipline).
+    """
+    fs, dst, jvm = _fs_and_path(spark, path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    old = jvm.org.apache.hadoop.fs.Path(path + ".__old__")
+    if fs.exists(old):  # leftover from a crash after a previous swap's rename
+        fs.delete(old, True)
+    if fs.exists(dst):
+        fs.rename(dst, old)
+    fs.rename(src, dst)
+    if fs.exists(old):
+        fs.delete(old, True)
+
+
+def recover_swapped(spark: SparkSession, path: str) -> bool:
+    """If a crash mid-:func:`swap_directory` left ``path`` missing, promote
+    the surviving complete copy back into place. Preference order: the temp
+    (written in full BEFORE any swap step runs, and strictly newer than the
+    set-aside copy), then ``path.__old__``. Returns True iff ``path``
+    exists after recovery — callers branch on this instead of a bare
+    exists() so a torn swap can never masquerade as 'no table yet'."""
+    fs, dst, jvm = _fs_and_path(spark, path)
+    if fs.exists(dst):
+        return True
+    candidates = (f"{path}.__tmp__", f"{path}.__old__")
+    promoted = False
+    for cand in candidates:
+        cp = jvm.org.apache.hadoop.fs.Path(cand)
+        if not fs.exists(cp):
+            continue
+        # _SUCCESS is written LAST by the parquet committer: its presence
+        # distinguishes a complete copy from a write that itself crashed
+        # (a partial temp must never be promoted to live).
+        if not promoted and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(cand + "/_SUCCESS")
+        ):
+            fs.rename(cp, dst)
+            promoted = True
+        else:
+            # stale or partial leftover — remove so it can't be promoted
+            # by a later recovery when it is no longer the newest state
+            fs.delete(cp, True)
+    return promoted
+
+
 def fetch_url(url: str, dest_path: str, chunk_bytes: int = 1 << 20) -> str:
     """SRC1 (data_ingestion_func.py:19-21): stream a remote archive to local/
     object storage without buffering whole in memory. Driver-side utility —

@@ -29,7 +29,15 @@ from .dedup import tokens
 def hex_threshold(frac: float) -> str:
     """Map a fraction of the hash space to an 8-hex-digit threshold string:
     a uniformly-hashed key falls below it with probability ``frac`` (to
-    2^-32). Shared by the Spark operators and their SQL oracle twins."""
+    2^-32). Shared by the Spark operators and their SQL oracle twins.
+
+    frac >= 1.0 returns ``"g"`` — lexicographically above every hex digit,
+    so ``bucket < threshold`` is ALWAYS true. Clamping to ``"ffffffff"``
+    instead would silently drop the ~1-in-2^32 rows whose bucket equals the
+    max value from a keep-everything group (real documents at 10^10-doc
+    scale)."""
+    if frac >= 1.0:
+        return "g"
     return format(min(int(frac * 16**8), 16**8 - 1), "08x")
 
 

@@ -309,6 +309,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ):
     """Spherical k-means centroids as a k×dim numpy array (driver-side
     model, like MLlib's): hash-ordered deterministic init, then ``iters``
@@ -333,10 +334,13 @@ def kmeans_centroids(
         .collect()
     )
     if not init:
-        # empty corpus: no centroids (callers' matmul against a 0×dim model
-        # assigns nothing) — never np.stack([]) below
-        dim = 0
-        return np.zeros((0, dim))
+        # Empty corpus: return a 0×dim model with the TRUE dim when the
+        # schema carries it (fixed-size list) or the caller passed one, so
+        # `vecs @ cents.T` still shape-checks for any later assignment
+        # batch (a 0×0 model would raise on non-empty input). With no dim
+        # available anywhere the model is 0×0 and MUST NOT be used for
+        # assignment — only for "index is empty" branches.
+        return np.zeros((0, dim if dim else 0))
     k = min(k, len(init))  # corpus smaller than k: one centroid per vector
     cents = _normalize_rows(np.array([r["__vec"] for r in init]))
 

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .io import expand_zip, fetch_url, write_parquet
+from .io import expand_zip, fetch_url, recover_swapped, swap_directory, write_parquet
 from .io import read_json as _read_json
 from .operators.flatten import flatten
 from .operators.ledger import (
@@ -43,7 +43,9 @@ class RunResult:
 
 
 def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
-    if os.path.exists(ledger_path):
+    # recover_swapped repairs a swap torn by a crash before declaring the
+    # ledger absent — an absent-looking ledger would re-ingest everything.
+    if recover_swapped(spark, ledger_path):
         return spark.read.parquet(ledger_path)
     return empty_ledger(spark)
 
@@ -51,22 +53,15 @@ def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
 def _save_small_table(df: DataFrame, path: str) -> None:
     """Overwrite a control table (ledger / schema registry) that the input
     plan may still be READING from: write to a temp sibling path first, then
-    swap directories. Spark reads lazily, so writing straight over the
-    source path would corrupt the plan mid-read — and the previous
-    collect()-to-driver round-trip capped the ledger at driver memory
+    crash-safely swap directories (io.swap_directory keeps one complete
+    copy on disk at every instant). Spark reads lazily, so writing straight
+    over the source path would corrupt the plan mid-read — and a
+    collect()-to-driver round-trip would cap the ledger at driver memory
     (one row per ingested file is 10⁷ rows at real fleet scale)."""
     spark = df.sparkSession
     tmp = f"{path}.__tmp__"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    # re-point: remove the old dir, move the temp into place. Hadoop FS API
-    # so the swap works on any supported scheme, not just file://.
-    jvm = spark._jvm
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(dst):
-        fs.delete(dst, True)
-    fs.rename(src, dst)
+    swap_directory(spark, tmp, path)
 
 
 def run_ingest(
@@ -156,7 +151,7 @@ def run_ingest(
     drift_msg = None
     if schema_registry_path is not None:
         new_snap_rows = schema_snapshot(spark, flat, version_id=0).select("name", "type")
-        if os.path.exists(schema_registry_path):
+        if recover_swapped(spark, schema_registry_path):
             registry = spark.read.parquet(schema_registry_path)
             latest = registry.agg(F.max("version_id")).first()[0]
             old = registry.filter(F.col("version_id") == latest).select("name", "type")

@@ -1460,9 +1460,10 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.try_to_number(
-            F.get_json_object("props", "$.k"), F.lit("999999")
-        ).cast("bigint").alias("k_num"),
+        # try_cast (any digit width) — NOT try_to_number('999999'), which
+        # parses at most 6 digits and would NULL out wider values the
+        # DuckDB TRY_CAST oracle still accepts.
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_num"),
         F.col("event_type").try_cast("bigint").alias("type_num"),
         F.round(F.try_divide(F.lit(1.0), F.nullif("value", F.lit(0.0))), 6).alias(
             "inv_value"

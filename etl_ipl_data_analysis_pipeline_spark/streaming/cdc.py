@@ -22,6 +22,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from ..io import recover_swapped, swap_directory
+
 
 def latest_per_key(
     df: DataFrame,
@@ -43,13 +45,7 @@ def _swap_write(df: DataFrame, path: str) -> None:
     spark = df.sparkSession
     tmp = f"{path}.__tmp__"
     df.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(dst):
-        fs.delete(dst, True)
-    fs.rename(src, dst)
+    swap_directory(spark, tmp, path)
 
 
 def run_cdc_apply(
@@ -67,10 +63,11 @@ def run_cdc_apply(
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         incoming = latest_per_key(batch, keys, order_cols)
         sess = batch.sparkSession
-        jvm = sess._jvm
-        dst = jvm.org.apache.hadoop.fs.Path(state_path)
-        fs = dst.getFileSystem(sess._jsc.hadoopConfiguration())
-        if fs.exists(dst):
+        # recover_swapped (not a bare exists) — a crash mid-swap must not
+        # read as "no state yet": the checkpoint already marks prior batches
+        # committed, so rebuilding from this batch alone would silently drop
+        # all accumulated latest-per-key state.
+        if recover_swapped(sess, state_path):
             current = sess.read.parquet(state_path)
             merged = latest_per_key(
                 current.unionByName(incoming), keys, order_cols

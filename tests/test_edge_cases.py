@@ -114,3 +114,39 @@ def test_kmeans_fewer_vectors_than_k(spark):
     )
     cents = sim.kmeans_centroids(vecs, k=8, iters=2)
     assert 1 <= len(cents) <= 2
+
+
+def test_kmeans_empty_corpus_model_shape(spark):
+    """Empty corpus: 0×dim model when dim is supplied (shape-compatible
+    with later assignment matmuls), 0×0 otherwise."""
+    import numpy as np
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity as sim
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = sim.kmeans_centroids(empty, k=4, iters=1, dim=16)
+    assert cents.shape == (0, 16)
+    probe = np.ones((3, 16))
+    assert (probe @ cents.T).shape == (3, 0)  # assigns nothing, no crash
+    assert sim.kmeans_centroids(empty, k=4, iters=1).shape == (0, 0)
+
+
+def test_mixture_keep_all_fraction_keeps_every_row(spark):
+    """frac=1.0 groups keep ALL rows — including a bucket that hashes to
+    ffffffff (planted): the keep-all threshold must sit ABOVE the whole
+    hash space, not clamp to its max value."""
+    import hashlib
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    assert curation.hex_threshold(1.0) == "g"
+    # find a key whose md5 bucket starts with 'ffff' (top 1/65536 of the
+    # space) so the near-boundary region is actually exercised
+    key = next(
+        i for i in range(200_000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] == "ffff"
+    )
+    rows = [(key, "en")] + [(i, "en") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = curation.mixture_sample(df, "doc_id", "lang", {"en": 1.0}, default=0.0)
+    assert kept.count() == df.count()

@@ -172,3 +172,53 @@ def test_synthetic_datasource(spark):
         assert rows[doc_id] == want[1:]
     again = {r["doc_id"] for r in df.collect()}
     assert again == set(rows)
+
+
+def test_swap_directory_crash_recovery(spark, tmp_path):
+    """A swap torn at ANY step must leave a recoverable complete copy:
+    recover_swapped restores the newest complete state, and a partial
+    (no _SUCCESS) temp is never promoted."""
+    from etl_ipl_data_analysis_pipeline_spark.io import (
+        recover_swapped,
+        swap_directory,
+    )
+
+    path = str(tmp_path / "state")
+
+    def write_state(val: int, dest: str):
+        spark.range(val, val + 3).coalesce(1).write.mode("overwrite").parquet(dest)
+
+    def read_ids():
+        return sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # normal swap: v1 in place, then v2 swapped over it
+    write_state(0, f"{path}.__tmp__")
+    swap_directory(spark, f"{path}.__tmp__", path)
+    assert read_ids() == [0, 1, 2]
+    write_state(10, f"{path}.__tmp__")
+    swap_directory(spark, f"{path}.__tmp__", path)
+    assert read_ids() == [10, 11, 12]
+    assert not os.path.exists(f"{path}.__old__")
+
+    # torn swap: live renamed aside, temp complete, dst missing (the exact
+    # window ADVICE flagged) -> recovery promotes the NEWER temp
+    write_state(20, f"{path}.__tmp__")
+    os.rename(path, f"{path}.__old__")
+    assert recover_swapped(spark, path)
+    assert read_ids() == [20, 21, 22]
+    assert not os.path.exists(f"{path}.__old__")  # stale copy cleaned
+
+    # crash mid-temp-write (partial dir, no _SUCCESS), dst gone, old aside:
+    # recovery must skip the partial temp and fall back to the old copy
+    os.rename(path, f"{path}.__old__")
+    os.makedirs(f"{path}.__tmp__")
+    with open(f"{path}.__tmp__/part-00000.parquet", "wb") as f:
+        f.write(b"\x00" * 16)  # truncated garbage, not a parquet footer
+    assert recover_swapped(spark, path)
+    assert read_ids() == [20, 21, 22]
+    # recovery cleans the partial temp and the promoted source slot
+    assert not os.path.exists(f"{path}.__tmp__")
+    assert not os.path.exists(f"{path}.__old__")
+
+    # nothing anywhere -> False
+    assert not recover_swapped(spark, str(tmp_path / "never_written"))
