@@ -147,9 +147,38 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("dedup_embedding_pairs", oracle=None, tags=("X2", "J10"))
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking."""
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking. On the
+    synthetic fixtures this is honestly EMPTY (max natural pairwise cosine
+    is ~0.6 — random 64-dim vectors have no 0.9-neighbors); recall is
+    evidenced by dedup_embedding_pairs_planted and the planted-pair tests."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(e, min_sim=0.9).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_pairs_planted",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 100000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id % 10 = 0
+    """,
+    tags=("X2", "J10"),
+)
+def dedup_embedding_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with PLANTED duplicates: every 10th vector is
+    re-inserted under id+100000, then the same LSH+exact-cosine pipeline
+    runs at 0.9. The expected output is exactly the planted pairs at
+    sim 1.0 — identical vectors share every band's bucket, so hyperplane
+    LSH finds them with recall 1 regardless of seeds, and the fixture's
+    natural pairs (max cosine ~0.6) can't cross the threshold. That makes
+    the approximate operator's output deterministic here, so it gets a
+    full value-hash oracle rather than a rows-only check."""
+    e = load(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(100000)
+    )
+    return similarity.embedding_near_dup_pairs(
+        e.unionByName(planted), min_sim=0.9
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
