@@ -535,12 +535,17 @@ def edit_distance_pairs(
     any (block, delete-<=k variant) key — exact recall with bounded block
     sizes at any corpus scale, never O(n^2).
 
-    Perf shape (measured 26.7s -> 9.2s at sf0.1, see plans/llm_ops.py
-    fuzzy_name_pairs): variants come from exploded sequence generators +
-    one codegen'd CASE (interpreted transform() lambdas were 3x slower);
-    the verifier runs before the pair-dedup so distinct shuffles only
-    surviving (id_a, id_b, dist) triples; SHUFFLE_HASH lets AQE reuse the
-    variant exchange across the self-join.
+    Perf shape (136s -> measured below at the 10x smoke, 150k names /
+    1.6M true pairs): the self-join carries ONLY (hash, id, len) — 16-byte
+    rows — and candidate pairs are deduped BEFORE names are re-attached,
+    so a true pair that shares ~L variants costs ~L narrow join rows but
+    exactly ONE verification; verification uses the THRESHOLD form of
+    levenshtein (banded O(k·L) DP with early exit, not O(L^2)); a
+    |len_a - len_b| <= k join predicate drops cross-length hash collisions
+    for free. Variants come from exploded sequence generators + one
+    codegen'd CASE (interpreted transform() lambdas were 3x slower);
+    SHUFFLE_HASH keeps the variant exchange reusable across the self-join
+    instead of duplicating the explode into a broadcast.
 
     Returns (id_a, id_b, dist) with id_a < id_b.
     """
@@ -548,7 +553,6 @@ def edit_distance_pairs(
         raise ValueError("edit_distance_pairs supports k = 1 or 2")
     name, idc = F.col(name_col), F.col(id_col)
     block = F.col(block_col) if block_col else F.lit(0)
-    ln = F.length(name)
     base = df.select(
         idc.alias("__id"), name.alias("__name"), block.alias("__blk")
     )
@@ -556,13 +560,20 @@ def edit_distance_pairs(
         "i", F.explode(F.sequence(F.lit(0), F.length("__name")))
     )
     if k == 2:
+        # j ranges over second-deletion positions AFTER i; the i == len(name)
+        # case must yield no extra j (an unguarded sequence(i+1, len) with
+        # start > stop silently generates a DESCENDING range whose spurious
+        # j values duplicate the single-deletion variant).
         s2 = s1.withColumn(
             "j",
             F.explode(
                 F.when(F.col("i") == 0, F.array(F.lit(0))).otherwise(
                     F.concat(
                         F.array(F.lit(0)),
-                        F.sequence(F.col("i") + 1, F.length("__name")),
+                        F.when(
+                            F.col("i") < F.length("__name"),
+                            F.sequence(F.col("i") + 1, F.length("__name")),
+                        ).otherwise(F.array().cast("array<int>")),
                     )
                 )
             ),
@@ -583,20 +594,32 @@ def edit_distance_pairs(
         )
     )
     variants = s2.select(
-        "__id", "__name", F.xxhash64("__blk", variant).alias("__vh")
+        "__id",
+        F.length("__name").alias("__ln"),
+        F.xxhash64("__blk", variant).alias("__vh"),
     )
     a, b = variants.alias("a"), variants.alias("b")
-    return (
+    cand = (
         a.join(
             b.hint("SHUFFLE_HASH"),
             (F.col("a.__vh") == F.col("b.__vh"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            # lev(a,b) <= k forces |len(a)-len(b)| <= k: prune hash-collision
+            # candidates across incompatible lengths before the pair-dedup
+            & (F.abs(F.col("a.__ln") - F.col("b.__ln")) <= k),
         )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.levenshtein(F.col("a.__name"), F.col("b.__name")).alias("dist"),
-        )
-        .filter(F.col("dist") <= k)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
+    )
+    na = base.select(F.col("__id").alias("id_a"), F.col("__name").alias("__na"))
+    nb = base.select(F.col("__id").alias("id_b"), F.col("__name").alias("__nb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__na"), F.col("__nb"), k).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)  # threshold form: -1 means "> k"
     )
