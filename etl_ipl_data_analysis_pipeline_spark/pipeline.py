@@ -42,6 +42,20 @@ class RunResult:
     quarantined: int = 0  # malformed documents diverted to quarantine_dir
 
 
+def _json_from_strings(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Parse a one-column DataFrame of JSON document strings with the full
+    JSON datasource (schema inference, top-level-array explosion). The
+    JVM ``Dataset.as(Encoders.STRING())`` bridge keeps the documents
+    JVM-side; the RDD fallback pays one Python round-trip of the strings
+    but is semantically identical."""
+    try:
+        jvm = spark._jvm
+        jds = getattr(docs._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+        return DataFrame(spark._jsparkSession.read().json(jds), spark)
+    except Exception:
+        return spark.read.json(docs.rdd.map(lambda r: r[0]))
+
+
 def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     # recover_swapped repairs a swap torn by a crash before declaring the
     # ledger absent — an absent-looking ledger would re-ingest everything.
@@ -111,11 +125,32 @@ def run_ingest(
     ).withColumn("file_key", strip_extension(F.expr("reverse(split(path, '/'))[0]")))
     ledger = _load_ledger(spark, ledger_path)
     fresh = discover_new_files(listing, ledger).cache()
-    new_paths = [r["path"] for r in fresh.select("path").collect()]
-    if not new_paths:
+    n_new = fresh.count()
+    if n_new == 0:
         return RunResult(0, 0, None, skipped=True)
 
-    # 3. read + flatten (SRC3, P1-P4) — only the new files.
+    # 3. read + flatten (SRC3, P1-P4) — only the new files. Discovery stays
+    # on EXECUTORS: one glob scan over the landing zone, each row keyed by
+    # its source file and semi-joined against the fresh-key set (one short
+    # row per new file — broadcasts like the ledger itself). A
+    # collect()-to-driver path list would cap a backfill at driver memory
+    # (10^6+ new files) and serialize the whole list into every task. The
+    # glob does re-scan already-ingested landing files; bound that with
+    # landing-zone rotation or a modifiedAfter watermark on the reader —
+    # the ledger semi-join keeps correctness either way.
+    glob_path = os.path.join(landing_dir, "*.json")
+    fresh_keys = fresh.select("file_key")
+
+    def _only_fresh(df: DataFrame, src_col: str) -> DataFrame:
+        keyed = df.withColumn(
+            "__fk", strip_extension(F.expr(f"reverse(split({src_col}, '/'))[0]"))
+        )
+        return keyed.join(
+            F.broadcast(fresh_keys.withColumnRenamed("file_key", "__fk")),
+            "__fk",
+            "left_semi",
+        ).drop("__fk")
+
     n_quarantined = 0
     cached_raw = None
     if quarantine_dir is not None and json_schema is not None:
@@ -130,11 +165,11 @@ def run_ingest(
         # Spark refuses corrupt-column-only queries on raw JSON otherwise
         # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). The batch
         # is only this run's new files, so the cache is small by design.
-        raw = (
-            _read_json(spark, new_paths, schema=schema_q, corrupt_col="_corrupt")
-            .withColumn("_src", F.input_file_name())
-            .cache()
-        )
+        raw = _only_fresh(
+            _read_json(spark, glob_path, schema=schema_q, corrupt_col="_corrupt")
+            .withColumn("_src", F.input_file_name()),
+            "_src",
+        ).cache()
         bad = raw.filter(F.col("_corrupt").isNotNull()).select(
             F.col("_src").alias("path"), F.col("_corrupt").alias("raw")
         )
@@ -143,8 +178,28 @@ def run_ingest(
             write_parquet(bad, quarantine_dir, mode="append")
         cached_raw = raw
         raw = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt", "_src")
+    elif json_schema is not None:
+        raw = _only_fresh(
+            _read_json(spark, glob_path, schema=json_schema).withColumn(
+                "_src", F.input_file_name()
+            ),
+            "_src",
+        ).drop("_src")
     else:
-        raw = _read_json(spark, new_paths, schema=json_schema)
+        # Inference mode: schema must come from THIS batch only (the drift
+        # gate compares the new batch's shape, and a whole-zone inference
+        # would silently merge historical schemas). Read the landing files
+        # as whole documents, semi-join to the fresh set, then let the JSON
+        # reader infer over the surviving document STRINGS — discovery and
+        # filtering stay on executors with no driver path list.
+        docs = _only_fresh(
+            spark.read.format("binaryFile").load(glob_path).select(
+                F.col("path").alias("_src"),
+                F.col("content").cast("string").alias("_doc"),
+            ),
+            "_src",
+        ).select("_doc")
+        raw = _json_from_strings(spark, docs)
     flat = flatten(raw)
 
     # 4. drift gate (J3/SE2/SE3) against the newest registry snapshot.
@@ -186,4 +241,4 @@ def run_ingest(
     _save_small_table(ledger, ledger_path)
     fresh.unpersist()
 
-    return RunResult(len(new_paths), rows_written, drift_msg, skipped=False, quarantined=n_quarantined)
+    return RunResult(n_new, rows_written, drift_msg, skipped=False, quarantined=n_quarantined)
