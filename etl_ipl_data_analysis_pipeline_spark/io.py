@@ -141,8 +141,9 @@ def write_jdbc(
 
     The reference stages through S3 for Redshift COPY; plain JDBC writes one
     batch-insert stream per partition — repartition the input to control
-    warehouse write concurrency. Operational-only in this environment (no
-    warehouse container or JDBC driver jar to run against).
+    warehouse write concurrency. Round-trip-tested against embedded Derby
+    (tests/test_io.py::test_jdbc_roundtrip_embedded_derby) — the same
+    batched-insert path a warehouse load uses.
     """
     writer = df.write.mode(mode).format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batchsize))

@@ -222,3 +222,28 @@ def test_swap_directory_crash_recovery(spark, tmp_path):
 
     # nothing anywhere -> False
     assert not recover_swapped(spark, str(tmp_path / "never_written"))
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """SNK2 end-to-end against a real JDBC database: write via write_jdbc
+    into embedded Derby (ships with Spark for the Hive metastore), read
+    back through the JDBC source, compare values. Derby is single-process
+    but in-JVM with local-mode executors, so the write path exercised is
+    the same batched-insert-per-partition code a warehouse load uses."""
+    url = f"jdbc:derby:{tmp_path}/wh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)],
+        "id bigint, name string, score double",
+    ).repartition(2)
+    tio.write_jdbc(df, url, "events_out", mode="overwrite", properties=props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events_out")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    got = sorted((r["ID"] if "ID" in back.columns else r["id"],
+                  r[1], r[2]) for r in back.collect())
+    assert got == [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)]
