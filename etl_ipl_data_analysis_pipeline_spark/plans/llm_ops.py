@@ -496,16 +496,18 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of a 153x-replicated string; hash collisions only ever ADD
     candidates, which the final levenshtein(...) <= 2 verifier removes.
 
-    Perf shape (measured at sf0.1, 26.7s -> 9.2s): (1) variants come from
-    two EXPLODED POSITION GENERATORS + one codegen'd CASE, not nested
-    transform() lambdas — higher-order-function lambdas run interpreted,
-    and the lambda form spent 6.4s building 1.6M arrays where the
-    generator form emits 2.6M rows in 2.2s; (2) levenshtein runs BEFORE
-    the pair-dedup and the name strings are projected away, so the
-    distinct shuffles only surviving (key_a, key_b, dist) triples — the
-    lambda/dedup-late form shuffled 1.3M string-carrying rows; (3) the
-    SHUFFLE_HASH hint keeps the variant subplan a shuffle exchange AQE
-    can reuse across the self-join instead of computing it twice.
+    Perf shape (measured at sf0.1, 26.7s -> 9.2s -> pair-dedup-first
+    rewrite): (1) variants come from two EXPLODED POSITION GENERATORS +
+    one codegen'd CASE, not nested transform() lambdas —
+    higher-order-function lambdas run interpreted, and the lambda form
+    spent 6.4s building 1.6M arrays where the generator form emits 2.6M
+    rows in 2.2s; (2) the self-join carries only (hash, id, len) and the
+    DISTINCT runs on narrow (id_a, id_b) pairs BEFORE names are
+    re-attached, so a true pair sharing ~L variants costs L 16-byte join
+    rows but exactly ONE levenshtein verification (the threshold form —
+    banded O(k*L) DP); (3) the SHUFFLE_HASH hint keeps the variant
+    subplan a shuffle exchange AQE can reuse across the self-join
+    instead of computing it twice.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_name")
     return dedup.edit_distance_pairs(

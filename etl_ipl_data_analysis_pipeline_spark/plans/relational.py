@@ -1615,3 +1615,461 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_entries"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H tail: the remaining queries expressible over the reduced star schema
+# (no partsupp table, no commit/receipt dates, no phone/container columns —
+# q2/q11/q12/q16/q20/q21 need those; q19/q22 are adapted to the columns that
+# exist, keeping their characteristic plan shapes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(CAST(sum(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("J4", "A4", "F2"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade volume
+    by ship year. The nation dim joins twice under different roles — both
+    broadcast — and the pair filter lands before the aggregate, so the only
+    big shuffle is lineitem⋈orders; the year comes off the pushed
+    ship-date range scan."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("supp_nk"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("cust_nk"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2", "NATION_3")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END
+                                    AS DECIMAL(38,10))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 6)
+               AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    GROUP BY o_year
+    """,
+    tags=("J4", "A7", "F6"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): a target nation's share of PROMO
+    part revenue inside one region's market, per order year. Conditional
+    numerator over the same rows as the denominator — one aggregate pass,
+    no self-join; every dim broadcasts and the region filter prunes the
+    customer side before the big join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("cust_nk"), F.col("n_regionkey").alias("cust_rk")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("cust_nk"))
+        .join(F.broadcast(r), F.col("cust_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("supp_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(num.cast("decimal(38,10)")).cast("double")
+                / F.sum(vol.cast("decimal(38,10)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_part_profit",
+    oracle="""
+    SELECT nation, o_year,
+           round(CAST(sum(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+    tags=("J4", "A4", "F1"),
+)
+def q9_part_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit, adapted: the fixture has no
+    partsupp cost side, so profit reduces to discounted revenue): revenue
+    from parts whose name contains a color token, by supplier nation and
+    order year. The LIKE filter prunes part before its broadcast; lineitem
+    never shuffles except into the final aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                       AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("J5", "A4"),
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of per-customer order
+    counts, with the exclusion predicate INSIDE the outer join condition —
+    excluded orders must not drop the customer, they must count as zero.
+    Two aggregate passes; the second input is one row per customer, so the
+    histogram shuffle is tiny."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN volume ELSE 0 END
+                                       AS DECIMAL(38,10))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(38,10))) AS DOUBLE), 4)
+               AS promo_revenue
+    FROM (
+      SELECT p_type, l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate < TIMESTAMP '1996-10-01'
+    )
+    """,
+    tags=("J4", "A7", "F6"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): promo share of one ship-month's
+    revenue as a percentage. Single conditional-aggregate pass over the
+    month's pushed-down scan range; part broadcasts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    num = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(num.cast("decimal(38,10)")).cast("double")
+                / F.sum(vol.cast("decimal(38,10)")).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,10))) AS DOUBLE), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("J4", "A4", "SO3"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarter revenue per supplier, keep the
+    max. The scalar max comes from a 1-row aggregate broadcast back against
+    the same revenue frame — no global window, no single-reducer sort; ties
+    all surface (the spec's HAVING = max semantics). Revenue is rounded
+    identically on both sides BEFORE the max comparison so the equality is
+    engine-stable."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey AS ap,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE)
+               / count(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON ap = l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("J4", "A4", "A8"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lines under 20% of their
+    part's average quantity. The correlated scalar subquery decorrelates to
+    a per-part aggregate joined back — the aggregate is one row per part,
+    so it broadcasts; the per-part average uses the exact decimal sum so
+    the 0.2x threshold compares identically across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    part_avg = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(38,10)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,10)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("J4", "P6", "F6"),
+)
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, adapted to the columns the
+    fixture carries): an OR of three brand/size/quantity conjunctions
+    across the join. Catalyst extracts the common p_partkey equi-condition
+    so the join stays hash-based with the disjunction as a post-join
+    filter, and pushes the per-side residuals (brand/size to part's scan)
+    below the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_idle_accounts",
+    oracle="""
+    WITH pos_avg AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE)
+               / count(c_acctbal) AS threshold
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS totacctbal
+    FROM customer, pos_avg
+    WHERE c_acctbal > threshold
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+    tags=("J2", "J6", "A4"),
+)
+def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity, adapted: nationkey
+    stands in for the phone country code, and 'no orders' becomes 'no
+    orders since 1999' — every fixture customer has SOME order, so the
+    literal form is vacuous at every SF): rich customers gone idle. The
+    global positive-balance average is a 1-row aggregate broadcast as the
+    filter threshold; NOT EXISTS decorrelates to a left-anti join against
+    the date-filtered order keys."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "1999-01-01")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("threshold")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )

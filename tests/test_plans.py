@@ -107,12 +107,21 @@ def test_mad_outliers_broadcasts_stats(spark, sf_dir, qs):
     assert "BroadcastHashJoin" in plan  # 5-row per-type stats broadcast back
 
 
-def test_edit_distance_verifier_precedes_pair_dedup(spark, sf_dir, qs):
-    # the distinct must aggregate (key_a, key_b, dist) AFTER the
-    # levenshtein filter — no string columns cross the dedup shuffle
+def test_edit_distance_pair_dedup_precedes_verifier(spark, sf_dir, qs):
+    # the distinct must aggregate narrow (id_a, id_b) pairs BEFORE names are
+    # re-attached and levenshtein runs: no string column crosses the dedup
+    # shuffle, and each unique candidate pair is verified exactly once
     plan = _optimized(qs["fuzzy_name_pairs"](spark, sf_dir))
-    agg_lines = [l for l in plan.split("\n") if "Aggregate" in l and "key_a" in l]
-    assert agg_lines and all("c_name" not in l for l in agg_lines)
+    lines = plan.split("\n")
+    agg_idx = [
+        i for i, l in enumerate(lines) if "Aggregate [id_a" in l and "id_b" in l
+    ]
+    assert agg_idx, "pair-dedup Aggregate on (id_a, id_b) missing"
+    for i in agg_idx:
+        assert "c_name" not in lines[i] and "__na" not in lines[i]
+    # levenshtein must appear only ABOVE the dedup (verification after)
+    lev_idx = [i for i, l in enumerate(lines) if "levenshtein" in l]
+    assert lev_idx and max(lev_idx) < min(agg_idx)
 
 
 def test_merge_upsert_anti_join_broadcasts(spark, sf_dir, qs):
