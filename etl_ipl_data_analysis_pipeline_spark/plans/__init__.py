@@ -53,6 +53,12 @@ def ensure_read_confs(spark: SparkSession) -> None:
     DuckDB oracle's timestamp semantics."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) would otherwise infer
+    # as TIMESTAMP_NTZ (Spark 4 default), which refuses numeric casts and
+    # diverges from the LTZ semantics every query was written against. Under
+    # a UTC session the two are wall-clock identical; reading as LTZ at the
+    # scan keeps timestamp predicates pushable into the parquet reader.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,17 +68,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_nanos_ts(df: DataFrame) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) columns arrive as nano-epoch longs (see
-    session.py nanosAsLong). Convert to microsecond timestamps with integer
-    DIV (a double division would lose precision above 2^53 ns). Column-name
-    heuristic is enough here: only the events fixture carries nanos, as `ts`.
+    """Normalize fixture timestamp encodings to session-TZ TIMESTAMP.
+
+    Two parquet encodings appear across fixture generations: TIMESTAMP(NANOS)
+    arrives as nano-epoch longs (see session.py nanosAsLong) and is converted
+    with integer DIV (a double division would lose precision above 2^53 ns);
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ, which
+    Spark 4 refuses to cast to numeric types — convert to LTZ, which under
+    the UTC session timezone (ensure_read_confs) is wall-clock identical.
+    Column-name heuristic is enough for nanos (only events.ts ever carried
+    them); NTZ is normalized wherever it appears.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.to_timestamp_ltz(F.col(f.name)))
     return df
 
 

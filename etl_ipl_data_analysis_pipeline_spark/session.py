@@ -55,6 +55,10 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (the events fixture) has no Spark type;
         # read as long and convert at the scan wrapper (plans.load).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as LTZ, not NTZ:
+        # wall-clock identical under the UTC session TZ, numeric-castable,
+        # and timestamp predicates stay pushable (see plans.ensure_read_confs).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
