@@ -139,6 +139,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q19_disjunctive_filter",
     "q22_idle_accounts",
+    "orc_partitioned_roundtrip",  # new round 4: ORC format round-trip
+    "csv_roundtrip_customer",  # new round 4: CSV format round-trip
+    "winsorize_events",  # new round 4: exact-percentile clamping
+    "dedup_bow_fingerprint",  # new round 4: word-multiset dedup, planted pairs
     # -- only driver evidence is round 1; refresh the riskier plan shapes
     # (the four r1-green scalar function families and the five r2 greens
     # rotated out to make room keep their existing driver rows) --
@@ -151,10 +155,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_running_sum",
     "topn_per_group",
     "sort_limit_topk",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "distinct_dedup",
 )
 
 

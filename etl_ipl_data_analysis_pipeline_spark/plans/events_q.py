@@ -417,3 +417,60 @@ def resample_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(interp * 10000 + 0.5) / 10000).alias("value_interp"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "winsorize_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS lo,
+             quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS hi
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value < lo) AS n_clamped_lo,
+           count(*) FILTER (WHERE value > hi) AS n_clamped_hi,
+           round(CAST(sum(CAST(
+               CASE WHEN value < lo THEN lo
+                    WHEN value > hi THEN hi
+                    ELSE value END AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_winsorized
+    FROM b
+    GROUP BY event_type
+    """,
+    tags=("A8", "W3", "F6"),
+)
+def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each value to its event_type's exact [p05, p95]
+    band — the outlier treatment applied before training-loss-weighted
+    sampling so one corrupt measurement can't dominate a mean. Exact
+    interpolated percentiles (not approx) computed as an unbounded window
+    over the grouping key: one shuffle on event_type, no second pass and no
+    driver collect — at 100 TB the shape is the same two-phase hash window
+    Spark plans for any holistic aggregate. Clamped sums are decimal-cast
+    (functions.stable_sum) so summation order can't flip the hash."""
+    from ..functions import stable_sum
+
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type")
+    b = ev.select(
+        "event_type",
+        "value",
+        F.expr("percentile(value, 0.05)").over(w).alias("lo"),
+        F.expr("percentile(value, 0.95)").over(w).alias("hi"),
+    )
+    clamped = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("value") < F.col("lo")).alias("n_clamped_lo"),
+        F.count_if(F.col("value") > F.col("hi")).alias("n_clamped_hi"),
+        stable_sum(clamped, 2).alias("sum_winsorized"),
+    )

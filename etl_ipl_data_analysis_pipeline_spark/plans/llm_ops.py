@@ -752,3 +752,56 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", content_hash("text").alias("h")
     )
     return batch.join(corpus, "h", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_bow_fingerprint",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text,
+             lang
+      FROM documents WHERE doc_id % 7 = 0
+    ), fp AS (
+      SELECT doc_id, lang,
+             array_to_string(list_sort(string_split(
+                 trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')), ' ')
+                 AS bow
+      FROM u
+    ), r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY bow ORDER BY doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, lang FROM r WHERE rn = 1
+    """,
+    tags=("X2", "X4", "F5", "F7"),
+)
+def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words fingerprint dedup: two documents with the same word
+    MULTISET (reordered paragraphs, shuffled sentence order — the classic
+    crawl-mirror artifact) collapse to one. Fingerprint = sorted token
+    list rejoined; dedup keeps the lowest doc_id per fingerprint. The
+    fixture has no such pairs, so the query PLANTS word-reversed copies of
+    every 7th document — the gate then proves the originals survive and
+    every planted mirror is dropped. One shuffle on the fingerprint; at
+    corpus scale you'd hash the fingerprint to 16 bytes pre-shuffle
+    (content_hash) rather than moving sorted text, which the exact-hash
+    oracle here intentionally keeps readable."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
+        F.col("lang"),
+    )
+    u = d.unionByName(planted)
+    bow = F.array_join(F.array_sort(F.split(normalized_text("text"), " ")), " ")
+    w = Window.partitionBy("bow").orderBy("doc_id")
+    return (
+        u.withColumn("bow", bow)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang")
+    )

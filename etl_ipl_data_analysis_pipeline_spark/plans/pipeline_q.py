@@ -614,3 +614,83 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return inc.upsert(cur, upd, ["o_orderkey"])
+
+
+def _scratch_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-SF scratch path for write-then-read-back queries.
+    hashlib (not hash()) so repeated driver processes reuse — and overwrite
+    — the same directory instead of leaking one per run."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+
+
+@register(
+    "orc_partitioned_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    tags=("SRC5", "SNK1", "A4"),
+)
+def orc_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format coverage (the columnar alternative the reference's glue
+    jobs can emit, etl_glue_job.py:18-43 writes warehouse-format output):
+    orders written as ORC partitioned by o_orderstatus, read BACK through
+    the ORC reader with a partition filter — the filter must prune to the
+    one 'O' directory, never scanning the others — then aggregated. The
+    hash gate proves doubles and decimals survive the parquet->ORC->Spark
+    round trip bit-exactly."""
+    from ..functions import stable_sum
+
+    path = _scratch_dir(sf_dir, "orc_orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").orc(path)
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+    )
+
+
+@register(
+    "csv_roundtrip_customer",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_acctbal,
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("SRC5", "SNK1", "A4"),
+)
+def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV format coverage: customer written as headered CSV and read back
+    under a PINNED schema (inference would widen int->bigint and lose the
+    hash), then aggregated per nation. Doubles survive because Spark writes
+    shortest-round-trip representations (Java Double.toString) — the hash
+    gate proves text transit loses nothing. Strings exercise the quoting
+    path; reading uses the same session-level escape defaults as the
+    write."""
+    from ..functions import stable_sum
+
+    path = _scratch_dir(sf_dir, "csv_customer")
+    c = load(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(c.schema).option("header", True).csv(path)
+    return back.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        stable_sum("c_acctbal", 2).alias("sum_acctbal"),
+        F.min("c_name").alias("first_name"),
+    )

@@ -127,3 +127,56 @@ def test_edit_distance_pair_dedup_precedes_verifier(spark, sf_dir, qs):
 def test_merge_upsert_anti_join_broadcasts(spark, sf_dir, qs):
     plan = _executed(qs["merge_upsert_orders"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_orc_roundtrip_prunes_partitions(spark, sf_dir, qs):
+    # the read-back scan must prune to the single o_orderstatus=O
+    # directory: the partition filter appears as PartitionFilters, and
+    # the partition column never reaches the data scan's ReadSchema
+    plan = _executed(qs["orc_partitioned_roundtrip"](spark, sf_dir))
+    orc_lines = [l for l in plan.split("\n") if "FileScan orc" in l]
+    assert orc_lines, "ORC read-back scan missing from plan"
+    assert "PartitionFilters: [" in orc_lines[0]
+    assert "o_orderstatus" in orc_lines[0].split("PartitionFilters")[1]
+
+
+def test_csv_roundtrip_is_lossless(spark, sf_dir):
+    # row-identical transit: parquet -> csv -> read-back must preserve
+    # every cell including doubles (shortest-round-trip formatting)
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+    from etl_ipl_data_analysis_pipeline_spark.plans.pipeline_q import _scratch_dir
+
+    c = load(spark, sf_dir, "customer")
+    path = _scratch_dir(sf_dir, "csv_losstest")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(c.schema).option("header", True).csv(path)
+    assert back.schema == c.schema
+    a = {tuple(r) for r in c.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+
+
+def test_winsorize_counts_bracket_five_percent(spark, sf_dir, qs):
+    # exact p05/p95 clamping: per group, at most 5% of rows fall strictly
+    # below p05 (interpolated bound sits at-or-above the 5th of 100 rows),
+    # and clamp counts are never zero for a continuous value column
+    rows = qs["winsorize_events"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_clamped_lo <= 0.05 * r.n + 1
+        assert r.n_clamped_hi <= 0.05 * r.n + 1
+        assert r.n_clamped_lo > 0 and r.n_clamped_hi > 0
+
+
+def test_bow_dedup_drops_planted_mirrors_only(spark, sf_dir, qs):
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    kept = qs["dedup_bow_fingerprint"](spark, sf_dir).collect()
+    originals = {
+        r.doc_id for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    kept_ids = {r.doc_id for r in kept}
+    # every original survives (it has the lower doc_id of its pair)...
+    assert kept_ids == originals
+    # ...and every planted word-reversed mirror (doc_id + 100000) is gone
+    assert not {i for i in kept_ids if i >= 100000}
