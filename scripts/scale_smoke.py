@@ -73,7 +73,13 @@ def main() -> int:
         "n_docs": n_base * factor,
         "exact_dedup": t(lambda: dedup.exact_dedup(docs)),
         "minhash_pairs": t(lambda: dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)),
-        "jaccard_pairs": t(lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=100_000)),
+        # the UNCAPPED posting-list diagnostic grows ~factor^2 by design —
+        # meaningful at 10x (shows what max_df prevents), pointless past it
+        "jaccard_pairs": (
+            t(lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=100_000))
+            if factor <= 10
+            else None
+        ),
         # replication makes every gram's posting list ~factor× longer, so the
         # uncapped self-join grows ~factor² — the capped run shows max_df
         # bounding exactly that blowup (lower-bound similarity semantics)

@@ -120,3 +120,73 @@ def test_edit_distance_pairs_matches_brute_force(spark, names):
         .collect()
     }
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("ab"),  # two groups
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_winsorize_bounds_match_numpy_linear(spark, rows):
+    # Spark's exact percentile() interpolates like numpy 'linear'; the
+    # winsorized sum must equal the pure-Python clamp to those bounds
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g string, value double"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g")
+    got = {
+        r["g"]: (r["lo"], r["hi"])
+        for r in df.select(
+            "g",
+            F.expr("percentile(value, 0.05)").over(w).alias("lo"),
+            F.expr("percentile(value, 0.95)").over(w).alias("hi"),
+        )
+        .distinct()
+        .collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        lo, hi = got[g]
+        assert abs(lo - float(np.percentile(vals, 5))) < 1e-9 * max(1, abs(lo))
+        assert abs(hi - float(np.percentile(vals, 95))) < 1e-9 * max(1, abs(hi))
+
+
+@settings(max_examples=6, deadline=None)
+@given(TEXTS)
+def test_bow_fingerprint_invariant_under_word_permutation(spark, texts):
+    # a doc and any word-permuted copy share a fingerprint; docs with
+    # different word multisets never collide
+    from collections import Counter
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from etl_ipl_data_analysis_pipeline_spark.functions import normalized_text
+
+    fp = F.array_join(F.array_sort(F.split(normalized_text("text"), " ")), " ")
+    got = {r["doc_id"]: r["fp"] for r in df.select("doc_id", fp.alias("fp")).collect()}
+    mirror = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id",
+            F.array_join(
+                F.array_sort(F.reverse(F.split(normalized_text("text"), " "))), " "
+            ).alias("fp"),
+        ).collect()
+    }
+    assert got == mirror  # permutation-invariant
+    for i, ti in rows:
+        for j, tj in rows:
+            same_bag = Counter(_py_tokens(ti)) == Counter(_py_tokens(tj))
+            assert (got[i] == got[j]) == same_bag, (ti, tj)
