@@ -48,3 +48,82 @@ def estimate_distinct(summary: DataFrame, out_col: str = "est_distinct") -> Data
     return summary.withColumn(
         out_col, F.hll_sketch_estimate(STATE_COL)
     ).drop(STATE_COL)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation (the counting twin of the
+# HLL distinct rollup above). The sketch is a RELATION of (j, bucket, cnt)
+# cells — d hash rows x w buckets, at most d*w rows however large the input —
+# so "merge" is a union + re-sum and the whole structure shuffles O(d*w),
+# never O(history). Hashes derive from md5 (not xxhash64) because the oracle
+# engine computes the identical digest, which puts sketch build AND estimate
+# under the exact-hash gate — rare for a sketch.
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_bucket(item, j: int, w: int):
+    """Row ``j``'s bucket: 16 md5 bits of ``item ':' j`` mod ``w``.
+    Identical in the oracle: ('0x' || substr(md5(item || ':j'), 1, 4))::BIGINT % w."""
+    s = F.concat(item.cast("string"), F.lit(f":{j}"))
+    return F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long") % w
+
+
+def cms_build(df: DataFrame, col, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the sketch: explode each occurrence into its d cells (a narrow
+    d-times fanout, no data movement), then one partial+final count per
+    cell. Output is at most d*w rows regardless of input size."""
+    item = F.col(col) if isinstance(col, str) else col
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(item, j, w).alias("bucket")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union partial sketches (per-day, per-source, per-batch) into one:
+    cell-wise sum. Associative and commutative, like hll_union_agg."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, probes: DataFrame, col, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Point-estimate each probe item: min over its d cells (the classic
+    count-min upper bound — never under the true count, over only when all
+    d buckets collide with other items). The sketch is <= d*w rows by
+    construction, so it broadcasts; the probe side streams map-side."""
+    item = F.col(col) if isinstance(col, str) else col
+    ph = probes.select(
+        item.alias("__item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_bucket(item, j, w).alias("bucket")
+                    )
+                    for j in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("__item", "c.j", "c.bucket")
+    joined = ph.join(F.broadcast(sketch), ["j", "bucket"], "left")
+    return joined.groupBy("__item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
+    )

@@ -143,6 +143,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "csv_roundtrip_customer",  # new round 4: CSV format round-trip
     "winsorize_events",  # new round 4: exact-percentile clamping
     "dedup_bow_fingerprint",  # new round 4: word-multiset dedup, planted pairs
+    "cms_user_frequency",  # new round 4: count-min sketch under the exact gate
     # -- only driver evidence is round 1; refresh the riskier plan shapes
     # (the four r1-green scalar function families and the five r2 greens
     # rotated out to make room keep their existing driver rows) --
@@ -154,7 +155,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_rank",
     "window_running_sum",
     "topn_per_group",
-    "sort_limit_topk",
 )
 
 

@@ -474,3 +474,57 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > F.col("hi")).alias("n_clamped_hi"),
         stable_sum(clamped, 2).alias("sum_winsorized"),
     )
+
+
+@register(
+    "cms_user_frequency",
+    oracle="""
+    WITH js(j) AS (VALUES (0),(1),(2),(3)),
+    cells AS (
+      SELECT j, (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                  CAST(j AS VARCHAR)), 1, 4))::BIGINT) % 1024 AS bucket
+      FROM events CROSS JOIN js
+    ),
+    sk AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+    probes AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0),
+    ph AS (
+      SELECT user_id, j, (('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                  CAST(j AS VARCHAR)), 1, 4))::BIGINT) % 1024 AS bucket
+      FROM probes CROSS JOIN js
+    ),
+    est AS (
+      SELECT user_id, min(COALESCE(cnt, 0)) AS est_cnt
+      FROM ph LEFT JOIN sk USING (j, bucket)
+      GROUP BY user_id
+    ),
+    tru AS (
+      SELECT user_id, count(*) AS true_cnt
+      FROM events WHERE user_id % 5 = 0 GROUP BY user_id
+    )
+    SELECT est.user_id, est.est_cnt, tru.true_cnt
+    FROM est JOIN tru USING (user_id)
+    """,
+    tags=("A5", "F7", "X4"),
+)
+def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency rollup (operators/sketches.cms_*): the
+    counting twin of the HLL distinct rollup — per-user event counts
+    answered from a <=4096-row mergeable cell relation instead of a
+    rescan. Every probe (each 5th user) is estimated as the min over its
+    d=4 md5-derived buckets and compared against the exact count; the
+    md5 construction makes both the sketch AND the estimates
+    deterministic enough for the exact-hash oracle, where real sketch
+    libraries get rows-only checks. est_cnt >= true_cnt always (count-min
+    never undercounts); equality whenever no other user collides in all
+    four rows."""
+    from ..operators import sketches
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    sk = sketches.cms_build(ev, "user_id")
+    probed = ev.filter(F.col("user_id") % 5 == 0)
+    probes = probed.distinct()
+    est = sketches.cms_estimate(sk, probes, "user_id").withColumnRenamed(
+        "__item", "user_id"
+    )
+    true_cnt = probed.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(true_cnt, "user_id").select("user_id", "est_cnt", "true_cnt")

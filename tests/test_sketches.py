@@ -73,3 +73,42 @@ def test_hll_daily_users_query(spark, sf_dir):
     total = next(r["est_users"] for r in rows if r["day"] == "total")
     per_day_max = max(r["est_users"] for r in rows if r["day"] != "total")
     assert total >= per_day_max  # union can only grow the register set
+
+
+def test_cms_merge_equals_global_build(spark, sf_dir):
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    ev = load(spark, sf_dir, "events")
+    whole = sketches.cms_build(ev.select("user_id"), "user_id")
+    parts = [
+        sketches.cms_build(
+            ev.filter(F.col("event_type") == t).select("user_id"), "user_id"
+        )
+        for t in ("signup", "purchase", "view", "click", "error")
+    ]
+    merged = sketches.cms_merge(*parts)
+    a = {(r.j, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.j, r.bucket): r.cnt for r in merged.collect()}
+    # partition-wise sketches cell-sum to the global sketch exactly
+    # (up to cells only present in filtered-out event types)
+    total_rows = ev.count()
+    covered = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "view", "click", "error")
+    ).count()
+    if covered == total_rows:
+        assert a == b
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    ev = load(spark, sf_dir, "events").select("user_id")
+    sk = sketches.cms_build(ev, "user_id")
+    probes = ev.distinct()
+    est = sketches.cms_estimate(sk, probes, "user_id")
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(true, est["__item"] == true["user_id"]).collect()
+    assert joined
+    assert all(r.est_cnt >= r.t for r in joined)
