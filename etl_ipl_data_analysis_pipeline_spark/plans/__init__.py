@@ -144,6 +144,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "winsorize_events",  # new round 4: exact-percentile clamping
     "dedup_bow_fingerprint",  # new round 4: word-multiset dedup, planted pairs
     "cms_user_frequency",  # new round 4: count-min sketch under the exact gate
+    "dedup_cluster_keep_best",  # new round 4: CC keep-one under the exact gate
     # -- only driver evidence is round 1; refresh the riskier plan shapes
     # (the four r1-green scalar function families and the five r2 greens
     # rotated out to make room keep their existing driver rows) --
@@ -154,7 +155,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "join_theta_pairs",
     "window_rank",
     "window_running_sum",
-    "topn_per_group",
 )
 
 

@@ -805,3 +805,79 @@ def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                    ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+               END
+             ) AS grams
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, len(grams) AS sz, unnest(grams) AS g FROM sh WHERE len(grams) > 0
+    ), jp AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sa, b.sz AS sb,
+               count(*) AS n_common
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) WHERE round(n_common / (sa + sb - n_common), 4) >= 0.5
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM jp
+    ), reach AS (
+      SELECT src AS node, src AS r FROM e
+      UNION
+      SELECT e.dst AS node, reach.r FROM reach JOIN e ON e.src = reach.node
+    ), root AS (
+      SELECT node, min(r) AS cluster_root FROM reach GROUP BY node
+    ), withroot AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             COALESCE(root.cluster_root, d.doc_id) AS cluster_root
+      FROM documents d LEFT JOIN root ON d.doc_id = root.node
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY cluster_root ORDER BY n_chars DESC, doc_id) AS rn
+      FROM withroot
+    )
+    SELECT doc_id, lang, n_chars, cluster_root FROM ranked WHERE rn = 1
+    """,
+    tags=("X2", "J4", "W1"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup collapse, the full production shape: exact
+    3-gram Jaccard edges (inverted-index join, never all-pairs) ->
+    transitive closure via alternating large-star/small-star contraction
+    -> keep ONE representative per cluster (longest doc, ties to lowest
+    id). Because the edge set here is exact (not LSH-sampled), the whole
+    pipeline has a DuckDB twin — the closure as a recursive CTE — making
+    this the first connected-components path under the exact-hash gate
+    rather than golden-row checks. At corpus scale each stage is the
+    documented operator: capped posting lists bound the join, CC is
+    O(log n) rounds over the edge list, the keep-best window partitions
+    by cluster root."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, min_jaccard=0.5, max_df=10_000)
+    comp = dedup.connected_components(pairs)
+    withroot = d.join(comp, d["doc_id"] == comp["node"], "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_root"),
+    )
+    w = Window.partitionBy("cluster_root").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        withroot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
