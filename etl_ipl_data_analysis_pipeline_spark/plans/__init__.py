@@ -145,6 +145,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_bow_fingerprint",  # new round 4: word-multiset dedup, planted pairs
     "cms_user_frequency",  # new round 4: count-min sketch under the exact gate
     "dedup_cluster_keep_best",  # new round 4: CC keep-one under the exact gate
+    "parquet_merge_schema_scan",  # new round 4: schema-on-read evolution
     # -- only driver evidence is round 1; refresh the riskier plan shapes
     # (the four r1-green scalar function families and the five r2 greens
     # rotated out to make room keep their existing driver rows) --
@@ -153,7 +154,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "join_semi",
     "join_anti",
     "join_theta_pairs",
-    "window_rank",
     "window_running_sum",
 )
 

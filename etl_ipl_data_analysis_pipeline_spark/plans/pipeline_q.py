@@ -694,3 +694,48 @@ def csv_roundtrip_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_sum("c_acctbal", 2).alias("sum_acctbal"),
         F.min("c_name").alias("first_name"),
     )
+
+
+@register(
+    "parquet_merge_schema_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END)
+               AS n_with_priority,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("SRC5", "SE4", "P5"),
+)
+def parquet_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: a table directory whose early files lack a
+    later-added column (the ingest reality when upstream adds fields
+    mid-stream). Orders is split into a 3-column 'v1' batch and a
+    4-column 'v2' batch written to the same directory; mergeSchema=true
+    reconciles them at the FOOTER level — v1 rows surface NULL
+    o_orderpriority with no rewrite of old files, which at 100 TB is the
+    difference between a metadata merge and a full-history backfill.
+    count(o_orderpriority) proves exactly the v2 rows carry the column.
+    The union-by-name twin is union_schema_evolution; this covers the
+    scan-level path."""
+    from ..functions import stable_sum
+
+    path = _scratch_dir(sf_dir, "evolving_orders")
+    o = load(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(path + "/batch=v1")
+    v2.write.mode("overwrite").parquet(path + "/batch=v2")
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+    )
