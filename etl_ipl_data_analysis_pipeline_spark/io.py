@@ -49,6 +49,7 @@ def read_json(
     schema=None,
     multiline: bool = True,
     corrupt_col: str | None = None,
+    modified_after: str | None = None,
 ) -> DataFrame:
     """SRC3 (transformation_job.py:37-38): JSON scan.
 
@@ -60,8 +61,14 @@ def read_json(
     kill a 100 TB ingest; filter `col IS NOT NULL` into a quarantine sink).
     Requires an explicit ``schema`` (Spark drops the corrupt column during
     inference), and the column must be declared StringType in it.
+
+    ``modified_after``: file-source mtime watermark ("YYYY-MM-DDTHH:mm:ss",
+    session timezone) — bounds an incremental scan over an ever-growing
+    landing zone to recently-written files instead of rescanning history.
     """
     reader = spark.read.option("multiLine", "true" if multiline else "false")
+    if modified_after is not None:
+        reader = reader.option("modifiedAfter", modified_after)
     if corrupt_col is not None:
         if schema is None:
             raise ValueError("corrupt_col requires an explicit schema")
@@ -78,11 +85,19 @@ def read_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.read.table(name)
 
 
-def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
-    """Multimodal/raw source: (path, modificationTime, length, content)."""
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    modified_after: str | None = None,
+) -> DataFrame:
+    """Multimodal/raw source: (path, modificationTime, length, content).
+    ``modified_after`` bounds the scan by file mtime (see read_json)."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
+    if modified_after is not None:
+        reader = reader.option("modifiedAfter", modified_after)
     return reader.load(path)
 
 
@@ -168,6 +183,14 @@ def _fs_and_path(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), p, jvm
 
 
+def staging_path(path: str) -> str:
+    """The ONE temp-dir name :func:`swap_directory` accepts and
+    :func:`recover_swapped` probes. Callers write here, then swap; owning
+    the convention in one place is what lets crash recovery find the
+    newest complete copy."""
+    return path + ".__tmp__"
+
+
 def swap_directory(spark: SparkSession, tmp_path: str, path: str) -> None:
     """Crash-safe swap of a freshly-written ``tmp_path`` dir into ``path``.
 
@@ -180,15 +203,29 @@ def swap_directory(spark: SparkSession, tmp_path: str, path: str) -> None:
     repair. Hadoop FS API so the swap works on any scheme, not just
     file:// (object stores without atomic rename need a manifest-commit
     protocol instead; this is the HDFS-class discipline).
+
+    Hadoop ``rename`` reports failure by RETURNING FALSE, not raising —
+    every step checks the return so a failed rename can never fall
+    through to the cleanup delete and destroy the sole surviving copy.
     """
+    if tmp_path != staging_path(path):
+        raise ValueError(
+            f"tmp_path must be staging_path(path) = {staging_path(path)!r} "
+            f"(got {tmp_path!r}) — recover_swapped probes exactly that name"
+        )
     fs, dst, jvm = _fs_and_path(spark, path)
     src = jvm.org.apache.hadoop.fs.Path(tmp_path)
     old = jvm.org.apache.hadoop.fs.Path(path + ".__old__")
     if fs.exists(old):  # leftover from a crash after a previous swap's rename
         fs.delete(old, True)
     if fs.exists(dst):
-        fs.rename(dst, old)
-    fs.rename(src, dst)
+        if not fs.rename(dst, old):
+            raise IOError(f"rename {path} -> {path}.__old__ failed; aborting swap")
+    if not fs.rename(src, dst):
+        # put the live copy back so the table is never left missing
+        if fs.exists(old):
+            fs.rename(old, dst)
+        raise IOError(f"rename {tmp_path} -> {path} failed; previous state restored")
     if fs.exists(old):
         fs.delete(old, True)
 
@@ -203,7 +240,7 @@ def recover_swapped(spark: SparkSession, path: str) -> bool:
     fs, dst, jvm = _fs_and_path(spark, path)
     if fs.exists(dst):
         return True
-    candidates = (f"{path}.__tmp__", f"{path}.__old__")
+    candidates = (staging_path(path), f"{path}.__old__")
     promoted = False
     for cand in candidates:
         cp = jvm.org.apache.hadoop.fs.Path(cand)
@@ -215,8 +252,7 @@ def recover_swapped(spark: SparkSession, path: str) -> bool:
         if not promoted and fs.exists(
             jvm.org.apache.hadoop.fs.Path(cand + "/_SUCCESS")
         ):
-            fs.rename(cp, dst)
-            promoted = True
+            promoted = bool(fs.rename(cp, dst))
         else:
             # stale or partial leftover — remove so it can't be promoted
             # by a later recovery when it is no longer the newest state

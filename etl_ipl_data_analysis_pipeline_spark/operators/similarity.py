@@ -334,12 +334,12 @@ def kmeans_centroids(
         .collect()
     )
     if not init:
-        # Empty corpus: return a 0×dim model with the TRUE dim when the
-        # schema carries it (fixed-size list) or the caller passed one, so
+        # Empty corpus: return a 0×dim model when the caller passed ``dim``
+        # (Spark array schemas carry no fixed width to probe), so
         # `vecs @ cents.T` still shape-checks for any later assignment
-        # batch (a 0×0 model would raise on non-empty input). With no dim
-        # available anywhere the model is 0×0 and MUST NOT be used for
-        # assignment — only for "index is empty" branches.
+        # batch (a 0×0 model would raise on non-empty input). Without
+        # ``dim`` the model is 0×0 and MUST NOT be used for assignment —
+        # only for "index is empty" branches.
         return np.zeros((0, dim if dim else 0))
     k = min(k, len(init))  # corpus smaller than k: one centroid per vector
     cents = _normalize_rows(np.array([r["__vec"] for r in init]))

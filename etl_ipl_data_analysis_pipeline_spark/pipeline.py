@@ -16,7 +16,15 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from .io import expand_zip, fetch_url, recover_swapped, swap_directory, write_parquet
+from .io import (
+    expand_zip,
+    fetch_url,
+    read_binary_files,
+    recover_swapped,
+    staging_path,
+    swap_directory,
+    write_parquet,
+)
 from .io import read_json as _read_json
 from .operators.flatten import flatten
 from .operators.ledger import (
@@ -56,6 +64,28 @@ def _json_from_strings(spark: SparkSession, docs: DataFrame) -> DataFrame:
         return spark.read.json(docs.rdd.map(lambda r: r[0]))
 
 
+def _mtime_watermark(spark: SparkSession, margin_s: int = 5) -> str | None:
+    """Now-minus-margin in the SESSION timezone, formatted for the file
+    sources' ``modifiedAfter`` option (which is parsed in session TZ).
+    The margin absorbs second-granularity mtimes; files the current
+    process is about to write always pass a watermark taken first.
+    Returns None — scan unbounded, never wrong — when the session TZ
+    string can't be resolved: a mis-zoned watermark that lands in the
+    future would silently exclude this run's own files."""
+    import datetime as _dt
+    import zoneinfo
+
+    tz_name = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz_name:
+        try:
+            now = _dt.datetime.now(zoneinfo.ZoneInfo(tz_name))
+        except Exception:  # fixed-offset strings like GMT+08:00
+            return None
+    else:
+        now = _dt.datetime.now()  # JVM defaults to the system zone too
+    return (now - _dt.timedelta(seconds=margin_s)).strftime("%Y-%m-%dT%H:%M:%S")
+
+
 def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
     # recover_swapped repairs a swap torn by a crash before declaring the
     # ledger absent — an absent-looking ledger would re-ingest everything.
@@ -73,7 +103,7 @@ def _save_small_table(df: DataFrame, path: str) -> None:
     collect()-to-driver round-trip would cap the ledger at driver memory
     (one row per ingested file is 10⁷ rows at real fleet scale)."""
     spark = df.sparkSession
-    tmp = f"{path}.__tmp__"
+    tmp = staging_path(path)
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     swap_directory(spark, tmp, path)
 
@@ -111,6 +141,13 @@ def run_ingest(
         )
 
     # 1. acquire + expand (SRC1/SRC2). fetch_url streams to the landing zone.
+    # The pre-extraction clock (minus a grace margin for second-granularity
+    # mtimes) becomes a modifiedAfter watermark: every file THIS run
+    # extracts has mtime >= now, every file from earlier runs is older, so
+    # the per-run scan is bounded by this run's extraction instead of the
+    # whole accumulated landing zone. Correctness never depends on it —
+    # the ledger semi-join below filters whatever the scan returns.
+    watermark = _mtime_watermark(spark)
     if source.startswith(("http://", "https://")):
         archive = os.path.join(landing_dir, os.path.basename(source) or "archive.zip")
         os.makedirs(landing_dir, exist_ok=True)
@@ -135,16 +172,24 @@ def run_ingest(
     # row per new file — broadcasts like the ledger itself). A
     # collect()-to-driver path list would cap a backfill at driver memory
     # (10^6+ new files) and serialize the whole list into every task. The
-    # glob does re-scan already-ingested landing files; bound that with
-    # landing-zone rotation or a modifiedAfter watermark on the reader —
-    # the ledger semi-join keeps correctness either way.
+    # modifiedAfter watermark (step 1) bounds the glob to this run's
+    # extractions; the ledger semi-join keeps correctness either way.
     glob_path = os.path.join(landing_dir, "*.json")
     fresh_keys = fresh.select("file_key")
 
-    def _only_fresh(df: DataFrame, src_col: str) -> DataFrame:
-        keyed = df.withColumn(
-            "__fk", strip_extension(F.expr(f"reverse(split({src_col}, '/'))[0]"))
-        )
+    def _only_fresh(df: DataFrame, src_col: str, decode: bool) -> DataFrame:
+        # The two file sources disagree on encoding: input_file_name()
+        # yields percent-ENCODED URIs ('%'->%25, ' '->%20), binaryFile's
+        # `path` column is the raw path. The listing keys above come from
+        # raw Python paths, so encoded sources must be decoded before
+        # keying — or any filename with a space/% silently matches
+        # nothing (zero rows ingested, yet marked done in step 6). '+' is
+        # pre-escaped because url_decode is form-decoding ('+' -> ' ')
+        # but the URI encoder leaves literal '+' alone.
+        basename = F.expr(f"reverse(split({src_col}, '/'))[0]")
+        if decode:
+            basename = F.url_decode(F.regexp_replace(basename, r"\+", "%2B"))
+        keyed = df.withColumn("__fk", strip_extension(basename))
         return keyed.join(
             F.broadcast(fresh_keys.withColumnRenamed("file_key", "__fk")),
             "__fk",
@@ -166,9 +211,15 @@ def run_ingest(
         # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN). The batch
         # is only this run's new files, so the cache is small by design.
         raw = _only_fresh(
-            _read_json(spark, glob_path, schema=schema_q, corrupt_col="_corrupt")
-            .withColumn("_src", F.input_file_name()),
+            _read_json(
+                spark,
+                glob_path,
+                schema=schema_q,
+                corrupt_col="_corrupt",
+                modified_after=watermark,
+            ).withColumn("_src", F.input_file_name()),
             "_src",
+            decode=True,
         ).cache()
         bad = raw.filter(F.col("_corrupt").isNotNull()).select(
             F.col("_src").alias("path"), F.col("_corrupt").alias("raw")
@@ -180,10 +231,11 @@ def run_ingest(
         raw = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt", "_src")
     elif json_schema is not None:
         raw = _only_fresh(
-            _read_json(spark, glob_path, schema=json_schema).withColumn(
-                "_src", F.input_file_name()
-            ),
+            _read_json(
+                spark, glob_path, schema=json_schema, modified_after=watermark
+            ).withColumn("_src", F.input_file_name()),
             "_src",
+            decode=True,
         ).drop("_src")
     else:
         # Inference mode: schema must come from THIS batch only (the drift
@@ -193,11 +245,14 @@ def run_ingest(
         # reader infer over the surviving document STRINGS — discovery and
         # filtering stay on executors with no driver path list.
         docs = _only_fresh(
-            spark.read.format("binaryFile").load(glob_path).select(
+            read_binary_files(
+                spark, landing_dir, glob="*.json", modified_after=watermark
+            ).select(
                 F.col("path").alias("_src"),
                 F.col("content").cast("string").alias("_doc"),
             ),
             "_src",
+            decode=False,  # binaryFile paths are raw, not URI-encoded
         ).select("_doc")
         raw = _json_from_strings(spark, docs)
     flat = flatten(raw)

@@ -2068,8 +2068,6 @@ def q22_idle_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(
-                F.sum(F.col("c_acctbal").cast("decimal(38,10)")).cast("double"), 2
-            ).alias("totacctbal"),
+            stable_sum("c_acctbal", 2).alias("totacctbal"),
         )
     )

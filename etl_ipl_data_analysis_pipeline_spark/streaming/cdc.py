@@ -22,7 +22,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..io import recover_swapped, swap_directory
+from ..io import recover_swapped, staging_path, swap_directory
 
 
 def latest_per_key(
@@ -43,7 +43,7 @@ def latest_per_key(
 
 def _swap_write(df: DataFrame, path: str) -> None:
     spark = df.sparkSession
-    tmp = f"{path}.__tmp__"
+    tmp = staging_path(path)
     df.write.mode("overwrite").parquet(tmp)
     swap_directory(spark, tmp, path)
 

@@ -115,3 +115,31 @@ def test_quarantine_diverts_corrupt_files(spark, tmp_path, pipe_args):
         spark, path, **pipe_args, json_schema="id long, v string", quarantine_dir=qdir
     )
     assert r2.skipped
+
+
+def test_special_char_filenames_survive_discovery(spark, tmp_path, pipe_args):
+    # input_file_name() yields percent-encoded URIs; the fresh-key join
+    # decodes them, or files named with spaces/%/+ would contribute zero
+    # rows while being marked ingested (silent loss)
+    z = make_zip(tmp_path, "b1.zip", {
+        "team rosters.json": [{"id": 1, "v": "space"}],
+        "pct%20literal.json": [{"id": 2, "v": "percent"}],
+        "a+b.json": [{"id": 3, "v": "plus"}],
+    })
+    r = run_ingest(spark, z, **pipe_args)
+    assert (r.processed_files, r.rows_written) == (3, 3)
+    vals = {
+        row.v for row in spark.read.parquet(pipe_args["out_dir"]).collect()
+    }
+    assert vals == {"space", "percent", "plus"}
+
+
+def test_second_run_rescans_only_new_extractions(spark, tmp_path, pipe_args):
+    # the modifiedAfter watermark bounds each run's scan to files the run
+    # itself extracted; correctness across runs comes from the ledger join
+    z1 = make_zip(tmp_path, "b1.zip", {"old1.json": [{"id": 1}]})
+    z2 = make_zip(tmp_path, "b2.zip", {"new1.json": [{"id": 2}], "new2.json": [{"id": 3}]})
+    run_ingest(spark, z1, **pipe_args)
+    r = run_ingest(spark, z2, **pipe_args)
+    assert r.processed_files == 2
+    assert spark.read.parquet(pipe_args["out_dir"]).count() == 3

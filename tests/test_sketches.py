@@ -81,23 +81,20 @@ def test_cms_merge_equals_global_build(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     whole = sketches.cms_build(ev.select("user_id"), "user_id")
+    # partition by the ACTUAL event_type domain so the property can't be
+    # silently skipped if a regenerated fixture grows the domain
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
     parts = [
         sketches.cms_build(
             ev.filter(F.col("event_type") == t).select("user_id"), "user_id"
         )
-        for t in ("signup", "purchase", "view", "click", "error")
+        for t in types
     ]
     merged = sketches.cms_merge(*parts)
     a = {(r.j, r.bucket): r.cnt for r in whole.collect()}
     b = {(r.j, r.bucket): r.cnt for r in merged.collect()}
     # partition-wise sketches cell-sum to the global sketch exactly
-    # (up to cells only present in filtered-out event types)
-    total_rows = ev.count()
-    covered = ev.filter(
-        F.col("event_type").isin("signup", "purchase", "view", "click", "error")
-    ).count()
-    if covered == total_rows:
-        assert a == b
+    assert a == b
 
 
 def test_cms_never_undercounts(spark, sf_dir):
