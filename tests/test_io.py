@@ -247,3 +247,16 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     got = sorted((r["ID"] if "ID" in back.columns else r["id"],
                   r[1], r[2]) for r in back.collect())
     assert got == [(1, "alpha", 1.5), (2, "beta", -2.25), (3, None, 0.0)]
+
+
+def test_swap_directory_rejects_foreign_tmp_name(spark, tmp_path):
+    # recover_swapped probes exactly staging_path(path); accepting any other
+    # temp name would silently break crash recovery for that caller
+    import pytest as _pytest
+
+    from etl_ipl_data_analysis_pipeline_spark.io import staging_path, swap_directory
+
+    path = str(tmp_path / "tbl")
+    with _pytest.raises(ValueError, match="staging_path"):
+        swap_directory(spark, path + ".staging", path)
+    assert staging_path(path) == path + ".__tmp__"

@@ -180,3 +180,11 @@ def test_bow_dedup_drops_planted_mirrors_only(spark, sf_dir, qs):
     assert kept_ids == originals
     # ...and every planted word-reversed mirror (doc_id + 100000) is gone
     assert not {i for i in kept_ids if i >= 100000}
+
+
+def test_winsorize_single_shuffle(spark, sf_dir, qs):
+    # both percentile windows and the final agg key on event_type: one
+    # Exchange total — the window's hash partitioning is reused by the agg
+    plan = _executed(qs["winsorize_events"](spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan[:2000]
