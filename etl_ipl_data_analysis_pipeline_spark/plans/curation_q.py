@@ -544,3 +544,28 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     scored = text_quality(d).select("doc_id", "quality_score")
     return curation.weighted_sample(scored, "doc_id", "quality_score")
+
+
+@register(
+    "split_group_disjoint_source",
+    oracle=f"""
+    SELECT doc_id, source,
+           CASE WHEN substr(md5(source), 1, 8) < '{_T_TRAIN}' THEN 'train'
+                WHEN substr(md5(source), 1, 8) < '{_T_VAL}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("X6", "F7"),
+)
+def split_group_disjoint_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splitting: hash the GROUP key (source) instead of the
+    row key, so every document from one crawl source lands in the same
+    split — near-duplicates and templated pages cluster within sources,
+    and a row-keyed split would leak them across the train/test boundary.
+    Same md5 determinism and no-shuffle narrow projection as
+    split_train_valtest; only the key changes. The split ratios now apply
+    to GROUPS, not rows — expected row fractions match only when sources
+    are balanced (they are here; at fleet scale weight-aware group
+    assignment replaces the plain hash)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation.hash_split(d, "source", _SPLITS)
