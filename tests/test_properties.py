@@ -190,3 +190,32 @@ def test_bow_fingerprint_invariant_under_word_permutation(spark, texts):
         for j, tj in rows:
             same_bag = Counter(_py_tokens(ti)) == Counter(_py_tokens(tj))
             assert (got[i] == got[j]) == same_bag, (ti, tj)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60))
+def test_cms_estimate_matches_python_mirror(spark, items):
+    # the sketch is deterministic md5 arithmetic: a pure-Python mirror of
+    # cms_build + cms_estimate must agree cell-for-cell and estimate-for-
+    # estimate (this is the property that gives the query its exact oracle)
+    import hashlib
+    from collections import Counter
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+
+    d, w = sketches.CMS_D, sketches.CMS_W
+
+    def bucket(item, j):
+        return int(hashlib.md5(f"{item}:{j}".encode()).hexdigest()[:4], 16) % w
+
+    cells = Counter((j, bucket(v, j)) for v in items for j in range(d))
+    df = spark.createDataFrame([(v,) for v in items], "user_id long")
+    sk = sketches.cms_build(df, "user_id")
+    got = {(r.j, r.bucket): r.cnt for r in sk.collect()}
+    assert got == dict(cells)
+
+    probes = df.distinct()
+    est = sketches.cms_estimate(sk, probes, "user_id").collect()
+    for r in est:
+        expect = min(cells[(j, bucket(r["__item"], j))] for j in range(d))
+        assert r.est_cnt == expect
