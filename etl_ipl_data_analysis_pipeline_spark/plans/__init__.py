@@ -147,6 +147,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_cluster_keep_best",  # new round 4: CC keep-one under the exact gate
     "parquet_merge_schema_scan",  # new round 4: schema-on-read evolution
     "split_group_disjoint_source",  # new round 4: leakage-safe group split
+    "rolling_active_users_7d",  # new round 4: rolling distinct via spine fanout
     # -- only driver evidence is round 1; refresh the riskier plan shapes
     # (the four r1-green scalar function families and the five r2 greens
     # rotated out to make room keep their existing driver rows) --
@@ -154,7 +155,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_theta_pairs",
 )
 
 

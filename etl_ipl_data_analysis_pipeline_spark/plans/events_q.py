@@ -528,3 +528,39 @@ def cms_user_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     true_cnt = probed.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
     return est.join(true_cnt, "user_id").select("user_id", "est_cnt", "true_cnt")
+
+
+@register(
+    "rolling_active_users_7d",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), spine AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           count(DISTINCT u.user_id) AS active_7d
+    FROM spine s JOIN ud u
+      ON u.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    GROUP BY s.day
+    """,
+    tags=("A5", "J8", "F2"),
+)
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling DISTINCT
+    that Spark window frames cannot express (COUNT(DISTINCT) over a RANGE
+    frame is unsupported), so the production pattern is spine-and-fanout:
+    dedup to user-days FIRST (the shuffle carries one row per user-day,
+    not raw events), broadcast the tiny day spine, range-join so each
+    user-day lands in at most 7 trailing windows, then one distinct-count
+    aggregate. At 100 TB the fanout bound (7x the deduped user-days) is
+    what keeps this linear; a self-join on raw events would square it."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = ud.select(F.col("day").alias("s_day")).distinct()
+    joined = ud.join(
+        F.broadcast(spine),
+        (F.col("day") >= F.date_sub(F.col("s_day"), 6))
+        & (F.col("day") <= F.col("s_day")),
+    )
+    return joined.groupBy(
+        F.date_format("s_day", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("active_7d"))
