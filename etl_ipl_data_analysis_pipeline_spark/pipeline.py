@@ -64,26 +64,40 @@ def _json_from_strings(spark: SparkSession, docs: DataFrame) -> DataFrame:
         return spark.read.json(docs.rdd.map(lambda r: r[0]))
 
 
-def _mtime_watermark(spark: SparkSession, margin_s: int = 5) -> str | None:
-    """Now-minus-margin in the SESSION timezone, formatted for the file
-    sources' ``modifiedAfter`` option (which is parsed in session TZ).
-    The margin absorbs second-granularity mtimes; files the current
-    process is about to write always pass a watermark taken first.
-    Returns None — scan unbounded, never wrong — when the session TZ
-    string can't be resolved: a mis-zoned watermark that lands in the
-    future would silently exclude this run's own files."""
+def _mtime_watermark(
+    spark: SparkSession, members: list[str] | None = None, margin_s: int = 5
+) -> str | None:
+    """A ``modifiedAfter`` watermark in the SESSION timezone (the option is
+    parsed in session TZ). Derived from the OLDEST mtime of the files this
+    run just wrote — the filesystem's own clock, i.e. the same clock
+    ``modifiedAfter`` compares against — so driver-vs-filesystem clock
+    drift (NFS landing dir, VM clock skew) cannot place the watermark
+    after this run's own extractions. A now()-based watermark would: mtime
+    lagging the driver clock by more than the margin silently excludes
+    the batch, and step 6 still marks it ingested. The margin absorbs
+    second-granularity mtimes. Returns None — scan unbounded, never
+    wrong — when no members are given, a stat fails, or the session TZ
+    string can't be resolved (fixed-offset strings like GMT+08:00)."""
     import datetime as _dt
     import zoneinfo
 
     tz_name = spark.conf.get("spark.sql.session.timeZone", None)
+    tz = None
     if tz_name:
         try:
-            now = _dt.datetime.now(zoneinfo.ZoneInfo(tz_name))
+            tz = zoneinfo.ZoneInfo(tz_name)
         except Exception:  # fixed-offset strings like GMT+08:00
             return None
-    else:
-        now = _dt.datetime.now()  # JVM defaults to the system zone too
-    return (now - _dt.timedelta(seconds=margin_s)).strftime("%Y-%m-%dT%H:%M:%S")
+    if not members:
+        return None
+    try:
+        epoch = min(os.path.getmtime(m) for m in members)
+    except OSError:
+        return None
+    base = (
+        _dt.datetime.fromtimestamp(epoch, tz) if tz else _dt.datetime.fromtimestamp(epoch)
+    )
+    return (base - _dt.timedelta(seconds=margin_s)).strftime("%Y-%m-%dT%H:%M:%S")
 
 
 def _load_ledger(spark: SparkSession, ledger_path: str) -> DataFrame:
@@ -141,13 +155,16 @@ def run_ingest(
         )
 
     # 1. acquire + expand (SRC1/SRC2). fetch_url streams to the landing zone.
-    # The pre-extraction clock (minus a grace margin for second-granularity
-    # mtimes) becomes a modifiedAfter watermark: every file THIS run
-    # extracts has mtime >= now, every file from earlier runs is older, so
-    # the per-run scan is bounded by this run's extraction instead of the
-    # whole accumulated landing zone. Correctness never depends on it —
-    # the ledger semi-join below filters whatever the scan returns.
-    watermark = _mtime_watermark(spark)
+    # The oldest mtime among THIS run's extracted members (minus a grace
+    # margin for second-granularity mtimes) becomes a modifiedAfter
+    # watermark: every file this run extracts passes it by construction —
+    # it is the filesystem's own clock, not the driver's — and every file
+    # from earlier runs is older, so the per-run scan is bounded by this
+    # run's extraction instead of the whole accumulated landing zone.
+    # Correctness never depends on it in either direction: the ledger
+    # semi-join below filters extra rows the scan returns, and the
+    # listing-level guard before step 3 falls back to an unbounded scan
+    # if the bounded listing would miss any fresh file.
     if source.startswith(("http://", "https://")):
         archive = os.path.join(landing_dir, os.path.basename(source) or "archive.zip")
         os.makedirs(landing_dir, exist_ok=True)
@@ -155,6 +172,7 @@ def run_ingest(
     else:
         archive = source
     members = expand_zip(archive, landing_dir, suffix=".json")
+    watermark = _mtime_watermark(spark, members)
 
     # 2. incremental discovery (L1): listing vs ledger by normalized key.
     listing = spark.createDataFrame(
@@ -176,6 +194,23 @@ def run_ingest(
     # extractions; the ledger semi-join keeps correctness either way.
     glob_path = os.path.join(landing_dir, "*.json")
     fresh_keys = fresh.select("file_key")
+
+    # Guard against a short scan BEFORE reading: step 6 marks every fresh
+    # key ingested, so a watermark that excludes a fresh file would be
+    # silent data loss, not slowness. The check is listing-level — the
+    # binaryFile source with only `path` projected shares the JSON
+    # source's modifiedAfter file-index filter without reading content —
+    # and any fresh key missing from the bounded listing (NFS attribute
+    # caching, mtime truncation coarser than the margin) drops the
+    # watermark entirely for this run.
+    if watermark is not None:
+        bounded_keys = read_binary_files(
+            spark, landing_dir, glob="*.json", modified_after=watermark
+        ).select(
+            strip_extension(F.expr("reverse(split(path, '/'))[0]")).alias("file_key")
+        )
+        if not fresh_keys.join(bounded_keys, "file_key", "left_anti").isEmpty():
+            watermark = None
 
     def _only_fresh(df: DataFrame, src_col: str, decode: bool) -> DataFrame:
         # The two file sources disagree on encoding: input_file_name()

@@ -145,16 +145,6 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(d, min_jaccard=0.5, max_df=10_000).orderBy("id_a", "id_b")
 
 
-@register("dedup_embedding_pairs", oracle=None, tags=("X2", "J10"))
-def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking. On the
-    synthetic fixtures this is honestly EMPTY (max natural pairwise cosine
-    is ~0.6 — random 64-dim vectors have no 0.9-neighbors); recall is
-    evidenced by dedup_embedding_pairs_planted and the planted-pair tests."""
-    e = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(e, min_sim=0.9).orderBy("id_a", "id_b")
-
-
 @register(
     "dedup_embedding_pairs_planted",
     oracle="""
@@ -171,7 +161,11 @@ def dedup_embedding_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     LSH finds them with recall 1 regardless of seeds, and the fixture's
     natural pairs (max cosine ~0.6) can't cross the threshold. That makes
     the approximate operator's output deterministic here, so it gets a
-    full value-hash oracle rather than a rows-only check."""
+    full value-hash oracle rather than a rows-only check. This is the
+    SOLE registry entry for embedding near-dup: an unplanted variant at
+    0.9 is honestly empty on the synthetic fixture (a rows-only check
+    that passes with 0 rows proves nothing), so it was retired in round 5
+    rather than kept as a vacuous registry row."""
     e = load(spark, sf_dir, "embeddings")
     planted = e.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(100000)

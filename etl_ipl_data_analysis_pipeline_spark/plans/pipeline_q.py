@@ -617,15 +617,20 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch_dir(sf_dir: str, tag: str) -> str:
-    """Deterministic per-SF scratch path for write-then-read-back queries.
-    hashlib (not hash()) so repeated driver processes reuse — and overwrite
-    — the same directory instead of leaking one per run."""
+    """Per-process scratch path for write-then-read-back queries. Keyed by
+    sf_dir (hashlib, not hash(), so it is stable within a process) AND by
+    pid: two concurrent drivers on one machine (a bench run alongside a
+    correctness run, pytest-xdist workers) must not overwrite each other's
+    scratch mid-read. Within one process repeated calls still reuse — and
+    overwrite — the same directory instead of leaking one per run."""
     import hashlib
     import os
     import tempfile
 
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}_{h}")
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{tag}_{h}_p{os.getpid()}"
+    )
 
 
 @register(

@@ -117,16 +117,25 @@ def test_quarantine_diverts_corrupt_files(spark, tmp_path, pipe_args):
     assert r2.skipped
 
 
-def test_special_char_filenames_survive_discovery(spark, tmp_path, pipe_args):
+@pytest.mark.parametrize("mode", ["infer", "pinned", "quarantine"])
+def test_special_char_filenames_survive_discovery(spark, tmp_path, pipe_args, mode):
     # input_file_name() yields percent-encoded URIs; the fresh-key join
     # decodes them, or files named with spaces/%/+ would contribute zero
-    # rows while being marked ingested (silent loss)
+    # rows while being marked ingested (silent loss). Three modes because
+    # they key differently: inference reads binaryFile (raw paths, no
+    # decoding), while the pinned-schema and quarantine modes read
+    # input_file_name() and exercise the url_decode branch.
     z = make_zip(tmp_path, "b1.zip", {
         "team rosters.json": [{"id": 1, "v": "space"}],
         "pct%20literal.json": [{"id": 2, "v": "percent"}],
         "a+b.json": [{"id": 3, "v": "plus"}],
     })
-    r = run_ingest(spark, z, **pipe_args)
+    extra = {}
+    if mode in ("pinned", "quarantine"):
+        extra["json_schema"] = "id long, v string"
+    if mode == "quarantine":
+        extra["quarantine_dir"] = str(tmp_path / "quarantine")
+    r = run_ingest(spark, z, **pipe_args, **extra)
     assert (r.processed_files, r.rows_written) == (3, 3)
     vals = {
         row.v for row in spark.read.parquet(pipe_args["out_dir"]).collect()
@@ -143,3 +152,44 @@ def test_second_run_rescans_only_new_extractions(spark, tmp_path, pipe_args):
     r = run_ingest(spark, z2, **pipe_args)
     assert r.processed_files == 2
     assert spark.read.parquet(pipe_args["out_dir"]).count() == 3
+
+
+def test_lagging_filesystem_clock_does_not_lose_batch(spark, tmp_path, pipe_args, monkeypatch):
+    # the silent-loss shape: filesystem mtimes lag the driver clock (NFS
+    # landing dir, VM clock drift) by more than the watermark margin. A
+    # now()-based watermark would exclude this run's own extractions while
+    # step 6 marks them ingested. The watermark is derived from the
+    # members' own mtimes, so a uniform lag cannot exclude them.
+    import etl_ipl_data_analysis_pipeline_spark.pipeline as pl
+
+    real_expand = pl.expand_zip
+
+    def lagging_expand(*a, **kw):
+        members = real_expand(*a, **kw)
+        past = os.path.getmtime(members[0]) - 120  # fs clock 2 min behind
+        for m in members:
+            os.utime(m, (past, past))
+        return members
+
+    monkeypatch.setattr(pl, "expand_zip", lagging_expand)
+    z = make_zip(tmp_path, "b1.zip", {"f1.json": [{"id": 1}], "f2.json": [{"id": 2}]})
+    r = run_ingest(spark, z, **pipe_args)
+    assert (r.processed_files, r.rows_written, r.skipped) == (2, 2, False)
+    assert spark.read.parquet(pipe_args["out_dir"]).count() == 2
+
+
+def test_short_bounded_listing_falls_back_to_unbounded(spark, tmp_path, pipe_args, monkeypatch):
+    # belt-and-braces for exclusion causes mtime derivation can't fix
+    # (listing caches, mtime truncation coarser than the margin): force a
+    # watermark in the FUTURE — the bounded listing then misses every
+    # fresh key — and require the guard to drop it and rescan unbounded
+    # rather than write nothing while marking the batch done.
+    import etl_ipl_data_analysis_pipeline_spark.pipeline as pl
+
+    monkeypatch.setattr(
+        pl, "_mtime_watermark", lambda *a, **kw: "2999-01-01T00:00:00"
+    )
+    z = make_zip(tmp_path, "b1.zip", {"f1.json": [{"id": 1, "v": "x"}]})
+    r = run_ingest(spark, z, **pipe_args, json_schema="id long, v string")
+    assert (r.processed_files, r.rows_written, r.skipped) == (1, 1, False)
+    assert spark.read.parquet(pipe_args["out_dir"]).count() == 1

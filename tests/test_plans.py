@@ -182,6 +182,20 @@ def test_bow_dedup_drops_planted_mirrors_only(spark, sf_dir, qs):
     assert not {i for i in kept_ids if i >= 100000}
 
 
+def test_planted_id_offset_clears_fixture_domain(spark, sf_dir):
+    # dedup_bow_fingerprint and dedup_embedding_pairs_planted both plant
+    # duplicates at id + 100000; if a regenerated fixture ever carries ids
+    # >= 100000 the planted rows collide with real ones and the "originals
+    # survive, mirrors dropped" property silently degrades (both engines
+    # would still agree, so the hash gate can't catch it — only this can)
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    max_doc = load(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    max_vec = load(spark, sf_dir, "embeddings").agg(F.max("vec_id")).first()[0]
+    assert max_doc < 100000, "planted doc offset collides with fixture ids"
+    assert max_vec < 100000, "planted vec offset collides with fixture ids"
+
+
 def test_winsorize_single_shuffle(spark, sf_dir, qs):
     # both percentile windows and the final agg key on event_type: one
     # Exchange total — the window's hash partitioning is reused by the agg
