@@ -82,6 +82,82 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def weighted_group_split(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    splits: Sequence[tuple[str, float]],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Weight-aware group-disjoint splitting: every row of a group lands in
+    the same split (the leakage-safety property of hash_split on a group
+    key), AND the split WEIGHT fractions track the targets even when group
+    sizes are wildly unbalanced — the case plain group-hashing gets wrong
+    (hashing assigns 80% of GROUPS to train; one giant group is 60% of the
+    tokens wherever it lands).
+
+    Mechanism: per-group weights, groups ordered by md5(group||salt) (group
+    as tiebreak — a deterministic shuffle), exclusive running weight over
+    that order, and each group assigned to the split whose cumulative
+    target interval contains its running-weight START. This "cut the
+    weighted line at the target quantiles" assignment is the parallel
+    formulation of greedy packing: each split's weight share misses its
+    target by at most the one group straddling its boundary, the same
+    bound a sequential largest-first greedy pack gives, without the
+    sequential state that can't be expressed as a plan. Trade-off vs
+    hash_split, documented not hidden: re-running on a GROWN corpus can
+    move a group between splits (the cumulative line shifts), so pin the
+    assignment table per corpus snapshot when hold-out stability matters.
+
+    Scale: one shuffle to build the group-weight relation (map-side
+    partial agg), a window over that relation — #groups rows (crawl
+    sources, domains: orders of magnitude smaller than the corpus) on one
+    reducer, same bounded shape as pack_token_shards' offsets table; for
+    10^6+ groups swap in that function's range-bucketed cumsum — then a
+    broadcast join back to rows. Float discipline: the cut points are
+    Python-float cumulative fractions embedded identically in the SQL
+    oracle twin (repr round-trip), so 0.8 + 0.1 != 0.9 can't flip a
+    boundary between engines."""
+    if len(splits) < 1:
+        raise ValueError("need at least one split")
+    gw = df.groupBy(group_col).agg(F.sum(weight_col).alias("__w"))
+    w_cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(_hash_bucket(group_col, salt), F.col(group_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(F.lit(0))
+    asg = gw.select(
+        group_col,
+        F.coalesce(F.sum("__w").over(w_cum), F.lit(0)).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+    )
+    expr = F.lit(splits[-1][0])  # last split takes the remainder
+    cuts = []
+    cum = 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cuts.append((name, cum))
+    for name, c in reversed(cuts):
+        expr = F.when(
+            F.col("__cum") < F.lit(c) * F.col("__tot"), F.lit(name)
+        ).otherwise(expr)
+    assignment = asg.select(group_col, expr.alias(out_col))
+    return df.join(F.broadcast(assignment), group_col)
+
+
+def split_cuts(splits: Sequence[tuple[str, float]]) -> list[tuple[str, float]]:
+    """The cumulative cut points weighted_group_split compares against,
+    exposed so SQL oracle twins embed the IDENTICAL Python floats
+    (0.8 + 0.1 is 0.9000000000000001, not 0.9)."""
+    cuts, cum = [], 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        cuts.append((name, cum))
+    return cuts
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,

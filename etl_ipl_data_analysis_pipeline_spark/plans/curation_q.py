@@ -569,3 +569,61 @@ def split_group_disjoint_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment replaces the plain hash)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source")
     return curation.hash_split(d, "source", _SPLITS)
+
+
+# weighted_group_split's cut points as the EXACT Python floats the Spark
+# side compares against (0.8 + 0.1 is 0.9000000000000001 — writing '0.9'
+# in the SQL would give DuckDB a different boundary); CAST AS DOUBLE stops
+# DuckDB parsing the literal as DECIMAL and doing exact-decimal arithmetic
+# where Spark does IEEE-double.
+_W_CUTS = curation.split_cuts(_SPLITS)
+_W_CASE = " ".join(
+    f"WHEN cb < CAST({c!r} AS DOUBLE) * tot THEN '{name}'"
+    for name, c in _W_CUTS
+)
+
+
+@register(
+    "split_group_weighted",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), gw AS (
+      SELECT source, sum(n_tokens) AS w FROM toks GROUP BY source
+    ), cum AS (
+      SELECT source,
+             coalesce(sum(w) OVER (
+                 ORDER BY substr(md5(source), 1, 8), source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+             sum(w) OVER () AS tot
+      FROM gw
+    ), asg AS (
+      SELECT source, CASE {_W_CASE} ELSE '{_SPLITS[-1][0]}' END AS split
+      FROM cum
+    )
+    SELECT t.doc_id, t.source, a.split
+    FROM toks t JOIN asg a ON t.source = a.source
+    """,
+    tags=("X6", "F7", "A4"),
+)
+def split_group_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware leakage-safe splitting (the follow-up
+    split_group_disjoint_source's docstring promises): groups (crawl
+    sources) ordered by md5, exclusive running TOKEN weight, each group
+    assigned to the split whose cumulative target interval contains its
+    start — so the 80/10/10 targets hold in token weight even when one
+    source dwarfs the others, while every document of a source still
+    lands in one split. Exact oracle twin: md5 ordering, the window
+    cumsum, and the repr'd float cut points are engine-identical."""
+    from ..functions import token_count
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    weighted = d.select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return curation.weighted_group_split(
+        weighted, "source", "n_tokens", _SPLITS
+    ).select("doc_id", "source", "split")

@@ -230,3 +230,84 @@ def test_weighted_sample_rates(spark):
     a = {r["id"] for r in curation.weighted_sample(df, "id", "w").collect()}
     b = {r["id"] for r in curation.weighted_sample(df, "id", "w").collect()}
     assert a == b
+
+
+class TestWeightedGroupSplit:
+    def _skewed(self, spark):
+        # one whale source carrying ~55% of the weight + 40 small ones:
+        # the unbalanced shape plain group-hashing gets wrong
+        rows = [(i, "whale", 100) for i in range(550)]
+        rows += [
+            (1000 + g * 10 + i, f"minnow{g:02d}", 100)
+            for g in range(40)
+            for i in range(10)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, source string, w int")
+
+    def test_ratios_hold_under_skew(self, spark):
+        df = self._skewed(spark)
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        out = curation.weighted_group_split(df, "source", "w", splits)
+        by_split = {
+            r["split"]: r["w"]
+            for r in out.groupBy("split").agg(F.sum("w").alias("w")).collect()
+        }
+        total = sum(by_split.values())
+        assert total == 950 * 100
+        # each split's weight share misses its target by at most the one
+        # group straddling its boundary (the whale: 55% of the weight)
+        max_group = 550 * 100 / total
+        for name, frac in splits:
+            share = by_split.get(name, 0) / total
+            assert abs(share - frac) <= max_group + 1e-9, (name, share)
+        # and the whale must land in train: its cumulative start can't
+        # reach the 80% cut when it alone is 55% of the line... unless it
+        # sorts last; either way SOME split exceeds its target only by
+        # group-boundary slack, which the loop above already bounds
+
+    def test_groups_stay_disjoint(self, spark):
+        df = self._skewed(spark)
+        out = curation.weighted_group_split(
+            df, "source", "w", [("a", 0.5), ("b", 0.5)]
+        )
+        n_split_per_group = (
+            out.groupBy("source")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert n_split_per_group == 0
+
+    def test_deterministic(self, spark):
+        df = self._skewed(spark)
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        a = {
+            (r["doc_id"], r["split"])
+            for r in curation.weighted_group_split(df, "source", "w", splits).collect()
+        }
+        b = {
+            (r["doc_id"], r["split"])
+            for r in curation.weighted_group_split(df, "source", "w", splits).collect()
+        }
+        assert a == b
+
+    def test_beats_plain_hash_on_skew(self, spark):
+        # the motivating property: on the skewed fixture the weighted
+        # assignment's worst split-share error is no worse than plain
+        # group-hashing's (which ignores weight entirely)
+        df = self._skewed(spark)
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+        def worst_err(out):
+            by_split = {
+                r["split"]: r["w"]
+                for r in out.groupBy("split").agg(F.sum("w").alias("w")).collect()
+            }
+            total = sum(by_split.values())
+            return max(
+                abs(by_split.get(name, 0) / total - frac) for name, frac in splits
+            )
+
+        weighted = worst_err(curation.weighted_group_split(df, "source", "w", splits))
+        hashed = worst_err(curation.hash_split(df, "source", splits))
+        assert weighted <= hashed + 1e-9
