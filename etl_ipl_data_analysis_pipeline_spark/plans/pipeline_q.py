@@ -744,3 +744,51 @@ def parquet_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         stable_sum("o_totalprice", 2).alias("sum_price"),
     )
+
+
+@register(
+    "jdbc_roundtrip_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("SNK2", "A4"),
+)
+def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNK2 under the exact-hash gate: the 'F' orders are written through
+    io.write_jdbc into embedded Derby (the batched-insert-per-partition
+    path a warehouse load uses), read BACK through the JDBC source, and
+    aggregated — the oracle computes the same aggregate straight from
+    parquet, so a value-hash match proves longs, doubles, and strings
+    survive the JDBC round trip bit-exactly. Derby is per-process (one
+    embedded instance per JVM per database path; _scratch_dir is
+    pid-keyed) and uppercases identifiers, hence the lowercase realias on
+    read-back. Scale note: the write is one insert stream per partition —
+    repartition to the warehouse's ingest concurrency; a real fleet
+    target (Redshift, Postgres) swaps the URL, not the plan."""
+    from ..functions import stable_sum
+    from ..io import write_jdbc
+
+    db = _scratch_dir(sf_dir, "derby_wh")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    write_jdbc(o.repartition(4), url, "orders_wh", mode="overwrite", properties=props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "orders_wh")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    back = back.select([F.col(c).alias(c.lower()) for c in back.columns])
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+    )
