@@ -320,7 +320,19 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup candidates: block by the 4 16-bit quarters of the
     fingerprint (pigeonhole: hamming<=3 guarantees one equal quarter; wider
-    radii trade recall) then score exact Hamming distance within blocks."""
+    radii trade recall) then score exact Hamming distance within blocks.
+
+    A pair whose fingerprints agree on k quarters matches in k of the four
+    block buckets — a near-dup-dense corpus emits most true pairs 4 times
+    (near-identical docs agree everywhere), and a post-join
+    dropDuplicates would shuffle the whole multiplied candidate stream
+    (the dominant cost of the round-4 100x smoke: ~4 rows per true pair
+    through one exchange). Instead each pair is kept ONLY in its first
+    matching quarter: the matching quarters are exactly the zero 16-bit
+    blocks of fp_a XOR fp_b, so "q_idx is the lowest zero block" picks
+    one deterministic survivor per pair inside the join stage — no
+    pair-dedup exchange exists at all, and the multiplied rows die before
+    ever being shuffled."""
     fp = simhash_fingerprints(df, text_col, id_col, seed=seed)
     quarters = fp.select(
         "__id",
@@ -335,24 +347,33 @@ def simhash_near_dup_pairs(
         ).alias("q_idx", "q_val"),
     )
     a, b = quarters.alias("a"), quarters.alias("b")
-    # Hamming distance = popcount of XOR, one JVM intrinsic; computed inside
-    # the block join so the fingerprints are projected away before the
-    # pair-dedup shuffle.
-    hamming = F.bit_count(F.col("a.__fp").bitwiseXOR(F.col("b.__fp")))
+    # Hamming distance = popcount of XOR, one JVM intrinsic, computed inside
+    # the join stage; first_zero_block only inspects the same XOR.
+    xor = F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+    hamming = F.bit_count(xor)
+    block = [
+        F.shiftright(xor, q * 16).bitwiseAND(F.lit(0xFFFF)) for q in range(4)
+    ]
+    first_zero_block = (
+        F.when(block[0] == 0, 0)
+        .when(block[1] == 0, 1)
+        .when(block[2] == 0, 2)
+        .otherwise(3)
+    )
     return (
         a.join(
-            b,
+            b.hint("SHUFFLE_HASH"),
             (F.col("a.q_idx") == F.col("b.q_idx"))
             & (F.col("a.q_val") == F.col("b.q_val"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .filter(F.col("a.q_idx") == first_zero_block)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
