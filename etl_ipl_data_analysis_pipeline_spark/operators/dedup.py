@@ -553,6 +553,7 @@ def edit_distance_pairs(
     id_col: str,
     block_col: str | None = None,
     k: int = 2,
+    join_strategy: str = "SHUFFLE_HASH",
 ) -> DataFrame:
     """Exact edit-distance pairs (levenshtein <= k, k in {1, 2}) via
     DELETION-NEIGHBORHOOD blocking: if lev(a, b) <= k, deleting <= k chars
@@ -568,9 +569,26 @@ def edit_distance_pairs(
     levenshtein (banded O(k·L) DP with early exit, not O(L^2)); a
     |len_a - len_b| <= k join predicate drops cross-length hash collisions
     for free. Variants come from exploded sequence generators + one
-    codegen'd CASE (interpreted transform() lambdas were 3x slower);
-    SHUFFLE_HASH keeps the variant exchange reusable across the self-join
-    instead of duplicating the explode into a broadcast.
+    codegen'd CASE (interpreted transform() lambdas were 3x slower).
+
+    The self-join is SHUFFLE_HASH via the join's own ENSURE_REQUIREMENTS
+    exchange, which both aliases canonicalize to one shuffle
+    (ReusedExchange). Measured alternatives at the 100x smoke corpus
+    (1.5M names, ~255M variant rows, local[32]): SMJ (MERGE hint) 279s
+    at 48g / 225s at 24g — two external sorts of the variant relation,
+    but it spills and never hard-fails; an explicit repartition(n,
+    "__vh") to shrink the builds is a trap — REPARTITION_BY_NUM
+    exchanges do NOT reuse across self-join aliases, so the variant
+    explode runs and shuffles twice (389s). SHUFFLE_HASH wins at ~143s
+    but sets a hard memory floor: an SHJ build cannot spill, the variant
+    relation is ~L² rows per name (k=2), and a 32-thread executor holds
+    32 concurrent per-task builds (rows/partitions x ~64B each) in the
+    unified pool — the round-4 smoke's "needs 48g driver" was THIS join
+    failing its build allocation ("Can't acquire 268435456 bytes to
+    build hash relation") at shuffle.partitions=64, not a driver or
+    checkpoint limit. Keeping the ~2x win means sizing memory for the
+    builds; pass join_strategy="MERGE" if the fleet would rather degrade
+    (spill) than fail.
 
     Returns (id_a, id_b, dist) with id_a < id_b.
     """
@@ -626,7 +644,7 @@ def edit_distance_pairs(
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
         a.join(
-            b.hint("SHUFFLE_HASH"),
+            b.hint(join_strategy),
             (F.col("a.__vh") == F.col("b.__vh"))
             & (F.col("a.__id") < F.col("b.__id"))
             # lev(a,b) <= k forces |len(a)-len(b)| <= k: prune hash-collision

@@ -64,19 +64,31 @@ def main() -> int:
         embs = rep if embs is None else embs.unionByName(rep)
     embs = embs.repartition(64).localCheckpoint(eager=True)
 
-    def t(fn):
+    def t(fn, name="op"):
+        # progress to stderr, flushed: when a memory-starved run dies the
+        # partial trace says WHICH op killed it — a silent empty stdout
+        # cost round 4 the root cause of the 24g failure
+        print(f"scale_smoke[{factor}x]: {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         fn().write.format("noop").mode("overwrite").save()
-        return round(time.time() - t0, 2)
+        dt = round(time.time() - t0, 2)
+        print(f"scale_smoke[{factor}x]: {name} {dt}s", file=sys.stderr, flush=True)
+        return dt
 
     timings = {
         "n_docs": n_base * factor,
-        "exact_dedup": t(lambda: dedup.exact_dedup(docs)),
-        "minhash_pairs": t(lambda: dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)),
+        "exact_dedup": t(lambda: dedup.exact_dedup(docs), "exact_dedup"),
+        "minhash_pairs": t(
+            lambda: dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5),
+            "minhash_pairs",
+        ),
         # the UNCAPPED posting-list diagnostic grows ~factor^2 by design —
         # meaningful at 10x (shows what max_df prevents), pointless past it
         "jaccard_pairs": (
-            t(lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=100_000))
+            t(
+                lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=100_000),
+                "jaccard_pairs",
+            )
             if factor <= 10
             else None
         ),
@@ -84,23 +96,32 @@ def main() -> int:
         # uncapped self-join grows ~factor² — the capped run shows max_df
         # bounding exactly that blowup (lower-bound similarity semantics)
         "jaccard_pairs_capped": t(
-            lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=3 * factor)
+            lambda: dedup.jaccard_pairs(docs, min_jaccard=0.5, max_df=3 * factor),
+            "jaccard_pairs_capped",
         ),
-        "simhash_pairs": t(lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=8)),
-        "embedding_pairs": t(lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9)),
+        "simhash_pairs": t(
+            lambda: dedup.simhash_near_dup_pairs(docs, max_hamming=8),
+            "simhash_pairs",
+        ),
+        "embedding_pairs": t(
+            lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9),
+            "embedding_pairs",
+        ),
         # round-3 curation family: each must stay ~linear in corpus size
         "hash_split": t(
             lambda: curation.hash_split(
                 docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
-            )
+            ),
+            "hash_split",
         ),
-        "repetition_stats": t(lambda: curation.repetition_stats(docs)),
+        "repetition_stats": t(lambda: curation.repetition_stats(docs), "repetition_stats"),
         # benchmark gram set stays FIXED while the corpus scales — the
         # realistic decontamination shape (eval suites don't grow 10x)
         "decontaminate": t(
             lambda: curation.ngram_overlap(
                 docs, base.filter(F.col("source") == "src0"), n=8
-            )
+            ),
+            "decontaminate",
         ),
         "pack_token_shards": t(
             lambda: curation.pack_token_shards(
@@ -109,7 +130,8 @@ def main() -> int:
                 "n_tokens",
                 budget=4096,
                 num_ranges=64,
-            )
+            ),
+            "pack_token_shards",
         ),
     }
     # fuzzy edit-distance blocking: replicate customers with pairwise-
@@ -128,9 +150,11 @@ def main() -> int:
     timings["edit_distance_pairs"] = t(
         lambda: dedup.edit_distance_pairs(
             custs, "c_name", "c_custkey", block_col="c_nationkey", k=2
-        )
+        ),
+        "edit_distance_pairs",
     )
 
+    print(f"scale_smoke[{factor}x]: connected_components ...", file=sys.stderr, flush=True)
     t0 = time.time()
     pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)
     comp = dedup.connected_components(pairs)
