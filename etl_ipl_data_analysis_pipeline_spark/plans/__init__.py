@@ -96,16 +96,24 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # EXPLICITLY so queries that still lack green driver evidence come first.
 # Round-5 rotation — after round 4 every registered query has driver
 # evidence and the latest verdict on every one is green, so this window
-# is EVIDENCE REFRESH, oldest first: the two round-5 registrations, the
-# 13 queries whose only driver evidence is round 1 (they predate the
-# fixture-timestamp migration and three rounds of refactoring), two
-# streaming refreshers (VERDICT r4 item 8), and all 33 round-2-era
-# oracled queries. Exactly 50. scripts/evidence_map.py regenerates the
-# per-query history (EVIDENCE.md) that justifies this ordering.
+# is NEW REGISTRATIONS + EVIDENCE REFRESH, oldest first: the eight
+# round-5 registrations (weighted split, JDBC round-trip, TPC-H
+# q2/q11/q12/q16/q20/q21), the 13 queries whose only driver evidence is
+# round 1 (they predate the fixture-timestamp migration and three
+# rounds of refactoring), two streaming refreshers (VERDICT r4 item 8),
+# and the round-2-era oracled queries. Exactly 50.
+# scripts/evidence_map.py regenerates the per-query history
+# (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-sampled (registered in round 5) --
     "split_group_weighted",  # weight-aware leakage-safe group split
     "jdbc_roundtrip_orders",  # SNK2 (Derby) under the exact-hash gate
+    "q2_min_cost_supplier",  # TPC-H tail, registered round 5
+    "q11_important_stock",
+    "q12_ship_priority_class",
+    "q16_supplier_count_by_part",
+    "q20_excess_shipments",
+    "q21_waiting_suppliers",
     # -- only driver evidence is round 1 --
     "join_theta_pairs",
     "window_rank",
@@ -151,12 +159,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_ingest_idempotent",
     "asof_join_tolerance",
     "asof_join_strict",
-    "incremental_summary_merge",
-    "agg_count_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_stats",
-    "q3_top_revenue",
+    # (incremental_summary_merge / agg_count_distinct / agg_rollup /
+    # agg_cube / agg_stats / q3_top_revenue rotated out to make room for
+    # the six round-5 TPC-H registrations — the agg family has r3 driver
+    # evidence and agg_rollup/agg_stats/q3 run in every bench)
 )
 
 
