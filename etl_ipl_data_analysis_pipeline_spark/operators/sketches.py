@@ -127,3 +127,93 @@ def cms_estimate(
     return joined.groupBy("__item").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch: the third mergeable
+# sketch, trading HLL's tighter memory for an EXACTLY REPRODUCIBLE estimate.
+# The sketch is the k smallest md5-derived 60-bit hashes of the distinct
+# keys — a deterministic SET, so build, merge, AND the (k-1)*H/h_k estimate
+# are bit-identical across engines and the whole pipeline sits under the
+# exact-hash oracle gate (like the count-min above, unlike HLL). Merge is
+# union -> distinct -> re-take bottom k: associative and commutative, and
+# state is at most k rows per group however large the input.
+
+KMV_K = 64
+# hash domain: first 15 md5 hex digits = 60 uniform bits; 16^15 = 2^60 is
+# exactly representable in double, so the estimate arithmetic is exact-IEEE
+# identical in any engine that computes the same md5
+KMV_MAX_H = float(16**15)
+
+
+def _kmv_hash(item) -> "F.Column":
+    """60-bit uniform hash. Oracle twin:
+    ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT."""
+    return F.conv(F.substring(F.md5(item.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_build(df: DataFrame, col: str, keys: list[str] | None = None, k: int = KMV_K) -> DataFrame:
+    """Per-key bottom-k distinct hashes (columns: *keys, hv). The distinct
+    collapses duplicates partially map-side; the bottom-k is a window
+    row_number per group (k small => tiny post-shuffle state), or a global
+    TakeOrdered when ungrouped. This is the write-path partial: run per
+    batch/day/source, persist <= k rows per group."""
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    h = df.select(*keys, _kmv_hash(F.col(col)).alias("hv")).distinct()
+    if not keys:
+        return h.orderBy("hv").limit(k)
+    w = Window.partitionBy(*keys).orderBy("hv")
+    return (
+        h.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_merge(sketches_: list[DataFrame], keys: list[str] | None = None, k: int = KMV_K) -> DataFrame:
+    """Union partial sketches and re-take the bottom k per group — the
+    result is IDENTICAL to building on the unioned raw inputs (bottom-k of
+    a union is the bottom-k of the union of bottom-k's), which
+    tests/test_sketches.py asserts row-for-row."""
+    from pyspark.sql import Window
+
+    keys = list(keys or [])
+    it = iter(sketches_)
+    u = next(it)
+    for s_ in it:
+        u = u.unionByName(s_)
+    u = u.distinct()
+    if not keys:
+        return u.orderBy("hv").limit(k)
+    w = Window.partitionBy(*keys).orderBy("hv")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame, keys: list[str] | None = None, k: int = KMV_K
+) -> DataFrame:
+    """Distinct estimate per group: (k-1) * H / h_(k) when the sketch is
+    full, else the sketch size itself (it saw every distinct value). The
+    half-up rounding is floor(x*100+0.5)/100 — NOT round() — because
+    round(double) diverges between engines on boundary-dense values."""
+    keys = list(keys or [])
+    gb = sketch.groupBy(*keys) if keys else sketch.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).alias("sketch_size"), F.max("hv").alias("__mx")
+    )
+    raw = F.when(
+        F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_MAX_H) / F.col("__mx").cast("double")
+    )
+    return agg.withColumn(
+        "est_distinct", F.floor(raw * 100 + F.lit(0.5)) / 100
+    ).drop("__mx")

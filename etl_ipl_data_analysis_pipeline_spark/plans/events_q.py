@@ -293,6 +293,52 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_event_type_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    kept AS (SELECT event_type, hv FROM ranked WHERE rn <= 64)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS sketch_size,
+           floor((CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0
+                            / CAST(max(hv) AS DOUBLE) END) * 100 + 0.5)
+               / 100 AS est_distinct
+    FROM kept GROUP BY 1
+    """,
+    tags=("A5",),
+)
+def kmv_event_type_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-user estimate per event type
+    (operators/sketches.py kmv_*): the Spark side deliberately takes the
+    MERGEABLE path — per-(type, day) bottom-64 partials, then a re-merge
+    to type grain — while the oracle computes the sketch in one shot.
+    They must agree row-for-row because bottom-k of a union IS the
+    bottom-k of the union of bottom-k's; that the exact-hash gate passes
+    is the driver-level proof of the merge property the 100 TB rollup
+    relies on. Unlike HLL this sketch is cross-engine reproducible: the
+    hashes are the first 60 md5 bits and the (k-1)*H/h_k estimate is
+    exact IEEE arithmetic, so even the estimates hash-match."""
+    from ..operators import sketches
+
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id"
+    )
+    daily = sketches.kmv_build(ev, "user_id", keys=["event_type", "day"])
+    merged = sketches.kmv_merge([daily.drop("day")], keys=["event_type"])
+    return sketches.kmv_estimate(merged, keys=["event_type"])
+
+
+@register(
     "resample_linear_interp",
     oracle="""
     WITH bounds AS (

@@ -109,3 +109,40 @@ def test_cms_never_undercounts(spark, sf_dir):
     joined = est.join(true, est["__item"] == true["user_id"]).collect()
     assert joined
     assert all(r.est_cnt >= r.t for r in joined)
+
+
+def test_kmv_merge_equals_global_build(spark, sf_dir):
+    """Bottom-k of unioned per-day partials must equal the bottom-k built
+    on the whole set — row-for-row, not just estimate-for-estimate. This
+    is the associativity that lets per-batch KMV state answer any-range
+    distinct questions without rescans."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id"
+    )
+    daily = sketches.kmv_build(ev, "user_id", keys=["event_type", "day"])
+    merged = sketches.kmv_merge([daily.drop("day")], keys=["event_type"])
+    direct = sketches.kmv_build(ev, "user_id", keys=["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_kmv_estimate_accuracy(spark, sf_dir):
+    """k=64 => relative standard error ~1/sqrt(k-2) ~ 12.7%; allow 3x."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    exact = ev.distinct().count()
+    est = sketches.kmv_estimate(sketches.kmv_build(ev, "user_id")).collect()[0][
+        "est_distinct"
+    ]
+    assert abs(est - exact) <= max(3, 0.4 * exact)
+
+
+def test_kmv_small_group_is_exact(spark):
+    """A group with fewer than k distinct values reports its exact count."""
+    df = spark.createDataFrame(
+        [("a", i % 5) for i in range(50)], "g string, v int"
+    )
+    out = sketches.kmv_estimate(
+        sketches.kmv_build(df, "v", keys=["g"]), keys=["g"]
+    ).collect()
+    assert out[0]["sketch_size"] == 5 and out[0]["est_distinct"] == 5.0
