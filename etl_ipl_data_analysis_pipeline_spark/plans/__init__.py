@@ -114,6 +114,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q16_supplier_count_by_part",
     "q20_excess_shipments",
     "q21_waiting_suppliers",
+    "kmv_event_type_users",  # bottom-k sketch, exact merge-property proof
+    "sessionize_events",  # batch twin of the streaming session window
     # -- only driver evidence is round 1 --
     "join_theta_pairs",
     "window_rank",
@@ -157,12 +159,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_mark_stage",
     "retain_versions",
     "ledger_ingest_idempotent",
-    "asof_join_tolerance",
-    "asof_join_strict",
     # (incremental_summary_merge / agg_count_distinct / agg_rollup /
-    # agg_cube / agg_stats / q3_top_revenue rotated out to make room for
-    # the six round-5 TPC-H registrations — the agg family has r3 driver
-    # evidence and agg_rollup/agg_stats/q3 run in every bench)
+    # agg_cube / agg_stats / q3_top_revenue / asof_join_tolerance /
+    # asof_join_strict rotated out to make room for the eight round-5
+    # registrations — all have r2+ driver evidence and
+    # agg_rollup/agg_stats/q3/asof_join_events run in every bench)
 )
 
 

@@ -5,7 +5,7 @@ the windowed aggregations in streaming_q.py but run as plain batch."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import load, register
 
@@ -290,6 +290,78 @@ def hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         sketches.merge_sketch_rollup(daily_state, []), "est_users"
     ).select(F.lit("total").alias("day"), "est_users")
     return daily.unionByName(total)
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT)
+               AS duration_sec
+    FROM sess GROUP BY 1, 2
+    """,
+    tags=("W2", "W3", "A4", "F2"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization — the batch twin of the streaming session
+    window (streaming/windows.py session_window): a session breaks when a
+    user is idle >12h. The classic two-window pipeline: a lag flags
+    session starts, a running sum turns flags into per-user ordinals,
+    one aggregate folds each session to (count, span). Both windows
+    partition on user_id, so Spark plans ONE exchange and sorts once —
+    the flag and the running sum run in the same window stage; nothing
+    shuffles twice. Tie-break on event_id makes the lag deterministic
+    under equal timestamps — and the RUNNING SUM must use the same
+    tie-break, because a tied row CAN carry a session-start flag (its
+    by-(ts,event_id) predecessor may be >12h away) and a ties-ambiguous
+    rows-frame would then split the tie group differently per engine."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # unix_micros, NOT cast-to-long: the fixture timestamps carry
+    # microseconds, and a truncated-seconds gap disagrees with the
+    # oracle's exact interval comparison on gaps within 1s of the cutoff
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 12 * 3600 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_seq", F.sum("new_s").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("ts").cast("long") - F.min("ts").cast("long")).alias(
+                "duration_sec"
+            ),
+        )
+    )
 
 
 @register(
