@@ -161,18 +161,18 @@ def minhash_near_dup_pairs(
     banded = sig.select(
         "__id",
         "__sig",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
-                            "string"
-                        )
+        F.array(
+            *[
+                F.xxhash64(
+                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
+                        "string"
                     )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+                )
+                for b in range(bands)
+            ]
+        ).alias("__bhs"),
+    ).select(
+        "__id", "__sig", "__bhs", F.posexplode("__bhs").alias("band_idx", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -186,13 +186,22 @@ def minhash_near_dup_pairs(
             lambda v: v,
         )
     ) / F.lit(float(num_hashes))
-    # est_jaccard is computed inside the band join and the signature arrays
-    # are projected away before dropDuplicates, so only (id_a, id_b, est)
-    # crosses the dedup shuffle — never the num_hashes-long arrays.
+    # A pair agreeing on k of the ``bands`` bands collides in k buckets —
+    # near-identical docs agree on ALL bands, so a near-dup-dense corpus
+    # would ship most true pairs ``bands`` times through a post-join
+    # dropDuplicates exchange (the same multiplied-candidate cost the
+    # simhash operator below eliminates). Instead each pair survives only
+    # in its FIRST agreeing band: both sides carry the per-band hash array
+    # (__bhs, ``bands`` longs), so "band_idx is the first position where
+    # the arrays agree" picks one deterministic survivor per pair inside
+    # the join stage and no pair-dedup exchange exists at all.
     # SHUFFLE_HASH (not broadcast): both sides are the same expensive
     # signature subplan, and identical shuffle exchanges are computed once
     # (ReusedExchange); a broadcast would evaluate the pipeline twice and
     # could never hold the full corpus signature set at 100 TB anyway.
+    first_agree = F.array_position(
+        F.zip_with(F.col("a.__bhs"), F.col("b.__bhs"), lambda x, y: x == y), True
+    )
     return (
         a.join(
             b.hint("SHUFFLE_HASH"),
@@ -200,13 +209,13 @@ def minhash_near_dup_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .filter(F.col("a.band_idx") == first_agree - 1)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.round(est, 4).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= min_jaccard)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 

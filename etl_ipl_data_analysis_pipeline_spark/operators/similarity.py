@@ -269,14 +269,30 @@ def embedding_near_dup_pairs(
     independent tables (different seeds) raises it to 1-(1-p)^T — ~93% at
     sim 0.95 with 12 planes × 8 tables, while random pairs still collide at
     only ~T/2^n_planes ≈ 0.2%, keeping the self-join far from O(n²).
-    Candidates found in several tables are deduped after the exact filter,
-    where only (id_a, id_b, sim) remains."""
+
+    A true near-dup pair collides in MOST of the ``n_tables`` buckets
+    (high-sim vectors agree in nearly every table), and each collision
+    used to evaluate the exact 64-dim cosine and then feed a post-filter
+    dropDuplicates — ~T cosines plus T dedup-exchange rows per true pair,
+    the dominant cost of a near-dup-dense corpus. Each pair now survives
+    only in its FIRST agreeing table (both sides carry the per-table
+    bucket array, so "tbl is the first position where the arrays agree"
+    is decidable inside the join stage, before the cosine): one cosine
+    per pair, no pair-dedup exchange at all — the same
+    multiplied-candidate elimination as the minhash/simhash operators."""
     bucket_udf = multi_table_buckets_udf(n_planes, n_tables, dim, seed)
     c = df.select(
         F.col(id_col).alias("__id"),
         _as_double_array(F.col(vec_col)).alias("__vec"),
-    ).select("__id", "__vec", F.posexplode(bucket_udf("__vec")).alias("tbl", "bucket"))
+    ).select(
+        "__id", "__vec", bucket_udf("__vec").alias("__bkts")
+    ).select(
+        "__id", "__vec", "__bkts", F.posexplode("__bkts").alias("tbl", "bucket")
+    )
     a, b = c.alias("a"), c.alias("b")
+    first_agree = F.array_position(
+        F.zip_with(F.col("a.__bkts"), F.col("b.__bkts"), lambda x, y: x == y), True
+    )
     return (
         a.join(
             b,
@@ -284,13 +300,13 @@ def embedding_near_dup_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
+        .filter(F.col("a.tbl") == first_agree - 1)
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
