@@ -476,10 +476,20 @@ def connected_components(
     chains. Each iteration is localCheckpoint'ed to cut lineage (swap for
     ``checkpoint`` with a checkpoint dir on a real cluster).
     """
+    # Materialize the deduped edge list BEFORE the loop: iteration 1
+    # references ``edges`` several times (the symmetrized union, the
+    # neighbor-min aggregate, the large-star join), and each reference
+    # re-executes the caller's whole pair pipeline — the banded LSH
+    # self-join — unless a barrier sits here. Exchange reuse only dedups
+    # identical shuffle subtrees; the join/filter work above the last
+    # exchange still runs once per reference (measured 2.3x on the
+    # factor-10 smoke's minhash+CC chain). localCheckpoint also cuts the
+    # O(log n) lineage like the in-loop checkpoints below.
     edges = (
         pairs.select(F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
     def _sym(e: DataFrame) -> DataFrame:
