@@ -2417,3 +2417,72 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "regr_daily_revenue_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             date_diff('day', TIMESTAMP '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS x,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                        AS DOUBLE), 2) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT segment,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS BIGINT) * x) AS BIGINT) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(38,10))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(y AS DECIMAL(38,10)) * x) AS DOUBLE) AS sxy
+      FROM daily GROUP BY 1
+    )
+    SELECT segment, n,
+           floor(((n * sxy - sx * sy)
+                  / (n * sxx - CAST(sx AS DOUBLE) * sx)) * 1e6 + 0.5) / 1e6
+               AS slope
+    FROM sums
+    """,
+    tags=("A8", "A4", "F3", "F2"),
+)
+def regr_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear trend (slope) of daily order revenue — the
+    regr_slope aggregate, built from EXPLICIT moment sums instead of the
+    built-in: regr_slope sums raw doubles in partition order, which is
+    not reproducible across engines or even across runs, while these
+    moments are exact — x and x² are integers, y is a 2dp-rounded
+    decimal sum, and x·y products accumulate in DECIMAL(38,10). Only the
+    final slope division is floating point, an identical IEEE expression
+    on both sides (half-up via floor, not round — see the winsorize
+    family). Two aggregation levels, both partial+final hash aggregates;
+    the daily frame is one row per (segment, day) so the second shuffle
+    is tiny."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    daily = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01")).alias("x"),
+        )
+        .agg(stable_sum("o_totalprice", 2).alias("y"))
+    )
+    sums = daily.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("bigint") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,10)")).cast("double").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,10)") * F.col("x")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        (F.col("n") * F.col("sxx")).cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return sums.select(
+        "segment",
+        "n",
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("slope"),
+    )

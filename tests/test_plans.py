@@ -209,3 +209,53 @@ def test_winsorize_single_shuffle(spark, sf_dir, qs):
     plan = _executed(qs["winsorize_events"](spark, sf_dir))
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join must kick in for a hot-key shuffle join once the
+    skew thresholds are crossed — the runtime remedy the salted_join
+    operator complements (salting is for when a co-partitioned consumer
+    pins the partitioning and AQE can't split). Thresholds are forced
+    tiny so the sf0.01 fixture exhibits 'skew' the way a hot key does at
+    fleet scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(
+                # collapse 90% of keys onto one hot value: the classic skew
+                F.when(F.col("l_partkey") % 10 < 9, F.lit(7)).otherwise(
+                    F.col("l_partkey")
+                ).alias("k"),
+                "l_extendedprice",
+            )
+            # AQE splits a skewed reduce partition at MAPPER-BLOCK
+            # granularity — a single-file scan is one mapper, whose one
+            # block per reducer is unsplittable, so give the join shuffle
+            # many upstream mappers first
+            .repartition(16)
+        )
+        o = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            F.col("p_partkey").alias("k"), "p_name"
+        )
+        joined = li.join(o, "k")
+        # collect() (not the noop-write helper): the write spawns its own
+        # QueryExecution, leaving THIS DataFrame's AQE plan un-finalized
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
