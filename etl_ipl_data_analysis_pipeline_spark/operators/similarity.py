@@ -280,18 +280,32 @@ def embedding_near_dup_pairs(
     is decidable inside the join stage, before the cosine): one cosine
     per pair, no pair-dedup exchange at all — the same
     multiplied-candidate elimination as the minhash/simhash operators."""
+    from ..functions import dot, norm
+
     bucket_udf = multi_table_buckets_udf(n_planes, n_tables, dim, seed)
+    # Norms are computed ONCE per vector before the self-join (one extra
+    # double per side) instead of once per candidate pair: cosine =
+    # dot/(norm_a*norm_b) then needs a single interpreted HOF traversal
+    # per pair, not three. Same expression on the same values, so the
+    # result is bit-identical to the per-pair form.
     c = df.select(
         F.col(id_col).alias("__id"),
         _as_double_array(F.col(vec_col)).alias("__vec"),
     ).select(
-        "__id", "__vec", bucket_udf("__vec").alias("__bkts")
+        "__id",
+        "__vec",
+        norm(F.col("__vec")).alias("__norm"),
+        bucket_udf("__vec").alias("__bkts"),
     ).select(
-        "__id", "__vec", "__bkts", F.posexplode("__bkts").alias("tbl", "bucket")
+        "__id", "__vec", "__norm", "__bkts",
+        F.posexplode("__bkts").alias("tbl", "bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
     first_agree = F.array_position(
         F.zip_with(F.col("a.__bkts"), F.col("b.__bkts"), lambda x, y: x == y), True
+    )
+    sim = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+        F.col("a.__norm") * F.col("b.__norm")
     )
     return (
         a.join(
@@ -304,7 +318,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6).alias("sim"),
+            F.round(sim, 6).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)
     )
