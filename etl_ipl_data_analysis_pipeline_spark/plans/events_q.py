@@ -682,3 +682,60 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.date_format("s_day", "yyyy-MM-dd").alias("day")
     ).agg(F.countDistinct("user_id").alias("active_7d"))
+
+
+def _interleave_sql(cols: list[str], bits: int) -> str:
+    """DuckDB twin of operators/layout.interleave_bits: identical
+    shift/AND/OR integer arithmetic, generated term-for-term."""
+    ndim = len(cols)
+    terms = []
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(f"((({c} >> {b}) & 1) << {b * ndim + i})")
+    return " | ".join(terms)
+
+
+@register(
+    "zorder_key_stats",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id,
+             CAST(ntile(64) OVER (ORDER BY value, event_id) - 1 AS BIGINT)
+                 AS r0,
+             CAST(ntile(64) OVER (ORDER BY user_id, event_id) - 1 AS BIGINT)
+                 AS r1
+      FROM events
+    ),
+    keyed AS (
+      SELECT event_id, {_interleave_sql(["r0", "r1"], 6)} AS z FROM ranked
+    )
+    SELECT z >> 6 AS z_prefix,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(z) AS BIGINT) AS min_z,
+           CAST(max(z) AS BIGINT) AS max_z
+    FROM keyed GROUP BY 1
+    """,
+    tags=("SNK1", "F3", "W1"),
+)
+def zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (operators/layout.py): Morton-interleave the
+    64-bucket equal-frequency ranks of (value, user_id) and histogram
+    the key space by 6-bit prefix. This puts the exact clustering key
+    the zorder_write sink partitions on under the cross-engine hash
+    gate — ntile is deterministic under the (col, event_id) total
+    order, and the interleave is pure integer arithmetic generated
+    term-for-term into the oracle. The write path itself (range
+    partition + in-file sort, per-file min/max bounded on BOTH columns)
+    is asserted against parquet footers in tests/test_layout.py."""
+    from ..operators import layout
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    ranked = layout.zorder_ranks(ev, ["value", "user_id"], "event_id", bits=6)
+    keyed = ranked.withColumn(
+        "z", layout.interleave_bits(["__r0", "__r1"], bits=6)
+    )
+    return keyed.groupBy(F.shiftright("z", 6).alias("z_prefix")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    )
