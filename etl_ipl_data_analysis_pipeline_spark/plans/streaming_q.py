@@ -253,3 +253,55 @@ def stream_cdc_latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
     )
     return out.select("user_id", "event_type", "ts", "value")
+
+
+@register(
+    "stateful_top_values",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, value, event_id FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) AS rn
+      FROM purchases
+    ),
+    agg AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM purchases GROUP BY 1
+    )
+    SELECT a.user_id, a.n_events,
+           max(CASE WHEN rn = 1 THEN value END) AS top1,
+           max(CASE WHEN rn = 2 THEN value END) AS top2,
+           max(CASE WHEN rn = 3 THEN value END) AS top3
+    FROM agg a JOIN ranked r ON a.user_id = r.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("L6", "U4"),
+)
+def stateful_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 multi-variable state under the oracle gate: an actual streaming
+    run (file source, AvailableNow, memory sink) of the per-user
+    count + running-top-3 processor (streaming/stateful.user_top_values
+    — transformWithStateInPandas where the runtime has protobuf, the
+    contract-identical applyInPandasWithState fallback here). The top-3
+    is maintained by SELECTION, never arithmetic, so the final state
+    matches the batch window ranking bit-for-bit regardless of
+    micro-batch boundaries; update mode emits one row per (user, batch)
+    and the final state is the struct-max per user (n_events strictly
+    grows, so the lexicographic max is the last emission)."""
+    from ..streaming import incremental, stateful, windows
+
+    ev = incremental.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    out = windows.run_available_now(
+        stateful.user_top_values(ev), "q_stateful_top_values", output_mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "top1", "top2", "top3")).alias("s"))
+        .select("user_id", "s.n_events", "s.top1", "s.top2", "s.top3")
+    )

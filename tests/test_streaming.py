@@ -178,3 +178,78 @@ def test_cdc_apply_batch_boundary_independence(spark, tmp_path):
     }
     assert got == want
     assert got[3] == (20, 5, 6.0)  # tie broken by event_id, not arrival
+
+
+def test_top_values_batch_boundary_independence(spark, tmp_path):
+    """The running top-3 state must be the same whether values arrive in
+    one micro-batch or one file at a time — selection is associative.
+    Exercises the applyInPandasWithState fallback path (this container
+    lacks protobuf, so transformWithStateInPandas is env-gated out;
+    both paths share the update contract)."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming import stateful, windows
+
+    rows = [
+        (0, 1, 5.0), (1, 1, 9.0), (2, 2, 1.0),   # file 0
+        (3, 1, 7.0), (4, 1, 3.0), (5, 2, 2.0),   # file 1
+        (6, 1, 8.0), (7, 2, 4.0), (8, 2, 4.0),   # file 2 (dup value kept)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        df.filter((F.col("event_id") >= 3 * i) & (F.col("event_id") < 3 * (i + 1))) \
+            .coalesce(1).write.parquet(f"{src}/f{i}")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = windows.run_available_now(
+        stateful.user_top_values(stream), "q_top_values_micro", output_mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["top1"], r["top2"], r["top3"])
+        for r in out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "top1", "top2", "top3")).alias("s"))
+        .select("user_id", "s.n_events", "s.top1", "s.top2", "s.top3")
+        .collect()
+    }
+    assert final[1] == (5, 9.0, 8.0, 7.0)
+    assert final[2] == (4, 4.0, 4.0, 2.0)  # duplicate top value survives
+
+
+def test_running_totals_batch_boundary_independence(spark, tmp_path):
+    """Cross-batch accumulation for user_running_totals — the state.exists
+    branch that single-micro-batch fixtures never reached (and where a
+    GroupState.get property-vs-method bug hid until round 5)."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming import stateful, windows
+
+    rows = [(0, 1, 5.0), (1, 2, 1.0), (2, 1, 7.0), (3, 1, 3.0), (4, 2, 2.0)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, value double")
+    src = str(tmp_path / "src")
+    df.filter(F.col("event_id") < 2).coalesce(1).write.parquet(f"{src}/f0")
+    df.filter(F.col("event_id") >= 2).coalesce(1).write.parquet(f"{src}/f1")
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = windows.run_available_now(
+        stateful.user_running_totals(stream), "q_totals_micro", output_mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_value")
+        .collect()
+    }
+    assert final[1] == (3, 15.0)
+    assert final[2] == (2, 3.0)
