@@ -2486,3 +2486,57 @@ def regr_daily_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("slope"),
     )
+
+
+@register(
+    "dq_orders_constraints",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS m0,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS m1,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+             CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0 AND 30000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS m3
+      FROM orders
+    ),
+    fk AS (
+      SELECT CAST(count(*) AS BIGINT) AS v
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    rep AS (
+      SELECT 'not_null(o_custkey)' AS rule, m0 AS violations FROM m
+      UNION ALL SELECT 'unique(o_orderkey)', m1 FROM m
+      UNION ALL SELECT 'accepted_values(o_orderstatus)', m2 FROM m
+      UNION ALL SELECT 'in_range(o_totalprice)', m3 FROM m
+      UNION ALL SELECT 'references(o_custkey)', v FROM fk
+    )
+    SELECT rule, violations, violations = 0 AS passed FROM rep
+    """,
+    tags=("A7", "A5", "J2", "P7"),
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report (operators/quality.py — the
+    Deequ/dbt-test shape): five constraints over orders evaluated as ONE
+    aggregate scan plus one broadcast anti-join for the foreign key,
+    emitted as an integer-exact (rule, violations, passed) relation.
+    The in_range bound is deliberately tight so the report carries a
+    real failure (14k+ orders above 30k) — the gate proves violation
+    COUNTS match the oracle, not just all-zeros."""
+    from ..operators import quality
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return quality.check_constraints(
+        o,
+        [
+            quality.not_null("o_custkey"),
+            quality.unique("o_orderkey"),
+            quality.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            quality.in_range("o_totalprice", 0, 30000),
+            quality.references("o_custkey", c, "c_custkey"),
+        ],
+    )

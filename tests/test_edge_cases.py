@@ -150,3 +150,41 @@ def test_mixture_keep_all_fraction_keeps_every_row(spark):
     df = spark.createDataFrame(rows, "doc_id long, lang string")
     kept = curation.mixture_sample(df, "doc_id", "lang", {"en": 1.0}, default=0.0)
     assert kept.count() == df.count()
+
+
+def test_dq_constraints_single_scan_and_counts(spark):
+    """All agg-kind rules fold into one aggregate over one scan (adding a
+    rule must not add a rescan), and violation counts are exact."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 50.0), (2, "b", None), (None, "z", 1.0)],
+        "k long, status string, v double",
+    )
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    rep = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in quality.check_constraints(
+            df,
+            [
+                quality.not_null("k"),
+                quality.unique("k"),
+                quality.accepted_values("status", ["a", "b"]),
+                quality.in_range("v", 0, 10),
+                quality.references("k", dim, "k"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(k)"] == (1, False)
+    # count_distinct skips the NULL key: 4 rows - 2 distinct non-null = 2
+    assert rep["unique(k)"] == (2, False)
+    assert rep["accepted_values(status)"] == (1, False)
+    # NULL v is not a range violation (between -> NULL -> otherwise 0)
+    assert rep["in_range(v)"] == (1, False)
+    assert rep["references(k)"] == (0, True)
+
+    agg_only = quality.check_constraints(
+        df, [quality.not_null("k"), quality.unique("k"), quality.in_range("v", 0, 10)]
+    )
+    plan = agg_only._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LocalRelation") + plan.count("Scan ExistingRDD") <= 1
