@@ -739,3 +739,52 @@ def zorder_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("z").alias("min_z"),
         F.max("z").alias("max_z"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS w0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT strftime(w0, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', w0, w) // 7 AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act JOIN signup USING (user_id)
+    WHERE w >= w0
+    GROUP BY 1, 2
+    """,
+    tags=("A4", "J4", "F2"),
+)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the generalization of daily_retention:
+    users grouped by signup week, activity counted per weeks-since-signup
+    offset. Both engines truncate weeks to Monday, so the day difference
+    is always a multiple of 7 and the integer division is exact (Spark's
+    `/` on ints yields double, DuckDB's yields double too — both sides
+    use explicit floor/integer division instead). The (user, week)
+    activity set dedups BEFORE the join, and the cohort dim is one row
+    per user, so both join inputs are maximally reduced; everything
+    shuffles on user_id once."""
+    ev = load(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("w0"))
+    )
+    act = ev.select("user_id", F.date_trunc("week", "ts").alias("w")).distinct()
+    return (
+        act.join(signup, "user_id")
+        .filter(F.col("w") >= F.col("w0"))
+        .groupBy(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("w"), F.to_date("w0")) / 7
+            ).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
