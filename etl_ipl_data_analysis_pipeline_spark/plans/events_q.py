@@ -788,3 +788,56 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t2
+      FROM events
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(38,10)) * (t2 - t)) AS DOUBLE)
+                 AS wsum,
+             CAST(sum(t2 - t) AS BIGINT) AS span
+      FROM seq WHERE t2 IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id,
+           floor(wsum / CAST(span AS DOUBLE) * 1e4 + 0.5) / 1e4 AS twap
+    FROM agg WHERE span > 0
+    """,
+    tags=("W2", "A8", "F2"),
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) of each user's value signal: every
+    observation holds until the next one, so the mean weights each value
+    by its holding duration. Weights are exact integer microseconds
+    (lead over a (ts, event_id)-tie-broken window), the weighted sum is
+    decimal-exact (2dp values × integer micros), and only the final
+    division is floating point — the same one-inexact-op-at-the-end
+    discipline as the regression and Gini queries. One window + one
+    aggregate, both partitioned on user_id: a single shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    t2 = F.lead(t).over(w)
+    seq = ev.select(
+        "user_id", "value", t.alias("t"), t2.alias("t2")
+    ).filter(F.col("t2").isNotNull())
+    agg = seq.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(38,10)") * (F.col("t2") - F.col("t")))
+        .cast("double")
+        .alias("wsum"),
+        F.sum(F.col("t2") - F.col("t")).alias("span"),
+    )
+    return agg.filter(F.col("span") > 0).select(
+        "user_id",
+        (
+            F.floor(F.col("wsum") / F.col("span").cast("double") * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("twap"),
+    )

@@ -2540,3 +2540,176 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             quality.references("o_custkey", c, "c_custkey"),
         ],
     )
+
+
+@register(
+    "pareto_part_classes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(38,10))) AS DOUBLE)
+                   * 100 + 0.5) / 100 AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(sum(CAST(revenue AS DECIMAL(38,10)))
+                  OVER (ORDER BY revenue DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev,
+             CAST(sum(CAST(revenue AS DECIMAL(38,10))) OVER () AS DOUBLE)
+                 AS tot
+      FROM rev
+    )
+    SELECT CASE WHEN cum_rev <= 0.8 * tot THEN 'A'
+                WHEN cum_rev <= 0.95 * tot THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(CAST(revenue AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS class_revenue
+    FROM ranked GROUP BY 1
+    """,
+    tags=("W3", "A4", "F6"),
+)
+def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification: parts ranked by revenue, classified by
+    cumulative share (A: top 80%, B: next 15%, C: tail). The running sum
+    is decimal-exact over the pre-rounded per-part revenues with a
+    deterministic (revenue DESC, partkey) tie-break, so the class
+    boundary comparison — double vs 0.8*double of identical values —
+    cannot flip between engines. The cum-sum window is a single global
+    ordering over ONE ROW PER PART (not per lineitem); at fleet scale
+    swap the window for the range-bucketed two-phase cumsum in
+    curation.pack_token_shards — the classification contract is
+    unchanged."""
+    li = load(spark, sf_dir, "lineitem")
+    # floor(x*100+0.5)/100, NOT round(double,2): ~2000 per-part sums land
+    # on half-cent boundaries often enough that engine round() semantics
+    # diverge on a few parts — and these revenues are CONSUMED downstream
+    # (cum-sum, class boundaries), so the divergence compounds into
+    # different class totals (the verify-skill round-3 rule).
+    raw = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,10)")
+    ).cast("double")
+    rev = li.groupBy("l_partkey").agg(
+        (F.floor(raw * 100 + F.lit(0.5)) / 100).alias("revenue")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(38,10)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cum_rev"),
+        F.sum(F.col("revenue").cast("decimal(38,10)"))
+        .over(w_all)
+        .cast("double")
+        .alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum_rev") <= 0.8 * F.col("tot"), "A")
+        .when(F.col("cum_rev") <= 0.95 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(cls.alias("abc_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        stable_sum("revenue", 2).alias("class_revenue"),
+    )
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+    tags=("J7", "A4", "A2"),
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >=3
+    orders. The within-order pair space is enumerated by an equi-join on
+    the order key with the a<b residual — the same bounded self-join
+    shape as the LSH band joins: cost is Σ(items-per-order choose 2),
+    never corpus², because an order's basket is small by construction.
+    Items dedup per (order, part) BEFORE the join so multi-lineitem
+    parts can't inflate pair counts."""
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "revenue_gini",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                        AS DOUBLE), 2) AS rev
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM c
+    )
+    SELECT floor(((2.0 * CAST(sum(CAST(rev AS DECIMAL(38,10)) * i) AS DOUBLE))
+                  / (CAST(max(n) AS DOUBLE)
+                     * CAST(sum(CAST(rev AS DECIMAL(38,10))) AS DOUBLE))
+                  - (CAST(max(n) AS DOUBLE) + 1) / CAST(max(n) AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS gini
+    FROM rk
+    """,
+    tags=("A8", "W1", "F3"),
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration as a Gini coefficient over per-customer
+    revenue: G = 2·Σ(i·x_(i))/(n·Σx) − (n+1)/n with x ascending. The
+    rank-weighted sum is decimal-exact (2dp revenues × integer ranks,
+    tie-broken by custkey so both engines rank identically); only the
+    final two divisions are floating point, identical IEEE expressions
+    on both sides. The ranking window is one row per customer — same
+    single-ordering caveat and pack_token_shards swap as the Pareto
+    query."""
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(stable_sum("o_totalprice", 2).alias("rev"))
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    rk = c.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    num = F.lit(2.0) * F.sum(
+        F.col("rev").cast("decimal(38,10)") * F.col("i")
+    ).cast("double")
+    den = F.max("n").cast("double") * F.sum(
+        F.col("rev").cast("decimal(38,10)")
+    ).cast("double")
+    corr = (F.max("n").cast("double") + 1) / F.max("n").cast("double")
+    return rk.agg(
+        (F.floor((num / den - corr) * 1e6 + F.lit(0.5)) / 1e6).alias("gini")
+    )
