@@ -305,3 +305,34 @@ def stateful_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct("n_events", "top1", "top2", "top3")).alias("s"))
         .select("user_id", "s.n_events", "s.top1", "s.top2", "s.top3")
     )
+
+
+@register(
+    "attributed_purchases_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+           p.value AS purchase_value, v.event_id AS view_id, v.ts AS v_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    tags=("J5", "J8", "L5", "L6"),
+)
+def attributed_purchases_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution with the unattributed remainder: every purchase, its
+    in-window views when they exist, NULLs otherwise. SAME expressions
+    run as a watermarked LEFT OUTER stream-stream join
+    (streaming/joins.attributed_purchases_outer; the matched-subset and
+    null-emission properties are proven in tests/test_streaming.py) —
+    executed batch-side here so the oracle can hash-check the full
+    result including the null-padded rows the stream only releases
+    after its watermark passes."""
+    from ..streaming import joins as sjoins
+
+    ev = load(spark, sf_dir, "events")
+    return sjoins.attributed_purchases_outer(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )

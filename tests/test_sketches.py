@@ -146,3 +146,30 @@ def test_kmv_small_group_is_exact(spark):
         sketches.kmv_build(df, "v", keys=["g"]), keys=["g"]
     ).collect()
     assert out[0]["sketch_size"] == 5 and out[0]["est_distinct"] == 5.0
+
+
+def test_kmv_state_persists_and_merges_incrementally(spark, sf_dir, tmp_path):
+    """The KMV rollup story end-to-end: persist day-1 partials to
+    parquet, let a 'new day' arrive, and merge the RELOADED state with
+    only the new day's partial — the result must equal a from-scratch
+    build over both days. The history is never rescanned; the persisted
+    state is <= k rows per group of plain (key, hv) longs."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "user_id"
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cut = days[len(days) // 2]
+    old, new = ev.filter(F.col("day") < cut), ev.filter(F.col("day") >= cut)
+
+    state_path = str(tmp_path / "kmv_state")
+    sketches.kmv_build(old, "user_id", keys=["event_type"]).write.parquet(state_path)
+
+    merged = sketches.kmv_merge(
+        [spark.read.parquet(state_path),
+         sketches.kmv_build(new, "user_id", keys=["event_type"])],
+        keys=["event_type"],
+    )
+    direct = sketches.kmv_build(ev, "user_id", keys=["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

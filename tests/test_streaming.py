@@ -253,3 +253,44 @@ def test_running_totals_batch_boundary_independence(spark, tmp_path):
     }
     assert final[1] == (3, 15.0)
     assert final[2] == (2, 3.0)
+
+
+def test_outer_attribution_stream_properties(spark, sf_dir):
+    """The LEFT OUTER stream-stream join's matched subset must equal the
+    batch inner join, and every null-view emission must be a purchase the
+    batch left join also leaves unattributed. (Exact equality with the
+    batch LEFT join is deliberately NOT asserted: purchases newer than
+    max-event-time minus the watermark stay in state at AvailableNow
+    drain, pending a possible future match.)"""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+    from etl_ipl_data_analysis_pipeline_spark.streaming import (
+        incremental,
+        joins as sjoins,
+        windows,
+    )
+
+    ev_s = incremental.read_events_stream(spark, sf_dir)
+    got = windows.run_available_now(
+        sjoins.attributed_purchases_outer(
+            ev_s.filter(F.col("event_type") == "purchase"),
+            ev_s.filter(F.col("event_type") == "view"),
+        ),
+        "q_outer_attr",
+        output_mode="append",
+    ).collect()
+
+    ev = load(spark, sf_dir, "events")
+    batch = sjoins.attributed_purchases_outer(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    ).collect()
+    batch_matched = {tuple(r) for r in batch if r["view_id"] is not None}
+    batch_unattr = {r["purchase_id"] for r in batch if r["view_id"] is None}
+
+    got_matched = {tuple(r) for r in got if r["view_id"] is not None}
+    got_null = {r["purchase_id"] for r in got if r["view_id"] is None}
+    assert got_matched == batch_matched
+    assert got_null <= batch_unattr
+    assert got_matched, "stream emitted no matched rows"
