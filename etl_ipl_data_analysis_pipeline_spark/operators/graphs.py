@@ -1,0 +1,103 @@
+"""Distributed graph analytics beyond connected components (which lives
+in dedup.py next to its near-dup use case): triangle counting via
+degree-ordered edge orientation.
+
+The naive 3-way edge self-join enumerates every wedge at every vertex —
+a hub of degree d contributes d(d-1)/2 wedges, so one celebrity node in
+a 100 TB graph detonates the join. Orienting each edge from the
+lower-(degree, id) endpoint to the higher one makes every vertex's
+OUT-degree O(sqrt(|E|)) (a classic bound: a node can only point at
+nodes of equal-or-larger degree), so the wedge join over oriented
+adjacency is bounded by Σ outdeg² ≤ |E|^1.5 regardless of hubs — the
+standard MapReduce triangle algorithm. Each triangle {x,y,z} with
+orientation order x<y<z is counted exactly once as the wedge (x→y, x→z)
+closed by (y→z).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def orient_edges(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Orient undirected (u, v) edges from the lower-(degree, id) endpoint
+    to the higher: returns (src, dst, dst_deg) with one row per edge.
+    Degrees come from one aggregate over the exploded endpoints; the two
+    broadcast joins attach them back (the degree relation is one row per
+    VERTEX — small relative to edges)."""
+    ends = edges.select(F.col(u).alias("n")).unionAll(
+        edges.select(F.col(v).alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.join(
+            F.broadcast(deg.select(F.col("n").alias(u), F.col("d").alias("du"))), u
+        ).join(
+            F.broadcast(deg.select(F.col("n").alias(v), F.col("d").alias("dv"))), v
+        )
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col(u) < F.col(v))
+    )
+    return e.select(
+        F.when(u_first, F.col(u)).otherwise(F.col(v)).alias("src"),
+        F.when(u_first, F.col(v)).otherwise(F.col(u)).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
+    )
+
+
+def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """One-row (n_edges, n_wedges, n_triangles, clustering): exact
+    triangle count by oriented wedge join + closing-edge semi-check, the
+    exact wedge total Σ d(d-1)/2 from the degree relation, and the
+    global clustering coefficient 3T/W as the single trailing float op
+    (floor-rounded to 6dp, engine-identically)."""
+    oriented = orient_edges(edges, u, v)
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    # wedges at src: pick each unordered {y, z} once via the same
+    # (degree, id) total order used for orientation
+    later = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
+        (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+        & (F.col("e1.dst") < F.col("e2.dst"))
+    )
+    wedges = e1.join(e2, (F.col("e1.src") == F.col("e2.src")) & later).select(
+        F.col("e1.dst").alias("wy"), F.col("e2.dst").alias("wz")
+    )
+    closing = oriented.select(
+        F.col("src").alias("wy"), F.col("dst").alias("wz")
+    )
+    tri = wedges.join(closing, ["wy", "wz"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    ends = edges.select(F.col(u).alias("n")).unionAll(
+        edges.select(F.col(v).alias("n"))
+    )
+    deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    # integer sums FIRST, halve after: d*(d-1) summed as long stays exact
+    # (per-row double d*(d-1)/2 would round past 2^53 on hub degrees)
+    base = deg.agg(
+        (F.sum(F.col("d").cast("long")) / 2).cast("long").alias("n_edges"),
+        (F.sum((F.col("d") * (F.col("d") - 1)).cast("long")) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            (
+                F.floor(
+                    F.lit(3.0)
+                    * F.col("n_triangles").cast("double")
+                    / F.col("n_wedges").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("clustering"),
+        )
+    )

@@ -875,3 +875,71 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "copurchase_triangles",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    base AS (
+      SELECT CAST(CAST(sum(d) AS BIGINT) / 2 AS BIGINT) AS n_edges,
+             CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT)
+                 AS n_wedges
+      FROM deg
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           floor(3.0 * CAST(n_triangles AS DOUBLE)
+                 / CAST(n_wedges AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS clustering
+    FROM base, tri
+    """,
+    tags=("J7", "A4", "X2"),
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (operators/graphs.py):
+    exact triangle count, wedge total, and global clustering
+    coefficient. The Spark side runs the DEGREE-ORIENTED algorithm —
+    each edge points from its lower-(degree, id) endpoint, bounding
+    every vertex's out-degree by ~sqrt(|E|) so a hub product can't
+    detonate the wedge join — while the oracle brute-forces the id-
+    ordered 3-way self-join; both count each triangle exactly once, so
+    the hash gate proves the oriented algorithm's correctness, not just
+    its speed. Everything is integer except the final clustering
+    division (floor-rounded engine-identically)."""
+    from ..operators import graphs
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    return graphs.triangle_stats(edges)

@@ -188,3 +188,25 @@ def test_dq_constraints_single_scan_and_counts(spark):
     )
     plan = agg_only._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LocalRelation") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_triangle_stats_known_graphs(spark):
+    """Degree-oriented counting on graphs with known censuses: K4 has 4
+    triangles and 12 wedges; a 4-cycle has none; a star has none (all
+    wedges, no closures). Hub orientation must not double- or
+    zero-count."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import graphs
+
+    def stats(edge_list):
+        df = spark.createDataFrame(edge_list, "u long, v long")
+        return graphs.triangle_stats(df).collect()[0]
+
+    k4 = stats([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert (k4["n_edges"], k4["n_wedges"], k4["n_triangles"]) == (6, 12, 4)
+    assert k4["clustering"] == 1.0
+
+    cycle = stats([(1, 2), (2, 3), (3, 4), (1, 4)])
+    assert cycle["n_triangles"] == 0
+
+    star = stats([(1, 2), (1, 3), (1, 4), (1, 5)])
+    assert (star["n_wedges"], star["n_triangles"]) == (6, 0)
