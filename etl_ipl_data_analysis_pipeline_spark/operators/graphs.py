@@ -101,3 +101,59 @@ def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    u: str = "u",
+    v: str = "v",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list (symmetrized
+    internally): returns (node, rank) after ``iters`` synchronous
+    updates from the uniform start.
+
+    Cross-engine exact by construction — rare for an iterative float
+    algorithm: each per-edge contribution rank/degree is one IEEE
+    division, the per-node sum runs in DECIMAL(38,18) (the double→
+    decimal rounding is deterministic and order-independent, unlike
+    summing raw doubles whose result depends on partitioning), and the
+    damping update is a fixed scalar expression. The oracle twin unrolls
+    the same ``iters`` updates as chained plain CTEs, because SQL
+    recursion forbids aggregates in the recursive term. Per iteration:
+    one join on the rank key + one aggregate — the canonical distributed
+    PageRank cost, O(|E|) shuffle per round; symmetric edges mean no
+    dangling-mass correction is needed."""
+    sym = edges.select(F.col(u).alias("su"), F.col(v).alias("sv")).unionAll(
+        edges.select(F.col(v).alias("su"), F.col(u).alias("sv"))
+    )
+    deg = sym.groupBy(F.col("su").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ranks = deg.select("n").crossJoin(F.broadcast(nn)).select(
+        "n", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(deg, "n")
+            .join(sym, ranks["n"] == sym["su"])
+            .select(F.col("sv").alias("n"), (F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("n")
+            .agg(F.sum(F.col("c").cast("decimal(38,18)")).cast("double").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "n",
+                (
+                    F.lit(1 - damping) / F.col("n_nodes")
+                    + F.lit(damping) * F.col("s")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("n").alias("node"),
+        (F.floor(F.col("r") * 1e8 + F.lit(0.5)) / 1e8).alias("rank"),
+    )

@@ -943,3 +943,79 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return graphs.triangle_stats(edges)
+
+
+def _pagerank_oracle(iters: int, damping: float) -> str:
+    """Oracle twin of operators/graphs.pagerank with the iterations
+    UNROLLED as chained CTEs (SQL recursion forbids aggregates in the
+    recursive term). The teleport constant is embedded as
+    repr(1-damping) — Python's 1-0.85 is a DIFFERENT double from the
+    SQL literal 0.15, and the gate notices one-ulp differences."""
+    teleport = repr(1 - damping)
+    pre = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+    r0 AS (SELECT n, 1.0 / (SELECT n_nodes FROM nn) AS r FROM deg)
+    """
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f"""
+    r{i} AS (
+      SELECT s.v AS n,
+             {teleport} / (SELECT n_nodes FROM nn)
+             + {damping!r} * CAST(sum(CAST(r.r / d.d AS DECIMAL(38,18)))
+                                  AS DOUBLE) AS r
+      FROM r{i-1} r
+      JOIN sym s ON r.n = s.u
+      JOIN deg d ON d.n = r.n
+      GROUP BY s.v
+    )""")
+    return (
+        pre + "," + ",".join(its) + f"""
+    SELECT n AS node, floor(r * 1e8 + 0.5) / 1e8 AS rank
+    FROM r{iters}
+    """
+    )
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=_pagerank_oracle(iters=3, damping=0.85),
+    tags=("X2", "J4", "A4"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous PageRank iterations over the co-purchase graph
+    (operators/graphs.pagerank) under the exact-hash gate — rare for an
+    iterative float algorithm, and possible only because every update is
+    one IEEE division per edge, a DECIMAL(38,18) contribution sum
+    (order-independent, unlike raw-double summation), and a fixed scalar
+    damping expression. The oracle unrolls the identical three updates
+    as chained CTEs. Per iteration: one join + one aggregate, O(|E|)
+    shuffle — the canonical distributed PageRank round."""
+    from ..operators import graphs
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    return graphs.pagerank(edges, iters=3, damping=0.85)

@@ -210,3 +210,18 @@ def test_triangle_stats_known_graphs(spark):
 
     star = stats([(1, 2), (1, 3), (1, 4), (1, 5)])
     assert (star["n_wedges"], star["n_triangles"]) == (6, 0)
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Rank mass stays ~1 across iterations (symmetric graph, no
+    dangling leak) and the hub of a star strictly out-ranks its leaves."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import graphs
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "u long, v long"
+    )
+    ranks = {r["node"]: r["rank"] for r in graphs.pagerank(star, iters=4).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    hub, leaves = ranks[1], [ranks[n] for n in (2, 3, 4, 5)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetry: identical leaves tie exactly
