@@ -96,7 +96,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # EXPLICITLY so queries that still lack green driver evidence come first.
 # Round-5 rotation — after round 4 every registered query has driver
 # evidence and the latest verdict on every one is green, so this window
-# is NEW REGISTRATIONS + EVIDENCE REFRESH, oldest first: the 22
+# is NEW REGISTRATIONS + EVIDENCE REFRESH, oldest first: the 23
 # round-5 registrations (weighted split, JDBC round-trip, TPC-H
 # q2/q11/q12/q16/q20/q21, KMV sketch, sessionization, regression
 # trend, Z-order layout key, stateful top-values, DQ constraints), the 13 queries whose only driver evidence is
@@ -129,6 +129,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "attributed_purchases_outer",  # left-outer stream-stream attribution
     "copurchase_triangles",  # degree-oriented triangle census
     "pagerank_copurchase",  # exact-gated iterative PageRank
+    "stream_kmv_users",  # foreachBatch sketch maintenance vs batch oracle
     # -- only driver evidence is round 1 --
     "join_theta_pairs",
     "window_rank",
@@ -159,14 +160,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_tokens",
     "text_quality",
     "text_lang_id",
-    "dedup_connected_components",
-    # (text_subword_tokens / asof_join_events / flatten_json_props / flatten_nested / flatten_reference_mode / schema_drift /
+    # (dedup_connected_components / text_subword_tokens / asof_join_events / flatten_json_props / flatten_nested / flatten_reference_mode / schema_drift /
     # ledger_new_files / ledger_pending / ledger_latest_state / ledger_mark_stage /
     # retain_versions / ledger_ingest_idempotent /
     # incremental_summary_merge /
     # agg_count_distinct / agg_rollup / agg_cube / agg_stats /
     # q3_top_revenue / asof_join_tolerance / asof_join_strict rotated out
-    # to make room for the 22 round-5 registrations — all have r2+
+    # to make room for the 23 round-5 registrations — all have r2+
     # driver evidence and agg_rollup/agg_stats/q3/asof_join_events run
     # in every bench)
 )

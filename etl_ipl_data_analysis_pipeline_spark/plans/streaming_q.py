@@ -336,3 +336,56 @@ def attributed_purchases_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "purchase"),
         ev.filter(F.col("event_type") == "view"),
     )
+
+
+@register(
+    "stream_kmv_users",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                 AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    kept AS (SELECT event_type, hv FROM ranked WHERE rn <= 64)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS sketch_size,
+           floor((CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0
+                            / CAST(max(hv) AS DOUBLE) END) * 100 + 0.5)
+               / 100 AS est_distinct
+    FROM kept GROUP BY 1
+    """,
+    tags=("L6", "A5"),
+)
+def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance under the exact gate: an ACTUAL
+    foreachBatch run (streaming/sketch_stream.run_kmv_stream) folds
+    each micro-batch's bottom-64 partial into crash-safe persisted
+    state, and the FINAL estimate must hash-match the oracle's
+    single-shot batch sketch — the driver-level proof that streamed
+    maintenance converges to the batch answer regardless of batch
+    boundaries. Same oracle as kmv_event_type_users by design: the two
+    queries take the batch-merge and streaming-merge paths to what must
+    be the identical deterministic state."""
+    import shutil
+
+    from ..streaming import incremental, sketch_stream
+    from ..operators import sketches
+    from .pipeline_q import _scratch_dir
+
+    state = _scratch_dir(sf_dir, "kmv_stream_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    ev = incremental.read_events_stream(spark, sf_dir).select(
+        "event_type", "user_id"
+    )
+    final_state = sketch_stream.run_kmv_stream(
+        ev, state, "user_id", keys=["event_type"]
+    )
+    return sketches.kmv_estimate(final_state, keys=["event_type"])

@@ -1,0 +1,60 @@
+"""Streaming sketch maintenance (L6 × sketches): fold each micro-batch
+into a persisted KMV bottom-k state with ``foreachBatch``.
+
+The rollup every monitoring pipeline wants: "distinct users so far",
+maintained as the stream drains, answerable at any moment from O(k)
+rows per group without touching history. The KMV merge is associative
+and commutative (bottom-k of a union is the bottom-k of the union of
+bottom-k's), so the final state is independent of micro-batch
+boundaries — and because the sketch is a deterministic SET of md5
+hashes, the streamed result is bit-identical to a single-shot batch
+build, which puts the whole streaming path under the exact-hash
+oracle gate. State writes reuse the CDC module's crash-safe
+temp-path + atomic-rename swap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..io import recover_swapped
+from ..operators import sketches
+from .cdc import _swap_write
+
+
+def run_kmv_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    col: str,
+    keys: list[str] | None = None,
+    k: int = sketches.KMV_K,
+) -> DataFrame:
+    """Drain ``stream_df`` with Trigger.AvailableNow, folding each
+    micro-batch's bottom-k partial into the state table at
+    ``state_path``; returns the final sketch state. Per batch: the
+    partial build reduces the batch to <= k rows per group BEFORE the
+    merge, so the union never carries raw events — O(batch) reduction
+    plus O(k·groups) merge, never O(history)."""
+    keys = list(keys or [])
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        incoming = sketches.kmv_build(batch, col, keys=keys, k=k)
+        sess = batch.sparkSession
+        if recover_swapped(sess, state_path):
+            current = sess.read.parquet(state_path)
+            merged = sketches.kmv_merge([current, incoming], keys=keys, k=k)
+        else:
+            merged = incoming
+        _swap_write(merged, state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.read.parquet(state_path)

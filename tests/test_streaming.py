@@ -294,3 +294,35 @@ def test_outer_attribution_stream_properties(spark, sf_dir):
     assert got_matched == batch_matched
     assert got_null <= batch_unattr
     assert got_matched, "stream emitted no matched rows"
+
+
+def test_kmv_stream_batch_boundary_independence(spark, tmp_path):
+    """Micro-batched KMV maintenance must produce the identical sketch
+    state as a one-shot build — the merge is associative, and a crashed
+    run can resume (state is swap-written, checkpointed source)."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    rows = [(i, f"t{i % 3}", i % 37) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, user_id long")
+    src = str(tmp_path / "src")
+    for i in range(4):
+        df.filter((F.col("event_id") % 4) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select("event_type", "user_id")
+    )
+    got = sketch_stream.run_kmv_stream(
+        stream, str(tmp_path / "state"), "user_id", keys=["event_type"], k=16
+    )
+    want = sketches.kmv_build(
+        df.select("event_type", "user_id"), "user_id", keys=["event_type"], k=16
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
