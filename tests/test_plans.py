@@ -259,3 +259,25 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sessionize_plans_single_user_exchange(spark, sf_dir, qs):
+    # the lag flag, the running sum, and the final per-session aggregate
+    # all key on user_id — one hash exchange total, as the docstring claims
+    plan = _executed(qs["sessionize_events"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning")[1][:60]
+
+
+def test_q2_scans_lineitem_once(spark, sf_dir, qs):
+    # the correlated MIN decorrelates to a window over the broadcast-pruned
+    # frame — NOT a rescanning aggregate-join-back: exactly one lineitem scan
+    plan = _executed(qs["q2_min_cost_supplier"](spark, sf_dir))
+    assert sum("lineitem" in l and "FileScan" in l for l in plan.split("\n")) == 1
+
+
+def test_pagerank_contribution_sums_are_decimal(spark, sf_dir, qs):
+    # the order-independence of the iteration rests on decimal sums; a
+    # raw-double sum would silently reintroduce partitioning dependence
+    plan = _optimized(qs["pagerank_copurchase"](spark, sf_dir))
+    assert "sum(cast(" in plan and "decimal(38,18)" in plan
