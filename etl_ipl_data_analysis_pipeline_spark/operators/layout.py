@@ -9,9 +9,11 @@ so parquet footer min/max stats prune files/row-groups for predicates on
 any of them — the same layout idea behind lakehouse OPTIMIZE ZORDER.
 
 Everything stays codegen-able column arithmetic: equal-frequency bucket
-ranks via ntile (deterministic under a total order), bit interleave as
-shift/OR terms, then ``repartitionByRange`` + ``sortWithinPartitions`` on
-the key. No UDFs, no collect.
+ranks computed as an exact distributed ntile (range-bucketed row_numbers
+shifted by broadcast per-bucket offsets — no single-partition window
+anywhere), bit interleave as shift/OR terms, then ``repartitionByRange``
++ ``sortWithinPartitions`` on the key. No UDFs, no collect beyond the
+approxQuantile boundary sketch.
 """
 
 from __future__ import annotations
@@ -41,23 +43,110 @@ def interleave_bits(cols: list, bits: int = 8):
     return reduce(lambda acc, t: acc.bitwiseOR(t), terms)
 
 
+def _exact_ntile(
+    df: DataFrame,
+    base: DataFrame,
+    c: str,
+    tiebreak: str,
+    n: int,
+    cuts: list,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = ntile(n) OVER (ORDER BY c, tiebreak) - 1,
+    computed WITHOUT a global single-partition window.
+
+    Mechanism (the pack_token_shards range-bucketed pattern): rows are
+    bucketed by the literal ``cuts`` boundaries (all ties on ``c`` share
+    a bucket, so within-bucket order is globally consistent), row_number
+    runs per bucket, and the per-bucket row counts — one row per bucket,
+    broadcast — shift local ranks to exact 1-based global positions p.
+    The ntile value is then pure integer arithmetic on (p, N): with
+    base = N div n and rem = N mod n, the first rem tiles hold base+1
+    rows and the rest hold base, exactly the SQL ntile contract — so the
+    result is bit-identical to the window form for ANY cut boundaries
+    (cuts only steer parallelism). NULLs sort first (Spark ASC default),
+    matching the window they replace. Integer `div` throughout: a double
+    floor(p / size) could round across a tile boundary at 2^53-row scale.
+
+    ``base`` is the pre-rank source relation: bucket counts depend only
+    on column ``c``, so counting over it (a one-column scan) instead of
+    over the chained ``df`` keeps stage k's count branch from
+    re-executing stages 1..k-1's window shuffles.
+    """
+    col = F.col(c)
+    bucket = F.lit(0)
+    for cut in cuts:
+        bucket = bucket + (col > F.lit(cut)).cast("int")
+    bucket = F.when(col.isNull(), F.lit(-1)).otherwise(bucket)
+    bucketed = df.withColumn("__zb", bucket)
+
+    w_in = Window.partitionBy("__zb").orderBy(col.asc(), F.col(tiebreak).asc())
+    with_rn = bucketed.withColumn("__zrn", F.row_number().over(w_in))
+
+    # one row per bucket: exclusive prefix counts + the global total,
+    # windowed over the bounded bucket relation (never the base table)
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__zb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.select(bucket.alias("__zb"))
+        .groupBy("__zb")
+        .agg(F.count(F.lit(1)).alias("__zc"))
+        .select(
+            "__zb",
+            F.coalesce(F.sum("__zc").over(w_off), F.lit(0)).alias("__zoff"),
+            F.sum("__zc").over(Window.partitionBy(F.lit(0))).alias("__ztot"),
+        )
+    )
+    joined = with_rn.join(F.broadcast(offsets), "__zb").withColumn(
+        "__zp", F.col("__zoff") + F.col("__zrn")
+    )
+    tile = F.expr(
+        f"CASE WHEN __zp <= (__ztot % {n}) * ((__ztot div {n}) + 1) "
+        f"THEN (__zp - 1) div ((__ztot div {n}) + 1) + 1 "
+        f"ELSE (__ztot % {n}) "
+        f"  + (__zp - (__ztot % {n}) * ((__ztot div {n}) + 1) - 1) "
+        f"    div greatest(__ztot div {n}, 1) + 1 END"
+    )
+    return joined.select(
+        *[F.col(name) for name in df.columns],
+        (tile - 1).cast("int").alias(out_col),
+    )
+
+
 def zorder_ranks(
-    df: DataFrame, cols: list[str], tiebreak: str, bits: int = 8
+    df: DataFrame,
+    cols: list[str],
+    tiebreak: str,
+    bits: int = 8,
+    num_ranges: int = 32,
 ) -> DataFrame:
     """Append __r0..__rN equal-frequency bucket ranks (0..2^bits-1) for
-    each layout column. ntile over a (col, tiebreak) total order is
-    deterministic and needs no boundary collect; ties are broken by the
-    caller's unique column so both engines agree bucket-for-bucket.
+    each layout column — exact ntile semantics under the (col, tiebreak)
+    total order, so both engines agree bucket-for-bucket, with NO
+    single-partition window: one approxQuantile pass derives ~num_ranges
+    range boundaries for ALL layout columns at once, and each column's
+    rank is an exact distributed ntile over those buckets (_exact_ntile).
 
-    Scale note: each ntile is one global sort of (col, tiebreak) — at
-    fleet scale swap for approxQuantile boundaries + range lookup to cut
-    the per-column sort to a sample pass; the bucket CONTRACT (rank in
-    [0, 2^bits)) and everything downstream stay identical."""
+    Scale: per column, one hash exchange keyed by the data-derived range
+    bucket (num_ranges-way parallel — size it to the cluster), a bounded
+    per-bucket count agg, and a broadcast join; the boundaries only steer
+    parallelism, never the result. Layout columns must be numeric (the
+    boundary sketch is approxQuantile); bucketize strings upstream."""
     out = df
     n = 1 << bits
-    for i, c in enumerate(cols):
-        w = Window.orderBy(F.col(c), F.col(tiebreak))
-        out = out.withColumn(f"__r{i}", F.ntile(n).over(w) - 1)
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    # num_ranges=1 => no boundaries: degenerates to one bucket (the old
+    # single-window shape), still exact
+    all_cuts = (
+        df.approxQuantile(list(cols), probs, 0.001)
+        if probs
+        else [[] for _ in cols]
+    )
+    for i, (c, cuts) in enumerate(zip(cols, all_cuts)):
+        out = _exact_ntile(out, df, c, tiebreak, n, sorted(set(cuts)), f"__r{i}")
     return out
 
 
@@ -69,12 +158,13 @@ def zorder_write(
     bits: int = 8,
     num_files: int = 16,
     fmt: str = "parquet",
+    num_ranges: int = 32,
 ) -> None:
     """Cluster ``df`` on the Z-key of ``cols`` and write ``num_files``
     files: range-partition by the key (contiguous Z-ranges per file, so
     per-file min/max of every layout column is bounded), sort within each
     partition (bounds ROW-GROUP stats too), drop the helper columns."""
-    ranks = zorder_ranks(df, cols, tiebreak, bits)
+    ranks = zorder_ranks(df, cols, tiebreak, bits, num_ranges)
     keyed = ranks.withColumn(
         "__z", interleave_bits([f"__r{i}" for i in range(len(cols))], bits)
     )

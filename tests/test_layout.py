@@ -58,6 +58,29 @@ def test_zorder_bounds_both_columns(spark, sf_dir, tmp_path):
     assert sum(s_usr) / len(s_usr) > 0.9
 
 
+def test_zorder_ranks_match_window_ntile_exactly(spark, sf_dir):
+    """The distributed exact-ntile (range buckets + row_number + broadcast
+    offsets) must be BIT-IDENTICAL to the single-window ntile form it
+    replaced, for every row — including with coarse boundaries (few
+    buckets) and bucket sizes not divisible by the tile count."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    for bits, num_ranges in [(6, 32), (4, 3), (8, 1)]:
+        n = 1 << bits
+        got = layout.zorder_ranks(
+            ev, ["value", "user_id"], "event_id", bits=bits, num_ranges=num_ranges
+        )
+        want = ev
+        for i, c in enumerate(["value", "user_id"]):
+            w = Window.orderBy(F.col(c), F.col("event_id"))
+            want = want.withColumn(f"__r{i}", F.ntile(n).over(w) - 1)
+        diff = got.select("event_id", "__r0", "__r1").exceptAll(
+            want.select("event_id", "__r0", "__r1")
+        )
+        assert diff.count() == 0, f"rank mismatch at bits={bits} ranges={num_ranges}"
+
+
 def test_zorder_write_is_lossless(spark, sf_dir, tmp_path):
     ev = load(spark, sf_dir, "events").select("event_id", "value", "user_id")
     path = str(tmp_path / "zorder_lossless")

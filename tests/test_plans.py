@@ -281,3 +281,24 @@ def test_pagerank_contribution_sums_are_decimal(spark, sf_dir, qs):
     # raw-double sum would silently reintroduce partitioning dependence
     plan = _optimized(qs["pagerank_copurchase"](spark, sf_dir))
     assert "sum(cast(" in plan and "decimal(38,18)" in plan
+
+
+def test_zorder_ranks_have_no_global_window(spark, sf_dir, qs):
+    # the r5 verdict's one scale-killer: zorder_ranks used ntile over a
+    # no-partition window, funneling the base table through one reducer
+    # per layout column. Now ranks are exact distributed ntiles: every
+    # window that touches the BASE TABLE (the row_numbers) must be
+    # partitioned by the range bucket, and any single-partition exchange
+    # may only feed the bounded per-bucket offsets relation (__zc counts)
+    plan = _executed(qs["zorder_key_stats"](spark, sf_dir))
+    assert "ntile" not in plan
+    lines = plan.split("\n")
+    for line in lines:
+        if "row_number() windowspecdefinition" in line:
+            assert "__zb" in line, f"unpartitioned base-table window: {line}"
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = [l for l in lines[:i] if "windowspecdefinition" in l]
+            assert above and "__zc" in above[-1], (
+                "single-partition exchange outside the bounded offsets branch"
+            )
