@@ -75,13 +75,16 @@ def triangle_stats(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
         edges.select(F.col(v).alias("n"))
     )
     deg = ends.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    # integer sums FIRST, halve after: d*(d-1) summed as long stays exact
-    # (per-row double d*(d-1)/2 would round past 2^53 on hub degrees)
+    # integer sums FIRST, halve after WITH INTEGER DIVISION: d*(d-1)
+    # summed as long stays exact, and `div 2` keeps the halving exact
+    # past 2^53 where a double `/ 2` would round (both sums are even —
+    # handshake lemma / d(d-1) even per term — so div IS the half)
     base = deg.agg(
-        (F.sum(F.col("d").cast("long")) / 2).cast("long").alias("n_edges"),
-        (F.sum((F.col("d") * (F.col("d") - 1)).cast("long")) / 2)
-        .cast("long")
-        .alias("n_wedges"),
+        F.sum(F.col("d").cast("long")).alias("__sd"),
+        F.sum((F.col("d") * (F.col("d") - 1)).cast("long")).alias("__sw"),
+    ).select(
+        F.expr("__sd div 2").alias("n_edges"),
+        F.expr("__sw div 2").alias("n_wedges"),
     )
     return (
         base.crossJoin(F.broadcast(tri))

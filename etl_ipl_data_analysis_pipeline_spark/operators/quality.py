@@ -56,13 +56,20 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         row = df.agg(
             *[r["metric"].cast("long").alias(f"__m{i}") for i, r in enumerate(agg_rules)]
         )
-        stacked = row.selectExpr(
-            "stack({n}, {args}) AS (rule, violations)".format(
-                n=len(agg_rules),
-                args=", ".join(
-                    f"'{r['rule']}', __m{i}" for i, r in enumerate(agg_rules)
-                ),
-            )
+        # unpivot via explode of literal-labeled structs — rule labels
+        # ride as F.lit values, never interpolated into SQL text, so a
+        # quote/backslash in a column name can't break the plan
+        kv = F.array(
+            *[
+                F.struct(
+                    F.lit(r["rule"]).alias("rule"),
+                    F.col(f"__m{i}").alias("violations"),
+                )
+                for i, r in enumerate(agg_rules)
+            ]
+        )
+        stacked = row.select(F.explode(kv).alias("kv")).select(
+            "kv.rule", "kv.violations"
         )
         reports.append(stacked)
     for r in rules:
@@ -80,6 +87,10 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
             .select(F.lit(r["rule"]).alias("rule"), "violations")
         )
         reports.append(viol)
+    if not reports:  # empty rule set: empty report, not an IndexError
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations bigint, passed boolean"
+        )
     out = reports[0]
     for rep in reports[1:]:
         out = out.unionByName(rep)

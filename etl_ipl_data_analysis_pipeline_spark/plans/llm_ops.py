@@ -16,6 +16,24 @@ from ..functions import normalized_text, stable_avg_long, token_count
 from ..operators import dedup, similarity, textstats
 from . import load, register
 
+PLANTED_OFFSET = 100000
+
+
+def _planted_domain_guard(id_col: str):
+    """Zero-valued guard term for planted-duplicate constructions: adds 0
+    to the offset id, but RAISES at runtime if the fixture id has grown
+    into the planted domain (id >= offset). Both engines mirror the
+    planting, so a collision would silently degrade the "originals
+    survive, mirrors dropped" property without ever failing the hash gate
+    — this converts that silent degradation into a loud error wherever
+    the query runs (driver gate included, not just pytest). Folding the
+    assert into the arithmetic keeps Catalyst from pruning it as an
+    unused column."""
+    ok = F.col(id_col) < F.lit(PLANTED_OFFSET)
+    msg = F.lit(f"planted {id_col} offset collides with fixture ids")
+    return F.coalesce(F.assert_true(ok, msg).cast("bigint"), F.lit(0))
+
+
 # ---------------------------------------------------------------------------
 # X1: exact dedup
 # ---------------------------------------------------------------------------
@@ -168,7 +186,8 @@ def dedup_embedding_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     rather than kept as a vacuous registry row."""
     e = load(spark, sf_dir, "embeddings")
     planted = e.filter(F.col("vec_id") % 10 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(100000)
+        "vec_id",
+        F.col("vec_id") + F.lit(100000) + _planted_domain_guard("vec_id"),
     )
     return similarity.embedding_near_dup_pairs(
         e.unionByName(planted), min_sim=0.9
@@ -786,7 +805,7 @@ def dedup_bow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle here intentionally keeps readable."""
     d = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     planted = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 100000 + _planted_domain_guard("doc_id")).alias("doc_id"),
         F.array_join(F.reverse(F.split(F.col("text"), " ")), " ").alias("text"),
         F.col("lang"),
     )
@@ -900,8 +919,8 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
     ),
     base AS (
-      SELECT CAST(CAST(sum(d) AS BIGINT) / 2 AS BIGINT) AS n_edges,
-             CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT)
+      SELECT CAST(CAST(sum(d) AS BIGINT) // 2 AS BIGINT) AS n_edges,
+             CAST(CAST(sum(d * (d - 1)) AS BIGINT) // 2 AS BIGINT)
                  AS n_wedges
       FROM deg
     )

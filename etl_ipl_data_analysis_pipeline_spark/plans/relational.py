@@ -735,14 +735,24 @@ def sort_key_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT c_nationkey AS nationkey FROM customer
     EXCEPT
     SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    WHERE s_acctbal > 9500
     """,
     tags=("SE1",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A − B by key: nations with customers but no suppliers — the
-    added/dropped-columns diff (compare_schema.py:35-53) as a set op."""
+    """A − B by key: nations with customers but no HIGH-BALANCE
+    (acctbal > 9500) suppliers — the added/dropped-columns diff
+    (compare_schema.py:35-53) as a set op. The subtrahend is filtered so
+    the difference is NON-EMPTY at every fixture SF (25/21/4 rows at
+    sf0.001/0.01/0.1): the r5 verdict flagged the unfiltered form as
+    vacuous evidence — its 0-row green hash couldn't distinguish a
+    correct EXCEPT from one that always returns empty."""
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.distinct().exceptAll(s.distinct())
 
 

@@ -57,4 +57,10 @@ def run_kmv_stream(
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    return spark.read.parquet(state_path)
+    if recover_swapped(spark, state_path):
+        return spark.read.parquet(state_path)
+    # a source that yielded ZERO micro-batches never wrote state: return
+    # an empty sketch with the exact state schema instead of letting the
+    # read raise on a missing path
+    empty = spark.createDataFrame([], stream_df.schema)
+    return sketches.kmv_build(empty, col, keys=keys, k=k)

@@ -225,3 +225,43 @@ def test_pagerank_mass_and_ordering(spark):
     hub, leaves = ranks[1], [ranks[n] for n in (2, 3, 4, 5)]
     assert all(hub > l for l in leaves)
     assert len(set(leaves)) == 1  # symmetry: identical leaves tie exactly
+
+
+def test_dq_constraints_empty_rules_and_quoted_labels(spark):
+    """ADVICE r5: an empty rule set returns an empty report (not an
+    IndexError), and rule labels ride as literals — a label containing
+    quotes/backslashes can't corrupt the plan the way the old
+    string-formatted stack() SQL could."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import quality
+
+    df = spark.createDataFrame([(1,)], "k long")
+    empty = quality.check_constraints(df, [])
+    assert empty.columns == ["rule", "violations", "passed"]
+    assert empty.count() == 0
+
+    weird = "not_null(o'brien\\\"col)"
+    rep = quality.check_constraints(
+        df, [{"rule": weird, "kind": "agg", "metric": F.lit(0)}]
+    ).collect()
+    assert rep[0]["rule"] == weird and rep[0]["passed"]
+
+
+def test_kmv_stream_zero_batches_returns_empty_sketch(spark, tmp_path):
+    """ADVICE r5: a source that yields no micro-batches must return an
+    empty sketch with the state schema, not raise on the missing state
+    path."""
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .parquet(str(src))
+    )
+    got = sketch_stream.run_kmv_stream(
+        stream, str(tmp_path / "state"), "user_id", keys=["event_type"], k=16
+    )
+    assert got.count() == 0
+    assert "event_type" in got.columns
