@@ -27,8 +27,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline set: one per expensive plan family (scan-agg, star join, window,
-# range/as-of join, flatten, dedup, ANN, text) — the shapes that dominate at
-# 100 TB, not the trivial lookups.
+# range/as-of join, flatten, dedup, ANN, text, graph, sketch, layout, DQ) —
+# the shapes that dominate at 100 TB, not the trivial lookups. The last four
+# joined in round 6 so regressions in the r4/r5 surface stay visible.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -46,6 +47,10 @@ HEADLINE = [
     "topk_cosine",
     "text_quality",
     "lang_profile",
+    "copurchase_triangles",
+    "pagerank_copurchase",
+    "zorder_key_stats",
+    "dq_orders_constraints",
 ]
 
 
