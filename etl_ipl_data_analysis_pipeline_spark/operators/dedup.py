@@ -566,13 +566,16 @@ def minhash_dedup_cc(
     return df.join(losers, id_col, "left_anti")
 
 
+EDIT_JOIN_CONF = "spark.etl_ipl.editDistance.joinStrategy"
+
+
 def edit_distance_pairs(
     df: DataFrame,
     name_col: str,
     id_col: str,
     block_col: str | None = None,
     k: int = 2,
-    join_strategy: str = "SHUFFLE_HASH",
+    join_strategy: str | None = None,
 ) -> DataFrame:
     """Exact edit-distance pairs (levenshtein <= k, k in {1, 2}) via
     DELETION-NEIGHBORHOOD blocking: if lev(a, b) <= k, deleting <= k chars
@@ -607,12 +610,19 @@ def edit_distance_pairs(
     build hash relation") at shuffle.partitions=64, not a driver or
     checkpoint limit. Keeping the ~2x win means sizing memory for the
     builds; pass join_strategy="MERGE" if the fleet would rather degrade
-    (spill) than fail.
+    (spill) than fail. The strategy is also conf-gated for fleets that
+    can't touch call sites: set ``spark.etl_ipl.editDistance.joinStrategy
+    = MERGE`` (session conf) and every call with join_strategy=None picks
+    it up; the explicit argument always wins. Measured at the factor-100
+    smoke: MERGE completes at 24 g (spills, 225 s) where SHUFFLE_HASH
+    needs 48 g (143 s) — see SCALE_SMOKE_r06.json.
 
     Returns (id_a, id_b, dist) with id_a < id_b.
     """
     if k not in (1, 2):
         raise ValueError("edit_distance_pairs supports k = 1 or 2")
+    if join_strategy is None:
+        join_strategy = df.sparkSession.conf.get(EDIT_JOIN_CONF, "SHUFFLE_HASH")
     name, idc = F.col(name_col), F.col(id_col)
     block = F.col(block_col) if block_col else F.lit(0)
     base = df.select(

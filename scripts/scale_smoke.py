@@ -39,6 +39,8 @@ def main() -> int:
     from etl_ipl_data_analysis_pipeline_spark.operators import (
         curation,
         dedup,
+        graphs,
+        layout,
         similarity,
     )
     from etl_ipl_data_analysis_pipeline_spark.plans import load
@@ -147,11 +149,91 @@ def main() -> int:
         )
         custs = rep if custs is None else custs.unionByName(rep)
     custs = custs.repartition(64).localCheckpoint(eager=True)
+    # SPARK_GRAFT_EDIT_JOIN=MERGE records the degrade-over-fail mode (24g
+    # spill path) instead of the SHUFFLE_HASH default (fast, 48g floor)
+    edit_join = os.environ.get("SPARK_GRAFT_EDIT_JOIN")
+    timings["edit_join_strategy"] = edit_join or "SHUFFLE_HASH"
     timings["edit_distance_pairs"] = t(
         lambda: dedup.edit_distance_pairs(
-            custs, "c_name", "c_custkey", block_col="c_nationkey", k=2
+            custs,
+            "c_name",
+            "c_custkey",
+            block_col="c_nationkey",
+            k=2,
+            join_strategy=edit_join,
         ),
         "edit_distance_pairs",
+    )
+
+    # round-6: Z-order layout write at scale — the full sink path (exact
+    # distributed ntile ranks, Morton key, range-partitioned sorted write)
+    # must stay ~linear now that no single-reducer window remains
+    ev = load(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    evs = None
+    for r in range(factor):
+        rep = ev.select(
+            (F.col("event_id") + F.lit(r * 100_000_000)).alias("event_id"),
+            "value",
+            (F.col("user_id") + F.lit(r * 10_000_000)).alias("user_id"),
+        )
+        evs = rep if evs is None else evs.unionByName(rep)
+    evs = evs.repartition(64).localCheckpoint(eager=True)
+    timings["n_events"] = evs.count()
+    import shutil
+    import tempfile
+
+    zdir = tempfile.mkdtemp(prefix="zorder_smoke_")
+    try:
+        print(f"scale_smoke[{factor}x]: zorder_write ...", file=sys.stderr, flush=True)
+        t0 = time.time()
+        layout.zorder_write(
+            evs, f"{zdir}/out", ["value", "user_id"], "event_id",
+            bits=8, num_files=64, num_ranges=64,
+        )
+        timings["zorder_write"] = round(time.time() - t0, 2)
+        print(
+            f"scale_smoke[{factor}x]: zorder_write {timings['zorder_write']}s",
+            file=sys.stderr, flush=True,
+        )
+    finally:
+        shutil.rmtree(zdir, ignore_errors=True)
+
+    # round-6: triangle census at scale — replicas shift BOTH endpoints,
+    # so the graph is factor disjoint copies: edges/wedges/triangles must
+    # come out exactly factor x the base (proves the degree-oriented
+    # wedge join's linear scaling AND its correctness at volume)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    lis = None
+    for r in range(factor):
+        rep = li.select(
+            (F.col("l_orderkey") + F.lit(r * 100_000_000)).alias("l_orderkey"),
+            (F.col("l_partkey") + F.lit(r * 100_000_000)).alias("l_partkey"),
+        )
+        lis = rep if lis is None else lis.unionByName(rep)
+    lis = lis.repartition(64).localCheckpoint(eager=True)
+    print(f"scale_smoke[{factor}x]: triangle_stats ...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    items = lis.distinct()
+    ia, ib = items.alias("a"), items.alias("b")
+    gedges = (
+        ia.join(
+            ib,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    tri_row = graphs.triangle_stats(gedges).collect()[0]
+    timings["triangle_stats"] = round(time.time() - t0, 2)
+    timings["n_graph_edges"] = tri_row["n_edges"]
+    timings["n_triangles"] = tri_row["n_triangles"]
+    print(
+        f"scale_smoke[{factor}x]: triangle_stats {timings['triangle_stats']}s "
+        f"(edges={tri_row['n_edges']}, triangles={tri_row['n_triangles']})",
+        file=sys.stderr, flush=True,
     )
 
     print(f"scale_smoke[{factor}x]: connected_components ...", file=sys.stderr, flush=True)

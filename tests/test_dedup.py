@@ -207,3 +207,35 @@ def test_edit_distance_pairs_k1(spark):
     )
     got = {(r["id_a"], r["id_b"]) for r in dedup.edit_distance_pairs(df, "name", "id", k=1).collect()}
     assert got == {(1, 2)}
+
+
+def test_edit_distance_join_strategy_conf_gate(spark):
+    """The degrade-over-fail mode is conf-gated: with
+    spark.etl_ipl.editDistance.joinStrategy=MERGE every call that doesn't
+    pass join_strategy explicitly plans a SortMergeJoin for the variant
+    self-join (spillable, 24g-safe) instead of the ShuffledHashJoin
+    default; results are identical either way."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "kitten"), (2, "sitten"), (3, "xyzzy")], "id long, name string"
+    )
+
+    def physical(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    default_plan = physical(dedup.edit_distance_pairs(df, "name", "id", k=1))
+    assert "ShuffledHashJoin" in default_plan
+
+    spark.conf.set(dedup.EDIT_JOIN_CONF, "MERGE")
+    try:
+        merged = dedup.edit_distance_pairs(df, "name", "id", k=1)
+        assert "SortMergeJoin" in physical(merged)
+        assert {(r["id_a"], r["id_b"]) for r in merged.collect()} == {(1, 2)}
+        # explicit argument still wins over the conf
+        forced = dedup.edit_distance_pairs(
+            df, "name", "id", k=1, join_strategy="SHUFFLE_HASH"
+        )
+        assert "ShuffledHashJoin" in physical(forced)
+    finally:
+        spark.conf.unset(dedup.EDIT_JOIN_CONF)
