@@ -43,13 +43,29 @@ def main() -> int:
     custs = custs.repartition(64).localCheckpoint(eager=True)
     n = custs.count()
 
+    strategy = os.environ.get("SPARK_GRAFT_EDIT_JOIN")  # None => conf/default
     t0 = time.time()
     out = dedup.edit_distance_pairs(
-        custs, "c_name", "c_custkey", block_col="c_nationkey", k=2
+        custs,
+        "c_name",
+        "c_custkey",
+        block_col="c_nationkey",
+        k=2,
+        join_strategy=strategy,
     )
     n_pairs = out.count()
     dt = round(time.time() - t0, 2)
-    print(json.dumps({"n_names": n, "n_pairs": n_pairs, "sec": dt}))
+    print(
+        json.dumps(
+            {
+                "n_names": n,
+                "n_pairs": n_pairs,
+                "sec": dt,
+                "strategy": strategy or "SHUFFLE_HASH",
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+            }
+        )
+    )
     return 0
 
 
