@@ -219,3 +219,40 @@ def test_cms_estimate_matches_python_mirror(spark, items):
     for r in est:
         expect = min(cells[(j, bucket(r["__item"], j))] for j in range(d))
         assert r.est_cnt == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    ),
+    st.integers(min_value=1, max_value=5),  # bits
+    st.integers(min_value=1, max_value=7),  # num_ranges
+)
+def test_exact_distributed_ntile_matches_python_mirror(spark, vals, bits, num_ranges):
+    """layout.zorder_ranks' distributed ntile vs the SQL ntile contract
+    computed in pure Python: with N rows sorted by (value, id) and n
+    tiles, the first N%n tiles hold N//n+1 rows, the rest N//n — for
+    arbitrary duplicates, bucket counts, and non-divisible sizes."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import layout
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["id"]: r["__r0"]
+        for r in layout.zorder_ranks(
+            df, ["v"], "id", bits=bits, num_ranges=num_ranges
+        ).collect()
+    }
+    n = 1 << bits
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    N = len(order)
+    base, rem = divmod(N, n)
+    want = {}
+    for p, (i, _) in enumerate(order, start=1):
+        if p <= rem * (base + 1):
+            tile = (p - 1) // (base + 1) + 1
+        else:
+            tile = rem + (p - rem * (base + 1) - 1) // max(base, 1) + 1
+        want[i] = tile - 1
+    assert got == want
