@@ -89,6 +89,7 @@ def weighted_group_split(
     splits: Sequence[tuple[str, float]],
     salt: str = "",
     out_col: str = "split",
+    num_ranges: int = 0,
 ) -> DataFrame:
     """Weight-aware group-disjoint splitting: every row of a group lands in
     the same split (the leakage-safety property of hash_split on a group
@@ -111,28 +112,77 @@ def weighted_group_split(
     assignment table per corpus snapshot when hold-out stability matters.
 
     Scale: one shuffle to build the group-weight relation (map-side
-    partial agg), a window over that relation — #groups rows (crawl
-    sources, domains: orders of magnitude smaller than the corpus) on one
-    reducer, same bounded shape as pack_token_shards' offsets table; for
-    10^6+ groups swap in that function's range-bucketed cumsum — then a
-    broadcast join back to rows. Float discipline: the cut points are
+    partial agg), then the exclusive running weight over the md5 order.
+    With ``num_ranges=0`` (default) that is a window over the bounded
+    group relation — #groups rows (crawl sources, domains: orders of
+    magnitude smaller than the corpus) on one reducer, same bounded
+    shape as pack_token_shards' offsets table. For 10^6+ groups pass
+    ``num_ranges>1``: groups are bucketed by a monotone prefix of the
+    md5 sort key (order-aligned ranges, no boundary collect needed —
+    the hash is uniform by construction), cum-summed within buckets,
+    and shifted by broadcast per-bucket offsets, the pack_token_shards
+    pattern — no single-partition window anywhere. The two paths are
+    row-identical whenever weight sums are order-independent (integer /
+    decimal weights — the token-count case); for raw double weights
+    keep num_ranges=0, since re-associating a double sum can move a
+    group across a cut point. Float discipline: the cut points are
     Python-float cumulative fractions embedded identically in the SQL
     oracle twin (repr round-trip), so 0.8 + 0.1 != 0.9 can't flip a
     boundary between engines."""
     if len(splits) < 1:
         raise ValueError("need at least one split")
     gw = df.groupBy(group_col).agg(F.sum(weight_col).alias("__w"))
-    w_cum = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(_hash_bucket(group_col, salt), F.col(group_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_tot = Window.partitionBy(F.lit(0))
-    asg = gw.select(
-        group_col,
-        F.coalesce(F.sum("__w").over(w_cum), F.lit(0)).alias("__cum"),
-        F.sum("__w").over(w_tot).alias("__tot"),
-    )
+    order_key = _hash_bucket(group_col, salt)
+    if num_ranges > 1:
+        # first 4 hex chars read as an int: monotone in the lexicographic
+        # order of the fixed-width lowercase hash, so buckets are
+        # contiguous ranges of the sort order; ties on the FULL hash
+        # share a prefix, hence a bucket
+        prefix = F.conv(F.substring(order_key, 1, 4), 16, 10).cast("long")
+        bucket = F.floor(prefix * num_ranges / F.lit(65536)).cast("long")
+        gwb = gw.withColumn("__b", bucket)
+        w_in = (
+            Window.partitionBy("__b")
+            .orderBy(order_key, F.col(group_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_off = (
+            Window.partitionBy(F.lit(0))
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            gwb.groupBy("__b")
+            .agg(F.sum("__w").alias("__bw"))
+            .select(
+                "__b",
+                F.coalesce(F.sum("__bw").over(w_off), F.lit(0)).alias("__off"),
+                F.sum("__bw").over(Window.partitionBy(F.lit(0))).alias("__tot"),
+            )
+        )
+        asg = (
+            gwb.withColumn(
+                "__cum_in", F.coalesce(F.sum("__w").over(w_in), F.lit(0))
+            )
+            .join(F.broadcast(offsets), "__b")
+            .select(
+                group_col,
+                (F.col("__off") + F.col("__cum_in")).alias("__cum"),
+                "__tot",
+            )
+        )
+    else:
+        w_cum = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(order_key, F.col(group_col))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_tot = Window.partitionBy(F.lit(0))
+        asg = gw.select(
+            group_col,
+            F.coalesce(F.sum("__w").over(w_cum), F.lit(0)).alias("__cum"),
+            F.sum("__w").over(w_tot).alias("__tot"),
+        )
     expr = F.lit(splits[-1][0])  # last split takes the remainder
     cuts = []
     cum = 0.0

@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_bow_fingerprint",  # planted-id runtime guard folded in
     "dedup_embedding_pairs_planted",  # planted-id runtime guard folded in
     "stream_kmv_users",  # zero-batch empty-state path added
+    "split_group_weighted",  # now runs the distributed cumsum (num_ranges=8)
     # -- freshest evidence is round 2 (oldest cohort) --
     "multimodal_frames",
     "dedup_minhash_pairs",
@@ -157,10 +158,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "event_value_outliers",
     "multimodal_features",
     "agg_collect_list",
-    "lang_profile",
-    # (the round-4/5 cohorts — TPC-H tail, KMV/graph/layout/DQ families,
-    # streaming refreshers — all have r4/r5 green evidence and several
-    # run in every bench; they rotate back in next round)
+    # (lang_profile yields its slot to split_group_weighted's re-green:
+    # it has r3 evidence AND runs in every bench. The round-4/5 cohorts —
+    # TPC-H tail, KMV/graph/layout/DQ families, streaming refreshers —
+    # all have r4/r5 green evidence; they rotate back in next round)
 )
 
 

@@ -617,7 +617,11 @@ def split_group_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     start — so the 80/10/10 targets hold in token weight even when one
     source dwarfs the others, while every document of a source still
     lands in one split. Exact oracle twin: md5 ordering, the window
-    cumsum, and the repr'd float cut points are engine-identical."""
+    cumsum, and the repr'd float cut points are engine-identical.
+    num_ranges=8 runs the DISTRIBUTED cumsum (range-bucketed by a
+    monotone md5 prefix + broadcast offsets — the 10^6-group scale
+    path) under the hash gate: integer token weights make it
+    row-identical to the oracle's single sequential window."""
     from ..functions import token_count
 
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -625,5 +629,5 @@ def split_group_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", token_count("text").alias("n_tokens")
     )
     return curation.weighted_group_split(
-        weighted, "source", "n_tokens", _SPLITS
+        weighted, "source", "n_tokens", _SPLITS, num_ranges=8
     ).select("doc_id", "source", "split")

@@ -311,3 +311,32 @@ class TestWeightedGroupSplit:
         weighted = worst_err(curation.weighted_group_split(df, "source", "w", splits))
         hashed = worst_err(curation.hash_split(df, "source", splits))
         assert weighted <= hashed + 1e-9
+
+
+def test_weighted_group_split_distributed_cumsum_identical(spark):
+    """The num_ranges>1 path (range-bucketed cumsum + broadcast offsets,
+    the 10^6-group scale shape) must assign every group to the SAME
+    split as the single-window path for integer weights, across bucket
+    counts that put one, several, or all groups per bucket."""
+    import random
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    rng = random.Random(7)
+    rows = [
+        (i, f"src{i % 37}", rng.randint(1, 500)) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w long")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    want = {
+        (r["doc_id"], r["split"])
+        for r in curation.weighted_group_split(df, "source", "w", splits).collect()
+    }
+    for nr in (2, 8, 64, 1024):
+        got = {
+            (r["doc_id"], r["split"])
+            for r in curation.weighted_group_split(
+                df, "source", "w", splits, num_ranges=nr
+            ).collect()
+        }
+        assert got == want, f"divergence at num_ranges={nr}"
