@@ -400,3 +400,76 @@ def kmeans_centroids(
             np.stack([new.get(i, cents[i]) for i in range(k)])  # empty cell: keep old
         )
     return cents
+
+
+def kmeans_exact(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means whose every step is cross-engine
+    EXACT — the PageRank treatment (graphs.pagerank) applied to
+    clustering, where kmeans_centroids above is the fast rows-only
+    model-building twin.
+
+    Determinism discipline, term by term: init = the k lowest-id vectors
+    (cid by id order); squared-distance TERMS (v-c)^2 are single IEEE
+    double ops identical in any engine, and their per-(vector, centroid)
+    SUM runs in DECIMAL(38,12), so reduction order can't flip an argmin;
+    assignment breaks exact ties by centroid id; the centroid update
+    sums coordinates in DECIMAL(38,10) and performs ONE double division.
+    The oracle twin unrolls the same ``iters`` rounds as chained CTEs.
+
+    Scale shape: the exploded (id, pos, v) relation joins a BROADCAST
+    k*dim centroid relation (tiny at any corpus size), partial
+    aggregation reduces the distance terms map-side to n*k rows before
+    the one shuffle, and the argmin window partitions by vector id —
+    O(n*k) compute, O(n*k) shuffle per round, no collect anywhere (the
+    centroid state stays a DataFrame; AQE reuses the exploded scan's
+    stages across rounds within the single execution).
+
+    Returns (cid, pos, n, centroid): long-form centroids after ``iters``
+    updates with member counts — scalar columns for the driver canon.
+    """
+    ex = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
+    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+    seeds = emb.select(F.col(id_col).alias("vid")).orderBy("vid").limit(k)
+    cents = ex.join(F.broadcast(seeds), "vid").select(
+        (
+            F.row_number().over(Window.partitionBy("pos").orderBy("vid")) - 1
+        ).alias("cid"),
+        "pos",
+        F.col("v").alias("c"),
+    )
+    updated = None
+    for _ in range(iters):
+        term = F.col("v") - F.col("c")
+        dists = (
+            ex.join(F.broadcast(cents), "pos")
+            .groupBy("vid", "cid")
+            .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        )
+        w = Window.partitionBy("vid").orderBy("dist", "cid")
+        assign = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "cid")
+        )
+        updated = assign.join(ex, "vid").groupBy("cid", "pos").agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        cents = updated.select("cid", "pos", "c")
+    return updated.select(
+        "cid",
+        "pos",
+        "n",
+        (F.floor(F.col("c") * 1e6 + F.lit(0.5)) / 1e6).alias("centroid"),
+    )

@@ -105,6 +105,8 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # queries. Exactly 50. scripts/evidence_map.py regenerates the
 # per-query history (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
+    # -- new registration (round 6): never driver-sampled --
+    "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -157,9 +159,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "daily_retention",
     "event_value_outliers",
     "multimodal_features",
-    "agg_collect_list",
-    # (lang_profile yields its slot to split_group_weighted's re-green:
-    # it has r3 evidence AND runs in every bench. The round-4/5 cohorts —
+    # (lang_profile and agg_collect_list yield their slots to the
+    # kmeans registration and split_group_weighted's re-green:
+    # lang_profile has r3 evidence AND runs in every bench,
+    # agg_collect_list is r3-evidenced and trivial. The round-4/5 cohorts —
     # TPC-H tail, KMV/graph/layout/DQ families, streaming refreshers —
     # all have r4/r5 green evidence; they rotate back in next round)
 )

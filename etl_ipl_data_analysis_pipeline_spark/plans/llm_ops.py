@@ -648,6 +648,73 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Oracle twin of operators/similarity.kmeans_exact with the rounds
+    unrolled as chained CTEs (like _pagerank_oracle: SQL recursion can't
+    aggregate in the recursive term). Every term mirrors the Spark side
+    exactly: double subtraction/square, DECIMAL(38,12) distance sums,
+    (dist, cid) argmin tie-break, DECIMAL(38,10) coordinate sums, one
+    double division."""
+    parts = [
+        f"""
+    WITH ex AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (PARTITION BY pos ORDER BY vid) - 1 AS cid,
+             pos, v AS c
+      FROM ex
+      WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", d{i} AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN {prev} c USING (pos) GROUP BY 1, 2
+    ), a{i} AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cid, e.pos,
+             CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c,
+             count(*) AS n
+      FROM a{i} a JOIN ex e USING (vid) GROUP BY 1, 2
+    )"""
+        )
+        prev = f"c{i}"
+    parts.append(
+        f"""
+    SELECT cid, pos, CAST(n AS BIGINT) AS n,
+           floor(c * 1e6 + 0.5) / 1e6 AS centroid
+    FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_clusters_exact",
+    oracle=_kmeans_oracle(4, 2),
+    tags=("X3", "A4", "W1", "F5"),
+)
+def kmeans_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd k-means under the EXACT-hash gate
+    (operators/similarity.kmeans_exact): 2 synchronous rounds from the
+    k-lowest-id seeds, decimal-summed distances so the argmin is
+    partitioning-independent, decimal-summed centroid updates — the
+    semantic-clustering step of an embedding curation pipeline, proven
+    identical to a sequential reference the way pagerank_copurchase is.
+    kmeans_centroids (rows-only, Arrow matmul) remains the fast path for
+    model building; this is the auditable one."""
+    e = load(spark, sf_dir, "embeddings")
+    return similarity.kmeans_exact(e, k=4, iters=2)
+
+
 @register(
     "label_centroids",
     oracle="""

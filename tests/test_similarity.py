@@ -155,3 +155,44 @@ def test_expression_and_udf_bucketing_agree(spark):
         F.element_at(multi_table_buckets_udf(8, 1, 16, 42)("v"), 1).alias("udf_b"),
     ).collect()
     assert all(r["expr_b"] == r["udf_b"] for r in out)
+
+
+def test_kmeans_exact_separates_known_clusters(spark):
+    """Two obvious 2-D blobs, k=2 seeded from the two lowest ids (one in
+    each blob by construction): after 2 Lloyd rounds every vector sits
+    with its blob and the centroids are the exact blob means."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity
+
+    rows = [
+        (0, [0.0, 0.0]), (2, [1.0, 0.0]), (4, [0.0, 1.0]),   # blob A
+        (1, [10.0, 10.0]), (3, [11.0, 10.0]), (5, [10.0, 11.0]),  # blob B
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["cid"], r["pos"]): (r["n"], r["centroid"])
+        for r in similarity.kmeans_exact(df, k=2, iters=2).collect()
+    }
+    # cid 0 seeds from vec_id 0 (blob A), cid 1 from vec_id 1 (blob B);
+    # centroids come back floor-rounded to 6dp
+    assert out[(0, 1)] == (3, 0.333333)
+    assert out[(0, 2)] == (3, 0.333333)
+    assert out[(1, 1)] == (3, 10.333333)
+    assert out[(1, 2)] == (3, 10.333333)
+
+
+def test_kmeans_exact_tie_breaks_to_lower_cid(spark):
+    """A vector exactly equidistant from both centroids joins the
+    lower-numbered cluster — the deterministic argmin contract the
+    decimal distance sums make cross-engine stable."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity
+
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]  # 2 is equidistant
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["cid"], r["pos"]): (r["n"], r["centroid"])
+        for r in similarity.kmeans_exact(df, k=2, iters=1).collect()
+    }
+    assert out[(0, 1)] == (2, 0.5)  # {0.0, 1.0} -> mean 0.5
+    assert out[(1, 1)] == (1, 2.0)
