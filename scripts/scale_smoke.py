@@ -109,6 +109,12 @@ def main() -> int:
             lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9),
             "embedding_pairs",
         ),
+        # round-6: exact-gated Lloyd k-means — O(n*k) per round, broadcast
+        # centroids, must stay ~linear in corpus size
+        "kmeans_exact": t(
+            lambda: similarity.kmeans_exact(embs, k=4, iters=2),
+            "kmeans_exact",
+        ),
         # round-3 curation family: each must stay ~linear in corpus size
         "hash_split": t(
             lambda: curation.hash_split(
