@@ -433,6 +433,8 @@ def kmeans_exact(
     Returns (cid, pos, n, centroid): long-form centroids after ``iters``
     updates with member counts — scalar columns for the driver canon.
     """
+    if iters < 1:
+        raise ValueError("kmeans_exact needs at least one iteration")
     ex = emb.select(
         F.col(id_col).alias("vid"),
         F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
