@@ -129,3 +129,102 @@ def corpus_profile(df: DataFrame, text_col: str = "text", group_col: str | None 
             4,
         ).alias("avg_quality"),
     )
+
+
+def _gram_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, non-empty normalized tokens) — materialized column first so the
+    HOF gram lambda never re-runs the tokenizer per element (the measured
+    30x trap, README scale notes)."""
+    from .dedup import tokens
+
+    return df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
+        F.col(id_col), F.filter("__t", lambda t: t != F.lit("")).alias("__t")
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide word n-gram counts with min-count pruning — the LM-prep
+    / boilerplate-mining table (KenLM count files, C4-style "most common
+    3-grams" analyses): (gram, n_occurrences, n_docs).
+
+    Scale: one explode (narrow, ~tokens-per-doc fanout) + ONE shuffle
+    keyed by the gram with map-side partial aggregation; pruning happens
+    at the aggregate (HAVING), so rare grams cost a partial-agg cell but
+    never a second pass. Gram keys are ~uniform (natural-language
+    n-grams), so no salting needed; for stop-phrase-dominated corpora the
+    hottest gram still reduces on one key — bounded by occurrence COUNT
+    not payload, since partial aggregation pre-sums per mapper."""
+    from .curation import _contiguous_grams
+
+    base = _gram_base(df, id_col, text_col)
+    grams = base.select(
+        F.col(id_col), F.explode(_contiguous_grams("__t", n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def gram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    common_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document novelty score: the fraction of a document's DISTINCT
+    word n-grams that are corpus-rare (document frequency < common_df) —
+    high novelty flags fresh content, low novelty flags boilerplate /
+    template text. The quality-signal twin of benchmark decontamination
+    (same distinct-gram machinery, corpus-internal instead of
+    corpus-vs-benchmark).
+
+    Scale: distinct (doc, gram) pairs feed BOTH the doc-frequency
+    aggregate and the join probe — identical subplans inside one
+    execution, so AQE reuses the exploded scan's stages (measured on the
+    graph ops; no checkpoint needed). Two gram-keyed shuffles + one
+    doc-keyed aggregate; everything integer until the single rounded
+    ratio, so the oracle twin is exact."""
+    from .curation import _contiguous_grams
+
+    base = _gram_base(df, id_col, text_col)
+    dg = base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_contiguous_grams("__t", n))).alias("gram"),
+    )
+    freq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (
+        dg.join(freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") >= common_df).cast("int")).alias("n_common"),
+        )
+    )
+    ng = F.coalesce("n_grams", F.lit(0))
+    nc = F.coalesce("n_common", F.lit(0))
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        ng.alias("n_grams"),
+        nc.alias("n_common"),
+        (
+            F.floor(
+                (ng - nc).cast("double") / F.greatest(ng, F.lit(1)) * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("novelty"),
+    )

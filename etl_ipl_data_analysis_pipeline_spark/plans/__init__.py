@@ -105,8 +105,10 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # queries. Exactly 50. scripts/evidence_map.py regenerates the
 # per-query history (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new registration (round 6): never driver-sampled --
+    # -- new registrations (round 6): never driver-sampled --
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
+    "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
+    "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -156,13 +158,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "decontaminate_8gram",
     "pack_token_shards",
     "funnel_conversion",
-    "daily_retention",
-    "event_value_outliers",
     "multimodal_features",
-    # (lang_profile and agg_collect_list yield their slots to the
-    # kmeans registration and split_group_weighted's re-green:
-    # lang_profile has r3 evidence AND runs in every bench,
-    # agg_collect_list is r3-evidenced and trivial. The round-4/5 cohorts —
+    # (lang_profile, agg_collect_list, daily_retention and
+    # event_value_outliers yield their slots to the three round-6
+    # registrations and split_group_weighted's re-green — all four are
+    # r3-green plain aggregates, and lang_profile runs in every bench.
+    # The round-4/5 cohorts —
     # TPC-H tail, KMV/graph/layout/DQ families, streaming refreshers —
     # all have r4/r5 green evidence; they rotate back in next round)
 )

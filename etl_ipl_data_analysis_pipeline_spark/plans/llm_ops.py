@@ -648,6 +648,82 @@ def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 3-gram twin of _TOKS_SQL, applied to a tokens column named t — mirrors
+# operators/curation._contiguous_grams(n=3) term for term: i-th gram is the
+# 3-element slice at i, i in [1, len-2]; shorter docs yield no grams
+_GRAMS3_SQL = (
+    "CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(t) - 1), "
+    "i -> array_to_string(t[i:i+2], ' ')) END"
+)
+
+
+@register(
+    "ngram_lm_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest({_GRAMS3_SQL}) AS gram FROM toks
+    )
+    SELECT gram,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY gram HAVING count(*) >= 3
+    """,
+    tags=("X4", "A4", "F5"),
+)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 3-gram language-model count table with min-count pruning
+    (operators/textstats.ngram_counts) — the KenLM-prep / boilerplate-
+    mining shape: one explode, ONE gram-keyed shuffle with map-side
+    partial aggregation, pruning at the aggregate so rare grams never
+    cost a second pass."""
+    from ..operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.ngram_counts(d, n=3, min_count=3)
+
+
+@register(
+    "gram_novelty_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), dg AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest({_GRAMS3_SQL}) AS gram FROM toks
+      )
+    ), fr AS (
+      SELECT gram, count(*) AS dfreq FROM dg GROUP BY 1
+    ), pd AS (
+      SELECT doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN dfreq >= 5 THEN 1 ELSE 0 END) AS n_common
+      FROM dg JOIN fr USING (gram) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+           floor(CAST(coalesce(n_grams, 0) - coalesce(n_common, 0) AS DOUBLE)
+                 / greatest(coalesce(n_grams, 0), 1) * 1e4 + 0.5) / 1e4
+               AS novelty
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("X4", "A4", "J5", "F5"),
+)
+def gram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (operators/textstats.gram_novelty):
+    fraction of a doc's distinct grams that are corpus-rare (df < 5) —
+    boilerplate/template detector, the corpus-internal twin of benchmark
+    decontamination. Integer counts end-to-end with one floor-rounded
+    ratio, so the oracle is exact; every doc survives the left join."""
+    from ..operators import textstats
+
+    d = load(spark, sf_dir, "documents")
+    return textstats.gram_novelty(d, n=3, common_df=5)
+
+
 def _kmeans_oracle(k: int, iters: int) -> str:
     """Oracle twin of operators/similarity.kmeans_exact with the rounds
     unrolled as chained CTEs (like _pagerank_oracle: SQL recursion can't

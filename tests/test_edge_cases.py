@@ -265,3 +265,33 @@ def test_kmv_stream_zero_batches_returns_empty_sketch(spark, tmp_path):
     )
     assert got.count() == 0
     assert "event_type" in got.columns
+
+
+def test_ngram_ops_short_and_empty_docs(spark):
+    """Docs shorter than n yield no grams and never crash the counts or
+    the novelty join; an empty-text doc scores novelty 0 with 0 grams."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # two 3-grams
+            (2, "a b"),              # too short: none
+            (3, ""),                 # empty
+            (4, "a b c d"),          # duplicate of 1: grams reach df 2
+        ],
+        "doc_id long, text string",
+    )
+    counts = {
+        r["gram"]: (r["n_occurrences"], r["n_docs"])
+        for r in textstats.ngram_counts(df, n=3, min_count=2).collect()
+    }
+    assert counts == {"a b c": (2, 2), "b c d": (2, 2)}
+
+    nov = {
+        r["doc_id"]: (r["n_grams"], r["n_common"], r["novelty"])
+        for r in textstats.gram_novelty(df, n=3, common_df=2).collect()
+    }
+    assert nov[1] == (2, 2, 0.0)   # both grams appear in 2 docs -> common
+    assert nov[2] == (0, 0, 0.0)
+    assert nov[3] == (0, 0, 0.0)
+    assert nov[4] == nov[1]
