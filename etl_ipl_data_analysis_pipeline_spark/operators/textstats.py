@@ -155,13 +155,14 @@ def ngram_counts(
     / boilerplate-mining table (KenLM count files, C4-style "most common
     3-grams" analyses): (gram, n_occurrences, n_docs).
 
-    Scale: one explode (narrow, ~tokens-per-doc fanout) + ONE shuffle
-    keyed by the gram with map-side partial aggregation; pruning happens
-    at the aggregate (HAVING), so rare grams cost a partial-agg cell but
-    never a second pass. Gram keys are ~uniform (natural-language
-    n-grams), so no salting needed; for stop-phrase-dominated corpora the
-    hottest gram still reduces on one key — bounded by occurrence COUNT
-    not payload, since partial aggregation pre-sums per mapper."""
+    Scale: one explode (narrow, ~tokens-per-doc fanout), then the
+    standard two-phase distinct-count shape — a (gram, doc)-keyed
+    exchange that collapses duplicates map-side, and a gram-keyed final
+    aggregate (both partial-aggregated; verified in the executed plan).
+    Pruning happens at the aggregate (HAVING), so rare grams cost a
+    partial-agg cell but never a second pass. Gram keys are ~uniform
+    (natural-language n-grams), so no salting needed; the hottest gram
+    reduces counts, not payloads."""
     from .curation import _contiguous_grams
 
     base = _gram_base(df, id_col, text_col)

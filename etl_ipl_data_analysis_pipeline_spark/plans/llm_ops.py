@@ -676,9 +676,9 @@ _GRAMS3_SQL = (
 def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus 3-gram language-model count table with min-count pruning
     (operators/textstats.ngram_counts) — the KenLM-prep / boilerplate-
-    mining shape: one explode, ONE gram-keyed shuffle with map-side
-    partial aggregation, pruning at the aggregate so rare grams never
-    cost a second pass."""
+    mining shape: one explode, the two-phase distinct-count aggregate
+    (both exchanges map-side combined), pruning at the aggregate so
+    rare grams never cost a second pass."""
     from ..operators import textstats
 
     d = load(spark, sf_dir, "documents")
