@@ -109,6 +109,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
+    "dedup_simhash_planted",  # simhash pipeline vs the recall-1 guarantee
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -157,13 +158,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "decontaminate_8gram",
     "pack_token_shards",
-    "funnel_conversion",
     "multimodal_features",
-    # (lang_profile, agg_collect_list, daily_retention and
-    # event_value_outliers yield their slots to the three round-6
-    # registrations and split_group_weighted's re-green — all four are
-    # r3-green plain aggregates, and lang_profile runs in every bench.
-    # The round-4/5 cohorts —
+    # (lang_profile, agg_collect_list, daily_retention,
+    # event_value_outliers and funnel_conversion yield their slots to
+    # the four round-6 registrations and split_group_weighted's
+    # re-green — all five are r3-green plain aggregates, and
+    # lang_profile runs in every bench. The round-4/5 cohorts —
     # TPC-H tail, KMV/graph/layout/DQ families, streaming refreshers —
     # all have r4/r5 green evidence; they rotate back in next round)
 )

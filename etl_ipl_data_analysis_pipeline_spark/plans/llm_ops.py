@@ -19,7 +19,7 @@ from . import load, register
 PLANTED_OFFSET = 100000
 
 
-def _planted_domain_guard(id_col: str):
+def _planted_domain_guard(id_col: str, offset: int = PLANTED_OFFSET):
     """Zero-valued guard term for planted-duplicate constructions: adds 0
     to the offset id, but RAISES at runtime if the fixture id has grown
     into the planted domain (id >= offset). Both engines mirror the
@@ -29,7 +29,7 @@ def _planted_domain_guard(id_col: str):
     the query runs (driver gate included, not just pytest). Folding the
     assert into the arithmetic keeps Catalyst from pruning it as an
     unused column."""
-    ok = F.col(id_col) < F.lit(PLANTED_OFFSET)
+    ok = F.col(id_col) < F.lit(offset)
     msg = F.lit(f"planted {id_col} offset collides with fixture ids")
     return F.coalesce(F.assert_true(ok, msg).cast("bigint"), F.lit(0))
 
@@ -192,6 +192,47 @@ def dedup_embedding_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame
     return similarity.embedding_near_dup_pairs(
         e.unionByName(planted), min_sim=0.9
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_planted",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 200000 AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id % 9 = 0
+    """,
+    tags=("X2", "F7"),
+)
+def dedup_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pipeline under a deterministic gate: plant an EXACT copy
+    of every 9th document at doc_id + 200000, run the full
+    fingerprint -> quarter-block -> first-agreeing-block -> hamming
+    pipeline at max_hamming=0, and keep only the (original, mirror)
+    pairs. Unlike the mirrored-construction oracles, this oracle is the
+    THEORETICAL guarantee, computed without touching simhash at all:
+    identical text gives identical fingerprints, hamming 0, and an
+    equal quarter in every block — recall 1 regardless of hash choice —
+    so any nondeterminism or dropped pair anywhere in the pipeline
+    (tokenizer, 64 bit-sums, blocking join, first-zero-block keep)
+    breaks the hash. The pair filter (id_b - id_a = exactly the offset)
+    excludes the fixture's NATURAL hamming-0 collisions, which
+    xxhash64-based fingerprints can't be expressed in the oracle engine
+    — those stay covered by the rows-only dedup_simhash_pairs entry and
+    the planted-near-dup pytest suite. 200000 % 9 = 2, so a
+    planted-planted collision can never fake an (original, mirror)
+    difference; the runtime domain guard keeps fixture ids clear."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    pairs = dedup.simhash_near_dup_pairs(
+        d.unionByName(planted), max_hamming=0
+    )
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 200000) & (F.col("id_a") < 200000)
+    )
 
 
 # ---------------------------------------------------------------------------
