@@ -110,6 +110,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
     "dedup_simhash_planted",  # simhash pipeline vs the recall-1 guarantee
+    "dedup_minhash_planted",  # minhash-LSH pipeline vs the same guarantee
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -158,12 +159,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pii_redaction",
     "decontaminate_8gram",
     "pack_token_shards",
-    "multimodal_features",
     # (lang_profile, agg_collect_list, daily_retention,
-    # event_value_outliers and funnel_conversion yield their slots to
-    # the four round-6 registrations and split_group_weighted's
-    # re-green — all five are r3-green plain aggregates, and
-    # lang_profile runs in every bench. The round-4/5 cohorts —
+    # event_value_outliers, funnel_conversion and multimodal_features
+    # yield their slots to the five round-6 registrations and
+    # split_group_weighted's re-green — the first five are r3-green
+    # plain aggregates, lang_profile runs in every bench, and
+    # multimodal_features is rows-only-by-contract with its plumbing
+    # hash-gated via multimodal_metadata. The round-4/5 cohorts —
     # TPC-H tail, KMV/graph/layout/DQ families, streaming refreshers —
     # all have r4/r5 green evidence; they rotate back in next round)
 )

@@ -195,6 +195,41 @@ def dedup_embedding_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "dedup_minhash_planted",
+    oracle="""
+    SELECT doc_id AS id_a, doc_id + 200000 AS id_b,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+    tags=("X2", "J10", "F7"),
+)
+def dedup_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pipeline under the deterministic recall gate (the
+    simhash twin below, same construction): plant an exact copy of every
+    11th document at doc_id + 200000 and run the full shingle ->
+    signature -> band -> first-agreeing-band -> estimate pipeline at
+    min_jaccard=1.0. Identical text gives identical signatures, so every
+    band agrees and the estimate is exactly 1.0 — recall 1 by theory,
+    whatever the seed — while natural pairs estimating exactly 1.0 (the
+    oracle can't compute xxhash signatures) are excluded by the offset
+    filter. Any dropped band, signature nondeterminism, or estimate
+    drift anywhere in the LSH pipeline breaks the hash."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        d.unionByName(planted), min_jaccard=1.0
+    )
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 200000) & (F.col("id_a") < 200000)
+    )
+
+
+@register(
     "dedup_simhash_planted",
     oracle="""
     SELECT doc_id AS id_a, doc_id + 200000 AS id_b, 0 AS hamming
