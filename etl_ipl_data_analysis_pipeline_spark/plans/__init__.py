@@ -111,6 +111,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
     "dedup_simhash_planted",  # simhash pipeline vs the recall-1 guarantee
     "dedup_minhash_planted",  # minhash-LSH pipeline vs the same guarantee
+    "topk_ivf_planted",  # IVF build+search vs the recall-1 guarantee
+    "topk_lsh_planted",  # hyperplane-LSH search vs the same guarantee
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -154,9 +156,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q3_top_revenue",
     # -- oldest round-3-era evidence, refreshed --
     "split_train_valtest",
-    "stratified_sample_lang",
     "repetition_stats",
-    "pii_redaction",
     "decontaminate_8gram",
     "pack_token_shards",
     # (lang_profile, agg_collect_list, daily_retention,

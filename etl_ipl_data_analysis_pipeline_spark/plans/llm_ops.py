@@ -330,6 +330,72 @@ def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(e, probes, k=5, n_planes=8, probe_id_col="query_id")
 
 
+def _planted_probe_mirrors(e):
+    """Probe vectors (vec_id < 5) re-inserted verbatim at +200000 — the
+    recall-gate corpus for the approximate top-k variants."""
+    return e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+
+
+@register(
+    "topk_ivf_planted",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 200000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 5
+    """,
+    tags=("X3", "J10"),
+)
+def topk_ivf_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under the deterministic recall gate: each probe's exact
+    copy is planted in the corpus, and the full build-and-search path
+    (k-means centroids, Arrow matmul cell assignment, nprobe routing,
+    cell-local scoring, partial top-k merge) must surface it at sim 1.0
+    — an identical vector lands in the probe's own cell, which nprobe>=1
+    always searches, so recall is 1 by construction whatever the seed.
+    The filter to (probe, mirror) rows excludes the approximate
+    neighbors the oracle engine can't rank; those stay covered by the
+    rows-only topk_cosine_ivf entry and its recall-floor pytest."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(
+        e.unionByName(_planted_probe_mirrors(e)), probes, k=5,
+        probe_id_col="query_id",
+    )
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+@register(
+    "topk_lsh_planted",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 200000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 5
+    """,
+    tags=("X3", "J10"),
+)
+def topk_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k under the same recall gate: an identical
+    vector falls on the same side of every hyperplane, so it shares the
+    probe's bucket with probability 1 — any bucketing nondeterminism,
+    plane-matrix drift, or top-k merge bug breaks the gate."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.lsh_topk(
+        e.unionByName(_planted_probe_mirrors(e)), probes, k=5, n_planes=8,
+        probe_id_col="query_id",
+    )
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
 # ---------------------------------------------------------------------------
 # X4: text analysis
 # ---------------------------------------------------------------------------
