@@ -51,6 +51,9 @@ HEADLINE = [
     "pagerank_copurchase",
     "zorder_key_stats",
     "dq_orders_constraints",
+    "kmeans_clusters_exact",
+    "ngram_lm_counts",
+    "gram_novelty_scores",
 ]
 
 
