@@ -302,3 +302,32 @@ def test_zorder_ranks_have_no_global_window(spark, sf_dir, qs):
             assert above and "__zc" in above[-1], (
                 "single-partition exchange outside the bounded offsets branch"
             )
+
+
+def test_weighted_split_distributed_cumsum_plan(spark, sf_dir, qs):
+    # the num_ranges>1 path: the per-group running weight windows on the
+    # hash-prefix bucket (never a global order), and the only
+    # single-partition exchange feeds the bounded per-bucket offsets
+    # relation (__bw sums over <= num_ranges rows)
+    plan = _executed(qs["split_group_weighted"](spark, sf_dir))
+    lines = plan.split("\n")
+    for line in lines:
+        if "windowspecdefinition" in line and "sum(__w#" in line:
+            assert "__b" in line, f"group cumsum window lost its bucket: {line}"
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            above = [l for l in lines[:i] if "windowspecdefinition" in l]
+            assert above and "__bw" in above[-1], (
+                "single-partition exchange outside the bounded offsets branch"
+            )
+
+
+def test_kmeans_exact_broadcasts_centroids(spark, sf_dir, qs):
+    # every distance join carries the k*dim centroid relation broadcast
+    # (never shuffling the exploded corpus onto it), distance sums have a
+    # map-side partial phase, and nothing goes cartesian
+    plan = _executed(qs["kmeans_clusters_exact"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "Exchange SinglePartition" not in plan
