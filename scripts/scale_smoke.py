@@ -42,6 +42,7 @@ def main() -> int:
         graphs,
         layout,
         similarity,
+        textstats,
     )
     from etl_ipl_data_analysis_pipeline_spark.plans import load
 
@@ -123,6 +124,12 @@ def main() -> int:
             "hash_split",
         ),
         "repetition_stats": t(lambda: curation.repetition_stats(docs), "repetition_stats"),
+        # round-6: corpus 3-gram LM counts — two-phase distinct-count agg
+        # must stay ~linear in corpus size (gram keys are ~uniform)
+        "ngram_counts": t(
+            lambda: textstats.ngram_counts(docs, n=3, min_count=3),
+            "ngram_counts",
+        ),
         # benchmark gram set stays FIXED while the corpus scales — the
         # realistic decontamination shape (eval suites don't grow 10x)
         "decontaminate": t(
