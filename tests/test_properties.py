@@ -256,3 +256,37 @@ def test_exact_distributed_ntile_matches_python_mirror(spark, vals, bits, num_ra
             tile = rem + (p - rem * (base + 1) - 1) // max(base, 1) + 1
         want[i] = tile - 1
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+            min_size=3, max_size=3,
+        ),
+        min_size=4, max_size=40,
+    ),
+    st.integers(min_value=1, max_value=13),  # repartition width
+)
+def test_kmeans_exact_is_partitioning_independent(spark, vecs, parts):
+    """The decimal distance/centroid sums exist so the result cannot
+    depend on physical layout: the same input through ANY repartitioning
+    must produce byte-identical clusters — the property raw-double sums
+    would violate."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = sorted(
+        map(tuple, similarity.kmeans_exact(df, k=3, iters=2).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            similarity.kmeans_exact(
+                df.repartition(parts), k=3, iters=2
+            ).collect(),
+        )
+    )
+    assert base == shuffled
