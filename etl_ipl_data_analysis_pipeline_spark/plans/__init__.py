@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_planted",  # minhash-LSH pipeline vs the same guarantee
     "topk_ivf_planted",  # IVF build+search vs the recall-1 guarantee
     "topk_lsh_planted",  # hyperplane-LSH search vs the same guarantee
+    "stream_ngram_counts",  # foreachBatch LM-count upkeep vs batch oracle
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -157,7 +158,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- oldest round-3-era evidence, refreshed --
     "split_train_valtest",
     "repetition_stats",
-    "decontaminate_8gram",
     "pack_token_shards",
     # (lang_profile, agg_collect_list, daily_retention,
     # event_value_outliers, funnel_conversion and multimodal_features

@@ -389,3 +389,62 @@ def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, state, "user_id", keys=["event_type"]
     )
     return sketches.kmv_estimate(final_state, keys=["event_type"])
+
+
+@register(
+    "stream_ngram_counts",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(t) - 1),
+                                 i -> array_to_string(t[i:i+2], ' ')) END
+      ) AS gram FROM toks
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM grams GROUP BY gram HAVING count(*) >= 3
+    """,
+    tags=("L6", "X4", "A4"),
+)
+def stream_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM-count maintenance under the exact gate: an ACTUAL
+    foreachBatch run (streaming/sketch_stream.run_count_stream) folds
+    each micro-batch's per-gram counts into persisted state by summing —
+    integer addition is associative, so the final table must hash-match
+    the single-shot batch 3-gram count table (the ngram_lm_counts
+    oracle, occurrence counts only: per-doc distinct counts are not
+    additively mergeable across batches and stay batch-side). Min-count
+    pruning applies at READ time, never during maintenance — pruning a
+    partial count would silently undercount grams that cross the
+    threshold in a later batch."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from ..operators.curation import _contiguous_grams
+    from ..operators.dedup import tokens
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = incremental._stream_reader(spark, path, "parquet", schema)
+    base = docs.select(
+        "doc_id", tokens("text").alias("__t")
+    ).select(
+        "doc_id", F.filter("__t", lambda t: t != F.lit("")).alias("__t")
+    )
+    grams = base.select(F.explode(_contiguous_grams("__t", 3)).alias("gram"))
+
+    state = _scratch_dir(sf_dir, "ngram_stream_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    final_state = sketch_stream.run_count_stream(grams, state, keys=["gram"])
+    return final_state.filter(F.col("n_occurrences") >= 3)

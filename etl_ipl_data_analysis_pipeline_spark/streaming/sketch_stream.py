@@ -64,3 +64,61 @@ def run_kmv_stream(
     # read raise on a missing path
     empty = spark.createDataFrame([], stream_df.schema)
     return sketches.kmv_build(empty, col, keys=keys, k=k)
+
+
+def run_count_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    count_col: str = "n_occurrences",
+) -> DataFrame:
+    """Maintain an additive count table from a stream with
+    ``foreachBatch``: each micro-batch reduces to one row per key group
+    (O(batch), map-side combined) and merges into the persisted state by
+    summing — integer addition is associative and commutative, so the
+    final table is bit-identical to a single-shot batch groupBy-count
+    whatever the micro-batch boundaries. Per batch: O(batch) reduction +
+    O(state) merge, never O(history). The KMV twin above maintains a
+    bounded sketch; this maintains the exact table — the incremental
+    shape of vocabulary / n-gram LM count upkeep, where min-count
+    pruning must happen at READ time (pruning during maintenance would
+    drop counts that later accumulate past the threshold). State writes
+    reuse the crash-safe temp-path + atomic-rename swap."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        incoming = batch.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias(count_col)
+        )
+        sess = batch.sparkSession
+        if recover_swapped(sess, state_path):
+            current = sess.read.parquet(state_path)
+            merged = (
+                current.unionByName(incoming)
+                .groupBy(*keys)
+                .agg(F.sum(count_col).cast("long").alias(count_col))
+            )
+        else:
+            merged = incoming
+        _swap_write(merged, state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if recover_swapped(spark, state_path):
+        return spark.read.parquet(state_path)
+    import pyspark.sql.functions as F
+
+    return (
+        spark.createDataFrame([], stream_df.schema)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
+    )

@@ -326,3 +326,51 @@ def test_kmv_stream_batch_boundary_independence(spark, tmp_path):
         df.select("event_type", "user_id"), "user_id", keys=["event_type"], k=16
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_count_stream_is_batch_boundary_independent(spark, tmp_path):
+    """run_count_stream over 4 file-grain micro-batches must produce the
+    byte-identical count table as one batch groupBy-count — the
+    associativity contract — and pruning at read time must not lose
+    grams whose count crosses the threshold only across batches."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    rows = [(i, f"g{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "row_id long, gram string")
+    src = str(tmp_path / "cnt_src")
+    for i in range(4):
+        df.filter((F.col("row_id") % 4) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select("gram")
+    )
+    got = sketch_stream.run_count_stream(
+        stream, str(tmp_path / "cnt_state"), keys=["gram"]
+    )
+    want = df.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # each gram appears ~28x split across 4 batches: a maintenance-time
+    # min_count=30 prune would have dropped every partial - read-time
+    # filtering keeps the full counts
+    assert got.filter(F.col("n_occurrences") >= 28).count() == 7
+
+
+def test_count_stream_zero_batches_returns_empty(spark, tmp_path):
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    src = tmp_path / "cnt_empty"
+    src.mkdir()
+    stream = spark.readStream.schema("gram string").parquet(str(src))
+    got = sketch_stream.run_count_stream(
+        stream, str(tmp_path / "cnt_empty_state"), keys=["gram"]
+    )
+    assert got.columns == ["gram", "n_occurrences"] and got.count() == 0
