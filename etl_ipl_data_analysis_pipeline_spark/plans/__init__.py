@@ -106,6 +106,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # per-query history (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new registrations (round 6): never driver-sampled --
+    "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
@@ -158,8 +159,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- oldest round-3-era evidence, refreshed --
     "split_train_valtest",
     "repetition_stats",
-    "pack_token_shards",
-    # (lang_profile, agg_collect_list, daily_retention,
+    # (pack_token_shards yields its slot to bloom_prune_orders — its
+    # cumsum machinery is freshly exercised via split_group_weighted's
+    # re-green and the factor-100 smoke. lang_profile, agg_collect_list,
+    # daily_retention,
     # event_value_outliers, funnel_conversion and multimodal_features
     # yield their slots to the five round-6 registrations and
     # split_group_weighted's re-green — the first five are r3-green

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from . import load, register
 from ..functions import sort_key_int, stable_avg, stable_avg_long, stable_sum
-from ..operators import joins
+from ..operators import bloom, joins
 
 # ---------------------------------------------------------------------------
 # Aggregations (A1, A4, A5, A6, A7, A8)
@@ -2722,4 +2722,88 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = (F.max("n").cast("double") + 1) / F.max("n").cast("double")
     return rk.agg(
         (F.floor((num / den - corr) * 1e6 + F.lit(0.5)) / 1e6).alias("gini")
+    )
+
+
+@register(
+    "bloom_prune_orders",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    pos AS (
+      SELECT DISTINCT
+             (('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || i), 1, 15))::BIGINT)
+                 % 4096 AS p
+      FROM dim, (VALUES (0), (1), (2)) t(i)
+    ),
+    probed AS (
+      SELECT o.o_orderpriority,
+             ((('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || ':0'), 1, 15))::BIGINT)
+                  % 4096 IN (SELECT p FROM pos))
+             AND ((('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || ':1'), 1, 15))::BIGINT)
+                  % 4096 IN (SELECT p FROM pos))
+             AND ((('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR) || ':2'), 1, 15))::BIGINT)
+                  % 4096 IN (SELECT p FROM pos)) AS bloom_pass,
+             EXISTS (SELECT 1 FROM dim WHERE dim.k = o.o_custkey) AS exact_hit
+      FROM orders o
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS bloom_pass_cnt,
+           CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_cnt,
+           CAST(sum(CASE WHEN bloom_pass AND NOT exact_hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positive_cnt
+    FROM probed
+    GROUP BY o_orderpriority
+    """,
+    tags=("J1", "J6", "F7"),
+)
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/bloom.py): orders probed
+    against a 4096-bit / 3-hash bloom of BUILDING-segment custkeys, per
+    priority: total, bloom passes, exact semi-join hits, and the false
+    positives the bloom admits. The md5-derived positions make even the
+    false-positive set a deterministic function of the inputs, so the
+    whole report sits under the exact hash gate — the oracle twin
+    replays the identical position arithmetic as set membership (word
+    packing is storage, not semantics). No false negatives by
+    construction: bloom_pass_cnt >= exact_cnt on every row.
+
+    Scale shape: the bloom is <= 64 words whatever the dim cardinality;
+    probing is three broadcast hash joins against that word relation, so
+    the 100 TB fact side is never exchanged (the only fact exchange is
+    the final 5-group aggregate, map-side combined). The exact_hit
+    column broadcasts the filtered dim — it exists here to surface the
+    fp rate; a production pruner would keep only rows passing the bloom
+    and THEN run the precise join on the remnant (the runtime-bloom
+    pushdown shape, SPARK-32268)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    dim = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    bl = bloom.bloom_build(dim, "k", num_bits=4096, num_hashes=3)
+    probed = bloom.bloom_probe(o, "o_custkey", bl, num_bits=4096, num_hashes=3)
+    probed = probed.join(
+        F.broadcast(dim.withColumn("__hit", F.lit(True))),
+        probed["o_custkey"] == F.col("k"),
+        "left",
+    ).withColumn("exact_hit", F.coalesce(F.col("__hit"), F.lit(False)))
+    return probed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("bloom_pass_cnt"),
+        F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("exact_cnt"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("exact_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_positive_cnt"),
     )
