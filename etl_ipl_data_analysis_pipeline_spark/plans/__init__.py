@@ -107,6 +107,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new registrations (round 6): never driver-sampled --
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
+    "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
@@ -158,10 +159,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q3_top_revenue",
     # -- oldest round-3-era evidence, refreshed --
     "split_train_valtest",
-    "repetition_stats",
-    # (pack_token_shards yields its slot to bloom_prune_orders — its
-    # cumsum machinery is freshly exercised via split_group_weighted's
-    # re-green and the factor-100 smoke. lang_profile, agg_collect_list,
+    # (pack_token_shards and repetition_stats yield their slots to the
+    # two bloom registrations — both are freshly exercised in the
+    # factor-100 smoke, and pack_token_shards' cumsum machinery re-greens
+    # via split_group_weighted. lang_profile, agg_collect_list,
     # daily_retention,
     # event_value_outliers, funnel_conversion and multimodal_features
     # yield their slots to the five round-6 registrations and

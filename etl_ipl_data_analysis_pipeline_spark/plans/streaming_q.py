@@ -448,3 +448,53 @@ def stream_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state + suffix, ignore_errors=True)
     final_state = sketch_stream.run_count_stream(grams, state, keys=["gram"])
     return final_state.filter(F.col("n_occurrences") >= 3)
+
+
+@register(
+    "stream_bloom_custkeys",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT
+             (('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':' || i), 1, 15))::BIGINT)
+                 % 4096 AS p
+      FROM orders, (VALUES (0), (1), (2)) t(i)
+    )
+    SELECT p // 64 AS word_idx,
+           bit_or(CASE WHEN p % 64 = 63 THEN (-9223372036854775807 - 1)
+                       ELSE 1::BIGINT << CAST(p % 64 AS INT) END) AS word,
+           CAST(count(*) AS INT) AS n_bits
+    FROM pos
+    GROUP BY word_idx
+    """,
+    tags=("L6", "J6", "F7"),
+)
+def stream_bloom_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom maintenance under the exact gate: an ACTUAL
+    foreachBatch run (streaming/sketch_stream.run_bloom_stream) ORs each
+    micro-batch's word table into crash-safe persisted state, and the
+    final packed bitset must hash-match the oracle's single-shot build —
+    OR's idempotence means even replayed batches land on the same bits.
+    The oracle packs words with a CASE for bit 63 (DuckDB's `<<` refuses
+    to shift into the sign bit where Java's shiftleft wraps); n_bits is
+    Spark-side bit_count vs the oracle's count of distinct positions per
+    word — equal precisely because packing loses no positions."""
+    import shutil
+
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "orders")
+    schema = spark.read.parquet(path).schema
+    orders = incremental._stream_reader(spark, path, "parquet", schema)
+
+    state = _scratch_dir(sf_dir, "bloom_stream_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    final_state = sketch_stream.run_bloom_stream(
+        orders.select("o_custkey"), state, "o_custkey", num_bits=4096, num_hashes=3
+    )
+    return final_state.select(
+        "word_idx", "word", F.bit_count("word").cast("int").alias("n_bits")
+    )

@@ -122,3 +122,57 @@ def run_count_stream(
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("long").alias(count_col))
     )
+
+
+def run_bloom_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    key_col: str,
+    num_bits: int = 4096,
+    num_hashes: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Maintain a Bloom word table (operators/bloom.py) from a stream
+    with ``foreachBatch``: each micro-batch builds its own word table
+    (O(batch) reduction to <= num_bits/64 rows) and ORs it into the
+    persisted state. Bitwise OR is associative, commutative AND
+    idempotent — replayed batches cannot corrupt the filter — so the
+    final table is bit-identical to a single-shot batch build whatever
+    the micro-batch boundaries (or their retries), putting streamed
+    membership state under the exact-hash gate. Per batch: O(batch) +
+    O(num_bits/64) merge, never O(history). State writes reuse the
+    crash-safe temp-path + atomic-rename swap."""
+    from ..operators import bloom
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        import pyspark.sql.functions as F
+
+        incoming = bloom.bloom_build(batch, key_col, num_bits, num_hashes, salt)
+        sess = batch.sparkSession
+        if recover_swapped(sess, state_path):
+            current = sess.read.parquet(state_path)
+            merged = (
+                current.unionByName(incoming)
+                .groupBy("word_idx")
+                .agg(F.bit_or("word").alias("word"))
+            )
+        else:
+            merged = incoming
+        _swap_write(merged, state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if recover_swapped(spark, state_path):
+        return spark.read.parquet(state_path)
+    from ..operators import bloom
+
+    empty = spark.createDataFrame([], stream_df.schema)
+    return bloom.bloom_build(empty, key_col, num_bits, num_hashes, salt)

@@ -374,3 +374,46 @@ def test_count_stream_zero_batches_returns_empty(spark, tmp_path):
         stream, str(tmp_path / "cnt_empty_state"), keys=["gram"]
     )
     assert got.columns == ["gram", "n_occurrences"] and got.count() == 0
+
+
+def test_bloom_stream_is_batch_boundary_independent(spark, tmp_path):
+    """run_bloom_stream over 4 file-grain micro-batches must produce the
+    byte-identical word table as a single-shot bloom_build — bitwise OR
+    is associative, commutative AND idempotent, so neither batch
+    boundaries nor replays can change a bit."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import bloom
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    rows = [(i, i % 97) for i in range(300)]
+    df = spark.createDataFrame(rows, "row_id long, k long")
+    src = str(tmp_path / "bloom_src")
+    for i in range(4):
+        df.filter((F.col("row_id") % 4) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .select("k")
+    )
+    got = sketch_stream.run_bloom_stream(
+        stream, str(tmp_path / "bloom_state"), "k", num_bits=1024, num_hashes=3
+    )
+    want = bloom.bloom_build(df.select("k"), "k", num_bits=1024, num_hashes=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_stream_zero_batches_returns_empty(spark, tmp_path):
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    src = tmp_path / "bloom_empty"
+    src.mkdir()
+    stream = spark.readStream.schema("k long").parquet(str(src))
+    got = sketch_stream.run_bloom_stream(
+        stream, str(tmp_path / "bloom_empty_state"), "k"
+    )
+    assert got.columns == ["word_idx", "word"] and got.count() == 0
