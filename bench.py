@@ -54,6 +54,7 @@ HEADLINE = [
     "kmeans_clusters_exact",
     "ngram_lm_counts",
     "gram_novelty_scores",
+    "bloom_prune_orders",
 ]
 
 

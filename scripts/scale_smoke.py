@@ -249,6 +249,30 @@ def main() -> int:
         file=sys.stderr, flush=True,
     )
 
+    # round-6: bloom join pruning at scale — the word table stays
+    # <= num_bits/64 rows (2 MB broadcast at 2^24 bits) however many keys
+    # go in; probing the events fact side is three broadcast hash joins,
+    # zero fact exchanges, so it must track the linear scan time
+    from etl_ipl_data_analysis_pipeline_spark.operators import bloom
+
+    print(f"scale_smoke[{factor}x]: bloom_probe ...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    bl = bloom.bloom_build(
+        custs.select("c_custkey"), "c_custkey", num_bits=1 << 24, num_hashes=3
+    )
+    n_pass = (
+        bloom.bloom_probe(evs, "user_id", bl, num_bits=1 << 24, num_hashes=3)
+        .filter("bloom_pass")
+        .count()
+    )
+    timings["bloom_probe"] = round(time.time() - t0, 2)
+    timings["n_bloom_pass"] = n_pass
+    print(
+        f"scale_smoke[{factor}x]: bloom_probe {timings['bloom_probe']}s "
+        f"(passes={n_pass})",
+        file=sys.stderr, flush=True,
+    )
+
     print(f"scale_smoke[{factor}x]: connected_components ...", file=sys.stderr, flush=True)
     t0 = time.time()
     pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)
