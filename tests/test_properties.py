@@ -290,3 +290,36 @@ def test_kmeans_exact_is_partitioning_independent(spark, vecs, parts):
         )
     )
     assert base == shuffled
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=10**12), min_size=1, max_size=40, unique=True),
+    st.sampled_from([64, 128, 1024]),
+    st.integers(min_value=1, max_value=4),
+)
+def test_bloom_words_match_python_md5_mirror(spark, keys, num_bits, num_hashes):
+    """The bloom word table must equal a pure-Python md5 mirror bit for
+    bit (signed-64 wrap included) — the exact property the DuckDB oracle
+    twins rely on — and probing the inserted keys must never miss."""
+    import hashlib
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import bloom
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bl = bloom.bloom_build(df, "k", num_bits=num_bits, num_hashes=num_hashes)
+    got = {r.word_idx: r.word for r in bl.collect()}
+
+    words: dict[int, int] = {}
+    for k in keys:
+        for i in range(num_hashes):
+            h = hashlib.md5(f"{k}:{i}".encode()).hexdigest()[:15]
+            p = int(h, 16) % num_bits
+            words[p // 64] = words.get(p // 64, 0) | (1 << (p % 64))
+    want = {
+        w: v - (1 << 64) if v >= (1 << 63) else v for w, v in words.items()
+    }
+    assert got == want
+
+    probed = bloom.bloom_probe(df, "k", bl, num_bits=num_bits, num_hashes=num_hashes)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
