@@ -134,23 +134,41 @@ def zorder_ranks(
     bucket (num_ranges-way parallel — size it to the cluster), a bounded
     per-bucket count agg, and a broadcast join; the boundaries only steer
     parallelism, never the result. Layout columns must be numeric (the
-    boundary sketch is approxQuantile); bucketize strings upstream."""
-    out = df
+    boundary sketch is approxQuantile); bucketize strings upstream.
+
+    Width adaptivity: the chained per-column bucket windows move whole
+    rows, so for a WIDE table k layout columns cost k full-row
+    exchanges. When payload columns exist (and k >= 2), ranks are
+    computed on the narrow (tiebreak, cols...) projection — k exchanges
+    of a few longs per row — and joined back on ``tiebreak`` in one
+    full-row exchange: k·W bytes shuffled becomes k·w + W. This
+    requires ``tiebreak`` to be a UNIQUE row key, which the
+    equal-frequency contract effectively demands anyway (duplicate
+    (col, tiebreak) pairs would make the window order, and hence the
+    ranks, partitioning-dependent)."""
     n = 1 << bits
     probs = [i / num_ranges for i in range(1, num_ranges)]
+    payload = [c for c in df.columns if c != tiebreak and c not in cols]
+    narrow = bool(payload) and len(cols) > 1
+    slim = df.select(tiebreak, *cols) if narrow else df
+    out = slim
     # num_ranges=1 => no boundaries: degenerates to one bucket (the old
     # single-window shape), still exact
     # loose relativeError: boundaries only steer parallelism, never the
     # result, so a cheap shallow sketch is enough (0.01 of N per bucket
     # imbalance at worst — irrelevant next to the exactness guarantee)
     all_cuts = (
-        df.approxQuantile(list(cols), probs, 0.01)
+        slim.approxQuantile(list(cols), probs, 0.01)
         if probs
         else [[] for _ in cols]
     )
     for i, (c, cuts) in enumerate(zip(cols, all_cuts)):
-        out = _exact_ntile(out, df, c, tiebreak, n, sorted(set(cuts)), f"__r{i}")
-    return out
+        out = _exact_ntile(out, slim, c, tiebreak, n, sorted(set(cuts)), f"__r{i}")
+    if not narrow:
+        return out
+    rank_cols = [f"__r{i}" for i in range(len(cols))]
+    ranks = out.select(tiebreak, *rank_cols)
+    return df.join(ranks, tiebreak).select(*df.columns, *rank_cols)
 
 
 def zorder_write(

@@ -257,8 +257,13 @@ def main() -> int:
 
     print(f"scale_smoke[{factor}x]: bloom_probe ...", file=sys.stderr, flush=True)
     t0 = time.time()
+    # build over a ~20% key subset so the probe actually PRUNES: passes
+    # must track subset-membership + the (deterministic) fp rate, not N
     bl = bloom.bloom_build(
-        custs.select("c_custkey"), "c_custkey", num_bits=1 << 24, num_hashes=3
+        custs.filter(F.col("c_nationkey") < 5).select("c_custkey"),
+        "c_custkey",
+        num_bits=1 << 24,
+        num_hashes=3,
     )
     n_pass = (
         bloom.bloom_probe(evs, "user_id", bl, num_bits=1 << 24, num_hashes=3)

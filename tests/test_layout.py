@@ -94,3 +94,32 @@ def test_zorder_write_is_lossless(spark, sf_dir, tmp_path):
         back.select(F.sum(F.hash("event_id", "value", "user_id"))).first()[0]
         == ev.select(F.sum(F.hash("event_id", "value", "user_id"))).first()[0]
     )
+
+
+def test_zorder_ranks_wide_path_matches_narrow(spark, sf_dir):
+    """With payload columns present, ranks come from the narrow
+    (tiebreak, cols) projection joined back on the unique tiebreak —
+    row-identical to the in-place chain, payload intact, and the plan
+    carries no cartesian."""
+    ev = load(spark, sf_dir, "events")  # full width: ts/event_type/props payload
+    slim = ev.select("event_id", "value", "user_id")
+    wide = layout.zorder_ranks(
+        ev, ["value", "user_id"], "event_id", bits=5, num_ranges=8
+    )
+    narrow = layout.zorder_ranks(
+        slim, ["value", "user_id"], "event_id", bits=5, num_ranges=8
+    )
+    assert wide.columns == ev.columns + ["__r0", "__r1"]
+    diff = wide.select("event_id", "__r0", "__r1").exceptAll(
+        narrow.select("event_id", "__r0", "__r1")
+    )
+    assert diff.count() == 0
+    plan = wide._sc._jvm.PythonSQLUtils.explainString(
+        wide._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    # the base-table row_number windows still run over the narrow frame,
+    # partitioned by the range bucket — never the full-width rows
+    for line in plan.split("\n"):
+        if "row_number() windowspecdefinition" in line:
+            assert "__zb" in line
