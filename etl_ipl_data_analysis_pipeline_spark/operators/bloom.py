@@ -27,6 +27,14 @@ Everything stays JVM-side column arithmetic: md5/conv/shift/OR are
 codegen'd, the build is one hash aggregate over ``num_hashes``x the
 dim keys, and each probe lookup is a broadcast hash join against the
 word relation (never an exchange on the fact).
+
+Sizing: the word table is num_bits/64 longs — 2^24 bits is a 2 MB
+broadcast and holds ~1.7M keys at 1% fp (k=3). Past the broadcast
+threshold (~2^31 bits) the same plan degrades gracefully: the word
+relation is partitioned on word_idx, and the probe's per-hash joins
+become shuffles of (row-key, position) pairs — still narrow, never the
+fact payload. At that size prefer raising num_hashes over num_bits, or
+partition the key domain into per-bucket blooms built independently.
 """
 
 from __future__ import annotations
