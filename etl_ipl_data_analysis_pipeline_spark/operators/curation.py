@@ -520,3 +520,107 @@ def weighted_sample(
         F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0)) * F.lit(4294967296.0)
     )
     return df.filter(draw < thr)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    salt: str = "",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: pair
+    every row with ``k`` pseudo-random OTHER rows of the corpus, as a
+    pure function of (ids, k, salt) — reproducible across runs, engines
+    and cluster sizes, so the pair set itself sits under the exact
+    cross-engine gate.
+
+    Mechanism (no cartesian anywhere): every row gets its exact 0-based
+    global position p under the ``id_col`` order via the range-bucket
+    pattern (approxQuantile boundaries -> per-bucket row_number ->
+    broadcast prefix offsets — the pack_token_shards / layout ntile
+    machinery; boundaries steer parallelism, never the result). Draw j
+    of a row is the md5-derived 60-bit value of (id ':' j ':' salt)
+    modulo N-1, shifted up by one when >= p — exactly uniform over the
+    N-1 positions that are not the row's own. Targets resolve back to
+    ids with ONE shuffle join on position: total cost is two narrow
+    exchanges and a k-fold explode, independent of pair-space size.
+    Corpora with fewer than 2 rows yield no pairs (N-1 would be an
+    empty draw domain).
+
+    Returns (anchor_id, j, neg_id), k rows per anchor.
+    """
+    idc = F.col(id_col)
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    cuts = sorted(set(df.approxQuantile(id_col, probs, 0.01))) if probs else []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (idc > F.lit(c)).cast("int")
+    bucketed = df.select(idc.alias("__id"), bucket.alias("__b"))
+
+    w_in = Window.partitionBy("__b").orderBy(F.col("__id").asc())
+    with_rn = bucketed.withColumn("__rn", F.row_number().over(w_in))
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # one row per bucket: exclusive prefix counts + the global total
+    offsets = (
+        bucketed.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "__b",
+            F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+            F.sum("__c").over(Window.partitionBy(F.lit(0))).alias("__n"),
+        )
+    )
+    pos = (
+        with_rn.join(F.broadcast(offsets), "__b")
+        .select(
+            "__id",
+            (F.col("__off") + F.col("__rn") - 1).alias("__p"),
+            "__n",
+        )
+    )
+
+    drawn = (
+        pos.filter(F.col("__n") > 1)
+        .select(
+            "__id",
+            "__p",
+            "__n",
+            F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("j"),
+        )
+        .withColumn(
+            "__t",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("__id").cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                            F.lit(f":{salt}") if salt else F.lit(""),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (F.col("__n") - 1),
+        )
+        .select(
+            F.col("__id").alias("anchor_id"),
+            "j",
+            F.when(F.col("__t") >= F.col("__p"), F.col("__t") + 1)
+            .otherwise(F.col("__t"))
+            .alias("__tp"),
+        )
+    )
+    return drawn.join(
+        pos.select(F.col("__p").alias("__tp"), F.col("__id").alias("neg_id")),
+        "__tp",
+    ).select("anchor_id", "j", "neg_id")

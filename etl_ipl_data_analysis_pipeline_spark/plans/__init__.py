@@ -108,6 +108,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new registrations (round 6): never driver-sampled --
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
+    "contrastive_negatives",  # deterministic negative sampling, no cartesian
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
@@ -157,13 +158,13 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_stats",
     "q3_top_revenue",
-    # -- oldest round-3-era evidence, refreshed --
-    "split_train_valtest",
-    # (pack_token_shards and repetition_stats yield their slots to the
-    # two bloom registrations — both are freshly exercised in the
-    # factor-100 smoke, and pack_token_shards' cumsum machinery re-greens
-    # via split_group_weighted. lang_profile, agg_collect_list,
-    # daily_retention,
+    # (pack_token_shards, repetition_stats and split_train_valtest yield
+    # their slots to the bloom pair and the negative-sampling
+    # registration — the first two are freshly exercised in the
+    # factor-100 smoke, pack_token_shards' cumsum machinery re-greens
+    # via split_group_weighted, and split_train_valtest shares
+    # hash_split's md5 mechanism with the smoke-covered hash_split.
+    # lang_profile, agg_collect_list, daily_retention,
     # event_value_outliers, funnel_conversion and multimodal_features
     # yield their slots to the five round-6 registrations and
     # split_group_weighted's re-green — the first five are r3-green

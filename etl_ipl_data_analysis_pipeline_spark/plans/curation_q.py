@@ -631,3 +631,44 @@ def split_group_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.weighted_group_split(
         weighted, "source", "n_tokens", _SPLITS, num_ranges=8
     ).select("doc_id", "source", "split")
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) - 1 AS p,
+             count(*) OVER () AS n
+      FROM documents
+    ),
+    drawn AS (
+      SELECT pos.doc_id AS anchor_id, v.j,
+             (('0x' || substr(md5(CAST(pos.doc_id AS VARCHAR) || ':' || v.j), 1, 15))::BIGINT)
+                 % (pos.n - 1) AS t,
+             pos.p
+      FROM pos, (VALUES (0), (1), (2)) v(j)
+      WHERE pos.n > 1
+    ),
+    tgt AS (
+      SELECT anchor_id, j,
+             CASE WHEN t >= p THEN t + 1 ELSE t END AS tp
+      FROM drawn
+    )
+    SELECT tgt.anchor_id, CAST(tgt.j AS INT) AS j, b.doc_id AS neg_id
+    FROM tgt JOIN pos b ON b.p = tgt.tp
+    """,
+    tags=("X6", "J1", "F7"),
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/curation.py
+    negative_samples): 3 pseudo-random non-self partners per document,
+    a pure function of (ids, k, salt) so the pair set is reproducible
+    across engines, runs and cluster sizes — the contrastive-training
+    counterpart of the md5-keyed splits. Positions come from the
+    distributed range-bucket row_number (never a global window over the
+    corpus); the oracle's single-ordering row_number is the bounded
+    DuckDB-side equivalent. No cartesian: one k-fold explode and one
+    narrow join on position."""
+    d = load(spark, sf_dir, "documents")
+    return curation.negative_samples(d, "doc_id", k=3)

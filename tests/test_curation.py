@@ -340,3 +340,47 @@ def test_weighted_group_split_distributed_cumsum_identical(spark):
             ).collect()
         }
         assert got == want, f"divergence at num_ranges={nr}"
+
+
+def test_negative_samples_no_self_and_k_per_anchor(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    neg = curation.negative_samples(df, "doc_id", k=4)
+    rows = neg.collect()
+    assert len(rows) == 50 * 4
+    assert all(r.anchor_id != r.neg_id for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r.anchor_id, set()).add(r.j)
+    assert all(v == {0, 1, 2, 3} for v in per.values())
+    # deterministic: a rebuild yields the identical pair set
+    again = curation.negative_samples(df, "doc_id", k=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # salting rotates the draws
+    salted = curation.negative_samples(df, "doc_id", k=4, salt="s").collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, salted))
+
+
+def test_negative_samples_degenerate_corpora(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    one = spark.createDataFrame([(7,)], "doc_id long")
+    assert curation.negative_samples(one, "doc_id", k=3).count() == 0
+    two = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    rows = curation.negative_samples(two, "doc_id", k=3).collect()
+    # with N=2 every draw must hit the single other row
+    assert len(rows) == 6
+    assert all((r.anchor_id, r.neg_id) in {(1, 2), (2, 1)} for r in rows)
+
+
+def test_negative_samples_plan_has_no_cartesian(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    neg = curation.negative_samples(df, "doc_id", k=3)
+    plan = neg._sc._jvm.PythonSQLUtils.explainString(
+        neg._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
