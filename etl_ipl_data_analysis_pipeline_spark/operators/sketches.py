@@ -217,3 +217,63 @@ def kmv_estimate(
     return agg.withColumn(
         "est_distinct", F.floor(raw * 100 + F.lit(0.5)) / 100
     ).drop("__mx")
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Theta-style intersection estimate from two ungrouped KMV sketches
+    (columns: hv) — audience overlap WITHOUT an exact distinct over
+    either side, the set-algebra completion of build/merge/estimate.
+
+    theta is each sketch's retention threshold: its k-th smallest hash
+    when full, else the domain max 2^60 (a partial sketch saw every
+    value). Below theta = min(theta_a, theta_b) BOTH sketches retain
+    every hash they ever saw, so {h in A cap B : h < theta} is an exact
+    sample of the true intersection at sampling rate theta/2^60, and
+    est = n_common * 2^60 / theta. When both sketches are partial
+    (theta = 2^60) the estimate IS the exact intersection count. The
+    strict < matters: a hash equal to theta is retained by one sketch
+    but possibly evicted by the other.
+
+    Determinism: the md5-derived sketch state makes theta, the common
+    set, and the single double division pure functions of the inputs —
+    the estimate itself sits under the exact cross-engine gate. Inputs
+    are <= k rows each, so every join here is broadcast-trivial; the
+    heavy lifting (one distinct + bottom-k per side) happened in
+    kmv_build.
+    """
+    max_h = 16**15  # 2^60, the _kmv_hash domain bound
+    sa = a.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        F.coalesce(
+            F.when(F.count(F.lit(1)) >= k, F.max("hv")), F.lit(max_h)
+        ).alias("__ta"),
+    )
+    sb = b.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        F.coalesce(
+            F.when(F.count(F.lit(1)) >= k, F.max("hv")), F.lit(max_h)
+        ).alias("__tb"),
+    )
+    common = (
+        a.select("hv")
+        .join(b.select("hv"), "hv")
+        .crossJoin(F.broadcast(sa.select("__ta")))
+        .crossJoin(F.broadcast(sb.select("__tb")))
+        .filter(F.col("hv") < F.least("__ta", "__tb"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est = (
+        F.col("n_common").cast("double")
+        * F.lit(KMV_MAX_H)
+        / F.least("__ta", "__tb").cast("double")
+    )
+    return (
+        sa.crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(common))
+        .select(
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.floor(est * 100 + F.lit(0.5)) / 100).alias("est_intersect"),
+        )
+    )

@@ -109,6 +109,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
+    "kmv_user_overlap",  # theta-style sketch intersection, estimate exact-gated
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
@@ -157,8 +158,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_cube",
     "agg_stats",
-    "q3_top_revenue",
-    # (pack_token_shards, repetition_stats and split_train_valtest yield
+    # (q3_top_revenue runs in every bench and yields its slot to
+    # kmv_user_overlap; pack_token_shards, repetition_stats and
+    # split_train_valtest yield
     # their slots to the bloom pair and the negative-sampling
     # registration — the first two are freshly exercised in the
     # factor-100 smoke, pack_token_shards' cumsum machinery re-greens

@@ -841,3 +841,77 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("twap"),
     )
+
+
+@register(
+    "kmv_user_overlap",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events WHERE event_type = 'view'
+    ),
+    hb AS (
+      SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM ha) WHERE rn <= 64),
+    kb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hb) WHERE rn <= 64),
+    sa AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+                  CASE WHEN count(*) >= 64 THEN max(hv)
+                       ELSE 1152921504606846976 END AS ta FROM ka),
+    sb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+                  CASE WHEN count(*) >= 64 THEN max(hv)
+                       ELSE 1152921504606846976 END AS tb FROM kb),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM ka JOIN kb USING (hv), sa, sb
+      WHERE hv < least(ta, tb)
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+      JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      USING (user_id)
+    )
+    SELECT n_a, n_b, n_common,
+           floor((CAST(n_common AS DOUBLE) * 1152921504606846976.0
+                  / CAST(least(ta, tb) AS DOUBLE)) * 100 + 0.5) / 100
+               AS est_intersect,
+           exact_overlap
+    FROM sa, sb, common, exact
+    """,
+    tags=("A5", "SE4"),
+)
+def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-style KMV intersection (operators/sketches.py
+    kmv_intersect_estimate): estimated view/purchase audience overlap
+    from two bottom-64 sketches — the set-algebra completion of the
+    build/merge/estimate family, answering |A∩B| from O(k) state
+    instead of an exact distinct over either side. Below
+    theta = min(k-th mins) both sketches retain everything, so the
+    common hashes under theta are an exact sample at rate theta/2^60;
+    the md5-derived state makes theta, the sample and the one double
+    division deterministic, so even the ESTIMATE is exact-hash gated.
+    exact_overlap (a real distinct intersection) rides along to show
+    the estimator's error at this SF."""
+    from ..operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    a = sketches.kmv_build(ev.filter(F.col("event_type") == "view"), "user_id")
+    b = sketches.kmv_build(
+        ev.filter(F.col("event_type") == "purchase"), "user_id"
+    )
+    est = sketches.kmv_intersect_estimate(a, b)
+    exact = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return est.crossJoin(F.broadcast(exact))

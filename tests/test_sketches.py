@@ -173,3 +173,48 @@ def test_kmv_state_persists_and_merges_incrementally(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_kmv_intersect_disjoint_and_identical(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+
+    def sk(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        return sketches.kmv_build(df, "x")
+
+    # disjoint: nothing in common at any retention threshold
+    row = sketches.kmv_intersect_estimate(
+        sk(range(0, 40)), sk(range(10_000, 10_040))
+    ).first()
+    assert row.n_common == 0 and row.est_intersect == 0.0
+
+    # identical partial sketches (n < k): theta = domain max, estimate
+    # is the EXACT intersection count
+    row = sketches.kmv_intersect_estimate(sk(range(30)), sk(range(30))).first()
+    assert row.n_a == row.n_b == 30
+    assert row.n_common == 30 and row.est_intersect == 30.0
+
+    # identical full sketches: the sampled estimate carries ~1/sqrt(k)
+    # error around the true 5000 (deterministic for fixed inputs)
+    row = sketches.kmv_intersect_estimate(
+        sk(range(5000)), sk(range(5000))
+    ).first()
+    assert row.n_a == row.n_b == 64
+    assert abs(row.est_intersect - 5000) / 5000 < 0.45
+
+
+def test_kmv_intersect_subset_estimate_bounded(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import sketches
+
+    def sk(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        return sketches.kmv_build(df, "x")
+
+    # B is half of A: the estimate must land nearer |B| than |A|
+    row = sketches.kmv_intersect_estimate(
+        sk(range(4000)), sk(range(0, 4000, 2))
+    ).first()
+    assert abs(row.est_intersect - 2000) < abs(row.est_intersect - 4000)
+    # an empty side intersects to zero without erroring
+    row = sketches.kmv_intersect_estimate(sk([]), sk(range(100))).first()
+    assert row.n_a == 0 and row.n_common == 0 and row.est_intersect == 0.0
