@@ -528,56 +528,66 @@ def negative_samples(
     k: int = 3,
     salt: str = "",
     num_ranges: int = 32,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training: pair
-    every row with ``k`` pseudo-random OTHER rows of the corpus, as a
-    pure function of (ids, k, salt) — reproducible across runs, engines
-    and cluster sizes, so the pair set itself sits under the exact
-    cross-engine gate.
+    every row with ``k`` pseudo-random OTHER rows of the corpus — or,
+    with ``group_col``, of the row's OWN group (stratified "hard-ish"
+    negatives: same language/domain/source) — as a pure function of
+    (ids, k, salt), reproducible across runs, engines and cluster
+    sizes, so the pair set itself sits under the exact cross-engine
+    gate.
 
     Mechanism (no cartesian anywhere): every row gets its exact 0-based
-    global position p under the ``id_col`` order via the range-bucket
-    pattern (approxQuantile boundaries -> per-bucket row_number ->
-    broadcast prefix offsets — the pack_token_shards / layout ntile
-    machinery; boundaries steer parallelism, never the result). Draw j
-    of a row is the md5-derived 60-bit value of (id ':' j ':' salt)
-    modulo N-1, shifted up by one when >= p — exactly uniform over the
-    N-1 positions that are not the row's own. Targets resolve back to
-    ids with ONE shuffle join on position: total cost is two narrow
-    exchanges and a k-fold explode, independent of pair-space size.
-    Corpora with fewer than 2 rows yield no pairs (N-1 would be an
-    empty draw domain).
+    position p under the ``id_col`` order (within its group when
+    stratified) via the range-bucket pattern — approxQuantile id
+    boundaries -> per-(group, bucket) row_number -> broadcast prefix
+    offsets, the pack_token_shards / layout ntile machinery; boundaries
+    steer parallelism, never the result, and sub-bucketing inside each
+    group keeps a 100 TB-dominant group from pinning one reducer. Draw
+    j of a row is the md5-derived 60-bit value of (id ':' j ':' salt)
+    modulo N-1 (its draw-domain size minus self), shifted up by one
+    when >= p — exactly uniform over the positions that are not the
+    row's own. Targets resolve back to ids with ONE narrow join on
+    (group, position). Groups with fewer than 2 rows yield no pairs.
+    The broadcast offsets relation is (#groups x num_ranges) rows —
+    bounded like split_group_weighted's; for 10^6+ groups swap the
+    prefix window for the distributed cumsum, same as there.
 
-    Returns (anchor_id, j, neg_id), k rows per anchor.
+    Returns (anchor_id[, group_col], j, neg_id), k rows per anchor.
     """
     idc = F.col(id_col)
+    grp = [group_col] if group_col else []
+    gsel = [F.col(group_col).alias("__g")] if group_col else []
+    gkey = ["__g"] if group_col else []
     probs = [i / num_ranges for i in range(1, num_ranges)]
     cuts = sorted(set(df.approxQuantile(id_col, probs, 0.01))) if probs else []
     bucket = F.lit(0)
     for c in cuts:
         bucket = bucket + (idc > F.lit(c)).cast("int")
-    bucketed = df.select(idc.alias("__id"), bucket.alias("__b"))
+    bucketed = df.select(*gsel, idc.alias("__id"), bucket.alias("__b"))
 
-    w_in = Window.partitionBy("__b").orderBy(F.col("__id").asc())
+    w_in = Window.partitionBy(*gkey, "__b").orderBy(F.col("__id").asc())
     with_rn = bucketed.withColumn("__rn", F.row_number().over(w_in))
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    w_grp = (
+        Window.partitionBy(*gkey) if group_col else Window.partitionBy(F.lit(0))
     )
-    # one row per bucket: exclusive prefix counts + the global total
+    w_off = w_grp.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    # one row per (group, bucket): exclusive prefix counts + group total
     offsets = (
-        bucketed.groupBy("__b")
+        bucketed.groupBy(*gkey, "__b")
         .agg(F.count(F.lit(1)).alias("__c"))
         .select(
+            *gkey,
             "__b",
             F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
-            F.sum("__c").over(Window.partitionBy(F.lit(0))).alias("__n"),
+            F.sum("__c").over(w_grp).alias("__n"),
         )
     )
     pos = (
-        with_rn.join(F.broadcast(offsets), "__b")
+        with_rn.join(F.broadcast(offsets), [*gkey, "__b"])
         .select(
+            *gkey,
             "__id",
             (F.col("__off") + F.col("__rn") - 1).alias("__p"),
             "__n",
@@ -587,6 +597,7 @@ def negative_samples(
     drawn = (
         pos.filter(F.col("__n") > 1)
         .select(
+            *gkey,
             "__id",
             "__p",
             "__n",
@@ -613,6 +624,7 @@ def negative_samples(
             % (F.col("__n") - 1),
         )
         .select(
+            *gkey,
             F.col("__id").alias("anchor_id"),
             "j",
             F.when(F.col("__t") >= F.col("__p"), F.col("__t") + 1)
@@ -620,7 +632,14 @@ def negative_samples(
             .alias("__tp"),
         )
     )
-    return drawn.join(
-        pos.select(F.col("__p").alias("__tp"), F.col("__id").alias("neg_id")),
-        "__tp",
-    ).select("anchor_id", "j", "neg_id")
+    out = drawn.join(
+        pos.select(
+            *gkey, F.col("__p").alias("__tp"), F.col("__id").alias("neg_id")
+        ),
+        [*gkey, "__tp"],
+    )
+    if group_col:
+        return out.select(
+            "anchor_id", F.col("__g").alias(group_col), "j", "neg_id"
+        )
+    return out.select("anchor_id", "j", "neg_id")

@@ -109,6 +109,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
+    "contrastive_negatives_stratified",  # same-group draws, per-group positions
     "kmv_user_overlap",  # theta-style sketch intersection, estimate exact-gated
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
@@ -157,9 +158,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_rollup",
     "agg_cube",
-    "agg_stats",
-    # (q3_top_revenue runs in every bench and yields its slot to
-    # kmv_user_overlap; pack_token_shards, repetition_stats and
+    # (agg_stats and q3_top_revenue run in every bench and yield their
+    # slots to kmv_user_overlap and the stratified negatives;
+    # pack_token_shards, repetition_stats and
     # split_train_valtest yield
     # their slots to the bloom pair and the negative-sampling
     # registration — the first two are freshly exercised in the

@@ -672,3 +672,41 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow join on position."""
     d = load(spark, sf_dir, "documents")
     return curation.negative_samples(d, "doc_id", k=3)
+
+
+@register(
+    "contrastive_negatives_stratified",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS p,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    drawn AS (
+      SELECT pos.doc_id AS anchor_id, pos.lang, v.j,
+             (('0x' || substr(md5(CAST(pos.doc_id AS VARCHAR) || ':' || v.j), 1, 15))::BIGINT)
+                 % (pos.n - 1) AS t,
+             pos.p
+      FROM pos, (VALUES (0), (1)) v(j)
+      WHERE pos.n > 1
+    ),
+    tgt AS (
+      SELECT anchor_id, lang, j,
+             CASE WHEN t >= p THEN t + 1 ELSE t END AS tp
+      FROM drawn
+    )
+    SELECT tgt.anchor_id, tgt.lang, CAST(tgt.j AS INT) AS j, b.doc_id AS neg_id
+    FROM tgt JOIN pos b ON b.lang = tgt.lang AND b.p = tgt.tp
+    """,
+    tags=("X6", "J1", "F7"),
+)
+def contrastive_negatives_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-stratified negative sampling: 2 pseudo-random same-LANGUAGE
+    non-self partners per document (the realistic contrastive setup —
+    cross-language negatives are trivially easy). Same machinery as
+    contrastive_negatives with positions per (lang, id-range bucket):
+    sub-bucketing inside each group keeps a corpus-dominant language
+    from pinning one reducer, and the draw domain is the group size."""
+    d = load(spark, sf_dir, "documents")
+    return curation.negative_samples(d, "doc_id", k=2, group_col="lang")

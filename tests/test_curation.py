@@ -384,3 +384,22 @@ def test_negative_samples_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_samples_stratified_stay_in_group(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    neg = curation.negative_samples(df, "doc_id", k=3, group_col="grp")
+    got = neg.collect()
+    assert len(got) == 60 * 3
+    lookup = {i: "g%d" % (i % 3) for i in range(60)}
+    for r in got:
+        assert r.anchor_id != r.neg_id
+        assert lookup[r.neg_id] == r.grp == lookup[r.anchor_id]
+    # a singleton group yields no pairs, others are unaffected
+    rows2 = [(1, "solo"), (2, "pair"), (3, "pair")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, grp string")
+    got2 = curation.negative_samples(df2, "doc_id", k=2, group_col="grp").collect()
+    assert all(r.grp == "pair" for r in got2) and len(got2) == 4
