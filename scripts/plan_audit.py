@@ -1,0 +1,101 @@
+"""Full-registry plan audit: build every registered query at sf0.01 and
+scan its executed plan for scale-killer shapes — the whole-catalog
+version of the headline-only PLANS dump.
+
+Flags per query:
+- cartesian:      CartesianProduct operators (always wrong here)
+- bnlj:           BroadcastNestedLoopJoin (only legitimate for tiny
+                  1-row/theta relations — reviewed, not auto-failed)
+- py_udf_row:     BatchEvalPython = row-at-a-time Python UDF (the slow
+                  path; ArrowEvalPython / mapInPandas are NOT flagged)
+- single_part_ex: Exchange SinglePartition count. Legitimate uses are
+                  bounded relations only: per-bucket offset windows
+                  (<= num_ranges rows), aggregated per-group relations
+                  (gini/pareto), global sort-limit heads, k-row
+                  centroids, 1-row final aggregates.
+
+Streaming queries execute their real foreachBatch drain as a side
+effect of building the returned state frame — slower, still audited.
+
+Usage: python scripts/plan_audit.py [out_json] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_AUDIT_r06.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from etl_ipl_data_analysis_pipeline_spark.plans import load_all
+
+    registry = load_all()
+    report: dict[str, dict] = {}
+    totals = {"cartesian": 0, "bnlj": 0, "py_udf_row": 0, "single_part_ex": 0}
+    for name, spec in registry.items():
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            entry = {
+                "cartesian": plan.count("CartesianProduct"),
+                "bnlj": plan.count("BroadcastNestedLoopJoin"),
+                "py_udf_row": plan.count("BatchEvalPython"),
+                "single_part_ex": plan.count("Exchange SinglePartition"),
+                "sec": round(time.time() - t0, 2),
+            }
+        except Exception as ex:  # noqa: BLE001 - audit must cover the rest
+            entry = {"error": f"{type(ex).__name__}: {ex}"[:200]}
+        report[name] = entry
+        for k in totals:
+            totals[k] += entry.get(k, 0)
+        flagged = {k: v for k, v in entry.items() if k in totals and v}
+        print(
+            f"audit {name}: {flagged if flagged else 'clean'}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    flagged = {
+        n: {k: v for k, v in e.items() if k in totals and v}
+        for n, e in report.items()
+        if any(e.get(k, 0) for k in totals) or "error" in e
+    }
+    summary = {
+        "metric": "plan_audit",
+        "sf_dir": sf_dir,
+        "n_queries": len(report),
+        "totals": totals,
+        "flagged": flagged,
+        "per_query": report,
+    }
+    with open(out_path, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in ("n_queries", "totals")}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
