@@ -323,3 +323,83 @@ def test_bloom_words_match_python_md5_mirror(spark, keys, num_bits, num_hashes):
 
     probed = bloom.bloom_probe(df, "k", bl, num_bits=num_bits, num_hashes=num_hashes)
     assert probed.filter(~F.col("bloom_pass")).count() == 0
+
+
+def _json_leaves(obj):
+    """All scalar leaf values of a nested JSON object."""
+    if isinstance(obj, dict):
+        for v in obj.values():
+            yield from _json_leaves(v)
+    elif isinstance(obj, list):
+        for v in obj:
+            yield from _json_leaves(v)
+    elif obj is not None:
+        yield obj
+
+
+_JSON_LEAF = st.one_of(
+    st.integers(min_value=-1000, max_value=1000),
+    st.text(alphabet="abcXYZ", min_size=1, max_size=6),
+    st.booleans(),
+)
+_JSON_DOC = st.recursive(
+    _JSON_LEAF,
+    lambda inner: st.one_of(
+        st.dictionaries(
+            st.text(alphabet="abcdef", min_size=1, max_size=4),
+            inner,
+            min_size=1,
+            max_size=3,
+        ),
+        st.lists(inner, min_size=1, max_size=3),
+    ),
+    max_leaves=8,
+).filter(lambda d: isinstance(d, dict))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_JSON_DOC, min_size=1, max_size=3))
+def test_flatten_fixpoint_properties(spark, docs):
+    """The fixpoint flatten of ARBITRARY nested JSON must (1) terminate
+    with zero complex-typed columns, (2) preserve every scalar leaf
+    value somewhere in the output, (3) be deterministic, and (4) never
+    produce fewer rows in outer mode than reference mode."""
+    import json as _json
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import flatten as fl
+
+    raw = spark.createDataFrame(
+        [(i, _json.dumps(d)) for i, d in enumerate(docs)], "i long, js string"
+    )
+    df = spark.read.json(raw.rdd.map(lambda r: r.js))
+    if df.columns == ["_corrupt_record"]:
+        return
+    flat = fl.flatten(df, mode="outer")
+    assert not any(
+        isinstance(f.dataType, (StructType, ArrayType, MapType))
+        for f in flat.schema.fields
+    )
+    rows = flat.collect()
+
+    def norm(v):
+        # JSON inference coerces mixed-type arrays to strings ([0, "X"]
+        # -> ["0", "X"]), so containment compares JSON-style string forms
+        return str(v).lower() if isinstance(v, bool) else str(v)
+
+    seen = {norm(v) for r in rows for v in r if v is not None}
+    for d in docs:
+        for leaf in _json_leaves(d):
+            # substring containment: when docs disagree on a field's type,
+            # JSON inference falls back to the SERIALIZED object string
+            # ({'a': 0} vs {'a': {'b': 'X'}} -> column a: string), so the
+            # leaf survives inside that string rather than as its own cell
+            assert any(norm(leaf) in s for s in seen), (
+                f"leaf {leaf!r} lost by flatten"
+            )
+    key = lambda t: [(x is None, str(x)) for x in t]  # noqa: E731
+    again = fl.flatten(df, mode="outer").collect()
+    assert sorted(map(tuple, rows), key=key) == sorted(map(tuple, again), key=key)
+    ref_rows = fl.flatten(df, mode="reference").count()
+    assert len(rows) >= ref_rows
