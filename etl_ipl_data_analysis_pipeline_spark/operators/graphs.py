@@ -177,3 +177,51 @@ def pagerank(
         F.col("n").alias("node"),
         (F.floor(F.col("r") * 1e8 + F.lit(0.5)) / 1e8).alias("rank"),
     )
+
+
+def two_hop_reach(
+    edges: DataFrame,
+    u: str = "u",
+    v: str = "v",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Distinct vertices within <= 2 undirected hops of each vertex,
+    self excluded: (node, n_reach_2hop). One symmetric edge union, one
+    self-join through the middle vertex, one distinct-count — no
+    iteration, no cartesian.
+
+    Scale: the middle join materializes sum(deg(m)^2) wedge rows, the
+    same hub hazard the triangle census dodges with degree orientation
+    — but reach is path-existence, where orientation doesn't apply.
+    ``max_degree`` is the honest cap: vertices with more neighbors are
+    excluded AS THE MIDDLE HOP (their own reach rows remain), giving a
+    deterministic lower-bound reach — the max_df trade from the
+    jaccard posting lists, applied to graphs. Unset it only when the
+    degree distribution is known hub-free."""
+    a, b = F.col(u).alias("__a"), F.col(v).alias("__b")
+    sym = edges.select(a, b).unionByName(
+        edges.select(F.col(v).alias("__a"), F.col(u).alias("__b"))
+    )
+    mid = sym
+    if max_degree is not None:
+        # a vertex's degree = its out-edge count in the symmetric form;
+        # capping the SOURCE side of the second leg excludes high-degree
+        # vertices exactly where they act as the middle hop
+        deg = sym.groupBy("__a").agg(F.count(F.lit(1)).alias("__d"))
+        ok = deg.filter(F.col("__d") <= max_degree).select("__a")
+        mid = sym.join(ok, "__a")
+    two = (
+        sym.select(F.col("__a"), F.col("__b").alias("__m"))
+        .join(
+            mid.select(F.col("__a").alias("__m"), F.col("__b")),
+            "__m",
+        )
+        .select("__a", "__b")
+        .filter(F.col("__a") != F.col("__b"))
+    )
+    return (
+        sym.unionByName(two)
+        .distinct()
+        .groupBy(F.col("__a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("n_reach_2hop"))
+    )

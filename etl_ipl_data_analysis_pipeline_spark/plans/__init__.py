@@ -111,6 +111,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
     "contrastive_negatives_stratified",  # same-group draws, per-group positions
     "kmv_user_overlap",  # theta-style sketch intersection, estimate exact-gated
+    "copurchase_2hop_reach",  # 2-hop neighborhood sizes, hub-cappable wedge join
     "kmeans_clusters_exact",  # iterative Lloyd k-means under the exact gate
     "ngram_lm_counts",  # corpus 3-gram LM count table, min-count pruned
     "gram_novelty_scores",  # per-doc gram rarity (boilerplate detector)
@@ -157,8 +158,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_count_distinct",
     "agg_approx_distinct",
     "agg_rollup",
-    "agg_cube",
-    # (agg_stats and q3_top_revenue run in every bench and yield their
+    # (agg_cube shares agg_rollup's Expand machinery and yields its slot
+    # to copurchase_2hop_reach; agg_stats and q3_top_revenue run in
+    # every bench and yield their
     # slots to kmv_user_overlap and the stratified negatives;
     # pack_token_shards, repetition_stats and
     # split_train_valtest yield

@@ -1323,3 +1323,62 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return graphs.pagerank(edges, iters=3, damping=0.85)
+
+
+@register(
+    "copurchase_2hop_reach",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL
+      SELECT v AS a, u AS b FROM edges
+    ),
+    two AS (
+      SELECT e1.a, e2.b
+      FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+      WHERE e1.a <> e2.b
+    ),
+    reach AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT a, b FROM sym UNION ALL SELECT a, b FROM two
+      )
+    )
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS n_reach_2hop
+    FROM reach GROUP BY a
+    """,
+    tags=("J7", "A2", "A4"),
+)
+def copurchase_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size per part in the co-purchase graph
+    (operators/graphs.py two_hop_reach): distinct parts within two
+    undirected hops, self excluded — the "customers who bought this
+    also bought things bought with..." reach metric. One symmetric
+    union, one middle-vertex join, one distinct-count; the wedge
+    volume is sum(deg^2), which the operator's max_degree cap bounds
+    on hub-heavy graphs (uncapped here — the co-purchase degree
+    distribution is flat, max wedge fan-out a few hundred)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    ia, ib = items.alias("a"), items.alias("b")
+    edges = (
+        ia.join(
+            ib,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    from ..operators import graphs
+
+    return graphs.two_hop_reach(edges)

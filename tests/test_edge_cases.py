@@ -295,3 +295,27 @@ def test_ngram_ops_short_and_empty_docs(spark):
     assert nov[2] == (0, 0, 0.0)
     assert nov[3] == (0, 0, 0.0)
     assert nov[4] == nov[1]
+
+
+def test_two_hop_reach_path_and_hub_cap(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import graphs
+
+    # path 1-2-3-4-5: reach = {1:2, 2:3, 3:4, 4:3, 5:2}
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "u long, v long"
+    )
+    got = {r.node: r.n_reach_2hop for r in graphs.two_hop_reach(path).collect()}
+    assert got == {1: 2, 2: 3, 3: 4, 4: 3, 5: 2}
+
+    # star: hub 0 with leaves 1..5 — every leaf sees the hub plus the
+    # other 4 leaves; with max_degree=2 the hub is barred as the middle
+    # hop, so leaves fall back to their 1-hop reach (the documented
+    # lower-bound semantics) while the hub's own rows are unaffected
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "u long, v long")
+    full = {r.node: r.n_reach_2hop for r in graphs.two_hop_reach(star).collect()}
+    assert full[0] == 5 and all(full[i] == 5 for i in range(1, 6))
+    capped = {
+        r.node: r.n_reach_2hop
+        for r in graphs.two_hop_reach(star, max_degree=2).collect()
+    }
+    assert capped[0] == 5 and all(capped[i] == 1 for i in range(1, 6))
