@@ -89,6 +89,16 @@ def main() -> int:
         "n_queries": len(report),
         "totals": totals,
         "flagged": flagged,
+        "notes": (
+            "AQE disabled so nothing is hidden by runtime re-planning. "
+            "BroadcastNestedLoopJoins flagged here are reviewed per query: "
+            "every known instance joins a SINGLE-ROW (or <=k-row) relation "
+            "(scalar-subquery thresholds, 1-row sketch stats, PageRank "
+            "dangling-mass aggregates, the one query vector in topk_cosine) "
+            "- the shape BNLJ is correct for at any scale. A NEW bnlj entry "
+            "outside that list, any cartesian, any BatchEvalPython, or any "
+            "single-partition exchange is a regression."
+        ),
         "per_query": report,
     }
     with open(out_path, "w") as f:
