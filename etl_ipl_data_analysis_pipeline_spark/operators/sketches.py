@@ -240,6 +240,11 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFr
     are <= k rows each, so every join here is broadcast-trivial; the
     heavy lifting (one distinct + bottom-k per side) happened in
     kmv_build.
+
+    Accuracy: relative standard error ~ 1/sqrt(n_common) <= 1/sqrt(k)
+    — k=64 gives ~12% RSE (the kmv_user_overlap query shows ~30% on one
+    draw at sf0.1, within 2.5 sigma), k=1024 ~3%. Size k to the target
+    error; the state stays O(k) rows regardless of input cardinality.
     """
     max_h = 16**15  # 2^60, the _kmv_hash domain bound
     sa = a.agg(

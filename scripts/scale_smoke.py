@@ -249,6 +249,22 @@ def main() -> int:
         file=sys.stderr, flush=True,
     )
 
+    # round-6: 2-hop reach over the same disjoint graph copies — the
+    # sum(deg^2) wedge join must scale linearly in the factor, and the
+    # total reach-row count exactly factor x the base (disjoint copies
+    # can't reach each other)
+    print(f"scale_smoke[{factor}x]: two_hop_reach ...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    reach = graphs.two_hop_reach(gedges)
+    n_reach_nodes = reach.count()
+    timings["two_hop_reach"] = round(time.time() - t0, 2)
+    timings["n_reach_nodes"] = n_reach_nodes
+    print(
+        f"scale_smoke[{factor}x]: two_hop_reach {timings['two_hop_reach']}s "
+        f"(nodes={n_reach_nodes})",
+        file=sys.stderr, flush=True,
+    )
+
     # round-6: bloom join pruning at scale — the word table stays
     # <= num_bits/64 rows (2 MB broadcast at 2^24 bits) however many keys
     # go in; probing the events fact side is three broadcast hash joins,
