@@ -120,6 +120,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "topk_ivf_planted",  # IVF build+search vs the recall-1 guarantee
     "topk_lsh_planted",  # hyperplane-LSH search vs the same guarantee
     "stream_ngram_counts",  # foreachBatch LM-count upkeep vs batch oracle
+    "text_fingerprint_planted",  # rolling-hash theory gate (copy/swap)
     # -- changed in round 6: re-green under the driver gate --
     "zorder_key_stats",  # now exact DISTRIBUTED ntile (VERDICT r5 item 1)
     "set_except",  # de-vacuated: non-empty difference at every SF
@@ -156,7 +157,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "asof_join_strict",
     "incremental_summary_merge",
     "agg_count_distinct",
-    "agg_approx_distinct",
+    # (agg_approx_distinct is rows-only-by-contract and yields its slot
+    # to the hash-gated text_fingerprint_planted)
     "agg_rollup",
     # (agg_cube shares agg_rollup's Expand machinery and yields its slot
     # to copurchase_2hop_reach; agg_stats and q3_top_revenue run in

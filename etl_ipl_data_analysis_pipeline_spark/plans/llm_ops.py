@@ -1382,3 +1382,90 @@ def copurchase_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import graphs
 
     return graphs.two_hop_reach(edges)
+
+
+@register(
+    "text_fingerprint_planted",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, true AS copy_same, true AS swap_differs
+    FROM toks
+    WHERE len(t) >= 2 AND t[1] <> t[2]
+    """,
+    tags=("X4", "F7"),
+)
+def text_fingerprint_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint under a deterministic theory gate — the
+    last approximate family without one. Plant, per document with >= 2
+    distinct leading tokens, (a) an EXACT copy and (b) a copy with its
+    first two tokens SWAPPED, and compare fingerprints. The oracle is
+    pure theory, never touching the hash: identical token sequences
+    MUST collide (copy_same), and for fp = sum h(tok_i)*31^i mod p a
+    transposition of unequal-hash tokens changes the value because
+    (h(t0)-h(t1))*(31-1) is nonzero mod the prime p — so swap_differs
+    holds unless the two tokens' xxhash64 values collide mod 2^31-1
+    (~2^-31 per doc; deterministic for a fixed fixture, and the gate
+    would fail loudly, not silently, if a fixture regen ever hit one).
+    This pins BOTH halves of the operator's contract: content identity
+    -> fingerprint identity, and ORDER sensitivity — the property that
+    distinguishes it from the bag-of-words fingerprint."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(normalized_text("text"), " "), lambda t: t != F.lit("")
+        ).alias("__t"),
+    ).filter(
+        (F.size("__t") >= 2) & (F.col("__t")[0] != F.col("__t")[1])
+    )
+    base = toks.select(
+        "doc_id", F.concat_ws(" ", "__t").alias("text"), F.lit("orig").alias("__k")
+    )
+    # the exact copy is a REAL planted row under an offset id, so the
+    # comparison spans two different rows — any accidental dependence on
+    # doc_id / row identity inside the fingerprint breaks copy_same
+    copies = toks.select(
+        (F.col("doc_id") + 400000 + _planted_domain_guard("doc_id")).alias(
+            "doc_id"
+        ),
+        F.concat_ws(" ", "__t").alias("text"),
+        F.lit("copy").alias("__k"),
+    )
+    swapped = toks.select(
+        (F.col("doc_id") + 800000 + _planted_domain_guard("doc_id")).alias(
+            "doc_id"
+        ),
+        F.concat_ws(
+            " ",
+            F.concat(
+                F.array(F.col("__t")[1], F.col("__t")[0]),
+                F.slice(F.col("__t"), 3, F.size("__t")),
+            ),
+        ).alias("text"),
+        F.lit("swap").alias("__k"),
+    )
+    allrows = base.unionByName(copies).unionByName(swapped)
+    fps = allrows.select(
+        "doc_id", "__k", textstats.doc_fingerprint("text").alias("__fp")
+    )
+    orig = fps.filter(F.col("__k") == "orig").select("doc_id", F.col("__fp").alias("__fp_orig"))
+    copy = fps.filter(F.col("__k") == "copy").select(
+        (F.col("doc_id") - 400000).alias("doc_id"), F.col("__fp").alias("__fp_copy")
+    )
+    swap = fps.filter(F.col("__k") == "swap").select(
+        (F.col("doc_id") - 800000).alias("doc_id"), F.col("__fp").alias("__fp_swap")
+    )
+    return (
+        orig.join(copy, "doc_id")
+        .join(swap, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("__fp_orig") == F.col("__fp_copy")).alias("copy_same"),
+            (F.col("__fp_orig") != F.col("__fp_swap")).alias("swap_differs"),
+        )
+    )
