@@ -55,6 +55,8 @@ HEADLINE = [
     "ngram_lm_counts",
     "gram_novelty_scores",
     "bloom_prune_orders",
+    "contrastive_negatives",
+    "copurchase_2hop_reach",
 ]
 
 
