@@ -550,6 +550,8 @@ def negative_samples(
     when >= p — exactly uniform over the positions that are not the
     row's own. Targets resolve back to ids with ONE narrow join on
     (group, position). Groups with fewer than 2 rows yield no pairs.
+    ``id_col`` must be numeric (the boundary sketch is approxQuantile —
+    same contract as the Z-order ranks); hash string ids upstream.
     The broadcast offsets relation is (#groups x num_ranges) rows —
     bounded like split_group_weighted's; for 10^6+ groups swap the
     prefix window for the distributed cumsum, same as there.
