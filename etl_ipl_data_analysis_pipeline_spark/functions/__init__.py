@@ -125,3 +125,19 @@ def stable_avg_long(col, digits: int = 4) -> Column:
     DOUBLE) / count(x), d)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.round(F.sum(c).cast("double") / F.count(c), digits)
+
+
+def range_bucket(col, cuts) -> Column:
+    """Bucket index of ``col`` under sorted boundary ``cuts`` — the
+    data-derived range-bucket expression shared by every exact
+    distributed rank/cumsum in this repo (layout._exact_ntile,
+    curation.pack_token_shards, curation.negative_samples): a sum of
+    codegen'd comparisons, so the bucketing rides inside the same
+    projection as the rest of the row. NULLs land in bucket -1 when
+    ``null_bucket`` semantics are needed, callers wrap it themselves
+    (only the ntile path ranks NULLs)."""
+    col = F.col(col) if isinstance(col, str) else col
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (col > F.lit(c)).cast("int")
+    return bucket

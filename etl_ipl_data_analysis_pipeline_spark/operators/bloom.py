@@ -70,6 +70,8 @@ def bloom_build(
     at num_bits/64 rows per partition."""
     if num_bits % 64 != 0:
         raise ValueError("num_bits must be a multiple of 64")
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     key = F.col(key_col)
     positions = df.select(
         F.explode(
@@ -105,6 +107,8 @@ def bloom_probe(
     — the fact side is never exchanged, so the probe composes with
     whatever partitioning the caller already has. A word index absent
     from the (sparse) word table means no bit in that word is set."""
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
     key = F.col(key_col)
     out = df
     tests = []

@@ -23,6 +23,7 @@ from collections.abc import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from ..functions import range_bucket
 from .dedup import tokens
 
 
@@ -455,10 +456,7 @@ def pack_token_shards(
             )
         )
     )
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (idc > F.lit(c)).cast("int")
-    bucketed = df.withColumn("__b", bucket)
+    bucketed = df.withColumn("__b", range_bucket(idc, cuts))
 
     w_in = (
         Window.partitionBy("__b")
@@ -551,7 +549,10 @@ def negative_samples(
     row's own. Targets resolve back to ids with ONE narrow join on
     (group, position). Groups with fewer than 2 rows yield no pairs.
     ``id_col`` must be numeric (the boundary sketch is approxQuantile —
-    same contract as the Z-order ranks); hash string ids upstream.
+    same contract as the Z-order ranks); hash string ids upstream. Ids
+    must also be UNIQUE within their group: a duplicate id makes the
+    position window's tie order — and hence the pairing — partitioning-
+    dependent, the same uniqueness contract as the Z-order tiebreak.
     The broadcast offsets relation is (#groups x num_ranges) rows —
     bounded like split_group_weighted's; for 10^6+ groups swap the
     prefix window for the distributed cumsum, same as there.
@@ -564,10 +565,9 @@ def negative_samples(
     gkey = ["__g"] if group_col else []
     probs = [i / num_ranges for i in range(1, num_ranges)]
     cuts = sorted(set(df.approxQuantile(id_col, probs, 0.01))) if probs else []
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + (idc > F.lit(c)).cast("int")
-    bucketed = df.select(*gsel, idc.alias("__id"), bucket.alias("__b"))
+    bucketed = df.select(
+        *gsel, idc.alias("__id"), range_bucket(idc, cuts).alias("__b")
+    )
 
     w_in = Window.partitionBy(*gkey, "__b").orderBy(F.col("__id").asc())
     with_rn = bucketed.withColumn("__rn", F.row_number().over(w_in))

@@ -197,10 +197,21 @@ def two_hop_reach(
     excluded AS THE MIDDLE HOP (their own reach rows remain), giving a
     deterministic lower-bound reach — the max_df trade from the
     jaccard posting lists, applied to graphs. Unset it only when the
-    degree distribution is known hub-free."""
+    degree distribution is known hub-free.
+
+    Input contract: a canonical undirected edge list (each edge once;
+    self-loops are dropped here, never counted as reach). Feeding BOTH
+    (u,v) and (v,u) stays reach-correct — the final distinct collapses
+    them — but doubles the degree counts the cap compares against."""
     a, b = F.col(u).alias("__a"), F.col(v).alias("__b")
-    sym = edges.select(a, b).unionByName(
-        edges.select(F.col(v).alias("__a"), F.col(u).alias("__b"))
+    sym = (
+        edges.filter(F.col(u) != F.col(v))
+        .select(a, b)
+        .unionByName(
+            edges.filter(F.col(u) != F.col(v)).select(
+                F.col(v).alias("__a"), F.col(u).alias("__b")
+            )
+        )
     )
     mid = sym
     if max_degree is not None:

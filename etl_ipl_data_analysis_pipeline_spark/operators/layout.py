@@ -23,6 +23,8 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..functions import range_bucket
+
 
 def interleave_bits(cols: list, bits: int = 8):
     """Morton-interleave ``len(cols)`` bucket-rank columns of ``bits`` bits
@@ -74,10 +76,7 @@ def _exact_ntile(
     re-executing stages 1..k-1's window shuffles.
     """
     col = F.col(c)
-    bucket = F.lit(0)
-    for cut in cuts:
-        bucket = bucket + (col > F.lit(cut)).cast("int")
-    bucket = F.when(col.isNull(), F.lit(-1)).otherwise(bucket)
+    bucket = F.when(col.isNull(), F.lit(-1)).otherwise(range_bucket(col, cuts))
     bucketed = df.withColumn("__zb", bucket)
 
     w_in = Window.partitionBy("__zb").orderBy(col.asc(), F.col(tiebreak).asc())
@@ -142,10 +141,11 @@ def zorder_ranks(
     computed on the narrow (tiebreak, cols...) projection — k exchanges
     of a few longs per row — and joined back on ``tiebreak`` in one
     full-row exchange: k·W bytes shuffled becomes k·w + W. This
-    requires ``tiebreak`` to be a UNIQUE row key, which the
+    requires ``tiebreak`` to be a UNIQUE NON-NULL row key, which the
     equal-frequency contract effectively demands anyway (duplicate
     (col, tiebreak) pairs would make the window order, and hence the
-    ranks, partitioning-dependent)."""
+    ranks, partitioning-dependent); a NULL key on this path raises at
+    runtime rather than silently dropping its row in the join-back."""
     n = 1 << bits
     probs = [i / num_ranges for i in range(1, num_ranges)]
     payload = [c for c in df.columns if c != tiebreak and c not in cols]
@@ -167,8 +167,33 @@ def zorder_ranks(
     if not narrow:
         return out
     rank_cols = [f"__r{i}" for i in range(len(cols))]
+    # an INNER join-back on the row key would silently DROP a NULL-key
+    # row (the in-place path would have ranked it) — and a pre-join
+    # assert can't catch that, because Catalyst pushes the join's
+    # inferred isnotnull filter BELOW any deterministic projection. So:
+    # LEFT join (every input row survives) and assert the resolved rank
+    # itself, which is NULL exactly when the key failed to match —
+    # converting the contract violation into a loud runtime error with
+    # zero extra jobs. Duplicate keys (also a contract violation: they
+    # make the rank order partitioning-dependent on EITHER path) are
+    # documented, not checked — detecting them needs an aggregate pass.
     ranks = out.select(tiebreak, *rank_cols)
-    return df.join(ranks, tiebreak).select(*df.columns, *rank_cols)
+    joined = df.join(ranks, tiebreak, "left")
+    null_guard = F.coalesce(
+        F.assert_true(
+            F.col(rank_cols[0]).isNotNull(),
+            F.lit("zorder_ranks: tiebreak must be a non-null unique row key"),
+        ).cast("int"),
+        F.lit(0),
+    )
+    # guard FIRST in the addition: binary-op codegen short-circuits a
+    # NULL left operand without evaluating the right, which would skip
+    # the assert exactly when it must fire
+    return joined.select(
+        *df.columns,
+        (null_guard + F.col(rank_cols[0])).alias(rank_cols[0]),
+        *rank_cols[1:],
+    )
 
 
 def zorder_write(

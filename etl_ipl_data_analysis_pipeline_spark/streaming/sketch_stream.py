@@ -172,7 +172,5 @@ def run_bloom_stream(
     spark = stream_df.sparkSession
     if recover_swapped(spark, state_path):
         return spark.read.parquet(state_path)
-    from ..operators import bloom
-
     empty = spark.createDataFrame([], stream_df.schema)
     return bloom.bloom_build(empty, key_col, num_bits, num_hashes, salt)

@@ -84,3 +84,14 @@ def test_num_bits_must_be_word_aligned(spark):
 
     with pytest.raises(ValueError):
         bloom.bloom_build(_keys(spark, [1]), "k", num_bits=100)
+
+
+def test_num_hashes_must_be_positive(spark):
+    import pytest
+
+    ks = _keys(spark, [1, 2])
+    with pytest.raises(ValueError):
+        bloom.bloom_build(ks, "k", num_bits=64, num_hashes=0)
+    bl = bloom.bloom_build(ks, "k", num_bits=64, num_hashes=1)
+    with pytest.raises(ValueError):
+        bloom.bloom_probe(ks, "k", bl, num_bits=64, num_hashes=0)

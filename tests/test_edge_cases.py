@@ -319,3 +319,8 @@ def test_two_hop_reach_path_and_hub_cap(spark):
         for r in graphs.two_hop_reach(star, max_degree=2).collect()
     }
     assert capped[0] == 5 and all(capped[i] == 1 for i in range(1, 6))
+
+    # self-loops are dropped, never counted as reach
+    loopy = spark.createDataFrame([(1, 1), (1, 2)], "u long, v long")
+    got = {r.node: r.n_reach_2hop for r in graphs.two_hop_reach(loopy).collect()}
+    assert got == {1: 1, 2: 1}

@@ -123,3 +123,19 @@ def test_zorder_ranks_wide_path_matches_narrow(spark, sf_dir):
     for line in plan.split("\n"):
         if "row_number() windowspecdefinition" in line:
             assert "__zb" in line
+
+
+def test_zorder_ranks_narrow_path_null_tiebreak_raises(spark):
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    # payload column present + 2 layout cols => narrow join-back path;
+    # the NULL row key must fail loudly, never silently drop its row
+    df = spark.createDataFrame(
+        [(1, 1.0, 10, "p"), (None, 2.0, 20, "q"), (3, 3.0, 30, "r")],
+        "event_id long, value double, user_id long, payload string",
+    )
+    ranks = layout.zorder_ranks(df, ["value", "user_id"], "event_id", bits=4)
+    with pytest.raises(SparkRuntimeException, match="non-null unique row key"):
+        ranks.collect()
