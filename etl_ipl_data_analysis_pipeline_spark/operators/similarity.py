@@ -113,23 +113,13 @@ def ivf_topk(
     co-locate — at 100 TB write the corpus bucketed by cell id
     (io.write_bucketed) and searches never touch irrelevant partitions.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, IntegerType
-
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("__cvec"),
     )
     cents = kmeans_centroids(corpus, n_centroids, 2, id_col, vec_col, seed)
     cn = _normalize_rows(cents)
-
-    def _nearest_cells(vs):
-        x = _normalize_rows(np.stack(vs.to_numpy()))
-        order = np.argsort(-(x @ cn.T), axis=1)[:, :nprobe].astype("int32")
-        return pd.Series(list(order))
-
-    nearest_cells = F.pandas_udf(_nearest_cells, ArrayType(IntegerType()))
+    nearest_cells = _cell_router(cn, nprobe)
 
     assigned = c.withColumn("cell", F.element_at(nearest_cells("__cvec"), 1))
     p = probes.select(
@@ -475,3 +465,104 @@ def kmeans_exact(
         "n",
         (F.floor(F.col("c") * 1e6 + F.lit(0.5)) / 1e6).alias("centroid"),
     )
+
+
+def _cell_router(cn, nprobe: int):
+    """Arrow UDF routing each vector to its ``nprobe`` nearest centroids
+    of the normalized k×dim matrix ``cn`` (ships by value)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    def _nearest_cells(vs):
+        x = _normalize_rows(np.stack(vs.to_numpy()))
+        order = np.argsort(-(x @ cn.T), axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return F.pandas_udf(_nearest_cells, ArrayType(IntegerType()))
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    iters: int = 2,
+) -> None:
+    """Persist an IVF index: the production ANN lifecycle, where the
+    k-means build is paid ONCE and amortized over every later search.
+
+    Layout on disk:
+    - ``path/centroids``: (cell int, centroid array<double>) — k rows,
+      the driver-side model round-tripped through parquet.
+    - ``path/vectors``:   (vec_id, embedding) PARTITIONED BY cell — each
+      inverted list is its own partition directory, so a search that
+      routes to nprobe cells prunes every other partition at the SCAN
+      (dynamic partition pruning from the broadcast cell join; at 100 TB
+      this is the difference between reading nprobe/k of the corpus and
+      all of it).
+
+    Determinism: the seeded k-means model and md5-free argmax assignment
+    make the whole index a pure function of (corpus, params) — the
+    persisted searcher below returns row-identical results to the
+    in-memory ivf_topk for the same parameters, which the tests assert.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("embedding"),
+    )
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col, seed)
+    cn = _normalize_rows(cents)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    cent_df.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    assigned = c.withColumn("cell", F.element_at(_cell_router(cn, 1)("embedding"), 1))
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path + "/vectors")
+    )
+
+
+def ivf_search_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    probe_id_col: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (ivf_build_index): load the k-row
+    centroid model (bounded driver collect, like the in-memory path),
+    route each probe to its nprobe cells, and score ONLY those cells'
+    partitions — the broadcast join on the partition column lets Spark
+    prune the unrouted inverted lists at the scan. Same output contract
+    as ivf_topk: (query_id, vec_id, sim) top-k per query, self excluded."""
+    import numpy as np
+
+    cent_rows = spark.read.parquet(path + "/centroids").orderBy("cell").collect()
+    cn = _normalize_rows(np.array([r["centroid"] for r in cent_rows]))
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    )
+    routed = p.select(
+        "query_id", "__pvec", F.explode(_cell_router(cn, nprobe)("__pvec")).alias("cell")
+    )
+    vectors = spark.read.parquet(path + "/vectors").select(
+        "vec_id", F.col("embedding").alias("__cvec"), "cell"
+    )
+    scored = (
+        vectors.join(F.broadcast(routed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6)
+        )
+    )
+    return topk_per_query(scored, k)

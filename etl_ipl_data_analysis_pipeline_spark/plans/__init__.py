@@ -118,6 +118,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_planted",  # simhash pipeline vs the recall-1 guarantee
     "dedup_minhash_planted",  # minhash-LSH pipeline vs the same guarantee
     "topk_ivf_planted",  # IVF build+search vs the recall-1 guarantee
+    "topk_ivf_persisted_planted",  # persisted-index lifecycle, same gate
     "topk_lsh_planted",  # hyperplane-LSH search vs the same guarantee
     "stream_ngram_counts",  # foreachBatch LM-count upkeep vs batch oracle
     "text_fingerprint_planted",  # rolling-hash theory gate (copy/swap)
@@ -159,8 +160,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_count_distinct",
     # (agg_approx_distinct is rows-only-by-contract and yields its slot
     # to the hash-gated text_fingerprint_planted)
-    "agg_rollup",
-    # (agg_cube shares agg_rollup's Expand machinery and yields its slot
+    # (agg_rollup runs in every bench and yields its slot to the
+    # persisted-IVF gate; agg_cube shares its Expand machinery and
+    # yields its slot
     # to copurchase_2hop_reach; agg_stats and q3_top_revenue run in
     # every bench and yield their
     # slots to kmv_user_overlap and the stratified negatives;

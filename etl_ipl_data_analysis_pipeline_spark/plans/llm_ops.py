@@ -1469,3 +1469,38 @@ def text_fingerprint_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__fp_orig") != F.col("__fp_swap")).alias("swap_differs"),
         )
     )
+
+
+@register(
+    "topk_ivf_persisted_planted",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 200000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 5
+    """,
+    tags=("X3", "J10", "SNK1"),
+)
+def topk_ivf_persisted_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED IVF lifecycle under the recall-1 gate: build the
+    index to parquet (ivf_build_index — k-row centroid model + corpus
+    partitioned by cell, the pay-once production ANN shape), then
+    search it from disk in a separate read path (ivf_search_index).
+    Planted exact copies must surface at sim 1.0 exactly as in the
+    in-memory topk_ivf_planted — if the model round-trip, the
+    cell-partitioned layout, or the pruned-scan search drops or reroutes
+    anything, the gate breaks. Same theory oracle: an identical vector
+    lands in the probe's own cell, which nprobe>=1 always searches."""
+    import shutil
+
+    from ..operators import similarity as sim
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = _scratch_dir(sf_dir, "ivf_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    sim.ivf_build_index(e.unionByName(_planted_probe_mirrors(e)), idx)
+    out = sim.ivf_search_index(spark, idx, probes, k=5)
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)

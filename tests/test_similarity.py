@@ -196,3 +196,34 @@ def test_kmeans_exact_tie_breaks_to_lower_cid(spark):
     }
     assert out[(0, 1)] == (2, 0.5)  # {0.0, 1.0} -> mean 0.5
     assert out[(1, 1)] == (1, 2.0)
+
+
+def test_ivf_persisted_index_matches_in_memory(spark, sf_dir, tmp_path):
+    """Build-to-parquet + search-from-disk must return the exact rows of
+    the in-memory ivf_topk at the same params/seed (the model and
+    assignments are pure functions of the corpus), the vectors must land
+    cell-partitioned, and the search scan must carry a dynamic partition
+    pruning filter on cell — the pay-once index lifecycle."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity as sim
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf_idx")
+    sim.ivf_build_index(e, idx)
+    persisted = sim.ivf_search_index(spark, idx, probes, k=4)
+    in_memory = sim.ivf_topk(e, probes, k=4)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+    assert any(d.startswith("cell=") for d in os.listdir(idx + "/vectors"))
+    plan = persisted._sc._jvm.PythonSQLUtils.explainString(
+        persisted._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruningexpression" in plan
