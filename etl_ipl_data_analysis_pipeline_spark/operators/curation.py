@@ -645,3 +645,74 @@ def negative_samples(
             "anchor_id", F.col("__g").alias(group_col), "j", "neg_id"
         )
     return out.select("anchor_id", "j", "neg_id")
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Sliding-window token chunking — the document->passage step every
+    RAG indexing / context-window-packing pipeline runs before embedding
+    or training: split each document into overlapping ``window``-token
+    chunks whose starts step by ``stride`` tokens (stride < window =>
+    adjacent chunks overlap by window - stride tokens, so no boundary
+    sentence is ever seen by only half a chunk).
+
+    Chunk starts are 0, stride, 2*stride, ...; the trailing chunk may be
+    shorter than ``window`` (never empty), every token appears in at
+    least one chunk, and no chunk is fully contained in its predecessor
+    (a start is kept iff it is 0 or start < n - window + stride — the
+    first start whose clamped span [start, n) would be a strict subset
+    of the previous chunk's is where emission stops). Empty documents
+    yield no chunks.
+
+    Scale: this is a pure MAP — tokenize, explode the (n_tokens/stride)
+    start offsets, slice. No shuffle, no window function, no state;
+    output size is input size x (window/stride) in tokens, and Spark
+    pipelines the explode into the same whole-stage-codegen pass as the
+    parquet scan. The tokenizer is materialized as a column BEFORE the
+    higher-order slice so it is evaluated once per document, not once
+    per chunk (same AttributeReference discipline as
+    shingles_from_tokens).
+
+    Returns (id_col, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toked = df.select(
+        F.col(id_col),
+        F.filter(tokens(text_col), lambda t: t != F.lit("")).alias("__t"),
+    ).withColumn("__n", F.size("__t"))
+    return (
+        toked.filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__t",
+            "__n",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+            ).alias("start_tok"),
+        )
+        .filter(
+            (F.col("start_tok") == 0)
+            | (F.col("start_tok") < F.col("__n") - F.lit(window - stride))
+        )
+        .select(
+            id_col,
+            F.expr(f"CAST(start_tok div {stride} AS INT)").alias("chunk_idx"),
+            "start_tok",
+            F.slice(F.col("__t"), F.col("start_tok") + 1, F.lit(window)).alias(
+                "__chunk"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "start_tok",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -7,8 +7,10 @@ one small aggregate; nothing leaves the JVM.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions import normalized_text, token_count
 
@@ -228,4 +230,108 @@ def gram_novelty(
             )
             / 1e4
         ).alias("novelty"),
+    )
+
+
+def bm25_top_docs(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """BM25 lexical retrieval: rank documents against a fixed query-term
+    set and return the top ``k`` with their scores — the sparse half of
+    every hybrid (BM25 + embedding) retrieval stack, and the standard
+    quality filter for "does this document actually talk about X" corpus
+    slicing.
+
+    Scoring is Okapi BM25 with k1 = 6/5, b = 3/4 and the +1-smoothed
+    idf's ARGUMENT kept rational instead of log-transformed:
+
+        idf'(t)        = (2N + 2) / (2 df_t + 1)
+        tfsat(t, d)    = 22 tf sum_dl / (10 tf sum_dl + 3 sum_dl + 9 dl N)
+        score(t, d)    = idf'(t) * tfsat(t, d)
+
+    (both fractions are the k1/b constants cleared to integers: the
+    numerator/denominator of each factor are exact BIGINTs, so the whole
+    per-term score is ONE double division of two exact integers — the
+    same no-libm discipline as tfidf_top_terms, because ln() differs in
+    the last ulp across engines and would flip the hash gate. idf' is a
+    strictly monotone transform of the classic ln(1 + (N-df+.5)/(df+.5))
+    for a single term, so single-term rankings are identical; multi-term
+    rankings weight rare terms more steeply than the log form — a
+    documented property of this engine's scoring contract, not an
+    accident. Integer products stay under 2^53 through ~50k-doc / 2.5M-
+    token corpora; beyond that cast the two products to DECIMAL(38,0)
+    before the division.)
+
+    Per-term scores are floor-rounded to 4dp and summed as
+    DECIMAL(14,4) — decimal addition is exact and order-independent, so
+    the multi-term sum cannot flip on aggregation order — then cast back
+    to DOUBLE in one deterministic rounding (the stable_sum discipline;
+    engines disagree on which pandas dtype a low-precision DECIMAL
+    becomes, but agree bit-for-bit on the double nearest an exact 4dp
+    decimal). Ties broken by ``id_col``.
+
+    Scale: the explode->filter keeps only query-term hits (the filter
+    sits directly on the generator output, so non-query tokens never
+    reach a shuffle); tf is one partial-agged (doc, term) shuffle over
+    hits only; N/sum_dl is a single 1-row broadcast; df is a <=|q|-row
+    broadcast; top-k is TakeOrderedAndProject (per-partition partial
+    top-k, no global sort). The rank column is attached by a window
+    AFTER the k-row limit, so the unpartitioned window sees k rows, not
+    the corpus.
+
+    Returns (id_col, score DOUBLE, rnk) with rnk 1..k.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qlits = [str(t) for t in query_terms]
+    toked = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: t != F.lit(""),
+        ).alias("__t"),
+    ).withColumn("__dl", F.size("__t"))
+    docs = toked.filter(F.col("__dl") > 0)
+
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__dl").alias("__sum_dl"),
+    )
+    hits = docs.select(
+        id_col, "__dl", F.explode("__t").alias("term")
+    ).filter(F.col("term").isin(qlits))
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    num = (
+        F.lit(22) * F.col("__tf") * F.col("__sum_dl") * (2 * F.col("__n_docs") + 2)
+    )
+    den = (
+        F.lit(10) * F.col("__tf") * F.col("__sum_dl")
+        + F.lit(3) * F.col("__sum_dl")
+        + F.lit(9) * F.col("__dl") * F.col("__n_docs")
+    ) * (2 * F.col("__df") + 1)
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            id_col,
+            (F.floor(num.cast("double") / den * 1e4 + F.lit(0.5)) / 1e4)
+            .cast("decimal(14,4)")
+            .alias("__s"),
+        )
+    )
+    scored = per_term.groupBy(id_col).agg(
+        F.sum("__s").cast("double").alias("score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), F.asc(id_col))
+    return topk.select(
+        id_col, "score", F.row_number().over(w).cast("int").alias("rnk")
     )

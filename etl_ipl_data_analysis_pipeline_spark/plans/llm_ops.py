@@ -1504,3 +1504,99 @@ def topk_ivf_persisted_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim.ivf_build_index(e.unionByName(_planted_probe_mirrors(e)), idx)
     out = sim.ivf_search_index(spark, idx, probes, k=5)
     return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+# ---------------------------------------------------------------------------
+# X4/X6 (round 6, cont.): RAG chunking + BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_sliding_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), starts AS (
+      SELECT doc_id, t, n, unnest(range(0, n, 8)) AS start_tok FROM sized
+    )
+    SELECT doc_id,
+           CAST(start_tok // 8 AS INT) AS chunk_idx,
+           CAST(start_tok AS INT) AS start_tok,
+           CAST(len(list_slice(t, start_tok + 1, start_tok + 16)) AS INT)
+             AS n_chunk_tokens,
+           array_to_string(list_slice(t, start_tok + 1, start_tok + 16), ' ')
+             AS chunk_text
+    FROM starts
+    WHERE start_tok = 0 OR start_tok < n - 8
+    """,
+    tags=("X6", "X4", "P3"),
+)
+def chunk_sliding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window RAG/packing chunks (16-token windows, stride 8 =>
+    8-token overlap) over the documents corpus — curation.chunk_sliding.
+    Pure map (tokenize -> explode starts -> slice): zero shuffles, zero
+    window functions; the one plan-shape every 100 TB chunking pass
+    should have. Oracle mirrors the start set (range(0, n, stride)),
+    the subsumed-tail filter, and 1-based inclusive list slicing."""
+    d = load(spark, sf_dir, "documents")
+    from ..operators.curation import chunk_sliding
+
+    return chunk_sliding(d, "doc_id", "text", window=16, stride=8)
+
+
+@register(
+    "bm25_top_docs_query",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), docs AS (
+      SELECT doc_id, len(t) AS dl, t FROM toks WHERE len(t) > 0
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM docs
+    ), hits AS (
+      SELECT doc_id, dl, unnest(t) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM hits WHERE term IN ('vector', 'stream', 'spark')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT tf.doc_id,
+             CAST(
+               floor(
+                 CAST(22 * tf * sum_dl * (2 * n_docs + 2) AS DOUBLE)
+                 / ((10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)
+                    * (2 * df + 1))
+                 * 1e4 + 0.5
+               ) / 1e4
+             AS DECIMAL(14,4)) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM per_term GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+    FROM scored ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    tags=("X4", "A4", "SO3"),
+)
+def bm25_top_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 against the fixed query {vector, stream,
+    spark} — textstats.bm25_top_docs. Rational idf' = (2N+2)/(2df+1)
+    instead of ln() (no libm in the score: every factor is a ratio of
+    exact BIGINTs, one double division per (doc, term), floor-rounded
+    4dp, summed as DECIMAL — the cross-engine-exact retrieval scoring
+    contract; see the operator docstring for the monotonicity argument).
+    Scale: hits-only explode filter, one (doc, term) partial-agg
+    shuffle, 1-row + |q|-row broadcasts, TakeOrderedAndProject top-k."""
+    d = load(spark, sf_dir, "documents")
+    from ..operators.textstats import bm25_top_docs
+
+    return bm25_top_docs(d, ["vector", "stream", "spark"], k=10)

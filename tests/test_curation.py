@@ -403,3 +403,69 @@ def test_negative_samples_stratified_stay_in_group(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, grp string")
     got2 = curation.negative_samples(df2, "doc_id", k=2, group_col="grp").collect()
     assert all(r.grp == "pair" for r in got2) and len(got2) == 4
+
+
+class TestChunkSliding:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_every_token_covered_and_no_subsumed_chunk(self, spark):
+        n_toks = 37
+        df = self._df(spark, [" ".join(f"t{i}" for i in range(n_toks))])
+        rows = curation.chunk_sliding(
+            df, "doc_id", "text", window=16, stride=8
+        ).collect()
+        covered = set()
+        spans = []
+        for r in rows:
+            assert r["chunk_text"].split(" ") == [
+                f"t{i}"
+                for i in range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"])
+            ]
+            spans.append((r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+            covered |= set(range(r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]))
+        assert covered == set(range(n_toks))
+        spans.sort()
+        for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+            assert not (b0 >= a0 and b1 <= a1)  # no chunk inside its predecessor
+            assert b0 - a0 == 8  # starts step by exactly the stride
+
+    def test_overlap_is_window_minus_stride(self, spark):
+        df = self._df(spark, [" ".join(f"t{i}" for i in range(40))])
+        rows = sorted(
+            curation.chunk_sliding(df, "doc_id", "text", window=16, stride=8)
+            .collect(),
+            key=lambda r: r["start_tok"],
+        )
+        for a, b in zip(rows, rows[1:]):
+            a_toks = set(a["chunk_text"].split(" "))
+            b_toks = set(b["chunk_text"].split(" "))
+            if b["n_chunk_tokens"] == 16:
+                assert len(a_toks & b_toks) == 8
+
+    def test_empty_and_short_docs(self, spark):
+        df = self._df(spark, ["", "   ", "one two"])
+        rows = curation.chunk_sliding(
+            df, "doc_id", "text", window=16, stride=8
+        ).collect()
+        # empty / whitespace-only docs vanish; a short doc is one chunk
+        assert [(r["doc_id"], r["chunk_idx"], r["chunk_text"]) for r in rows] == [
+            (2, 0, "one two")
+        ]
+
+    def test_plan_is_shuffle_free(self, spark):
+        df = self._df(spark, ["a b c"])
+        plan = (
+            curation.chunk_sliding(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan  # pure map: chunking must not shuffle
+
+    def test_rejects_bad_params(self, spark):
+        df = self._df(spark, ["a"])
+        with pytest.raises(ValueError):
+            curation.chunk_sliding(df, "doc_id", "text", window=0)
+        with pytest.raises(ValueError):
+            curation.chunk_sliding(df, "doc_id", "text", stride=0)

@@ -139,3 +139,74 @@ def test_cluster_conf_sizing():
     assert conf["spark.sql.adaptive.enabled"] == "true"
     small = cluster_conf(total_cores=64, input_tb=0.001)
     assert int(small["spark.sql.shuffle.partitions"]) == 128  # 2x cores floor
+
+
+class TestBM25TopDocs:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_matches_pure_python_bm25(self, spark):
+        """Scores equal a reference implementation of the rational-idf
+        BM25 (k1=1.2, b=0.75) to the 4dp floor-rounding, per term."""
+        texts = [
+            "spark spark stream filler filler filler",
+            "vector stream",
+            "filler filler filler filler filler filler filler filler",
+            "spark vector stream spark",
+        ]
+        q = ["vector", "stream", "spark"]
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        out = {
+            r["doc_id"]: (r["score"], r["rnk"])
+            for r in textstats.bm25_top_docs(self._docs(spark, texts), q).collect()
+        }
+        import math
+
+        dls = [len(t.split()) for t in texts]
+        n, sum_dl = len(texts), sum(dls)
+        dfs = {t: sum(t in txt.split() for txt in texts) for t in q}
+        expect = {}
+        for i, txt in enumerate(texts):
+            s = 0
+            for t in q:
+                tf = txt.split().count(t)
+                if not tf:
+                    continue
+                num = 22 * tf * sum_dl * (2 * n + 2)
+                den = (10 * tf * sum_dl + 3 * sum_dl + 9 * dls[i] * n) * (
+                    2 * dfs[t] + 1
+                )
+                s += math.floor(num / den * 1e4 + 0.5) / 1e4
+            if s:
+                expect[i] = round(s, 4)
+        assert {d: s for d, (s, _) in out.items()} == pytest.approx(expect)
+        # ranks: descending score, doc_id tiebreak
+        ranked = sorted(expect, key=lambda d: (-expect[d], d))
+        assert [d for d, _ in sorted(out.items(), key=lambda kv: kv[1][1])] == ranked
+
+    def test_rare_term_outranks_common_at_equal_tf(self, spark):
+        """idf' weighting: a doc hitting the rarer term beats a doc of the
+        same length hitting the common term once."""
+        texts = ["rare pad pad pad", "common pad pad pad"] + [
+            f"common pad{i} pad{i} pad{i}" for i in range(8)
+        ]
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        out = {
+            r["doc_id"]: r["rnk"]
+            for r in textstats.bm25_top_docs(
+                self._docs(spark, texts), ["rare", "common"]
+            ).collect()
+        }
+        assert out[0] == 1  # the rare-term doc wins
+
+    def test_k_bound_and_empty_query_rejected(self, spark):
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        df = self._docs(spark, ["a b"] * 30)
+        assert textstats.bm25_top_docs(df, ["a"], k=7).count() == 7
+        with pytest.raises(ValueError):
+            textstats.bm25_top_docs(df, [])
