@@ -106,6 +106,8 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # per-query history (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new registrations (round 6): never driver-sampled --
+    "chunk_sliding_docs",  # sliding-window RAG chunking, shuffle-free map
+    "bm25_top_docs_query",  # BM25 retrieval, rational idf under the exact gate
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -156,8 +158,11 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_ingest_idempotent",
     "asof_join_tolerance",
     "asof_join_strict",
-    "incremental_summary_merge",
-    "agg_count_distinct",
+    # (incremental_summary_merge and agg_count_distinct yield their
+    # slots to the chunking + BM25 registrations: the merge path is
+    # pytest-covered and shares incremental_summary_avg's machinery
+    # (in-window, r3-green), and count-distinct is a plain agg whose
+    # exact/approx pair re-greened in r4.)
     # (agg_approx_distinct is rows-only-by-contract and yields its slot
     # to the hash-gated text_fingerprint_planted)
     # (agg_rollup runs in every bench and yields its slot to the

@@ -95,9 +95,13 @@ def main() -> int:
             "every known instance joins a SINGLE-ROW (or <=k-row) relation "
             "(scalar-subquery thresholds, 1-row sketch stats, PageRank "
             "dangling-mass aggregates, the one query vector in topk_cosine) "
-            "- the shape BNLJ is correct for at any scale. A NEW bnlj entry "
-            "outside that list, any cartesian, any BatchEvalPython, or any "
-            "single-partition exchange is a regression."
+            "- the shape BNLJ is correct for at any scale (bm25's 1-row "
+            "corpus-stats join is the same class). A NEW bnlj entry outside "
+            "that list, any cartesian, any BatchEvalPython, or any "
+            "single-partition exchange over an UNBOUNDED relation is a "
+            "regression; the one SinglePartition instance "
+            "(bm25_top_docs_query) is the rank window over the 10-row "
+            "TakeOrderedAndProject head - bounded by the query's own k."
         ),
         "per_query": report,
     }
