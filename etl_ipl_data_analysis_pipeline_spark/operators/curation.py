@@ -682,6 +682,11 @@ def chunk_sliding(
     """
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        raise ValueError(
+            "stride > window would skip tokens between chunks; the "
+            "every-token-covered contract requires stride <= window"
+        )
     toked = df.select(
         F.col(id_col),
         F.filter(tokens(text_col), lambda t: t != F.lit("")).alias("__t"),

@@ -148,6 +148,34 @@ def main() -> int:
             ),
             "pack_token_shards",
         ),
+        # round-6: deterministic negative sampling — distributed
+        # positions + md5 draws + one narrow position join; must stay
+        # ~linear (outputs 3x n_docs pairs, AQE reuses the position
+        # pipeline's exchanges across its two references)
+        "negative_samples": t(
+            lambda: curation.negative_samples(
+                docs.select("doc_id"), "doc_id", k=3, num_ranges=64
+            ),
+            "negative_samples",
+        ),
+        # round-6: RAG chunking is a pure map (no shuffle — plan-asserted
+        # in tests), so its wall-time must track the corpus scan; output
+        # rows ~= n_docs x n_tokens/stride
+        "chunk_sliding": t(
+            lambda: curation.chunk_sliding(
+                docs, "doc_id", "text", window=16, stride=8
+            ),
+            "chunk_sliding",
+        ),
+        # round-6: BM25 keeps only query-term hits past the explode, so
+        # the (doc, term) shuffle is hits-sized, not corpus-sized; stats
+        # and df are 1-row / |q|-row broadcasts
+        "bm25_top_docs": t(
+            lambda: textstats.bm25_top_docs(
+                docs, ["vector", "stream", "spark"], k=10
+            ),
+            "bm25_top_docs",
+        ),
     }
     # fuzzy edit-distance blocking: replicate customers with pairwise-
     # distant suffixes (aaa/bbb/... are >2 apart) so the TRUE pair set is

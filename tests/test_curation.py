@@ -469,3 +469,5 @@ class TestChunkSliding:
             curation.chunk_sliding(df, "doc_id", "text", window=0)
         with pytest.raises(ValueError):
             curation.chunk_sliding(df, "doc_id", "text", stride=0)
+        with pytest.raises(ValueError):
+            curation.chunk_sliding(df, "doc_id", "text", window=4, stride=5)
