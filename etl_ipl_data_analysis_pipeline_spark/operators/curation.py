@@ -721,3 +721,77 @@ def chunk_sliding(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling — the multilingual / multi-
+    domain rebalancing step (mT5, The Pile): sample group g with
+    probability proportional to p_g^alpha (p_g = the group's corpus
+    share), so low-resource groups are up-weighted relative to their raw
+    share while the overall kept fraction stays ~``target_frac``. Each
+    group's keep rate is min(1, q_g * target_frac * C / c_g) with
+    q_g = p_g^alpha / sum_h p_h^alpha; membership is the usual
+    deterministic md5 uint32 draw against floor(rate * 2^32), so the
+    sample is a pure function of (key, salt, corpus counts).
+
+    ``alpha`` must be 1.0, 0.5, or 0.25: p^0.5 and p^0.25 are sqrt
+    chains, and IEEE-754 sqrt is CORRECTLY ROUNDED — bit-identical in
+    every engine — where a general pow()/exp/ln is last-ulp
+    engine-dependent and would flip the exact cross-engine gate (the
+    same no-libm discipline as bm25_top_docs; ln/pow-based temperatures
+    belong behind a rows-only contract). The sqrt outputs are
+    floor-rounded to 8dp and summed as DECIMAL(18,8) so the normalizer
+    cannot flip on addition order.
+
+    Scale: one count shuffle to a #groups-row relation, rate arithmetic
+    in an unpartitioned window over that BOUNDED relation (the
+    gini/pareto class), a broadcast join of the (group, threshold) dim
+    back to rows, and a narrow filter — the fact table is never
+    re-shuffled. Rows whose group is NULL are dropped (no mixture weight
+    is defined for them).
+    """
+    if alpha not in (1.0, 0.5, 0.25):
+        raise ValueError(
+            "alpha must be 1.0, 0.5 or 0.25 (sqrt chains are IEEE-exact "
+            "cross-engine; general pow() is not)"
+        )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(F.lit(0))
+    p = F.col("__c").cast("double") / F.col("__tot")
+    s = p
+    if alpha <= 0.5:
+        s = F.sqrt(s)
+    if alpha <= 0.25:
+        s = F.sqrt(s)
+    sized = (
+        counts.withColumn("__tot", F.sum("__c").over(w))
+        .withColumn(
+            "__s8",
+            (F.floor(s * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).cast(
+                "decimal(18,8)"
+            ),
+        )
+        .withColumn("__norm", F.sum("__s8").over(w))
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("__s8").cast("double")
+        / F.col("__norm").cast("double")
+        * F.lit(target_frac)
+        * F.col("__tot")
+        / F.col("__c"),
+    )
+    dim = sized.select(
+        group_col, F.floor(rate * F.lit(4294967296.0)).alias("__thr")
+    )
+    draw = F.conv(_hash_bucket(key_col, salt), 16, 10).cast("bigint")
+    return df.join(F.broadcast(dim), group_col).filter(draw < F.col("__thr")).drop(
+        "__thr"
+    )

@@ -710,3 +710,54 @@ def contrastive_negatives_stratified(spark: SparkSession, sf_dir: str) -> DataFr
     from pinning one reducer, and the draw domain is the group size."""
     d = load(spark, sf_dir, "documents")
     return curation.negative_samples(d, "doc_id", k=2, group_col="lang")
+
+
+@register(
+    "mixture_temperature_lang",
+    oracle="""
+    WITH g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY lang
+    ), gs AS (
+      SELECT lang, c,
+             CAST(sum(c) OVER () AS BIGINT) AS tot,
+             CAST(
+               floor(
+                 sqrt(CAST(c AS DOUBLE) / CAST(sum(c) OVER () AS BIGINT))
+                 * 100000000.0 + 0.5
+               ) / 100000000.0
+             AS DECIMAL(18,8)) AS s8
+      FROM g
+    ), rates AS (
+      SELECT lang,
+             CAST(floor(
+               least(
+                 1.0,
+                 CAST(s8 AS DOUBLE) / CAST(sum(s8) OVER () AS DOUBLE)
+                 * 0.5 * tot / c
+               ) * 4294967296.0
+             ) AS BIGINT) AS thr
+      FROM gs
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          < r.thr
+    """,
+    tags=("X6", "A4", "P6"),
+)
+def mixture_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (alpha = 1/2, overall keep
+    ~50%) — operators/curation.temperature_mixture_sample. Sampling rates
+    come from the corpus's own language shares (p_g^0.5, renormalized),
+    so low-resource languages are upweighted relative to their raw share
+    — the mT5-style mixture step, distinct from mixture_sample_lang's
+    hand-pinned fractions. The whole rate computation sits under the
+    exact gate because IEEE sqrt is correctly rounded (bit-identical
+    cross-engine), sqrt outputs are floor-rounded to 8dp, and the
+    normalizer is a DECIMAL(18,8) sum over the 5-row group relation.
+    Scale: one count shuffle, bounded-window rates, broadcast threshold
+    dim, narrow md5 filter — the corpus is never re-shuffled."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.temperature_mixture_sample(
+        d, "lang", "doc_id", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "lang")

@@ -471,3 +471,55 @@ class TestChunkSliding:
             curation.chunk_sliding(df, "doc_id", "text", stride=0)
         with pytest.raises(ValueError):
             curation.chunk_sliding(df, "doc_id", "text", window=4, stride=5)
+
+
+class TestTemperatureMixtureSample:
+    def _df(self, spark, sizes):
+        rows = []
+        base = 0
+        for g, n in sizes.items():
+            rows += [(base + i, g) for i in range(n)]
+            base += 10000
+        return spark.createDataFrame(rows, "id long, grp string")
+
+    def test_upweights_rare_groups_and_hits_target(self, spark):
+        sizes = {"big": 1600, "small": 100}
+        df = self._df(spark, sizes)
+        out = curation.temperature_mixture_sample(
+            df, "grp", "id", alpha=0.5, target_frac=0.5
+        )
+        kept = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        rates = {g: kept.get(g, 0) / n for g, n in sizes.items()}
+        # temperature flattens the mix: the rare group keeps a strictly
+        # higher fraction of itself than the dominant group
+        assert rates["small"] > rates["big"]
+        total_rate = sum(kept.values()) / sum(sizes.values())
+        assert 0.4 <= total_rate <= 0.6  # overall keep tracks target_frac
+
+    def test_alpha_one_is_proportional(self, spark):
+        """alpha=1 keeps every group at the same rate (the mixture is
+        already proportional), so thresholds equal target_frac."""
+        df = self._df(spark, {"a": 800, "b": 200})
+        out = curation.temperature_mixture_sample(
+            df, "grp", "id", alpha=1.0, target_frac=0.5
+        )
+        kept = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        for g, n in {"a": 800, "b": 200}.items():
+            assert 0.4 <= kept[g] / n <= 0.6
+
+    def test_deterministic_and_subset(self, spark):
+        df = self._df(spark, {"a": 300, "b": 60})
+        out1 = sorted(r["id"] for r in curation.temperature_mixture_sample(
+            df, "grp", "id").collect())
+        out2 = sorted(r["id"] for r in curation.temperature_mixture_sample(
+            df, "grp", "id").collect())
+        assert out1 == out2  # pure function of (key, counts)
+        all_ids = {r["id"] for r in df.collect()}
+        assert set(out1) <= all_ids
+
+    def test_rejects_unsupported_alpha(self, spark):
+        df = self._df(spark, {"a": 10})
+        with pytest.raises(ValueError):
+            curation.temperature_mixture_sample(df, "grp", "id", alpha=0.3)
