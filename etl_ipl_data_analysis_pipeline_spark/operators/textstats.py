@@ -335,3 +335,83 @@ def bm25_top_docs(
     return topk.select(
         id_col, "score", F.row_number().over(w).cast("int").alias("rnk")
     )
+
+
+def chi_square_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-group term-distribution drift: the chi-square goodness-of-fit
+    statistic of each group's term counts against the pooled corpus
+    distribution — the "did source X's vocabulary shift away from the
+    corpus" monitor a recurring crawl runs per snapshot, and the
+    corpus-QA twin of gram_novelty (that flags documents; this flags
+    SOURCES/segments).
+
+    Restricted-vocabulary contract: both observed and expected counts
+    are taken over the terms whose pooled corpus frequency is >=
+    ``min_count`` (rare-term cells make chi-square unstable AND unbounded
+    at 100 TB; the threshold is an integer compare, so both engines keep
+    the identical vocabulary). Expected count e = (ct * n_g) / C where
+    ct = pooled count of the term, n_g = the group's kept-token total,
+    C = the pooled kept-token total — one double division of exact
+    BIGINTs (products < 2^53 through ~10^7-token corpora; decimal-cast
+    beyond). Per-term contributions (o - e)^2 / e are floor-rounded to
+    6dp and summed as DECIMAL(24,6), so the per-group statistic is
+    addition-order-independent — the same no-libm / exact-ratio
+    discipline as bm25_top_docs.
+
+    Scale: one (group, term) partial-agg shuffle over the exploded
+    corpus; the pooled vocabulary is the same exploded base re-aggregated
+    by term (identical subplan — AQE reuses the exchange, the
+    gram_novelty pattern); group totals are a bounded relation combined
+    via an unpartitioned window (the gini/pareto class); one term-keyed
+    join attaches pooled counts. No collect, no cartesian.
+
+    Returns (group_col, n_terms, n_tokens, chi2) — chi2 DOUBLE, one row
+    per group.
+    """
+    toked = df.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    obs = toked.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("__o"))
+    pooled = (
+        obs.groupBy("term")
+        .agg(F.sum("__o").alias("__ct"))
+        .filter(F.col("__ct") >= min_count)
+    )
+    kept = obs.join(pooled, "term")
+    w = Window.partitionBy(F.lit(0))
+    totals = (
+        kept.groupBy(group_col)
+        .agg(F.sum("__o").alias("__ng"))
+        .withColumn("__call", F.sum("__ng").over(w))
+    )
+    e = F.col("__ct").cast("double") * F.col("__ng") / F.col("__call")
+    contrib = (
+        (F.col("__o").cast("double") - e) * (F.col("__o").cast("double") - e)
+    ) / e
+    return (
+        kept.join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            F.col("__o"),
+            ((F.floor(contrib * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).cast(
+                "decimal(24,6)"
+            )).alias("__chi"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__o").alias("n_tokens"),
+            F.sum("__chi").cast("double").alias("chi2"),
+        )
+    )

@@ -109,6 +109,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "chunk_sliding_docs",  # sliding-window RAG chunking, shuffle-free map
     "bm25_top_docs_query",  # BM25 retrieval, rational idf under the exact gate
     "mixture_temperature_lang",  # p^(1/2) mixture rebalancing, IEEE-sqrt exact
+    "source_term_drift",  # chi-square vocabulary drift per source, no libm
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -157,10 +158,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_mark_stage",
     "retain_versions",
     "ledger_ingest_idempotent",
-    "asof_join_tolerance",
-    # (asof_join_strict yields its slot to the temperature-mixture
-    # registration: it shares the as-of merge machinery with the two
-    # in-window asof twins above.)
+    # (asof_join_tolerance and asof_join_strict yield their slots to the
+    # temperature-mixture and term-drift registrations: they share the
+    # as-of merge machinery with the in-window asof_join_events.)
     # (incremental_summary_merge and agg_count_distinct yield their
     # slots to the chunking + BM25 registrations: the merge path is
     # pytest-covered and shares incremental_summary_avg's machinery

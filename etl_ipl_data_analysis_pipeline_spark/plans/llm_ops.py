@@ -1600,3 +1600,58 @@ def bm25_top_docs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import bm25_top_docs
 
     return bm25_top_docs(d, ["vector", "stream", "spark"], k=10)
+
+
+@register(
+    "source_term_drift",
+    oracle=f"""
+    WITH terms AS (
+      SELECT source, unnest({_TOKS_SQL}) AS term FROM documents
+    ), obs AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS o
+      FROM terms GROUP BY source, term
+    ), pooled AS (
+      SELECT term, CAST(sum(o) AS BIGINT) AS ct
+      FROM obs GROUP BY term HAVING CAST(sum(o) AS BIGINT) >= 5
+    ), kept AS (
+      SELECT obs.source, obs.term, obs.o, pooled.ct
+      FROM obs JOIN pooled USING (term)
+    ), totals AS (
+      SELECT source, ng, CAST(sum(ng) OVER () AS BIGINT) AS call
+      FROM (
+        SELECT source, CAST(sum(o) AS BIGINT) AS ng FROM kept GROUP BY source
+      )
+    ), cells AS (
+      SELECT kept.source, kept.o,
+             CAST(kept.ct AS DOUBLE) * totals.ng / totals.call AS e
+      FROM kept JOIN totals USING (source)
+    ), contrib AS (
+      SELECT source, o,
+             CAST(
+               floor(
+                 ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+                 * 1e6 + 0.5
+               ) / 1e6
+             AS DECIMAL(24,6)) AS chi
+      FROM cells
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(o) AS BIGINT) AS n_tokens,
+           CAST(sum(chi) AS DOUBLE) AS chi2
+    FROM contrib GROUP BY source
+    """,
+    tags=("X4", "A4", "A8"),
+)
+def source_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-distribution drift of every SOURCE against the
+    pooled corpus (textstats.chi_square_drift, min_count=5) — the
+    per-snapshot "did a crawl source's vocabulary shift" monitor.
+    Expected counts are exact-BIGINT ratios in one double division;
+    per-term contributions floor-rounded 6dp and decimal-summed, so the
+    statistic is addition-order-independent and sits under the exact
+    cross-engine gate (no libm). Restricted-vocabulary contract (pooled
+    count >= min_count) bounds the cell count and is an integer compare
+    both engines resolve identically."""
+    d = load(spark, sf_dir, "documents")
+    return textstats.chi_square_drift(d, "source", min_count=5)

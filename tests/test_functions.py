@@ -210,3 +210,84 @@ class TestBM25TopDocs:
         assert textstats.bm25_top_docs(df, ["a"], k=7).count() == 7
         with pytest.raises(ValueError):
             textstats.bm25_top_docs(df, [])
+
+
+class TestChiSquareDrift:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, text string")
+
+    def test_matches_pure_python_chi_square(self, spark):
+        rows = [
+            ("a", "x x x y y z"),
+            ("a", "x y z z"),
+            ("b", "x y y y z z"),
+        ]
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        out = {
+            r["src"]: r
+            for r in textstats.chi_square_drift(
+                self._docs(spark, rows), "src", min_count=2
+            ).collect()
+        }
+        import math
+        from collections import Counter
+
+        obs = {}
+        for src, text in rows:
+            obs.setdefault(src, Counter()).update(text.split())
+        pooled = Counter()
+        for c in obs.values():
+            pooled.update(c)
+        vocab = {t for t, n in pooled.items() if n >= 2}
+        C = sum(pooled[t] for t in vocab)
+        for src, c in obs.items():
+            ng = sum(c[t] for t in vocab if t in c)
+            chi = sum(
+                math.floor(
+                    ((c[t] - pooled[t] * ng / C) ** 2 / (pooled[t] * ng / C))
+                    * 1e6 + 0.5
+                )
+                / 1e6
+                for t in vocab
+                if t in c
+            )
+            assert out[src]["chi2"] == pytest.approx(chi, abs=1e-9), src
+            assert out[src]["n_tokens"] == ng
+
+    def test_identical_distributions_score_zero(self, spark):
+        rows = [("a", "x y z " * 10), ("b", "x y z " * 20)]
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        out = textstats.chi_square_drift(
+            self._docs(spark, rows), "src", min_count=1
+        ).collect()
+        for r in out:
+            assert r["chi2"] == pytest.approx(0.0)  # proportional groups: e == o
+
+    def test_drifted_group_scores_higher(self, spark):
+        base = "the quick brown fox jumps over the lazy dog " * 5
+        rows = [("conform", base), ("conform2", base), ("drift", "zebra " * 45)]
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        out = {
+            r["src"]: r["chi2"]
+            for r in textstats.chi_square_drift(
+                self._docs(spark, rows), "src", min_count=2
+            ).collect()
+        }
+        # the conforming groups also deviate a little (the POOLED corpus
+        # contains the drifted mass), but the drifted one dominates
+        assert out["drift"] > 3 * max(out["conform"], out["conform2"])
+
+    def test_min_count_prunes_rare_terms(self, spark):
+        rows = [("a", "x x x rare"), ("b", "x x x")]
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+        out = {
+            r["src"]: r["n_terms"]
+            for r in textstats.chi_square_drift(
+                self._docs(spark, rows), "src", min_count=2
+            ).collect()
+        }
+        assert out == {"a": 1, "b": 1}  # 'rare' (count 1) never forms a cell
