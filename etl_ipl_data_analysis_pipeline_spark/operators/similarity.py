@@ -566,3 +566,118 @@ def ivf_search_index(
         )
     )
     return topk_per_query(scored, k)
+
+
+def embedding_dim_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-wise covariance AND correlation of an embedding column —
+    the whitening / redundant-dimension / collapsed-representation
+    diagnostic an embedding pipeline runs before indexing (highly
+    correlated dimensions mean wasted index bits; near-zero variance
+    means a dead dimension).
+
+    Exact-gate discipline: per-row products x_i*x_j are one IEEE double
+    multiply (float32 inputs widen exactly), floor-quantized to 12dp
+    (far below float32's ~7 significant digits, so the quantization is
+    noise-free in practice but makes the value a fixed-point number BOTH
+    engines cast to DECIMAL(20,12) identically — a raw double->decimal
+    cast at scale 18 diverges between shortest-repr and exact-expansion
+    engines), then summed as decimals: partitioning- and
+    order-independent. cov = (SP - S_i*S_j/n)/n in mirrored double
+    arithmetic, floor-rounded 8dp; corr divides by IEEE-exact sqrts of
+    the (rounded) diagonal variances, floor-rounded 6dp, NULL when
+    either variance is 0.
+
+    Scale: the d^2/2 cell explosion is CPU inside whole-stage codegen,
+    NOT shuffle — the (i, j) groupBy partial-aggregates map-side, so
+    shuffle volume is partitions x d(d+1)/2 cells regardless of row
+    count, the same volume a hand-written per-partition Gram-matrix
+    mapInPandas would ship (that Arrow path is the right swap for
+    d >= ~256, at the cost of leaving the exact gate: float partial
+    sums are partitioning-dependent). The diagonal join-back is a
+    d-row broadcast. The token array is materialized before the HOF
+    lambdas (interpreted, no CSE — the measured 30x trap).
+
+    Returns (i, j, n, cov, corr) for 0 <= i <= j < d.
+    """
+    v = F.col(vec_col)
+    base = df.select(v.alias("__v")).withColumn("__d", F.size("__v"))
+    cells = base.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__d") - 1),
+                    lambda i: F.transform(
+                        F.sequence(i, F.col("__d") - 1),
+                        lambda j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (
+                                F.element_at("__v", i + 1).cast("double")
+                                * F.element_at("__v", j + 1).cast("double")
+                            ).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__c")
+    ).select(
+        F.col("__c.i").alias("i"),
+        F.col("__c.j").alias("j"),
+        (F.floor(F.col("__c.p") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
+        .cast("decimal(20,12)")
+        .alias("__p"),
+    )
+    sums = base.select(
+        F.posexplode("__v").alias("i", "__x")
+    ).select(
+        "i",
+        (F.floor(F.col("__x").cast("double") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
+        .cast("decimal(20,12)")
+        .alias("__x12"),
+    ).groupBy("i").agg(F.sum("__x12").alias("__s"))
+    sp = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__p").alias("__sp")
+    )
+    cov = (
+        F.col("__sp").cast("double")
+        - F.col("__si").cast("double") * F.col("__sj").cast("double") / F.col("n")
+    ) / F.col("n")
+    m = (
+        sp.join(F.broadcast(sums.select("i", F.col("__s").alias("__si"))), "i")
+        .join(
+            F.broadcast(sums.select(F.col("i").alias("j"), F.col("__s").alias("__sj"))),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            (F.floor(cov * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("cov"),
+        )
+    )
+    diag = m.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("__k"), F.col("cov").alias("__var")
+    )
+    corr = F.when(
+        (F.col("__vi") > 0) & (F.col("__vj") > 0),
+        F.floor(
+            F.col("cov") / (F.sqrt(F.col("__vi")) * F.sqrt(F.col("__vj")))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return (
+        m.join(
+            F.broadcast(diag.select(F.col("__k").alias("i"), F.col("__var").alias("__vi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(diag.select(F.col("__k").alias("j"), F.col("__var").alias("__vj"))),
+            "j",
+        )
+        .select("i", "j", "n", "cov", corr.alias("corr"))
+    )

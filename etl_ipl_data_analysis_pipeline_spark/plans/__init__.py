@@ -110,6 +110,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "bm25_top_docs_query",  # BM25 retrieval, rational idf under the exact gate
     "mixture_temperature_lang",  # p^(1/2) mixture rebalancing, IEEE-sqrt exact
     "source_term_drift",  # chi-square vocabulary drift per source, no libm
+    "embedding_dim_covariance",  # dim cov/corr matrix, decimal-exact Gram sums
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -157,7 +158,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_latest_state",
     "ledger_mark_stage",
     "retain_versions",
-    "ledger_ingest_idempotent",
+    # (ledger_ingest_idempotent yields its slot to the covariance
+    # registration: four ledger-family twins remain in-window and its
+    # idempotence property is pytest-pinned.)
     # (asof_join_tolerance and asof_join_strict yield their slots to the
     # temperature-mixture and term-drift registrations: they share the
     # as-of merge machinery with the in-window asof_join_events.)

@@ -1655,3 +1655,60 @@ def source_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines resolve identically."""
     d = load(spark, sf_dir, "documents")
     return textstats.chi_square_drift(d, "source", min_count=5)
+
+
+@register(
+    "embedding_dim_covariance",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    ), cells AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(floor(a.x * b.x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS p
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+    ), sums AS (
+      SELECT i,
+             sum(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS s
+      FROM xs GROUP BY i
+    ), sp AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(p) AS spv
+      FROM cells GROUP BY i, j
+    ), m AS (
+      SELECT sp.i, sp.j, sp.n,
+             floor(
+               (CAST(spv AS DOUBLE)
+                - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / sp.n)
+               / sp.n * 1e8 + 0.5
+             ) / 1e8 AS cov
+      FROM sp
+      JOIN sums si ON si.i = sp.i
+      JOIN sums sj ON sj.i = sp.j
+    )
+    SELECT m.i, m.j, m.n, m.cov,
+           CASE WHEN di.cov > 0 AND dj.cov > 0 THEN
+             floor(m.cov / (sqrt(di.cov) * sqrt(dj.cov)) * 1e6 + 0.5) / 1e6
+           END AS corr
+    FROM m
+    JOIN m di ON di.i = m.i AND di.j = m.i
+    JOIN m dj ON dj.i = m.j AND dj.j = m.j
+    """,
+    tags=("X3", "A8"),
+)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance + correlation of the 64 embedding
+    dimensions (similarity.embedding_dim_covariance) — the whitening /
+    dead-dimension / redundancy diagnostic. Products are 12dp-quantized
+    then decimal-summed (order-independent; a raw double->decimal cast
+    at high scale is the shortest-repr-vs-exact-expansion trap), the
+    covariance arithmetic is mirrored double IEEE, and correlation uses
+    IEEE-exact sqrt — the whole matrix sits under the exact gate. The
+    d^2 cell fanout is codegen CPU, not shuffle: map-side combine ships
+    partitions x d(d+1)/2 cells, and the diagonal joins are d-row
+    broadcasts."""
+    e = load(spark, sf_dir, "embeddings").select("embedding")
+    return similarity.embedding_dim_covariance(e, "embedding")

@@ -227,3 +227,39 @@ def test_ivf_persisted_index_matches_in_memory(spark, sf_dir, tmp_path):
         persisted._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruningexpression" in plan
+
+
+class TestEmbeddingDimCovariance:
+    def test_matches_numpy_population_covariance(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(40, 6)).astype("float32")
+        df = spark.createDataFrame(
+            [(row.tolist(),) for row in x], "embedding array<float>"
+        )
+        out = {
+            (r["i"], r["j"]): r
+            for r in similarity.embedding_dim_covariance(df).collect()
+        }
+        assert len(out) == 6 * 7 // 2  # upper triangle only
+        ref_cov = np.cov(x.astype("float64"), rowvar=False, bias=True)
+        ref_corr = np.corrcoef(x.astype("float64"), rowvar=False)
+        for (i, j), r in out.items():
+            assert i <= j and r["n"] == 40
+            assert r["cov"] == pytest.approx(ref_cov[i, j], abs=1e-6)
+            assert r["corr"] == pytest.approx(ref_corr[i, j], abs=1e-4)
+
+    def test_correlated_and_dead_dimensions(self, spark):
+        # dim1 = 2*dim0 (corr 1), dim2 = -dim0 (corr -1), dim3 constant
+        rows = [([float(v), 2.0 * v, -float(v), 5.0],) for v in range(1, 21)]
+        df = spark.createDataFrame(rows, "embedding array<float>")
+        out = {
+            (r["i"], r["j"]): r
+            for r in similarity.embedding_dim_covariance(df).collect()
+        }
+        assert out[(0, 1)]["corr"] == pytest.approx(1.0, abs=1e-5)
+        assert out[(0, 2)]["corr"] == pytest.approx(-1.0, abs=1e-5)
+        # the constant dimension has zero variance: corr undefined -> NULL
+        assert out[(3, 3)]["cov"] == pytest.approx(0.0)
+        assert out[(0, 3)]["corr"] is None
