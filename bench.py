@@ -57,6 +57,11 @@ HEADLINE = [
     "bloom_prune_orders",
     "contrastive_negatives",
     "copurchase_2hop_reach",
+    "chunk_sliding_docs",
+    "bm25_top_docs_query",
+    "mixture_temperature_lang",
+    "source_term_drift",
+    "embedding_dim_covariance",
 ]
 
 

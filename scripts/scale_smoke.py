@@ -110,6 +110,14 @@ def main() -> int:
             lambda: similarity.embedding_near_dup_pairs(embs, min_sim=0.9),
             "embedding_pairs",
         ),
+        # round-6: the d^2/2 cell fanout is codegen CPU and the (i, j)
+        # groupBy partial-aggregates map-side, so shuffle volume is
+        # partitions x 2080 cells at ANY row count — wall-time must
+        # scale with rows scanned, not rows x cells shuffled
+        "dim_covariance": t(
+            lambda: similarity.embedding_dim_covariance(embs, "embedding"),
+            "dim_covariance",
+        ),
         # round-6: exact-gated Lloyd k-means — O(n*k) per round, broadcast
         # centroids, must stay ~linear in corpus size
         "kmeans_exact": t(
