@@ -695,3 +695,58 @@ def edit_distance_pairs(
         )
         .filter(F.col("dist") >= 0)  # threshold form: -1 means "> k"
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+) -> DataFrame:
+    """C4-style span-level deduplication: split every document into
+    NON-overlapping ``window``-token spans, keep only the globally FIRST
+    occurrence of each exact span (ordered by (doc, span index) — the
+    same "originals survive, later copies drop" contract as
+    exact_dedup), and reassemble each document from its surviving spans.
+    This is the finer-grained sibling of document dedup: a page that
+    copies three paragraphs from an earlier page keeps its novel
+    paragraphs and loses the copied ones, which whole-document hashing
+    cannot express.
+
+    Scale: one chunking map (no shuffle), one span-text-keyed window for
+    first-occurrence ranking (partitioned by span text — the key is
+    high-cardinality so no reducer hot-spots; a boilerplate span
+    repeated 10^6 times bounds ONE partition's rows, the same exposure
+    as exact_dedup's groupBy), and one doc-keyed aggregate to
+    reassemble. Everything is strings/ints — the operator is exactly
+    reproducible cross-engine with no float discipline needed.
+
+    Returns (id_col, n_spans, n_kept, clean_text); a document whose
+    every span was seen earlier comes back with n_kept = 0 and
+    clean_text = ''.
+    """
+    from .curation import chunk_sliding
+
+    ch = chunk_sliding(df, id_col, text_col, window=window, stride=window)
+    w = Window.partitionBy("chunk_text").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    ranked = ch.withColumn("__rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum((F.col("__rn") == 1).cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") == 1,
+                            F.struct("chunk_idx", "chunk_text"),
+                        )
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -111,6 +111,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mixture_temperature_lang",  # p^(1/2) mixture rebalancing, IEEE-sqrt exact
     "source_term_drift",  # chi-square vocabulary drift per source, no libm
     "embedding_dim_covariance",  # dim cov/corr matrix, decimal-exact Gram sums
+    "dedup_span_c4",  # C4 span-level dedup, planted full-copy gate
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -150,7 +151,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_subword_tokens",
     "flatten_nested",
     "flatten_reference_mode",
-    "flatten_json_props",
+    # (flatten_json_props yields its slot to the span-dedup
+    # registration: it runs in every bench and shares the fixpoint
+    # flatten machinery with the two in-window flatten twins.)
     "schema_drift",
     "ledger_new_files",
     "ledger_pending",

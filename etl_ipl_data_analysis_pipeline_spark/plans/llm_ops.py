@@ -1712,3 +1712,63 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts."""
     e = load(spark, sf_dir, "embeddings").select("embedding")
     return similarity.embedding_dim_covariance(e, "embedding")
+
+
+@register(
+    "dedup_span_c4",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+    ), toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM corpus
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), spans AS (
+      SELECT doc_id,
+             CAST(start_tok // 16 AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, start_tok + 1, start_tok + 16), ' ')
+               AS chunk_text
+      FROM (
+        SELECT doc_id, t, n, unnest(range(0, n, 16)) AS start_tok FROM sized
+      )
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (
+               PARTITION BY chunk_text ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(
+             string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                        ORDER BY chunk_idx),
+             ''
+           ) AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("X1", "X6", "W1"),
+)
+def dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style SPAN-level dedup (dedup.remove_duplicate_spans,
+    non-overlapping 16-token spans): the globally first occurrence of
+    each exact span survives, later copies drop, and documents are
+    reassembled from their surviving spans. Non-vacuous by construction:
+    the corpus is the documents table plus full copies of docs 0..19
+    shifted into the planted id domain (runtime-guarded), so every
+    planted doc must come back with n_kept = 0 / clean_text = '' while
+    its original is untouched — a broken first-occurrence order or a
+    dropped-span bug flips the gate. All strings/ints: exact
+    cross-engine with no float discipline."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mirrors = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(PLANTED_OFFSET) + _planted_domain_guard("doc_id"))
+        .alias("doc_id"),
+        "text",
+    )
+    return dedup.remove_duplicate_spans(
+        d.unionByName(mirrors), "doc_id", "text", window=16
+    )

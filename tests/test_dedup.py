@@ -239,3 +239,48 @@ def test_edit_distance_join_strategy_conf_gate(spark):
         assert "ShuffledHashJoin" in physical(forced)
     finally:
         spark.conf.unset(dedup.EDIT_JOIN_CONF)
+
+
+class TestRemoveDuplicateSpans:
+    def test_c4_semantics(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),  # two novel spans
+                (2, "a b c x y z"),  # copies doc1's first span, adds a novel one
+                (3, "a b c d e f"),  # full copy: everything drops
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(df, window=3).collect()
+        }
+        assert (out[1]["n_spans"], out[1]["n_kept"]) == (2, 2)
+        assert out[1]["clean_text"] == "a b c d e f"
+        assert (out[2]["n_spans"], out[2]["n_kept"]) == (2, 1)
+        assert out[2]["clean_text"] == "x y z"
+        assert (out[3]["n_spans"], out[3]["n_kept"]) == (2, 0)
+        assert out[3]["clean_text"] == ""
+
+    def test_first_occurrence_is_doc_then_span_order(self, spark):
+        # the duplicated span appears at index 1 of doc1 and index 0 of
+        # doc2: doc1 (lower id) owns it even though doc2 sees it earlier
+        # within its own text
+        df = spark.createDataFrame(
+            [(1, "n1 n1 n1 s s s"), (2, "s s s n2 n2 n2")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(df, window=3).collect()
+        }
+        assert out[1]["clean_text"] == "n1 n1 n1 s s s"
+        assert out[2]["clean_text"] == "n2 n2 n2"
+
+    def test_within_document_repetition_collapses(self, spark):
+        df = spark.createDataFrame(
+            [(7, "x y z x y z x y z")], "doc_id long, text string"
+        )
+        row = dedup.remove_duplicate_spans(df, window=3).collect()[0]
+        assert (row["n_spans"], row["n_kept"]) == (3, 1)
+        assert row["clean_text"] == "x y z"
