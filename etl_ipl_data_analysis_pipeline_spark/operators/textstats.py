@@ -383,6 +383,27 @@ def chi_square_drift(
         ).alias("term"),
     )
     obs = toked.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("__o"))
+    return chi_square_from_counts(obs, group_col, "term", "__o", min_count)
+
+
+def chi_square_from_counts(
+    obs: DataFrame,
+    group_col: str,
+    term_col: str = "term",
+    count_col: str = "__o",
+    min_count: int = 5,
+) -> DataFrame:
+    """chi_square_drift from a pre-aggregated (group, term, count)
+    relation instead of raw text — the entry point for INCREMENTALLY
+    maintained count tables (streaming/sketch_stream.run_count_stream
+    keeps (group, term) counts additively, so a recurring crawl updates
+    state in O(batch) and recomputes the statistic in O(vocab), never
+    rescanning history). Same restricted-vocabulary and float
+    discipline as chi_square_drift; counts must be exact occurrence
+    totals."""
+    obs = obs.select(
+        F.col(group_col), F.col(term_col).alias("term"), F.col(count_col).alias("__o")
+    )
     pooled = (
         obs.groupBy("term")
         .agg(F.sum("__o").alias("__ct"))

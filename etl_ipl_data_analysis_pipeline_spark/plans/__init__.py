@@ -112,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "source_term_drift",  # chi-square vocabulary drift per source, no libm
     "embedding_dim_covariance",  # dim cov/corr matrix, decimal-exact Gram sums
     "dedup_span_c4",  # C4 span-level dedup, planted full-copy gate
+    "stream_source_drift",  # foreachBatch count upkeep -> batch-identical chi2
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -148,7 +149,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "dedup_connected_components",
     "dedup_minhash_survivors_cc",
-    "text_subword_tokens",
+    # (text_subword_tokens yields its slot to the streaming-drift
+    # registration: the subword segmenter is pytest-pinned
+    # (test_functions) and shares the text machinery with the
+    # in-window fingerprint/token twins.)
     "flatten_nested",
     "flatten_reference_mode",
     # (flatten_json_props yields its slot to the span-dedup

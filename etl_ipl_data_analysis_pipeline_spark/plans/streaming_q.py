@@ -498,3 +498,87 @@ def stream_bloom_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_state.select(
         "word_idx", "word", F.bit_count("word").cast("int").alias("n_bits")
     )
+
+
+@register(
+    "stream_source_drift",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source,
+             list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ), terms AS (
+      SELECT source, unnest(t) AS term FROM toks
+    ), obs AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS o
+      FROM terms GROUP BY source, term
+    ), pooled AS (
+      SELECT term, CAST(sum(o) AS BIGINT) AS ct
+      FROM obs GROUP BY term HAVING CAST(sum(o) AS BIGINT) >= 5
+    ), kept AS (
+      SELECT obs.source, obs.term, obs.o, pooled.ct
+      FROM obs JOIN pooled USING (term)
+    ), totals AS (
+      SELECT source, ng, CAST(sum(ng) OVER () AS BIGINT) AS call
+      FROM (
+        SELECT source, CAST(sum(o) AS BIGINT) AS ng FROM kept GROUP BY source
+      )
+    ), cells AS (
+      SELECT kept.source, kept.o,
+             CAST(kept.ct AS DOUBLE) * totals.ng / totals.call AS e
+      FROM kept JOIN totals USING (source)
+    ), contrib AS (
+      SELECT source, o,
+             CAST(
+               floor(
+                 ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e)) / e
+                 * 1e6 + 0.5
+               ) / 1e6
+             AS DECIMAL(24,6)) AS chi
+      FROM cells
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(o) AS BIGINT) AS n_tokens,
+           CAST(sum(chi) AS DOUBLE) AS chi2
+    FROM contrib GROUP BY source
+    """,
+    tags=("L6", "X4", "A8"),
+)
+def stream_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift monitor's INCREMENTAL shape: an actual foreachBatch run
+    maintains the (source, term) count table additively
+    (run_count_stream — integer addition is associative, so the state
+    is bit-identical to a single-shot batch count whatever the
+    micro-batch boundaries), then the chi-square statistic is
+    recomputed from the maintained counts in O(vocab)
+    (textstats.chi_square_from_counts) — a recurring crawl pays
+    O(batch) upkeep per snapshot, never an O(history) rescan, and the
+    result must hash-match the batch source_term_drift oracle."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from ..functions import normalized_text
+    from ..operators.textstats import chi_square_from_counts
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = incremental._stream_reader(spark, path, "parquet", schema)
+    terms = docs.select(
+        "source", F.split(normalized_text(F.col("text")), " ").alias("__t")
+    ).select(
+        "source",
+        F.explode(F.filter("__t", lambda t: t != F.lit(""))).alias("term"),
+    )
+
+    state = _scratch_dir(sf_dir, "source_drift_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    counts = sketch_stream.run_count_stream(terms, state, keys=["source", "term"])
+    return chi_square_from_counts(counts, "source", "term", "n_occurrences", 5)

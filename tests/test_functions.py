@@ -291,3 +291,27 @@ class TestChiSquareDrift:
             ).collect()
         }
         assert out == {"a": 1, "b": 1}  # 'rare' (count 1) never forms a cell
+
+
+def test_chi_square_from_counts_equals_raw_text_path(spark):
+    """The from-counts entry point (the streaming-maintained shape) is
+    row-identical to the raw-text path on the same corpus."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [("a", "x y z x"), ("b", "x x q"), ("a", "z z y")],
+        "src string, text string",
+    )
+    raw = textstats.chi_square_drift(df, "src", min_count=2)
+    counts = (
+        df.select(
+            "src",
+            F.explode(F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")).alias("term"),
+        )
+        .groupBy("src", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    via_counts = textstats.chi_square_from_counts(counts, "src", "term", "n", 2)
+    assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, via_counts.collect()))
