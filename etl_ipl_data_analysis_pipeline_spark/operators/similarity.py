@@ -681,3 +681,73 @@ def embedding_dim_covariance(
         )
         .select("i", "j", "n", "cov", corr.alias("corr"))
     )
+
+
+def embedding_standardize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension standardization (whitening's diagonal case): every
+    embedding component becomes z = (x - mean_i) / std_i — the transform
+    the covariance diagnostic feeds, applied before indexing so no
+    dimension dominates distances by raw scale. Zero-variance (dead)
+    dimensions return NULL rather than dividing by zero.
+
+    Exact-gate discipline matches embedding_dim_covariance: component
+    sums and squared sums are 12dp floor-quantized then DECIMAL-summed
+    (order-independent), mean/variance are mirrored double arithmetic
+    with the variance floor-rounded 8dp, std is IEEE-exact sqrt, and
+    the output z floor-rounded 6dp.
+
+    Scale: one posexplode (narrow), one d-cell aggregate (map-side
+    combined: shuffle is partitions x d cells), one d-row broadcast
+    join back — the vectors themselves are never shuffled.
+
+    Returns (id_col, i, z) — one row per (vector, dimension).
+    """
+    base = df.select(F.col(id_col), F.posexplode(vec_col).alias("i", "__x"))
+    x12 = (
+        F.floor(F.col("__x").cast("double") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    ).cast("decimal(20,12)")
+    sq12 = (
+        F.floor(
+            F.col("__x").cast("double") * F.col("__x").cast("double") * F.lit(1e12)
+            + F.lit(0.5)
+        )
+        / F.lit(1e12)
+    ).cast("decimal(20,12)")
+    dims = base.groupBy("i").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x12).alias("__s"),
+        F.sum(sq12).alias("__sq"),
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.floor(
+            (
+                F.col("__sq").cast("double")
+                - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+            )
+            / F.col("__n")
+            * F.lit(1e8)
+            + F.lit(0.5)
+        )
+        / F.lit(1e8)
+    )
+    stats = dims.select(
+        "i", mean.alias("__mean"), var.alias("__var")
+    )
+    z = F.when(
+        F.col("__var") > 0,
+        F.floor(
+            (F.col("__x").cast("double") - F.col("__mean"))
+            / F.sqrt(F.col("__var"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        / F.lit(1e6),
+    )
+    return base.join(F.broadcast(stats), "i").select(
+        id_col, "i", z.alias("z")
+    )

@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_dim_covariance",  # dim cov/corr matrix, decimal-exact Gram sums
     "dedup_span_c4",  # C4 span-level dedup, planted full-copy gate
     "stream_source_drift",  # foreachBatch count upkeep -> batch-identical chi2
+    "embedding_standardize_head",  # z-score whitening, decimal-exact dims
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -141,7 +142,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- freshest evidence is round 2 (oldest cohort) --
     "multimodal_frames",
     "dedup_minhash_pairs",
-    "dedup_minhash_survivors",
+    # (dedup_minhash_survivors yields its slot to the standardization
+    # registration: rows-only-by-contract, and both its pair base
+    # (dedup_minhash_pairs) and its CC composition
+    # (dedup_minhash_survivors_cc) stay in-window.)
     "dedup_simhash",
     "dedup_simhash_pairs",
     "topk_cosine_ivf",

@@ -1772,3 +1772,47 @@ def dedup_span_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_spans(
         d.unionByName(mirrors), "doc_id", "text", window=16
     )
+
+
+@register(
+    "embedding_standardize_head",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    ), dims AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS s,
+             sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS sq
+      FROM xs GROUP BY i
+    ), stats AS (
+      SELECT i, CAST(s AS DOUBLE) / n AS m,
+             floor(
+               (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / n * 1e8 + 0.5
+             ) / 1e8 AS v
+      FROM dims
+    )
+    SELECT xs.vec_id, xs.i,
+           CASE WHEN v > 0
+                THEN floor((x - m) / sqrt(v) * 1e6 + 0.5) / 1e6 END AS z
+    FROM xs JOIN stats ON stats.i = xs.i
+    WHERE xs.vec_id < 10
+    """,
+    tags=("X3", "A8", "F3"),
+)
+def embedding_standardize_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization applied to the corpus
+    (similarity.embedding_standardize), output bounded to the first 10
+    vectors (640 rows) — corpus-wide means/variances from 12dp-quantized
+    decimal sums, IEEE-exact sqrt stds, 6dp floor-rounded z — the
+    whitening transform the covariance diagnostic feeds, fully under
+    the exact gate. The vec_id filter prunes only the exploded base
+    side of the broadcast join; the d-cell stats still aggregate the
+    whole table (map-side combined, partitions x d cells shuffled)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.embedding_standardize(e).filter(F.col("vec_id") < 10)

@@ -263,3 +263,32 @@ class TestEmbeddingDimCovariance:
         # the constant dimension has zero variance: corr undefined -> NULL
         assert out[(3, 3)]["cov"] == pytest.approx(0.0)
         assert out[(0, 3)]["corr"] is None
+
+
+class TestEmbeddingStandardize:
+    def test_matches_numpy_zscore(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(loc=3.0, scale=2.0, size=(30, 4)).astype("float32")
+        df = spark.createDataFrame(
+            [(i, row.tolist()) for i, row in enumerate(x)],
+            "vec_id long, embedding array<float>",
+        )
+        out = {
+            (r["vec_id"], r["i"]): r["z"]
+            for r in similarity.embedding_standardize(df).collect()
+        }
+        xd = x.astype("float64")
+        ref = (xd - xd.mean(axis=0)) / xd.std(axis=0)
+        for (vid, i), z in out.items():
+            assert z == pytest.approx(ref[vid, i], abs=1e-4)
+
+    def test_dead_dimension_yields_null(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i), 7.0]) for i in range(10)],
+            "vec_id long, embedding array<float>",
+        )
+        out = similarity.embedding_standardize(df)
+        assert out.filter("i = 1 and z is not null").count() == 0
+        assert out.filter("i = 0 and z is null").count() == 0
