@@ -62,6 +62,8 @@ HEADLINE = [
     "mixture_temperature_lang",
     "source_term_drift",
     "embedding_dim_covariance",
+    "dedup_span_c4",
+    "embedding_standardize_head",
 ]
 
 
