@@ -403,3 +403,134 @@ def test_flatten_fixpoint_properties(spark, docs):
     assert sorted(map(tuple, rows), key=key) == sorted(map(tuple, again), key=key)
     ref_rows = fl.flatten(df, mode="reference").count()
     assert len(rows) >= ref_rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    TEXTS,
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+def test_chunk_sliding_invariants(spark, texts, window, stride):
+    """For ANY corpus and any stride <= window: every token index is
+    covered, starts step by exactly the stride, no chunk is contained in
+    its predecessor, and each chunk's text is the exact token slice."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    if stride > window:
+        window, stride = stride, window  # keep the contract satisfiable
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = curation.chunk_sliding(
+        df, "doc_id", "text", window=window, stride=stride
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        toks = [x for x in _py_tokens(t) if x != ""]
+        got = sorted(by_doc.get(i, []), key=lambda r: r["start_tok"])
+        if not toks:
+            assert got == []
+            continue
+        covered = set()
+        prev_end = None
+        for j, r in enumerate(got):
+            s, e = r["start_tok"], r["start_tok"] + r["n_chunk_tokens"]
+            assert r["chunk_text"].split(" ") == toks[s:e]
+            assert s == j * stride  # starts step by exactly the stride
+            if prev_end is not None:
+                assert e > prev_end  # never contained in the predecessor
+            prev_end = e
+            covered |= set(range(s, e))
+        assert covered == set(range(len(toks)))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["g0", "g1", "g2", "g3"]),
+        st.integers(min_value=1, max_value=60),
+        min_size=2,
+        max_size=4,
+    ),
+    st.sampled_from([1.0, 0.5, 0.25]),
+)
+def test_temperature_mixture_rates_match_python_mirror(spark, sizes, alpha):
+    """The per-group keep THRESHOLDS equal a pure-Python mirror of the
+    p^alpha pipeline (sqrt chains, 8dp floor-rounds, decimal normalizer)
+    for any group-size profile and supported alpha."""
+    import math
+    from decimal import Decimal
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    rows = []
+    base = 0
+    for g in sorted(sizes):
+        rows += [(base + i, g) for i in range(sizes[g])]
+        base += 1000
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = curation.temperature_mixture_sample(
+        df, "grp", "id", alpha=alpha, target_frac=0.5
+    )
+    kept = {g: 0 for g in sizes}
+    for r in out.collect():
+        kept[r["grp"]] += 1
+
+    tot = sum(sizes.values())
+    s8 = {}
+    for g, c in sizes.items():
+        s = c / tot
+        if alpha <= 0.5:
+            s = math.sqrt(s)
+        if alpha <= 0.25:
+            s = math.sqrt(s)
+        s8[g] = Decimal(math.floor(s * 1e8 + 0.5)) / Decimal(10**8)
+    norm = sum(s8.values())
+    import hashlib
+
+    for g, c in sizes.items():
+        rate = min(1.0, float(s8[g]) / float(norm) * 0.5 * tot / c)
+        thr = math.floor(rate * 4294967296.0)
+        expect = 0
+        gbase = sorted(sizes).index(g) * 1000
+        for i in range(c):
+            draw = int(hashlib.md5(str(gbase + i).encode()).hexdigest()[:8], 16)
+            if draw < thr:
+                expect += 1
+        assert kept[g] == expect, (g, alpha)
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS, st.integers(min_value=2, max_value=6))
+def test_remove_duplicate_spans_matches_python_mirror(spark, texts, window):
+    """Span dedup equals a sequential pure-Python sweep: spans processed
+    in (doc_id, chunk_idx) order, first sighting of each exact span kept."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_duplicate_spans(df, window=window).collect()
+    }
+    seen = set()
+    for i, t in enumerate(texts):
+        toks = [x for x in _py_tokens(t) if x != ""]
+        if not toks:
+            assert i not in out
+            continue
+        spans = [
+            " ".join(toks[s : s + window]) for s in range(0, len(toks), window)
+        ]
+        kept = []
+        for sp in spans:
+            if sp not in seen:
+                seen.add(sp)
+                kept.append(sp)
+        r = out[i]
+        assert (r["n_spans"], r["n_kept"]) == (len(spans), len(kept))
+        assert r["clean_text"] == " ".join(kept)
