@@ -603,7 +603,14 @@ def embedding_dim_covariance(
     Returns (i, j, n, cov, corr) for 0 <= i <= j < d.
     """
     v = F.col(vec_col)
-    base = df.select(v.alias("__v")).withColumn("__d", F.size("__v"))
+    # empty/NULL vectors are dropped: sequence(0, size-1) with size <= 0
+    # would otherwise infer a NEGATIVE step (Spark yields [0, -1]) and
+    # feed element_at an invalid 0 index
+    base = (
+        df.select(v.alias("__v"))
+        .withColumn("__d", F.size("__v"))
+        .filter(F.col("__d") > 0)
+    )
     cells = base.select(
         F.explode(
             F.flatten(

@@ -264,6 +264,15 @@ class TestEmbeddingDimCovariance:
         assert out[(3, 3)]["cov"] == pytest.approx(0.0)
         assert out[(0, 3)]["corr"] is None
 
+    def test_null_and_empty_vectors_dropped(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 2.0],), ([],), (None,), ([3.0, 4.0],)],
+            "embedding array<float>",
+        )
+        out = similarity.embedding_dim_covariance(df).collect()
+        assert len(out) == 3  # 2x2 upper triangle from the 2 valid rows
+        assert all(r["n"] == 2 for r in out)
+
 
 class TestEmbeddingStandardize:
     def test_matches_numpy_zscore(self, spark):
