@@ -795,3 +795,72 @@ def temperature_mixture_sample(
     return df.join(F.broadcast(dim), group_col).filter(draw < F.col("__thr")).drop(
         "__thr"
     )
+
+
+def containment_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Fuzzy decontamination by CONTAINMENT score: for every (corpus doc,
+    benchmark doc) pair sharing at least one distinct word n-gram, the
+    fraction of the BENCHMARK doc's distinct n-grams found in the corpus
+    doc — the practical eval-leak metric ("83% of this test question
+    appears in that page"), where ngram_overlap's binary flag can't
+    distinguish a one-gram coincidence from a near-verbatim copy. Pairs
+    below ``min_containment`` are dropped.
+
+    Containment = |grams(bench) ∩ grams(corpus)| / |grams(bench)| — an
+    exact integer ratio (one double division, floor-rounded 4dp), so the
+    score sits under the exact cross-engine gate with no float
+    discipline beyond the terminal rounding.
+
+    Scale: both sides reduce to DISTINCT (doc, gram) sets before the
+    join (multiplicity never inflates the shuffle); the benchmark side
+    is tiny by nature (eval suites), so it broadcasts WITH its per-doc
+    gram totals and the corpus side never shuffles for the probe — the
+    only exchange is the (corpus doc, bench doc) pair aggregate, whose
+    size is bounded by true gram collisions, not the cross product.
+
+    Returns (corpus_id, bench_id, n_shared, n_bench_grams, containment).
+    """
+    def distinct_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), tokens(text_col).alias("__toks")
+        ).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(_contiguous_grams("__toks", n))).alias(
+                "gram"
+            ),
+        )
+
+    bg = distinct_grams(bench).select(
+        F.col(id_col).alias("bench_id"), "gram"
+    )
+    btot = bg.groupBy("bench_id").agg(F.count(F.lit(1)).alias("n_bench_grams"))
+    cg = distinct_grams(corpus).select(
+        F.col(id_col).alias("corpus_id"), "gram"
+    )
+    pairs = (
+        cg.join(F.broadcast(bg), "gram")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(F.broadcast(btot), "bench_id")
+    )
+    containment = (
+        F.floor(
+            F.col("n_shared").cast("double") / F.col("n_bench_grams") * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        / F.lit(1e4)
+    )
+    return pairs.select(
+        "corpus_id",
+        "bench_id",
+        "n_shared",
+        "n_bench_grams",
+        containment.alias("containment"),
+    ).filter(F.col("containment") >= F.lit(min_containment))

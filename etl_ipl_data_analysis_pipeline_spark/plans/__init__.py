@@ -114,6 +114,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_span_c4",  # C4 span-level dedup, planted full-copy gate
     "stream_source_drift",  # foreachBatch count upkeep -> batch-identical chi2
     "embedding_standardize_head",  # z-score whitening, decimal-exact dims
+    "containment_decontam_pairs",  # fuzzy eval-leak containment scores
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -147,7 +148,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (dedup_minhash_pairs) and its CC composition
     # (dedup_minhash_survivors_cc) stay in-window.)
     "dedup_simhash",
-    "dedup_simhash_pairs",
+    # (dedup_simhash_pairs yields its slot to the containment
+    # registration: rows-only-by-contract, same banded pipeline as the
+    # in-window dedup_simhash, and its recall floor re-greens via
+    # dedup_simhash_planted.)
     "topk_cosine_ivf",
     "topk_cosine_lsh",
     "text_fingerprint",

@@ -761,3 +761,60 @@ def mixture_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mixture_sample(
         d, "lang", "doc_id", alpha=0.5, target_frac=0.5
     ).select("doc_id", "lang")
+
+
+@register(
+    "containment_decontam_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bench AS (
+      SELECT doc_id + 100000 AS doc_id,
+             list_slice(t, 1, 24) AS t
+      FROM toks WHERE doc_id < 10
+    ), bg AS (
+      SELECT doc_id AS bench_id,
+             unnest(list_distinct({_grams(8, "t")})) AS gram
+      FROM bench
+    ), btot AS (
+      SELECT bench_id, CAST(count(*) AS BIGINT) AS n_bench_grams
+      FROM bg GROUP BY bench_id
+    ), cg AS (
+      SELECT doc_id AS corpus_id,
+             unnest(list_distinct({_grams(8, "t")})) AS gram
+      FROM toks
+    ), pairs AS (
+      SELECT corpus_id, bench_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM cg JOIN bg USING (gram) GROUP BY corpus_id, bench_id
+    )
+    SELECT corpus_id, bench_id, n_shared, n_bench_grams,
+           floor(CAST(n_shared AS DOUBLE) / n_bench_grams * 1e4 + 0.5) / 1e4
+             AS containment
+    FROM pairs JOIN btot USING (bench_id)
+    WHERE floor(CAST(n_shared AS DOUBLE) / n_bench_grams * 1e4 + 0.5) / 1e4
+          >= 0.5
+    """,
+    tags=("X6", "X1", "J1"),
+)
+def containment_decontam_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination by containment score
+    (operators/curation.containment_pairs): the benchmark set is the
+    24-token prefixes of docs 0-9 shifted into the planted id domain
+    (runtime-guarded), so each source doc MUST surface as a
+    containment-1.0 pair with its own prefix — plus whatever true
+    fixture near-dups share >=50% of a prefix's 8-grams. The score is
+    an exact integer ratio floor-rounded 4dp; the benchmark side
+    broadcasts with its gram totals, so the corpus never shuffles for
+    the probe."""
+    from ..operators.dedup import tokens as _tokens
+    from .llm_ops import PLANTED_OFFSET, _planted_domain_guard
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(PLANTED_OFFSET) + _planted_domain_guard("doc_id"))
+        .alias("doc_id"),
+        F.array_join(F.slice(_tokens("text"), 1, 24), " ").alias("text"),
+    )
+    return curation.containment_pairs(
+        d, bench, n=8, min_containment=0.5
+    )

@@ -523,3 +523,44 @@ class TestTemperatureMixtureSample:
         df = self._df(spark, {"a": 10})
         with pytest.raises(ValueError):
             curation.temperature_mixture_sample(df, "grp", "id", alpha=0.3)
+
+
+class TestContainmentPairs:
+    def test_scores_and_threshold(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),       # superset of the bench doc
+                (2, "a b c d e f g h x y"),       # shares 1 of 3 bench grams
+                (3, "unrelated words entirely here ok"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(9, "a b c d e f g h i j")], "doc_id long, text string"
+        )
+        out = {
+            (r["corpus_id"], r["bench_id"]): r
+            for r in curation.containment_pairs(
+                corpus, bench, n=8, min_containment=0.0
+            ).collect()
+        }
+        assert out[(1, 9)]["containment"] == pytest.approx(1.0)
+        assert out[(2, 9)]["containment"] == pytest.approx(round(1 / 3, 4))
+        assert (3, 9) not in out  # no shared grams -> no pair row at all
+        # thresholding drops the weak pair
+        strict = curation.containment_pairs(corpus, bench, n=8, min_containment=0.5)
+        assert {(r["corpus_id"], r["bench_id"]) for r in strict.collect()} == {(1, 9)}
+
+    def test_multiplicity_does_not_inflate(self, spark):
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h " * 3)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "a b c d e f g h")], "doc_id long, text string"
+        )
+        row = curation.containment_pairs(
+            corpus, bench, n=8, min_containment=0.0
+        ).collect()[0]
+        # the bench doc has ONE distinct 8-gram; repeating it in the
+        # corpus doc must not push n_shared past the distinct count
+        assert row["n_shared"] == 1 and row["containment"] == pytest.approx(1.0)
