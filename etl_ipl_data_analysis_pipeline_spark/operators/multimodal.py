@@ -2,10 +2,13 @@
 ``binary`` columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-The decode step is STUBBED (image/audio libraries are not in this
-container — see ``decode_image``): the Spark-side plumbing — schema,
-batching, partition sizing, UDF signatures — is real and tested with
-deterministic fake decoders.
+The decode step is REAL for lib-free formats — binary PPM and
+uncompressed 24-bit BMP parse with numpy, WAV PCM via the stdlib
+``wave`` module (see ``decode_image``) — and STUBBED only for
+compressed codecs (png/jpeg/video need PIL/libvips/ffmpeg, absent from
+this container). The Spark-side plumbing — schema, batching, partition
+sizing, UDF signatures — is identical on both paths and also tested
+with deterministic fake decoders.
 
 Scale notes: binary payloads dominate partition size; size partitions by
 ``spark.sql.files.maxPartitionBytes`` and repartition by a content-hash so a
@@ -38,6 +41,8 @@ def attach_metadata(binary_df: DataFrame) -> DataFrame:
         .when(head.startswith("FFD8"), "jpeg")
         .when(head.startswith("52494646"), "riff")  # wav/avi containers
         .when(head.startswith("664C6143"), "flac")
+        .when(head.startswith("5036"), "ppm")  # 'P6' binary portable pixmap
+        .when(head.startswith("424D"), "bmp")  # 'BM'
         .otherwise("unknown")
     )
     return binary_df.select(
@@ -49,18 +54,116 @@ def attach_metadata(binary_df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> tuple[int, int, list[float]]:
+def decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """Decode an image payload to (width, height, feature_vector).
 
-    STUB: real decoding needs PIL/libvips/ffmpeg, absent from this
-    container. Raise so callers must opt into the fake via
-    ``extract_features(fake=True)``; the fake is deterministic on content
-    bytes so tests are stable.
+    REAL for the lib-free formats — binary PPM (P6) and uncompressed
+    24-bit BMP are parsed with numpy alone; WAV PCM (RIFF/WAVE) decodes
+    via the stdlib ``wave`` module, mapping (n_channels, sample_rate//
+    1000) into the (width, height) slots so audio rides the same feature
+    schema. COMPRESSED formats (png/jpeg/video) still raise: their
+    codecs (PIL/libvips/ffmpeg) are not in this container — callers fall
+    back to ``extract_features(fake=True)`` for those, and the
+    per-payload try/except in extract_features turns a mixed-format
+    corpus into real features where possible, NULLs elsewhere.
+
+    The feature vector is ``dim`` floats in [0, 1]: overall mean, per-
+    channel/segment means, and coarse spatial (or temporal) pooling —
+    deterministic functions of the exact decoded samples.
     """
+    head = bytes(content[:4])
+    if head[:2] == b"P6":
+        return _decode_ppm(content, dim)
+    if head[:2] == b"BM":
+        return _decode_bmp(content, dim)
+    if head == b"RIFF" and bytes(content[8:12]) == b"WAVE":
+        return _decode_wav(content, dim)
     raise NotImplementedError(
-        "image decode requires PIL/libvips — not available in this environment; "
-        "use extract_features(df, fake=True) for plumbing tests"
+        "compressed-image/video decode requires PIL/libvips/ffmpeg — not "
+        "available in this environment; PPM/BMP/WAV decode natively, other "
+        "formats use extract_features(df, fake=True)"
     )
+
+
+def _pool_feature(arr, dim: int) -> list[float]:
+    """dim floats in [0, 1] from a (pixels, channels) or (samples,) float
+    array scaled to [0, 1]: global mean, then means of dim-1 contiguous
+    segments — deterministic coarse pooling."""
+    import numpy as np
+
+    flat = arr.reshape(-1)
+    segs = np.array_split(flat, max(dim - 1, 1))
+    out = [float(flat.mean())] + [float(s.mean()) if s.size else 0.0 for s in segs]
+    return [min(max(v, 0.0), 1.0) for v in out[:dim]] + [0.0] * max(
+        0, dim - len(out)
+    )
+
+
+def _decode_ppm(content: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' (with
+    #-comments) followed by w*h*3 raw bytes."""
+    import numpy as np
+
+    buf = bytes(content)
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment runs to end of line
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    px = np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=pos)
+    arr = px.astype(np.float64).reshape(height, width, 3) / float(maxval)
+    return width, height, _pool_feature(arr, dim)
+
+
+def _decode_bmp(content: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): rows bottom-up, padded
+    to 4-byte boundaries, BGR order."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(content)
+    data_off = struct.unpack_from("<I", buf, 10)[0]
+    width, height = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    compression = struct.unpack_from("<I", buf, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP decodes natively")
+    flip = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)[:, : width * 3]
+    arr = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+    if flip:
+        arr = arr[::-1]
+    return width, height, _pool_feature(arr.astype(np.float64) / 255.0, dim)
+
+
+def _decode_wav(content: bytes, dim: int) -> tuple[int, int, list[float]]:
+    """WAV PCM via the stdlib wave module: (n_channels, sample_rate//1000)
+    ride the (width, height) slots; the feature pools |sample| energy."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(content))) as w:
+        n_ch, sampwidth, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if sampwidth != 2:
+        raise NotImplementedError("only 16-bit PCM WAV decodes natively")
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    return n_ch, rate // 1000, _pool_feature(np.abs(samples) / 32768.0, dim)
 
 
 def _fake_decode(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
@@ -98,9 +201,7 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 8) -> Data
             }
             for content in pdf["content"]:
                 try:
-                    w, h, feat = (
-                        decoder(content, dim) if decoder is _fake_decode else decoder(content)
-                    )
+                    w, h, feat = decoder(content, dim)
                     out["width"].append(w)
                     out["height"].append(h)
                     out["feature"].append(feat)

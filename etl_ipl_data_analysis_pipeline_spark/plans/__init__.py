@@ -115,6 +115,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_source_drift",  # foreachBatch count upkeep -> batch-identical chi2
     "embedding_standardize_head",  # z-score whitening, decimal-exact dims
     "containment_decontam_pairs",  # fuzzy eval-leak containment scores
+    "multimodal_decode_ppm",  # REAL image decode under the exact gate
     "bloom_prune_orders",  # bloom join pruning, fp set under the exact gate
     "stream_bloom_custkeys",  # foreachBatch bloom upkeep, OR-idempotent
     "contrastive_negatives",  # deterministic negative sampling, no cartesian
@@ -141,7 +142,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_kmv_users",  # zero-batch empty-state path added
     "split_group_weighted",  # now runs the distributed cumsum (num_ranges=8)
     # -- freshest evidence is round 2 (oldest cohort) --
-    "multimodal_frames",
+    # (multimodal_frames yields its slot to the real-decode gate: it is
+    # rows-only-by-contract, and the decode path it stubs is now
+    # hash-gated end-to-end via multimodal_decode_ppm.)
     "dedup_minhash_pairs",
     # (dedup_minhash_survivors yields its slot to the standardization
     # registration: rows-only-by-contract, and both its pair base

@@ -1816,3 +1816,77 @@ def embedding_standardize_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table (map-side combined, partitions x d cells shuffled)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.embedding_standardize(e).filter(F.col("vec_id") < 10)
+
+
+@register(
+    "multimodal_decode_ppm",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 6 AS INT) AS width,
+             CAST(1 + doc_id % 3 AS INT) AS height,
+             substr(repeat(md5(CAST(doc_id AS VARCHAR)), 4), 1,
+                    (1 + doc_id % 6) * (1 + doc_id % 3) * 3) AS px
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id AS media_id, width, height,
+           CAST(list_sum(list_transform(
+             range(1, width * height * 3 + 1),
+             i -> ascii(substr(px, CAST(i AS INT), 1))
+           )) AS BIGINT) AS checksum
+    FROM media
+    """,
+    tags=("X5", "U4", "F7"),
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image decoder under the exact cross-engine gate: build a
+    valid binary-PPM payload per document (dimensions VARY with doc_id;
+    pixel bytes are md5-hex ASCII, so the whole image is a pure function
+    of the id), push it through the production mapInPandas decode path
+    (multimodal.extract_features(fake=False) -> numpy P6 parser), and
+    emit integers only: the parsed width/height and a pixel checksum
+    recovered from the pooled feature (mean * n_px * 255 rounds back to
+    the exact byte sum — float error << 0.5 at <=54 bytes). The oracle
+    recomputes dimensions and the ASCII byte sum in SQL, so a decoder
+    that mis-parses the header, drops pixels, or mis-pools the feature
+    flips the gate; a hardcoded (w, h) cannot pass the varying-dims
+    contract. Compressed codecs remain env-gated (multimodal.py)."""
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    w = (F.lit(1) + F.col("doc_id") % 6).cast("int")
+    h = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+    n_px = w * h * 3
+    px = F.expr(
+        "substring(repeat(md5(CAST(doc_id AS STRING)), 4), 1, "
+        "(1 + doc_id % 6) * (1 + doc_id % 3) * 3)"
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("synthetic.ppm").alias("path"),
+        F.lit("ppm").alias("format"),
+        n_px.cast("long").alias("n_bytes"),
+        F.concat(
+            F.lit("P6\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+            px,
+        )
+        .cast("binary")
+        .alias("content"),
+    )
+    feats = mm.extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(
+            F.element_at("feature", 1)
+            * (F.col("width") * F.col("height") * 3).cast("double")
+            * F.lit(255.0)
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )

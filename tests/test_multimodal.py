@@ -53,7 +53,9 @@ def test_extract_features_fake_deterministic(media):
     assert a == b  # stable across partitionings (crc32, not salted hash)
 
 
-def test_real_decode_is_declared_stub(media):
+def test_compressed_decode_is_declared_stub(media):
+    """Only COMPRESSED codecs are env-gated now; PPM/BMP/WAV decode
+    natively (TestRealDecode)."""
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_image(b"\x89PNG")
 
@@ -66,3 +68,92 @@ def test_sample_frames_fanout(media):
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     for idxs in by_media.values():
         assert idxs == sorted(idxs) and len(idxs) <= 8
+
+
+class TestRealDecode:
+    """Native decode of lib-free formats: PPM/BMP with numpy, WAV via the
+    stdlib wave module — only compressed codecs remain env-gated."""
+
+    def _ppm(self, w, h, px):
+        return b"P6\n# c\n%d %d\n255\n" % (w, h) + bytes(px)
+
+    def test_ppm_decode_exact(self, spark):
+        import numpy as np
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        px = list(range(4 * 2 * 3))  # 4x2 RGB ramp
+        w, h, feat = mm.decode_image(self._ppm(4, 2, px), dim=4)
+        assert (w, h) == (4, 2)
+        arr = np.array(px, dtype=np.float64) / 255.0
+        assert feat[0] == pytest.approx(arr.mean())
+        segs = np.array_split(arr, 3)
+        assert feat[1:] == pytest.approx([s.mean() for s in segs])
+
+    def test_bmp_decode_matches_ppm_pixels(self):
+        import struct
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        # 2x2 RGB image; BMP stores bottom-up BGR rows padded to 4 bytes
+        rgb_rows = [
+            [(255, 0, 0), (0, 255, 0)],   # top row
+            [(0, 0, 255), (255, 255, 255)],  # bottom row
+        ]
+        stride_pad = b"\x00\x00"  # 2*3=6 bytes -> pad to 8
+        pixel_data = b""
+        for row in reversed(rgb_rows):  # bottom-up
+            for r, g, b in row:
+                pixel_data += bytes([b, g, r])
+            pixel_data += stride_pad
+        header = (
+            b"BM"
+            + struct.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+        )
+        w, h, feat = mm.decode_image(header + pixel_data, dim=4)
+        assert (w, h) == (2, 2)
+        # decoded RGB top-down equals the ppm twin of the same pixels
+        flat = [c for row in rgb_rows for p in row for c in p]
+        pw, ph, pfeat = mm.decode_image(self._ppm(2, 2, flat), dim=4)
+        assert feat == pytest.approx(pfeat)
+
+    def test_wav_decode(self):
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        samples = np.array([0, 16384, -16384, 32767], dtype="<i2")
+        buf = io.BytesIO()
+        with wavmod.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(16000)
+            f.writeframes(samples.tobytes())
+        n_ch, rate_k, feat = mm.decode_image(buf.getvalue(), dim=4)
+        assert (n_ch, rate_k) == (1, 16)
+        assert feat[0] == pytest.approx(np.abs(samples / 32768.0).mean())
+
+    def test_compressed_formats_still_raise(self):
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+    def test_mixed_corpus_through_real_path(self, spark):
+        """extract_features(fake=False) over a mixed corpus: decodable
+        formats come back with real dims, compressed ones with NULLs."""
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        rows = [
+            (1, "a.ppm", "ppm", 30, bytearray(self._ppm(2, 2, list(range(12))))),
+            (2, "b.png", "png", 8, bytearray(b"\x89PNG\r\n\x1a\n")),
+        ]
+        df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in mm.extract_features(df).collect()}
+        assert (out[1]["width"], out[1]["height"]) == (2, 2)
+        assert out[1]["feature"] is not None
+        assert out[2]["width"] is None and out[2]["feature"] is None
