@@ -45,48 +45,52 @@ def interleave_bits(cols: list, bits: int = 8):
     return reduce(lambda acc, t: acc.bitwiseOR(t), terms)
 
 
-def _exact_ntile(
+def global_positions(
     df: DataFrame,
     base: DataFrame,
     c: str,
     tiebreak: str,
-    n: int,
     cuts: list,
-    out_col: str,
+    pos_col: str,
+    tot_col: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
-    """Append ``out_col`` = ntile(n) OVER (ORDER BY c, tiebreak) - 1,
-    computed WITHOUT a global single-partition window.
+    """Append ``pos_col`` = row_number() OVER (ORDER BY c [DESC],
+    tiebreak) — an exact 1-based GLOBAL position — plus optionally
+    ``tot_col`` = the global row count, WITHOUT a single-partition
+    window anywhere near the base relation.
 
     Mechanism (the pack_token_shards range-bucketed pattern): rows are
     bucketed by the literal ``cuts`` boundaries (all ties on ``c`` share
     a bucket, so within-bucket order is globally consistent), row_number
     runs per bucket, and the per-bucket row counts — one row per bucket,
-    broadcast — shift local ranks to exact 1-based global positions p.
-    The ntile value is then pure integer arithmetic on (p, N): with
-    base = N div n and rem = N mod n, the first rem tiles hold base+1
-    rows and the rest hold base, exactly the SQL ntile contract — so the
+    broadcast — shift local ranks to exact 1-based global positions. The
     result is bit-identical to the window form for ANY cut boundaries
-    (cuts only steer parallelism). NULLs sort first (Spark ASC default),
-    matching the window they replace. Integer `div` throughout: a double
-    floor(p / size) could round across a tile boundary at 2^53-row scale.
+    (cuts only steer parallelism). NULL keys sort first ascending /
+    last descending, matching the Spark window defaults they replace.
 
     ``base`` is the pre-rank source relation: bucket counts depend only
     on column ``c``, so counting over it (a one-column scan) instead of
-    over the chained ``df`` keeps stage k's count branch from
-    re-executing stages 1..k-1's window shuffles.
+    over the chained ``df`` keeps a chained caller's count branch from
+    re-executing upstream window shuffles (zorder_ranks chains one call
+    per layout column).
     """
     col = F.col(c)
-    bucket = F.when(col.isNull(), F.lit(-1)).otherwise(range_bucket(col, cuts))
+    null_bucket = F.lit(1 << 31) if descending else F.lit(-1)
+    bucket = F.when(col.isNull(), null_bucket).otherwise(range_bucket(col, cuts))
     bucketed = df.withColumn("__zb", bucket)
 
-    w_in = Window.partitionBy("__zb").orderBy(col.asc(), F.col(tiebreak).asc())
+    order = [col.desc() if descending else col.asc(), F.col(tiebreak).asc()]
+    w_in = Window.partitionBy("__zb").orderBy(*order)
     with_rn = bucketed.withColumn("__zrn", F.row_number().over(w_in))
 
     # one row per bucket: exclusive prefix counts + the global total,
-    # windowed over the bounded bucket relation (never the base table)
+    # windowed over the bounded bucket relation (never the base table).
+    # Bucket ids ascend with the key, so the DESC traversal is simply
+    # the prefix over descending bucket id.
     w_off = (
         Window.partitionBy(F.lit(0))
-        .orderBy("__zb")
+        .orderBy(F.col("__zb").desc() if descending else F.col("__zb").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
@@ -99,9 +103,96 @@ def _exact_ntile(
             F.sum("__zc").over(Window.partitionBy(F.lit(0))).alias("__ztot"),
         )
     )
-    joined = with_rn.join(F.broadcast(offsets), "__zb").withColumn(
-        "__zp", F.col("__zoff") + F.col("__zrn")
+    joined = with_rn.join(F.broadcast(offsets), "__zb")
+    out_cols = [F.col(name) for name in df.columns] + [
+        (F.col("__zoff") + F.col("__zrn")).alias(pos_col)
+    ]
+    if tot_col is not None:
+        out_cols.append(F.col("__ztot").alias(tot_col))
+    return joined.select(*out_cols)
+
+
+def global_running_sum(
+    df: DataFrame,
+    c: str,
+    tiebreak: str,
+    value,
+    cuts: list,
+    cum_col: str,
+    tot_col: str | None = None,
+    descending: bool = False,
+) -> DataFrame:
+    """Append ``cum_col`` = sum(value) OVER (ORDER BY c [DESC], tiebreak
+    ROWS UNBOUNDED PRECEDING) — an exact global running sum — plus
+    optionally ``tot_col`` = the grand total, with the same range-bucket
+    + broadcast-offset mechanism as ``global_positions``: within-bucket
+    running sums shifted by per-bucket prefix totals (one row per
+    bucket, broadcast). Exact for associative-exact ``value`` types
+    (integers, decimals) under ANY bucketing — pass a decimal-cast
+    expression, never a raw double, or the result becomes
+    partitioning-dependent. Ties on ``c`` share a bucket by
+    construction, so the tiebreak order never crosses buckets.
+    """
+    col = F.col(c)
+    null_bucket = F.lit(1 << 31) if descending else F.lit(-1)
+    bucket = F.when(col.isNull(), null_bucket).otherwise(range_bucket(col, cuts))
+    bucketed = df.withColumn("__zb", bucket).withColumn("__zv", value)
+
+    order = [col.desc() if descending else col.asc(), F.col(tiebreak).asc()]
+    w_in = (
+        Window.partitionBy("__zb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    with_cum = bucketed.withColumn("__zcum", F.sum("__zv").over(w_in))
+
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.col("__zb").desc() if descending else F.col("__zb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("__zb")
+        .agg(F.sum("__zv").alias("__zc"))
+        .select(
+            "__zb",
+            F.sum("__zc").over(w_off).alias("__zoff"),
+            F.sum("__zc").over(Window.partitionBy(F.lit(0))).alias("__ztot"),
+        )
+    )
+    joined = with_cum.join(F.broadcast(offsets), "__zb")
+    # first bucket has no predecessor: NULL offset means "add nothing"
+    # (a literal 0 would need the value's exact decimal type to avoid a
+    # widening cast on the sum)
+    cum = F.when(F.col("__zoff").isNull(), F.col("__zcum")).otherwise(
+        F.col("__zoff") + F.col("__zcum")
+    )
+    out_cols = [F.col(name) for name in df.columns] + [cum.alias(cum_col)]
+    if tot_col is not None:
+        out_cols.append(F.col("__ztot").alias(tot_col))
+    return joined.select(*out_cols)
+
+
+def _exact_ntile(
+    df: DataFrame,
+    base: DataFrame,
+    c: str,
+    tiebreak: str,
+    n: int,
+    cuts: list,
+    out_col: str,
+) -> DataFrame:
+    """Append ``out_col`` = ntile(n) OVER (ORDER BY c, tiebreak) - 1,
+    computed WITHOUT a global single-partition window: exact global
+    positions from ``global_positions`` (range-bucketed row_numbers +
+    broadcast per-bucket offsets), then the ntile value as pure integer
+    arithmetic on (p, N): with base = N div n and rem = N mod n, the
+    first rem tiles hold base+1 rows and the rest hold base, exactly the
+    SQL ntile contract — bit-identical to the window form for ANY cut
+    boundaries. Integer `div` throughout: a double floor(p / size)
+    could round across a tile boundary at 2^53-row scale.
+    """
+    joined = global_positions(df, base, c, tiebreak, cuts, "__zp", "__ztot")
     tile = F.expr(
         f"CASE WHEN __zp <= (__ztot % {n}) * ((__ztot div {n}) + 1) "
         f"THEN (__zp - 1) div ((__ztot div {n}) + 1) + 1 "

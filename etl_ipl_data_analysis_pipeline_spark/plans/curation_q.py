@@ -433,17 +433,24 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def feature_binning_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency feature binning: decile buckets over document
-    length with per-bucket bounds — the fit step of a quantile discretizer.
-    ntile needs a total order, which is the one legitimately global-sort
-    operator here ((n_chars, doc_id) tiebreak makes it deterministic);
-    at 100 TB you'd swap the exact sort for approxQuantile boundaries and
-    keep this exact form for the validation set."""
-    from pyspark.sql import Window as W
+    length with per-bucket bounds — the fit step of a quantile
+    discretizer. ntile needs a total order under the deterministic
+    (n_chars, doc_id) tiebreak, but NOT a single-partition window: the
+    exact distributed ntile (operators.layout._exact_ntile — range-
+    bucketed row_numbers shifted by broadcast per-bucket offsets, tile
+    by integer arithmetic) is bit-identical to ntile(10) OVER (ORDER BY
+    n_chars, doc_id) for ANY approxQuantile boundaries, so the 100 TB
+    plan shuffles once on the data-derived range bucket instead of
+    funneling every document through one reducer."""
+    from ..operators.layout import _exact_ntile
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = W.orderBy("n_chars", "doc_id")
+    cuts = sorted(
+        set(d.approxQuantile("n_chars", [i / 16 for i in range(1, 16)], 0.01))
+    )
+    binned = _exact_ntile(d, d, "n_chars", "doc_id", 10, cuts, "__dec0")
     return (
-        d.withColumn("decile", F.ntile(10).over(w))
+        binned.withColumn("decile", F.col("__dec0") + 1)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

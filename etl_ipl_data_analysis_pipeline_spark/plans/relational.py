@@ -2587,11 +2587,13 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is decimal-exact over the pre-rounded per-part revenues with a
     deterministic (revenue DESC, partkey) tie-break, so the class
     boundary comparison — double vs 0.8*double of identical values —
-    cannot flip between engines. The cum-sum window is a single global
-    ordering over ONE ROW PER PART (not per lineitem); at fleet scale
-    swap the window for the range-bucketed two-phase cumsum in
-    curation.pack_token_shards — the classification contract is
-    unchanged."""
+    cannot flip between engines. The per-part relation GROWS with the
+    data (billions of parts at 100 TB), so the running sum is the exact
+    DISTRIBUTED cumsum (operators.layout.global_running_sum): range-
+    bucketed within-bucket windows shifted by broadcast per-bucket
+    decimal totals — bit-identical to the global window form because
+    decimal addition is associative-exact, with the one exchange keyed
+    on the data-derived revenue bucket instead of a single reducer."""
     li = load(spark, sf_dir, "lineitem")
     # floor(x*100+0.5)/100, NOT round(double,2): ~2000 per-part sums land
     # on half-cent boundaries often enough that engine round() semantics
@@ -2604,21 +2606,24 @@ def pareto_part_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         (F.floor(raw * 100 + F.lit(0.5)) / 100).alias("revenue")
     )
-    w_cum = (
-        Window.orderBy(F.desc("revenue"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from ..operators.layout import global_running_sum
+
+    cuts = sorted(
+        set(rev.approxQuantile("revenue", [i / 16 for i in range(1, 16)], 0.01))
     )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
+    ranked = global_running_sum(
+        rev,
         "revenue",
-        F.sum(F.col("revenue").cast("decimal(38,10)"))
-        .over(w_cum)
-        .cast("double")
-        .alias("cum_rev"),
-        F.sum(F.col("revenue").cast("decimal(38,10)"))
-        .over(w_all)
-        .cast("double")
-        .alias("tot"),
+        "l_partkey",
+        F.col("revenue").cast("decimal(38,10)"),
+        cuts,
+        "__cum",
+        "__tot",
+        descending=True,
+    ).select(
+        "revenue",
+        F.col("__cum").cast("double").alias("cum_rev"),
+        F.col("__tot").cast("double").alias("tot"),
     )
     cls = (
         F.when(F.col("cum_rev") <= 0.8 * F.col("tot"), "A")
@@ -2702,16 +2707,20 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-weighted sum is decimal-exact (2dp revenues × integer ranks,
     tie-broken by custkey so both engines rank identically); only the
     final two divisions are floating point, identical IEEE expressions
-    on both sides. The ranking window is one row per customer — same
-    single-ordering caveat and pack_token_shards swap as the Pareto
-    query."""
+    on both sides. The per-customer relation GROWS with the data, so
+    the global rank is the exact DISTRIBUTED row_number
+    (operators.layout.global_positions — range-bucketed per-bucket
+    row_numbers + broadcast prefix counts, bit-identical to the window
+    form for any boundaries), never a single-partition sort."""
+    from ..operators.layout import global_positions
+
     o = load(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(stable_sum("o_totalprice", 2).alias("rev"))
-    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
-    rk = c.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    cuts = sorted(
+        set(c.approxQuantile("rev", [i / 16 for i in range(1, 16)], 0.01))
+    )
+    rk = global_positions(c, c, "rev", "o_custkey", cuts, "i", "n").select(
+        "rev", "i", "n"
     )
     num = F.lit(2.0) * F.sum(
         F.col("rev").cast("decimal(38,10)") * F.col("i")

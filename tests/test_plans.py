@@ -331,3 +331,35 @@ def test_kmeans_exact_broadcasts_centroids(spark, sf_dir, qs):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_no_unbounded_global_windows_in_rank_cumsum_family(spark, sf_dir, qs):
+    # the r6 verdict's three remaining scale-killers: feature_binning_decile
+    # (global ntile over documents), pareto_part_classes (global cum-sum over
+    # one-row-per-part) and revenue_gini (global row_number over
+    # one-row-per-customer) each ran a no-partition window over a relation
+    # that GROWS with the input. All three now use the layout.py distributed
+    # machinery: every window that touches the scaling relation (row_number
+    # ranks, __zv running sums) must be partitioned by the range bucket
+    # __zb, and any single-partition exchange may only feed the bounded
+    # per-bucket offsets relation (__zc sums over <= num_ranges+1 rows)
+    for name in ("feature_binning_decile", "pareto_part_classes", "revenue_gini"):
+        plan = _executed(qs[name](spark, sf_dir))
+        assert "ntile" not in plan, name
+        lines = plan.split("\n")
+        for line in lines:
+            if "row_number() windowspecdefinition" in line or (
+                "windowspecdefinition" in line and "sum(__zv#" in line
+            ):
+                assert "__zb" in line, f"{name}: unpartitioned scaling window: {line}"
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                # bounded by construction: a map-side-combined scalar
+                # aggregate ships ONE row per task through the exchange
+                if i + 1 < len(lines) and "partial_" in lines[i + 1]:
+                    continue
+                above = [l for l in lines[:i] if "windowspecdefinition" in l]
+                assert above and "__zc" in above[-1], (
+                    f"{name}: single-partition exchange outside the bounded "
+                    "offsets branch"
+                )
