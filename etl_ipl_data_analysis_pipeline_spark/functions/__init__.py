@@ -83,6 +83,35 @@ def content_hash(text, bits: int = 256) -> Column:
     return F.sha2(normalized_text(text), bits)
 
 
+#: 2^31 - 1 (Mersenne prime) — the shared modulus of the portable
+#: universal-hash family: operands stay below 2^31, so a*h + b never
+#: overflows signed-64 arithmetic in ANY SQL engine.
+PORTABLE_MOD = 2_147_483_647
+
+
+def portable_hash64(col, salt: str = "") -> Column:
+    """Cross-engine 60-bit hash: the first 15 hex chars of
+    md5(col || salt) read as a non-negative bigint. Unlike xxhash64
+    (JVM-only), this is bit-reproducible in any engine with md5 —
+    DuckDB twin: ('0x' || substr(md5(x || salt), 1, 15))::BIGINT —
+    which is what lets seeded sketch pipelines (minhash, simhash,
+    rolling fingerprints) carry EXACT oracles instead of rows-only
+    checks. ~10× the cost of xxhash64 per call, so hot paths hash each
+    string once and derive salted variants arithmetically
+    (portable_hash31 + a*h+b mod PORTABLE_MOD)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if salt:
+        c = F.concat(c, F.lit(salt))
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash31(col, salt: str = "") -> Column:
+    """portable_hash64 reduced mod 2^31-1: small enough that universal-
+    hash products a*h never leave bigint range. DuckDB twin:
+    (('0x' || substr(md5(x || salt), 1, 15))::BIGINT % 2147483647)."""
+    return F.pmod(portable_hash64(col, salt), F.lit(PORTABLE_MOD))
+
+
 def sort_key_int(col, default: int = 0) -> Column:
     """SO2: integer sort key from a string column, non-numeric -> default
     (reference: compare_schema.py:66-70 casts version labels to int with a

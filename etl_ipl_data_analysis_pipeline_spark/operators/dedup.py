@@ -14,7 +14,28 @@ from functools import reduce
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
-from ..functions import content_hash, normalized_text
+from ..functions import (
+    PORTABLE_MOD,
+    content_hash,
+    normalized_text,
+    portable_hash31,
+    portable_hash64,
+)
+
+
+def universal_hash_constants(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for the portable universal-hash family
+    h_i(g) = (a_i*g + b_i) mod (2^31-1): plan-build-time constants from a
+    seeded PRNG, embedded as literals on the Spark side and interpolated
+    into the DuckDB oracle text — the same stream on both sides, so
+    seeded MinHash signatures become cross-engine exact."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, PORTABLE_MOD), rng.randrange(0, PORTABLE_MOD))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -100,6 +121,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Bulk MinHash signatures as (__id, __sig array<bigint>).
 
@@ -108,6 +130,16 @@ def minhash_signatures(
     mins, so each shingle is hashed exactly once (vs. ``num_hashes`` array
     traversals per document in the expression form). At 100 TB the combine
     step shrinks the shuffle to num_hashes longs per document.
+
+    ``hash_family``: "xx" (default) re-hashes the shingle's xxhash64 with
+    ``num_hashes`` salts — the fast JVM path. "md5" hashes the shingle
+    once with the portable md5-derived hash and derives the salted
+    functions as a universal family (a_i*g + b_i mod 2^31-1,
+    plan-build-time constants from ``seed``) — every arithmetic step is
+    reproducible in any md5-capable SQL engine, so md5-family signatures
+    (and the LSH pairs built on them) sit under EXACT DuckDB oracles
+    instead of rows-only checks. Same recall structure; one md5 per
+    shingle instead of one xxhash64.
 
     Documents whose text yields zero tokens (empty / whitespace-only /
     all-punctuation) are filtered out BEFORE shingling: split of an empty
@@ -121,14 +153,23 @@ def minhash_signatures(
         .select("__id", F.explode(shingles_from_tokens("__toks", n)).alias("__gram"))
     )
     # Hash the variable-length shingle string ONCE, then derive the
-    # num_hashes salted functions by re-hashing the resulting fixed-width
-    # long: 1 string hash + num_hashes 8-byte hashes per shingle instead of
+    # num_hashes salted functions from the resulting fixed-width long:
+    # 1 string hash + num_hashes cheap derivations per shingle instead of
     # num_hashes string hashes — the dominant CPU term at corpus scale.
-    sh = sh.select("__id", F.xxhash64("__gram").alias("__g"))
-    mins = [
-        F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        sh = sh.select("__id", portable_hash31("__gram").alias("__g"))
+        mins = [
+            F.min((F.lit(a) * F.col("__g") + F.lit(b)) % F.lit(PORTABLE_MOD)).alias(
+                f"__h{i}"
+            )
+            for i, (a, b) in enumerate(universal_hash_constants(num_hashes, seed))
+        ]
+    else:
+        sh = sh.select("__id", F.xxhash64("__gram").alias("__g"))
+        mins = [
+            F.min(F.xxhash64(F.col("__g"), F.lit(seed + i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     return (
         sh.groupBy("__id")
         .agg(*mins)
@@ -145,6 +186,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     seed: int = 42,
     min_jaccard: float = 0.7,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """X2: candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -155,22 +197,38 @@ def minhash_near_dup_pairs(
     The band join is the LSH trick: only documents agreeing on a full band
     collide, so the shuffle is O(n·bands), never O(n²). Returns
     (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``hash_family="md5"`` (see minhash_signatures) additionally keys the
+    band join on the band's VALUE string instead of its xxhash64 — no
+    hash collision can admit a pair the signatures don't justify, so the
+    output is an exact function of (text, seed) that a DuckDB oracle
+    reproduces verbatim.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, hash_family)
+    if hash_family == "md5":
+        band_keys = [
+            F.array_join(
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
+                    "array<string>"
+                ),
+                ",",
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_keys = [
+            F.xxhash64(
+                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
+                    "string"
+                )
+            )
+            for b in range(bands)
+        ]
     banded = sig.select(
         "__id",
         "__sig",
-        F.array(
-            *[
-                F.xxhash64(
-                    F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
-                        "string"
-                    )
-                )
-                for b in range(bands)
-            ]
-        ).alias("__bhs"),
+        F.array(*band_keys).alias("__bhs"),
     ).select(
         "__id", "__sig", "__bhs", F.posexplode("__bhs").alias("band_idx", "band_hash")
     )
@@ -288,6 +346,7 @@ def simhash_fingerprints(
     id_col: str = "doc_id",
     bits: int = 64,
     seed: int = 42,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """Bulk SimHash as (__id, __fp): explode tokens, hash each once, then
     64 conditional-sum aggregates (+1/-1 per bit) with map-side partial
@@ -297,9 +356,22 @@ def simhash_fingerprints(
     form's per-token 64-wide zip_with runs interpreted (higher-order
     functions have no codegen) — measured ~5× slower at sf0.1 — and this
     form's combine step shrinks the shuffle to 64 longs per document.
+
+    ``hash_family="md5"`` swaps the token hash for the portable 60-bit
+    md5-derived hash (functions.portable_hash64, salted with the seed):
+    bits 60-63 of the fingerprint are then always 0 (the hash has no
+    entropy there, so every bit-sum is -n), hamming semantics otherwise
+    unchanged — and the whole fingerprint becomes reproducible in any
+    md5-capable engine, which is what puts the seeded simhash query
+    under an exact DuckDB oracle.
     """
     toks = df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("__tok"))
-    hashed = toks.select("__id", F.xxhash64("__tok", F.lit(seed)).alias("__h"))
+    if hash_family == "md5":
+        hashed = toks.select(
+            "__id", portable_hash64("__tok", f":{seed}").alias("__h")
+        )
+    else:
+        hashed = toks.select("__id", F.xxhash64("__tok", F.lit(seed)).alias("__h"))
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -326,6 +398,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     seed: int = 42,
+    hash_family: str = "xx",
 ) -> DataFrame:
     """SimHash near-dup candidates: block by the 4 16-bit quarters of the
     fingerprint (pigeonhole: hamming<=3 guarantees one equal quarter; wider
@@ -342,7 +415,7 @@ def simhash_near_dup_pairs(
     one deterministic survivor per pair inside the join stage — no
     pair-dedup exchange exists at all, and the multiplied rows die before
     ever being shuffled."""
-    fp = simhash_fingerprints(df, text_col, id_col, seed=seed)
+    fp = simhash_fingerprints(df, text_col, id_col, seed=seed, hash_family=hash_family)
     quarters = fp.select(
         "__id",
         "__fp",

@@ -88,18 +88,31 @@ def text_quality(
 _FP_MOD = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 
 
-def doc_fingerprint(text, seed: int = 42):
+def doc_fingerprint(text, seed: int = 42, hash_family: str = "xx"):
     """Polynomial rolling hash over normalized tokens — an order-sensitive
     fingerprint (reordered text fingerprints differently, unlike a
     bag-of-words hash). fp = Σ hash(tok_i)·31^i mod (2^31-1); operands stay
-    below 2^31 so products never overflow ANSI bigint arithmetic."""
+    below 2^31 so products never overflow ANSI bigint arithmetic.
+
+    ``hash_family="md5"`` swaps the xxhash64 token hash for the portable
+    md5-derived one (functions.portable_hash31, salted with the seed):
+    the rolling combination is already pure modular arithmetic, so the
+    fingerprint becomes an exact cross-engine function of (text, seed) —
+    the DuckDB oracle replays Σ h_i·31^i mod p over unnested tokens with
+    a recursive power table."""
+    from ..functions import portable_hash31
+
     toks = F.split(normalized_text(text), " ")
     mod = F.lit(_FP_MOD)
+    if hash_family == "md5":
+        tok_hash = lambda t: portable_hash31(t, f":{seed}")  # noqa: E731
+    else:
+        tok_hash = lambda t: F.pmod(F.xxhash64(t, F.lit(seed)), mod)  # noqa: E731
     return F.aggregate(
         toks,
         F.struct(F.lit(0).cast("long").alias("h"), F.lit(1).cast("long").alias("p")),
         lambda acc, t: F.struct(
-            F.pmod(acc["h"] + F.pmod(F.xxhash64(t, F.lit(seed)), mod) * acc["p"], mod).alias("h"),
+            F.pmod(acc["h"] + tok_hash(t) * acc["p"], mod).alias("h"),
             F.pmod(acc["p"] * F.lit(31), mod).alias("p"),
         ),
         lambda acc: acc["h"],

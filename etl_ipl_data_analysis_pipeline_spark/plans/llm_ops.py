@@ -93,13 +93,88 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_minhash_pairs", oracle=None, tags=("X2", "J10"))
+# DuckDB twins of the portable (md5 universal-hash) MinHash pipeline —
+# tokens, distinct 3-gram shingles with the short-doc fallback, shingle
+# hash mod 2^31-1 — shared by dedup_minhash_pairs and the CC survivors.
+_MHTOKS_SQL = (
+    "list_filter(str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),"
+    " x -> x <> '')"
+)
+_MHSHINGLES_SQL = (
+    "list_distinct(CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')] "
+    "ELSE list_transform(range(1, len(t) - 1), "
+    "i -> array_to_string(t[i:i+2], ' ')) END)"
+)
+_MH_P = 2_147_483_647  # functions.PORTABLE_MOD
+
+
+def _minhash_pairs_cte(min_jaccard: float, num_hashes: int = 32, bands: int = 8,
+                       seed: int = 42) -> str:
+    """WITH-clause body computing the portable MinHash-LSH pair set
+    (mhpairs: id_a, id_b, est_jaccard) — the exact oracle twin of
+    dedup.minhash_near_dup_pairs(hash_family='md5'): same universal-hash
+    constants (interpolated literals from the same seeded stream), same
+    banding, band equality on the comma-joined VALUE string."""
+    rows = num_hashes // bands
+    ks = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(dedup.universal_hash_constants(num_hashes, seed))
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, {_MHTOKS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, {_MHSHINGLES_SQL} AS grams FROM toks WHERE len(t) > 0
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             (('0x' || substr(md5(gram), 1, 15))::BIGINT % {_MH_P}) AS gh
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM sh)
+    ), ks(i, a, b) AS (
+      SELECT * FROM (VALUES {ks})
+    ), sig AS (
+      SELECT doc_id, ks.i, min((ks.a * g.gh + ks.b) % {_MH_P}) AS h
+      FROM g CROSS JOIN ks GROUP BY 1, 2
+    ), band AS (
+      SELECT doc_id, i // {rows} AS band_idx,
+             string_agg(h::VARCHAR, ',' ORDER BY i) AS bsig
+      FROM sig GROUP BY 1, 2
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    ), mhpairs AS (
+      SELECT id_a, id_b, est_jaccard FROM (
+        SELECT c.id_a, c.id_b,
+               round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END)
+                     / {float(num_hashes)}, 4) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+        GROUP BY 1, 2
+      ) WHERE est_jaccard >= {min_jaccard}
+    )"""
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=f"""
+    WITH {_minhash_pairs_cte(0.5)}
+    SELECT id_a, id_b, est_jaccard FROM mhpairs
+    """,
+    tags=("X2", "J10", "F7"),
+)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (seeded; rows-only check —
-    banding is not SQL-expressible). Properties tested: symmetry-free
-    (a<b), est_jaccard ∈ [0,1], self-pairs absent."""
+    """MinHash+LSH near-dup candidate pairs under the EXACT hash gate:
+    the portable md5 universal-hash family (dedup.minhash_signatures
+    hash_family='md5') makes every signature value, band key and Jaccard
+    estimate a cross-engine function of (text, seed), so the full seeded
+    pipeline — not just a planted recall floor — is oracled verbatim in
+    DuckDB. The xx family stays the throughput default; pytest pins the
+    two families' recall floors to the same planted set."""
     d = load(spark, sf_dir, "documents")
-    return dedup.minhash_near_dup_pairs(d, min_jaccard=0.5).orderBy("id_a", "id_b")
+    return dedup.minhash_near_dup_pairs(
+        d, min_jaccard=0.5, hash_family="md5"
+    ).orderBy("id_a", "id_b")
 
 
 @register("dedup_minhash_survivors", oracle=None, tags=("X2",))
@@ -108,11 +183,45 @@ def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup(d, min_jaccard=0.5).select("doc_id", "lang", "source")
 
 
-@register("dedup_simhash", oracle=None, tags=("X2",))
+def _simhash_oracle(seed: int = 42, bits: int = 60) -> str:
+    """Oracle twin of dedup.simhash_fingerprints(hash_family='md5'):
+    per-token portable 60-bit hash, one ±1 sum per bit, fingerprint
+    assembled by adding the disjoint bit masks (OR of disjoint bits ==
+    integer addition). Bits 60-63 are structurally 0 (the 15-hex-char
+    hash has no entropy there), so only 60 sums are emitted."""
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok || ':{seed}'), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+    ), b AS (
+      SELECT doc_id, {sums} FROM h GROUP BY 1
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS fingerprint FROM b
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("X2", "F7"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (seeded, deterministic)."""
+    """Seeded SimHash fingerprints under the EXACT hash gate: the
+    portable md5 token hash (dedup.simhash_fingerprints
+    hash_family='md5') makes all 60 bit-sums — and therefore the
+    fingerprint — reproducible in DuckDB, replacing the old rows-only
+    check on the xxhash64 family (which stays the throughput default
+    for the blocked pair search)."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash("text").alias("fingerprint"))
+    return dedup.simhash_fingerprints(d, hash_family="md5").select(
+        F.col("__id").alias("doc_id"), F.col("__fp").alias("fingerprint")
+    )
 
 
 @register("dedup_simhash_pairs", oracle=None, tags=("X2",))
@@ -560,11 +669,44 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", textstats.lang_id(F.col("text")).alias("lang_guess"))
 
 
-@register("text_fingerprint", oracle=None, tags=("X4", "F7"))
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH RECURSIVE pw(i, p) AS (
+      SELECT 0, CAST(1 AS BIGINT)
+      UNION ALL
+      SELECT i + 1, (p * 31) % {_MH_P} FROM pw WHERE i < 8190
+    ), toks AS (
+      SELECT doc_id,
+             str_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM toks
+    ), terms AS (
+      SELECT e.doc_id,
+             (((('0x' || substr(md5(e.tok || ':42'), 1, 15))::BIGINT % {_MH_P})
+               * pw.p) % {_MH_P}) AS term
+      FROM ex e JOIN pw ON pw.i = e.i - 1
+    )
+    SELECT doc_id, CAST(sum(term) % {_MH_P} AS BIGINT) AS fingerprint
+    FROM terms GROUP BY 1
+    """,
+    tags=("X4", "F7"),
+)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash document fingerprint (seeded)."""
+    """Order-sensitive rolling-hash fingerprint under the EXACT hash
+    gate: fp = Σ h(tok_i)·31^i mod 2^31-1 with the portable md5 token
+    hash (textstats.doc_fingerprint hash_family='md5') — pure modular
+    arithmetic both sides, so the DuckDB oracle replays it over
+    unnested tokens with a recursive 31^i power table (documents are
+    <= 8191 tokens; the rolling mod and the sum-then-mod agree because
+    per-term values stay < 2^31 and the term count < 2^13 keeps the
+    sum in bigint range)."""
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", textstats.doc_fingerprint("text").alias("fingerprint"))
+    return d.select(
+        "doc_id",
+        textstats.doc_fingerprint("text", hash_family="md5").alias("fingerprint"),
+    )
 
 
 @register(
@@ -586,14 +728,36 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(pairs)
 
 
-@register("dedup_minhash_survivors_cc", oracle=None, tags=("X2",))
+@register(
+    "dedup_minhash_survivors_cc",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_cte(0.5)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mhpairs
+      UNION
+      SELECT id_b, id_a FROM mhpairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT a FROM reach WHERE b < a)
+    """,
+    tags=("X2", "F7"),
+)
 def dedup_minhash_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-one dedup with FULL transitive closure (connected components
     over the MinHash near-dup graph) — the cluster-exact upgrade of
-    dedup_minhash_survivors. Rows-only; CC itself is golden-tested by
-    dedup_connected_components and tests/test_dedup.py."""
+    dedup_minhash_survivors, now under the EXACT hash gate via the
+    portable md5 minhash family: the oracle rebuilds the identical pair
+    graph, closes it with a recursive CTE, and drops every node that
+    reaches a smaller one (keep-min-per-component, exactly the
+    large-star/small-star fixpoint's survivor set)."""
     d = load(spark, sf_dir, "documents")
-    return dedup.minhash_dedup_cc(d, min_jaccard=0.5).select("doc_id", "lang", "source")
+    return dedup.minhash_dedup_cc(
+        d, min_jaccard=0.5, hash_family="md5"
+    ).select("doc_id", "lang", "source")
 
 
 @register(

@@ -284,3 +284,26 @@ class TestRemoveDuplicateSpans:
         row = dedup.remove_duplicate_spans(df, window=3).collect()[0]
         assert (row["n_spans"], row["n_kept"]) == (3, 1)
         assert row["clean_text"] == "x y z"
+
+
+def test_md5_family_matches_xx_recall_on_planted_set(spark, docs):
+    # the portable md5 universal-hash family (what the oracled queries run)
+    # must find the same planted near-dups as the xxhash64 default, and its
+    # recall-1 guarantee for exact copies holds whatever the constants
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_near_dup_pairs(
+            docs, min_jaccard=0.5, hash_family="md5"
+        ).collect()
+    }
+    assert {(i, 100 + i) for i in range(5)} | {(0, 200)} <= mh
+    sh = dedup.simhash_near_dup_pairs(docs, max_hamming=0, hash_family="md5").collect()
+    assert {(r["id_a"], r["id_b"]) for r in sh} >= {(0, 200)}  # exact copy: hamming 0
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in dedup.simhash_fingerprints(docs, hash_family="md5")
+        .select(F.col("__id").alias("doc_id"), F.col("__fp").alias("fp"))
+        .collect()
+    }
+    assert fps[0] == fps[200]  # identical text -> identical fingerprint
+    assert all(fp >> 60 == 0 for fp in fps.values())  # 60-bit hash: top bits 0
