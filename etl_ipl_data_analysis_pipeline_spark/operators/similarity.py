@@ -241,6 +241,82 @@ def multi_table_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
     return F.pandas_udf(_buckets, ArrayType(LongType()))
 
 
+def lsh_topk_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """lsh_topk's cross-engine EXACT twin (the kmeans_exact treatment):
+    same hyperplanes (:func:`_plane_matrix`, plan-time literals), but the
+    sign of each hyperplane dot is decided on a DECIMAL(38,12) sum of
+    the per-element double products, so bucket ids are independent of
+    summation order and reproducible verbatim in any engine that can
+    replay the literal weight table — which puts the seeded LSH search
+    under an exact DuckDB oracle instead of a rows-only check.
+
+    Shape: posexplode the vectors once, join the broadcast dim×n_planes
+    weight relation, two map-side-combined aggregations (per (vec,
+    plane) dot, then per vec bucket) — O(n·planes) rows shuffled, no
+    UDF, no numpy. The matmul path (:func:`lsh_topk`) stays the
+    throughput default; this is the auditable one.
+    """
+    spark = corpus.sparkSession
+    mat = _plane_matrix(n_planes, dim, seed)
+    wdf = spark.createDataFrame(
+        [
+            (i + 1, j, float(mat[i, j]))
+            for i in range(dim)
+            for j in range(n_planes)
+        ],
+        "pos int, plane int, w double",
+    )
+
+    def buckets(df, out_id):
+        ex = df.select(
+            F.col(out_id), F.posexplode(_as_double_array(F.col("__vec")))
+        ).select(out_id, (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+        dots = (
+            ex.join(F.broadcast(wdf), "pos")
+            .groupBy(out_id, "plane")
+            .agg(
+                F.sum((F.col("v") * F.col("w")).cast("decimal(38,12)")).alias("dot")
+            )
+        )
+        # disjoint bits: OR == integer addition (and sum gets a map-side
+        # partial phase that bitwise-OR aggregation wouldn't)
+        bit = F.expr("shiftleft(CAST(1 AS BIGINT), plane)")
+        return dots.groupBy(out_id).agg(
+            F.sum(
+                F.when(F.col("dot") > 0, bit).otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double_array(F.col(vec_col)).alias("__vec")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__vec"),
+    )
+    cb = c.join(buckets(c.select("vec_id", "__vec"), "vec_id"), "vec_id")
+    pb = p.join(buckets(p.select("query_id", "__vec"), "query_id"), "query_id")
+    scored = (
+        cb.withColumnRenamed("__vec", "__cvec")
+        .join(F.broadcast(pb.withColumnRenamed("__vec", "__pvec")), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6)
+        )
+    )
+    return topk_per_query(scored, k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     min_sim: float = 0.95,
@@ -465,6 +541,80 @@ def kmeans_exact(
         "n",
         (F.floor(F.col("c") * 1e6 + F.lit(0.5)) / 1e6).alias("centroid"),
     )
+
+
+def ivf_topk_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """ivf_topk's cross-engine EXACT twin: centroids from
+    :func:`kmeans_exact` (decimal-summed Lloyd rounds, 6dp-floored
+    coordinates), corpus assignment and probe routing by the same
+    DECIMAL(38,12) squared-distance argmin with (dist, cid) tie-break —
+    every routing decision is partitioning-independent and replayable in
+    SQL, so the full seeded build-and-search pipeline sits under an
+    exact DuckDB oracle (chained-CTE Lloyd rounds + the same assignment
+    and scoring CTEs). The Arrow-matmul :func:`ivf_topk` stays the
+    throughput default. Probes must be drawn from the corpus (routing
+    reuses the corpus distance relation keyed by id); a probe id absent
+    from the corpus is silently unrouted.
+
+    Shape: exploded (id, pos, v) joins a BROADCAST k×dim centroid
+    relation, distance terms combine map-side to n·k rows, argmin
+    windows partition by vector id — O(n·k) compute, no collect.
+    """
+    cents = kmeans_exact(corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
+    cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
+    ex = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
+    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+    term = F.col("v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(cm), "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    ranked = dists.withColumn("rn", F.row_number().over(w))
+    assigned = (
+        ranked.filter(F.col("rn") == 1)
+        .select("vid", F.col("cid").alias("cell"))
+        .join(
+            corpus.select(
+                F.col(id_col).alias("vid"),
+                _as_double_array(F.col(vec_col)).alias("__cvec"),
+            ),
+            "vid",
+        )
+        .select(F.col("vid").alias("vec_id"), "cell", "__cvec")
+    )
+    probe_ids = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    )
+    routed = (
+        ranked.join(
+            probe_ids.select(F.col("query_id").alias("vid"), "__pvec"), "vid"
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vid").alias("query_id"), F.col("cid").alias("cell"), "__pvec")
+    )
+    scored = (
+        assigned.join(F.broadcast(routed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6)
+        )
+    )
+    return topk_per_query(scored, k)
 
 
 def _cell_router(cn, nprobe: int):

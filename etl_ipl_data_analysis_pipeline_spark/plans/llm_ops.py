@@ -419,24 +419,169 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, probes, k=5, probe_id_col="query_id")
 
 
-@register("topk_cosine_ivf", oracle=None, tags=("X3",))
+def _kmeans_cte(k: int, iters: int) -> tuple[str, str]:
+    """(WITH-clause body, final-CTE name) for the unrolled Lloyd rounds —
+    shared by the kmeans oracle and the exact-IVF oracle that builds its
+    coarse centroids with the same machinery."""
+    parts = [
+        f"""ex AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT row_number() OVER (PARTITION BY pos ORDER BY vid) - 1 AS cid,
+             pos, v AS c
+      FROM ex
+      WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", d{i} AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN {prev} c USING (pos) GROUP BY 1, 2
+    ), a{i} AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM d{i}) WHERE rn = 1
+    ), c{i} AS (
+      SELECT a.cid, e.pos,
+             CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c,
+             count(*) AS n
+      FROM a{i} a JOIN ex e USING (vid) GROUP BY 1, 2
+    )"""
+        )
+        prev = f"c{i}"
+    return "".join(parts), prev
+
+
+
+_COS6_SQL = (
+    "round(list_dot_product(pe.embedding::DOUBLE[], ce.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(pe.embedding::DOUBLE[], pe.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))), 6)"
+)
+
+
+def _ivf_exact_oracle(k: int, n_centroids: int, nprobe: int, iters: int) -> str:
+    """Oracle twin of similarity.ivf_topk_exact: the unrolled-Lloyd CTE
+    chain (shared with the kmeans oracle), 6dp-floored centroids, the
+    same DECIMAL(38,12) distance argmin for assignment and routing, then
+    in-cell cosine scoring and the (sim DESC, vec_id) top-k."""
+    body, last = _kmeans_cte(n_centroids, iters)
+    return f"""
+    WITH {body}, cm AS (
+      SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
+    ), dists AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vid, cid,
+             row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+      FROM dists
+    ), acell AS (
+      SELECT vid, cid FROM ranked WHERE rn = 1
+    ), routed AS (
+      SELECT vid AS query_id, cid FROM ranked WHERE vid < 5 AND rn <= {nprobe}
+    ), scored AS (
+      SELECT r.query_id, a.vid AS vec_id, {_COS6_SQL} AS sim
+      FROM routed r
+      JOIN acell a USING (cid)
+      JOIN embeddings pe ON pe.vec_id = r.query_id
+      JOIN embeddings ce ON ce.vec_id = a.vid
+      WHERE a.vid != r.query_id
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "topk_cosine_ivf",
+    oracle=_ivf_exact_oracle(5, 16, 4, 2),
+    tags=("X3", "W1", "F5"),
+)
 def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (probe 4 of 16 cells — the 100 TB scale path)."""
+    """IVF approximate top-5 (probe 4 of 16 cells — the 100 TB scale
+    path) under the EXACT hash gate: similarity.ivf_topk_exact builds
+    its coarse centroids with the decimal-exact Lloyd rounds of
+    kmeans_exact and routes by the same decimal argmin, so the whole
+    build-and-search result — approximate neighbors included, not just
+    a planted recall floor — is replayed verbatim by the chained-CTE
+    oracle. ivf_topk (Arrow matmul) remains the throughput default."""
     e = load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(e, probes, k=5, probe_id_col="query_id")
+    return similarity.ivf_topk_exact(e, probes, k=5, probe_id_col="query_id")
 
 
-@register("topk_cosine_lsh", oracle=None, tags=("X3", "J10"))
+def _lsh_exact_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
+    """Oracle twin of similarity.lsh_topk_exact: the identical hyperplane
+    literals (same _plane_matrix PRNG stream, repr-interpolated so the
+    doubles round-trip bit-exactly), DECIMAL(38,12) dot sums for the
+    sign decision, bucket equi-join, cosine scoring, per-query top-k."""
+    mat = similarity._plane_matrix(n_planes, dim, seed)
+    vals = ", ".join(
+        f"({i + 1}, {j}, {mat[i, j]!r})" for i in range(dim) for j in range(n_planes)
+    )
+    return f"""
+    WITH w(pos, plane, wt) AS (
+      SELECT * FROM (VALUES {vals})
+    ), ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), dots AS (
+      SELECT vec_id, plane, sum(CAST(v * wt AS DECIMAL(38,12))) AS dot
+      FROM ex JOIN w USING (pos) GROUP BY 1, 2
+    ), bkt AS (
+      SELECT vec_id,
+             sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << plane
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY 1
+    ), scored AS (
+      SELECT p.vec_id AS query_id, c.vec_id, {_COS6_SQL} AS sim
+      FROM bkt p
+      JOIN bkt c ON c.bucket = p.bucket AND c.vec_id != p.vec_id
+      JOIN embeddings pe ON pe.vec_id = p.vec_id
+      JOIN embeddings ce ON ce.vec_id = c.vec_id
+      WHERE p.vec_id < 5
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "topk_cosine_lsh",
+    oracle=_lsh_exact_oracle(5, 8, 64, 42),
+    tags=("X3", "J10", "W1"),
+)
 def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed approximate top-5."""
+    """Hyperplane-LSH bucketed approximate top-5 under the EXACT hash
+    gate: similarity.lsh_topk_exact decides every bucket bit on a
+    decimal-summed hyperplane dot (order-independent, engine-portable),
+    so the seeded LSH search result is oracled verbatim — bucketing,
+    candidate set and scores. lsh_topk (Arrow matmul) remains the
+    throughput default."""
     e = load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(e, probes, k=5, n_planes=8, probe_id_col="query_id")
+    return similarity.lsh_topk_exact(
+        e, probes, k=5, n_planes=8, probe_id_col="query_id"
+    )
 
 
 def _planted_probe_mirrors(e):
@@ -1037,46 +1182,12 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     exactly: double subtraction/square, DECIMAL(38,12) distance sums,
     (dist, cid) argmin tie-break, DECIMAL(38,10) coordinate sums, one
     double division."""
-    parts = [
-        f"""
-    WITH ex AS (
-      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
-             CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
-    ), c0 AS (
-      SELECT row_number() OVER (PARTITION BY pos ORDER BY vid) - 1 AS cid,
-             pos, v AS c
-      FROM ex
-      WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
-    )"""
-    ]
-    prev = "c0"
-    for i in range(1, iters + 1):
-        parts.append(
-            f""", d{i} AS (
-      SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
-      FROM ex e JOIN {prev} c USING (pos) GROUP BY 1, 2
-    ), a{i} AS (
-      SELECT vid, cid FROM (
-        SELECT vid, cid,
-               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
-        FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
-      SELECT a.cid, e.pos,
-             CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c,
-             count(*) AS n
-      FROM a{i} a JOIN ex e USING (vid) GROUP BY 1, 2
-    )"""
-        )
-        prev = f"c{i}"
-    parts.append(
-        f"""
+    body, last = _kmeans_cte(k, iters)
+    return f"""
+    WITH {body}
     SELECT cid, pos, CAST(n AS BIGINT) AS n,
            floor(c * 1e6 + 0.5) / 1e6 AS centroid
-    FROM {prev}"""
-    )
-    return "".join(parts)
+    FROM {last}"""
 
 
 @register(

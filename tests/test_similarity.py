@@ -301,3 +301,30 @@ class TestEmbeddingStandardize:
         out = similarity.embedding_standardize(df)
         assert out.filter("i = 1 and z is not null").count() == 0
         assert out.filter("i = 0 and z is null").count() == 0
+
+
+def test_exact_twin_topk_recall(spark, vectors):
+    # the oracled exact twins (decimal-summed LSH signs / decimal-argmin
+    # IVF routing) must show the same planted-twin recall structure as
+    # their Arrow fast paths, and surface each twin's original at top-1
+    twins = vectors.filter("vec_id >= 900")
+    exact_top1 = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(
+            vectors, twins, k=1, probe_id_col="vec_id"
+        ).collect()
+    }
+    lsh = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.lsh_topk_exact(
+            vectors, twins, k=3, n_planes=8, dim=DIM, probe_id_col="vec_id"
+        ).collect()
+    }
+    assert len(exact_top1 & lsh) / len(exact_top1) >= 0.8
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk_exact(
+            vectors, twins, k=3, n_centroids=8, nprobe=4, probe_id_col="vec_id"
+        ).collect()
+    }
+    assert len(exact_top1 & ivf) / len(exact_top1) >= 0.8
