@@ -177,10 +177,24 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_survivors", oracle=None, tags=("X2",))
+@register(
+    "dedup_minhash_survivors",
+    oracle=f"""
+    WITH {_minhash_pairs_cte(0.5)}
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT id_b FROM mhpairs)
+    """,
+    tags=("X2", "F7"),
+)
 def dedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-hop keep-one MinHash dedup (drop every doc that near-dups
+    a smaller id) under the EXACT hash gate via the portable md5
+    family: the oracle rebuilds the identical pair set and removes its
+    id_b side."""
     d = load(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(d, min_jaccard=0.5).select("doc_id", "lang", "source")
+    return dedup.minhash_dedup(d, min_jaccard=0.5, hash_family="md5").select(
+        "doc_id", "lang", "source"
+    )
 
 
 def _simhash_oracle(seed: int = 42, bits: int = 60) -> str:
@@ -224,15 +238,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_pairs", oracle=None, tags=("X2",))
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS ({_simhash_oracle()}
+    ), q AS (
+      SELECT doc_id, fingerprint, unnest(l) AS qv, generate_subscripts(l, 1) AS qi
+      FROM (
+        SELECT doc_id, fingerprint,
+               [fingerprint & 65535,
+                (fingerprint >> 16) & 65535,
+                (fingerprint >> 32) & 65535,
+                (fingerprint >> 48) & 65535] AS l
+        FROM fp
+      )
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+    FROM q a JOIN q b ON a.qi = b.qi AND a.qv = b.qv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 8
+    """,
+    tags=("X2", "F7"),
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs: quarter-blocked (pigeonhole) then
-    exact Hamming ≤ 8 over the 64-bit fingerprints (catches 22/25 of the
-    fixture's Jaccard≥0.5 near-dups at sf0.01). Seeded xxhash64 has no
-    DuckDB twin, so rows-only; properties (a<b, hamming bounds, planted
-    near-dups collide) are covered in tests/test_dedup.py."""
+    """SimHash near-dup candidate pairs: quarter-blocked (pigeonhole)
+    then exact Hamming ≤ 8 over the fingerprints — under the EXACT hash
+    gate via the portable md5 token hash. The oracle joins on ANY equal
+    quarter and dedups; the Spark side's first-agreeing-quarter trick
+    produces the same pair set without the dedup exchange (the quarter
+    INDEX need not match across engines, only the surviving pairs)."""
     d = load(spark, sf_dir, "documents")
-    return dedup.simhash_near_dup_pairs(d, max_hamming=8).orderBy("id_a", "id_b")
+    return dedup.simhash_near_dup_pairs(
+        d, max_hamming=8, hash_family="md5"
+    ).orderBy("id_a", "id_b")
 
 
 @register(
