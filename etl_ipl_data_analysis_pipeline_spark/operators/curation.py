@@ -545,8 +545,10 @@ def negative_samples(
     group keeps a 100 TB-dominant group from pinning one reducer. Draw
     j of a row is the md5-derived 60-bit value of (id ':' j ':' salt)
     modulo N-1 (its draw-domain size minus self), shifted up by one
-    when >= p — exactly uniform over the positions that are not the
-    row's own. Targets resolve back to ids with ONE narrow join on
+    when >= p — uniform over the positions that are not the row's own
+    up to the negligible modulo bias of reducing a 2^60 draw domain
+    (<= (N-1)/2^60 per position). Targets resolve back to ids with ONE
+    narrow join on
     (group, position). Groups with fewer than 2 rows yield no pairs.
     ``id_col`` must be numeric (the boundary sketch is approxQuantile —
     same contract as the Z-order ranks); hash string ids upstream. Ids

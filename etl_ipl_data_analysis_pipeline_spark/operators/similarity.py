@@ -750,6 +750,11 @@ def embedding_dim_covariance(
     d-row broadcast. The token array is materialized before the HOF
     lambdas (interpreted, no CSE — the measured 30x trap).
 
+    Fixed-dimensionality contract: all (non-empty) vectors must share
+    one length d — ragged input would mix inconsistent populations in
+    the centering term and is rejected with a runtime error (see the
+    ragged guard below) rather than silently mis-estimated.
+
     Returns (i, j, n, cov, corr) for 0 <= i <= j < d.
     """
     v = F.col(vec_col)
@@ -818,6 +823,29 @@ def embedding_dim_covariance(
     diag = m.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("__k"), F.col("cov").alias("__var")
     )
+    # Fixed-dimensionality contract, enforced loudly: with ragged vectors
+    # the per-dim sums __si/__sj aggregate every vector HAVING dimension i
+    # while the cell count n covers only vectors having both i and j, so
+    # cov would silently mix inconsistent populations (neither the full
+    # nor the pairwise-complete estimate). Ragged input shows up as
+    # differing diagonal cell counts — a 1-row aggregate over the ALREADY
+    # COMPUTED d-row diagonal, no extra pass over the data — and the
+    # guard is folded guard-first into the output's n (coalesce + left
+    # operand placement so Catalyst can neither prune nor short-circuit
+    # it; the loud-guard pattern from zorder_ranks).
+    ragged = m.filter(F.col("i") == F.col("j")).agg(
+        F.count_distinct(F.col("n")).alias("__nd")
+    )
+    ragged_guard = F.coalesce(
+        F.assert_true(
+            F.col("__nd") <= 1,
+            F.lit(
+                "embedding_dim_covariance: ragged vector lengths — fixed "
+                "dimensionality is required (filter to the modal size first)"
+            ),
+        ).cast("bigint"),
+        F.lit(0),
+    )
     corr = F.when(
         (F.col("__vi") > 0) & (F.col("__vj") > 0),
         F.floor(
@@ -836,7 +864,8 @@ def embedding_dim_covariance(
             F.broadcast(diag.select(F.col("__k").alias("j"), F.col("__var").alias("__vj"))),
             "j",
         )
-        .select("i", "j", "n", "cov", corr.alias("corr"))
+        .crossJoin(F.broadcast(ragged))
+        .select("i", "j", (ragged_guard + F.col("n")).alias("n"), "cov", corr.alias("corr"))
     )
 
 

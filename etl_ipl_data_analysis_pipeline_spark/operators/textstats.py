@@ -367,7 +367,11 @@ def chi_square_drift(
     are taken over the terms whose pooled corpus frequency is >=
     ``min_count`` (rare-term cells make chi-square unstable AND unbounded
     at 100 TB; the threshold is an integer compare, so both engines keep
-    the identical vocabulary). Expected count e = (ct * n_g) / C where
+    the identical vocabulary), and zero-observation cells are excluded —
+    a kept term a group never observed contributes no (0-e)^2/e term for
+    that group, so the score is a per-observed-term divergence, not the
+    textbook statistic (see chi_square_from_counts for the trade-off).
+    Expected count e = (ct * n_g) / C where
     ct = pooled count of the term, n_g = the group's kept-token total,
     C = the pooled kept-token total — one double division of exact
     BIGINTs (products < 2^53 through ~10^7-token corpora; decimal-cast
@@ -413,7 +417,17 @@ def chi_square_from_counts(
     state in O(batch) and recomputes the statistic in O(vocab), never
     rescanning history). Same restricted-vocabulary and float
     discipline as chi_square_drift; counts must be exact occurrence
-    totals."""
+    totals.
+
+    Zero-observation cells are EXCLUDED: each group contributes
+    (o-e)^2/e terms only for the vocabulary terms it actually observed
+    (the inner join on the pooled vocab drops (group, term) cells with
+    o=0), so the statistic is smaller than the classical goodness-of-fit
+    value precisely for groups missing common terms entirely. That makes
+    it a per-observed-term divergence score — comparable across groups
+    and cheap to maintain incrementally (no group×vocab densification) —
+    not the textbook chi-square; add the missing e contributions via a
+    group×vocab left join if the classical statistic is required."""
     obs = obs.select(
         F.col(group_col), F.col(term_col).alias("term"), F.col(count_col).alias("__o")
     )

@@ -66,6 +66,53 @@ def run_kmv_stream(
     return sketches.kmv_build(empty, col, keys=keys, k=k)
 
 
+#: constant marker column persisted WITH the count state in the same
+#: atomic swap: the id of the last batch folded in. Summation is additive
+#: (NOT idempotent), so foreachBatch's at-least-once replay — crash after
+#: _swap_write but before the checkpoint commits — would double-count
+#: without it.
+_BATCH_MARKER = "__last_batch_id"
+
+
+def _merge_count_batch(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    keys: list[str],
+    count_col: str,
+) -> None:
+    """Fold one micro-batch into the persisted count table, exactly once:
+    the state carries the last applied batch id in every row (written in
+    the SAME atomic rename as the counts, so marker and counts can never
+    disagree), and a batch whose id is <= the stored marker is a no-op —
+    the replay-after-crash case the additive merge can't absorb on its
+    own. Module-level (not a closure) so replay semantics are directly
+    unit-testable."""
+    import pyspark.sql.functions as F
+
+    incoming = batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias(count_col)
+    )
+    sess = batch.sparkSession
+    if recover_swapped(sess, state_path):
+        current = sess.read.parquet(state_path)
+        if _BATCH_MARKER in current.columns:
+            last = current.select(F.max(_BATCH_MARKER)).first()[0]
+            if last is not None and batch_id <= last:
+                return  # at-least-once replay of an already-applied batch
+            current = current.drop(_BATCH_MARKER)
+        merged = (
+            current.unionByName(incoming)
+            .groupBy(*keys)
+            .agg(F.sum(count_col).cast("long").alias(count_col))
+        )
+    else:
+        merged = incoming
+    _swap_write(
+        merged.withColumn(_BATCH_MARKER, F.lit(batch_id).cast("long")), state_path
+    )
+
+
 def run_count_stream(
     stream_df: DataFrame,
     state_path: str,
@@ -77,31 +124,20 @@ def run_count_stream(
     (O(batch), map-side combined) and merges into the persisted state by
     summing — integer addition is associative and commutative, so the
     final table is bit-identical to a single-shot batch groupBy-count
-    whatever the micro-batch boundaries. Per batch: O(batch) reduction +
-    O(state) merge, never O(history). The KMV twin above maintains a
-    bounded sketch; this maintains the exact table — the incremental
-    shape of vocabulary / n-gram LM count upkeep, where min-count
-    pruning must happen at READ time (pruning during maintenance would
-    drop counts that later accumulate past the threshold). State writes
-    reuse the crash-safe temp-path + atomic-rename swap."""
+    whatever the micro-batch boundaries. Unlike the OR-idempotent bloom
+    and bottom-k KMV twins, summation is NOT replay-safe, so the state
+    carries a last-applied batch-id marker written in the same atomic
+    swap and re-delivered batches are skipped (see _merge_count_batch) —
+    exactly-once effective semantics under foreachBatch's at-least-once
+    contract. Per batch: O(batch) reduction + O(state) merge, never
+    O(history). The KMV twin above maintains a bounded sketch; this
+    maintains the exact table — the incremental shape of vocabulary /
+    n-gram LM count upkeep, where min-count pruning must happen at READ
+    time (pruning during maintenance would drop counts that later
+    accumulate past the threshold)."""
 
-    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
-        import pyspark.sql.functions as F
-
-        incoming = batch.groupBy(*keys).agg(
-            F.count(F.lit(1)).cast("long").alias(count_col)
-        )
-        sess = batch.sparkSession
-        if recover_swapped(sess, state_path):
-            current = sess.read.parquet(state_path)
-            merged = (
-                current.unionByName(incoming)
-                .groupBy(*keys)
-                .agg(F.sum(count_col).cast("long").alias(count_col))
-            )
-        else:
-            merged = incoming
-        _swap_write(merged, state_path)
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        _merge_count_batch(batch, batch_id, state_path, keys, count_col)
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -113,10 +149,11 @@ def run_count_stream(
     )
     q.awaitTermination()
     spark = stream_df.sparkSession
-    if recover_swapped(spark, state_path):
-        return spark.read.parquet(state_path)
     import pyspark.sql.functions as F
 
+    if recover_swapped(spark, state_path):
+        state = spark.read.parquet(state_path)
+        return state.drop(_BATCH_MARKER)
     return (
         spark.createDataFrame([], stream_df.schema)
         .groupBy(*keys)

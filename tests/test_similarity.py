@@ -328,3 +328,18 @@ def test_exact_twin_topk_recall(spark, vectors):
         ).collect()
     }
     assert len(exact_top1 & ivf) / len(exact_top1) >= 0.8
+
+
+def test_dim_covariance_rejects_ragged_vectors(spark):
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        similarity.embedding_dim_covariance(ragged).collect()
+    uniform = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 5.0]), (3, [0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {(r["i"], r["j"]): r for r in similarity.embedding_dim_covariance(uniform).collect()}
+    assert all(r["n"] == 3 for r in rows.values())  # guard adds zero on valid input

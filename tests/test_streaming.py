@@ -417,3 +417,34 @@ def test_bloom_stream_zero_batches_returns_empty(spark, tmp_path):
         stream, str(tmp_path / "bloom_empty_state"), "k"
     )
     assert got.columns == ["word_idx", "word"] and got.count() == 0
+
+
+def test_count_stream_replay_is_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the state swap and
+    the checkpoint commit re-delivers the batch. Summation is not
+    idempotent, so the batch-id marker (written in the same atomic swap)
+    must turn the re-delivery into a no-op — and a genuinely NEW batch id
+    must still merge."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    state = str(tmp_path / "replay_state")
+    batch = spark.createDataFrame([("a",), ("a",), ("b",)], "gram string")
+
+    sketch_stream._merge_count_batch(batch, 0, state, ["gram"], "n")
+    sketch_stream._merge_count_batch(batch, 0, state, ["gram"], "n")  # replay
+    counts = {
+        r["gram"]: r["n"]
+        for r in spark.read.parquet(state).drop("__last_batch_id").collect()
+    }
+    assert counts == {"a": 2, "b": 1}  # replay did not double-count
+
+    sketch_stream._merge_count_batch(batch, 1, state, ["gram"], "n")  # new batch
+    counts = {
+        r["gram"]: r["n"]
+        for r in spark.read.parquet(state).drop("__last_batch_id").collect()
+    }
+    assert counts == {"a": 4, "b": 2}
+    marker = spark.read.parquet(state).select(F.max("__last_batch_id")).first()[0]
+    assert marker == 1
