@@ -639,6 +639,84 @@ def minhash_dedup_cc(
     return df.join(losers, id_col, "left_anti")
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 2,
+    min_sim: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embeddings,
+    then drop every vector that has a WITHIN-CLUSTER neighbor with
+    cosine >= ``min_sim`` and a smaller id (keep-first, the
+    minhash_dedup contract applied to meaning instead of n-grams).
+    Returns the surviving rows of ``emb``.
+
+    Clustering is :func:`similarity.kmeans_exact` + the decimal
+    squared-distance argmin (the ivf_topk_exact assignment): every
+    routing decision is partitioning-independent and replayable in SQL,
+    so the FULL result — which natural near-duplicates get caught, not
+    just a planted floor — sits under an exact DuckDB oracle (unrolled
+    Lloyd CTEs + the same assignment/pair CTEs). An exact copy always
+    lands in its original's cell (identical vector, identical decimal
+    distances, same cid tie-break) at similarity 1.0, so recall on
+    exact duplicates is 1 by construction whatever the data.
+
+    Scale shape: the SemDeDup trade — pair cost is Σ_cells |cell|²,
+    controlled by ``k`` (cells of ~1k vectors at any corpus size keep
+    the self-join bounded); the join key is the cell id, so disjoint
+    cells never meet, and the 100 TB layout co-partitions members by
+    cell (write bucketed by cid, the persisted-IVF pattern). Cosine is
+    computed inside the join stage; losers reduce to a distinct id set
+    and anti-join back — no window over the corpus anywhere.
+    """
+    from .similarity import (
+        _as_double_array,
+        cosine_similarity,
+        kmeans_exact,
+    )
+
+    cents = kmeans_exact(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
+    ex = emb.select(
+        F.col(id_col).alias("__vid"),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
+    ).select("__vid", (F.col("pos0") + 1).alias("pos"), "v")
+    term = F.col("v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(cm), "pos")
+        .groupBy("__vid", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("__vid").orderBy("dist", "cid")
+    members = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("__vid", F.col("cid").alias("cell"))
+        .join(
+            emb.select(
+                F.col(id_col).alias("__vid"),
+                _as_double_array(F.col(vec_col)).alias("__vec"),
+            ),
+            "__vid",
+        )
+    )
+    a, b = members.alias("a"), members.alias("b")
+    sim = F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6)
+    losers = (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.__vid") < F.col("b.__vid")),
+        )
+        .filter(sim >= min_sim)
+        .select(F.col("b.__vid").alias(id_col))
+        .distinct()
+    )
+    return emb.join(losers, id_col, "left_anti")
+
+
 EDIT_JOIN_CONF = "spark.etl_ipl.editDistance.joinStrategy"
 
 

@@ -457,20 +457,21 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, probes, k=5, probe_id_col="query_id")
 
 
-def _kmeans_cte(k: int, iters: int) -> tuple[str, str]:
+def _kmeans_cte(k: int, iters: int, src: str = "embeddings") -> tuple[str, str]:
     """(WITH-clause body, final-CTE name) for the unrolled Lloyd rounds —
-    shared by the kmeans oracle and the exact-IVF oracle that builds its
-    coarse centroids with the same machinery."""
+    shared by the kmeans oracle, the exact-IVF oracle that builds its
+    coarse centroids with the same machinery, and the semantic-dedup
+    oracle (which points ``src`` at a planted-union CTE)."""
     parts = [
         f"""ex AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v
-      FROM embeddings
+      FROM {src}
     ), c0 AS (
       SELECT row_number() OVER (PARTITION BY pos ORDER BY vid) - 1 AS cid,
              pos, v AS c
       FROM ex
-      WHERE vid IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+      WHERE vid IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {k})
     )"""
     ]
     prev = "c0"
@@ -1244,6 +1245,69 @@ def kmeans_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     model building; this is the auditable one."""
     e = load(spark, sf_dir, "embeddings")
     return similarity.kmeans_exact(e, k=4, iters=2)
+
+
+def _semantic_dedup_oracle(k: int, iters: int, min_sim: float, every: int) -> str:
+    """Oracle twin of operators/dedup.semantic_dedup over the planted
+    union (every ``every``-th embedding mirrored at +200000): the shared
+    unrolled-Lloyd CTEs pointed at the union, 6dp-floored centroids, the
+    decimal assignment argmin, within-cell cosine pairs, keep-smallest-id
+    survivors. The FULL survivor set is replayed — natural near-dups
+    included — not just the planted recall floor."""
+    body, last = _kmeans_cte(k, iters, src="corpus")
+    return f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % {every} = 0
+    ), {body}, cm AS (
+      SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
+    ), dists AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
+    ), acell AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), losers AS (
+      SELECT DISTINCT y.vid
+      FROM acell x
+      JOIN acell y ON y.cid = x.cid AND x.vid < y.vid
+      JOIN corpus pe ON pe.vec_id = x.vid
+      JOIN corpus ce ON ce.vec_id = y.vid
+      WHERE {_COS6_SQL} >= {min_sim}
+    )
+    SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vid FROM losers)
+    """
+
+
+@register(
+    "dedup_semantic_planted",
+    oracle=_semantic_dedup_oracle(16, 2, 0.99, 10),
+    tags=("X2", "X3", "J10", "F5"),
+)
+def dedup_semantic_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup)
+    under the EXACT hash gate: an exact copy of every 10th embedding is
+    planted at vec_id + 200000, the corpus is clustered with the
+    decimal-exact Lloyd rounds, and within-cluster cosine >= 0.99
+    neighbors of a smaller id are dropped. Every mirror lands in its
+    original's cell (identical vector -> identical decimal distances ->
+    same argmin) at similarity 1.0, so all mirrors die and all
+    originals' survival depends only on natural near-dups — and the
+    oracle replays the ENTIRE pipeline (clustering included), so any
+    routing or scoring drift anywhere breaks the hash."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    return dedup.semantic_dedup(
+        e.unionByName(planted), k=16, iters=2, min_sim=0.99
+    ).select("vec_id")
 
 
 @register(

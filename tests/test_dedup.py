@@ -307,3 +307,19 @@ def test_md5_family_matches_xx_recall_on_planted_set(spark, docs):
     }
     assert fps[0] == fps[200]  # identical text -> identical fingerprint
     assert all(fp >> 60 == 0 for fp in fps.values())  # 60-bit hash: top bits 0
+
+
+def test_semantic_dedup_drops_exact_embedding_copies(spark):
+    import random
+
+    rnd = random.Random(7)
+    base = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(12)]
+    mirrors = [(100 + i, vec) for i, vec in base[:3]]  # exact copies, larger ids
+    emb = spark.createDataFrame(base + mirrors, "vec_id long, embedding array<double>")
+    survivors = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(emb, k=3, iters=2, min_sim=0.999).collect()
+    }
+    # recall 1 on exact copies (same cell by identical decimal distances),
+    # no false drops among the random base vectors
+    assert survivors == {i for i, _ in base}
