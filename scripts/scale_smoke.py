@@ -118,6 +118,44 @@ def main() -> int:
             lambda: similarity.embedding_dim_covariance(embs, "embedding"),
             "dim_covariance",
         ),
+        # round-7 d-sweep (VERDICT r6 item 5): at d=256 the cell count is
+        # 16x the d=64 run (32,896 vs 2,080) — wall-time may grow with the
+        # d^2 codegen CPU but must NOT blow up with rows x cells shuffle
+        # (the partial agg keeps shuffle at partitions x cells)
+        "dim_covariance_d256": t(
+            lambda: similarity.embedding_dim_covariance(
+                embs.select(
+                    F.flatten(
+                        F.array(
+                            F.col("embedding"),
+                            F.transform(F.col("embedding"), lambda x: x * 0.5 + 1.0),
+                            F.transform(F.col("embedding"), lambda x: x * -1.0),
+                            F.transform(F.col("embedding"), lambda x: x * 2.0 - 3.0),
+                        )
+                    ).alias("embedding")
+                ),
+                "embedding",
+            ),
+            "dim_covariance_d256",
+        ),
+        # round-7: SemDeDup — replicas carry IDENTICAL embedding values
+        # under shifted ids, so every vector sits in a factor-sized
+        # exact-dup cluster inside one k-means cell: the within-cell
+        # self-join must stay sum-of-cell^2 bounded and drop exactly the
+        # (factor-1)/factor non-minimal ids
+        "semantic_dedup": t(
+            lambda: dedup.semantic_dedup(embs, k=16, iters=2, min_sim=0.99),
+            "semantic_dedup",
+        ),
+        # round-7: the portable md5 universal-hash family (what the
+        # oracled queries run) next to the xxhash64 default above —
+        # records the md5-per-shingle premium at volume
+        "minhash_pairs_md5": t(
+            lambda: dedup.minhash_near_dup_pairs(
+                docs, min_jaccard=0.5, hash_family="md5"
+            ),
+            "minhash_pairs_md5",
+        ),
         # round-6: exact-gated Lloyd k-means — O(n*k) per round, broadcast
         # centroids, must stay ~linear in corpus size
         "kmeans_exact": t(
