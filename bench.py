@@ -29,7 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one per expensive plan family (scan-agg, star join, window,
 # range/as-of join, flatten, dedup, ANN, text, graph, sketch, layout, DQ) —
 # the shapes that dominate at 100 TB, not the trivial lookups. The last four
-# joined in round 6 so regressions in the r4/r5 surface stay visible.
+# joined in round 6 so regressions in the r4/r5 surface stay visible; the
+# round-7 tail tracks the de-globaled window family (distributed
+# ntile/cumsum/positions) and the new semantic dedup. dedup_minhash_pairs
+# runs the portable md5 family since round 7 (it gained an exact oracle) —
+# its timing includes the md5-per-shingle premium by design.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
@@ -64,6 +68,13 @@ HEADLINE = [
     "embedding_dim_covariance",
     "dedup_span_c4",
     "embedding_standardize_head",
+    "feature_binning_decile",
+    "pareto_part_classes",
+    "revenue_gini",
+    "dedup_semantic_planted",
+    "lm_surprisal_scores",
+    "nb_lang_confusion",
+    "bpe_train_merges",
 ]
 
 

@@ -463,3 +463,295 @@ def chi_square_from_counts(
             F.sum("__chi").cast("double").alias("chi2"),
         )
     )
+
+
+def lm_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_max_avg: float | None = None,
+) -> DataFrame:
+    """Per-document corpus-LM surprisal score — the CCNet-style
+    "perplexity filter" stage of a crawl-curation pipeline (score every
+    document under a language model trained on the corpus itself; drop
+    the tail whose average surprisal says the LM finds them improbable:
+    boilerplate, encoding noise, wordlists), re-expressed without libm so
+    the score is bit-identical across engines.
+
+    Model: add-one-smoothed bigram LM over normalized whitespace tokens.
+    For each bigram occurrence (w1, w2) the smoothed probability is
+    p = (c2 + 1) / (c1 + V) with c2 = corpus count of the bigram,
+    c1 = bigram-marginal count of the context (sum of c2 over all
+    successors of w1 — NOT the raw unigram count, so probabilities per
+    context sum to exactly 1), and V = corpus distinct-token count. The
+    per-occurrence surprisal is the INTEGER floor(log2(1/p)) =
+    length(bin((c1 + V) div (c2 + 1))) - 1 — exact by the identity
+    floor(log2(a/b)) = bit_length(a div b) - 1 for integers a >= b >= 1
+    (proof: q = a div b >= 1 implies q <= a/b < q+1 <= 2^(bit_length(q)),
+    and log2 is monotone) — so the whole pipeline is integer arithmetic
+    until one final exact-ratio double division, rounded half-up to 4dp:
+    the chi_square_drift no-libm discipline applied to perplexity.
+
+    Per document: n_bigrams, sum_surprisal (BIGINT), avg_surprisal
+    (NULL for docs with < 2 tokens), and — when ``keep_max_avg`` is set —
+    a ``keep`` flag (avg <= threshold; short docs are kept: the filter
+    targets improbable TEXT, not absence of text).
+
+    Scale: one explode of the corpus into bigram occurrences feeds both
+    the count aggregate and the scoring probe (identical subplans — AQE
+    reuses the exchange, the gram_novelty pattern); the context-marginal
+    c1 re-aggregates the c2 table (vocabulary-sized, never the corpus);
+    V is a 1-row broadcast. Two gram-keyed shuffles + one w1-keyed join
+    + one doc-keyed aggregate; natural-language gram keys are ~uniform,
+    no salting needed. No collect, no cartesian, nothing unbounded.
+    """
+    from .curation import _contiguous_grams
+
+    base = _gram_base(df, id_col, text_col)
+    grams = base.select(
+        F.col(id_col), F.explode(_contiguous_grams("__t", 2)).alias("gram")
+    )
+    c2 = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = (
+        c2.withColumn("__w1", F.substring_index("gram", " ", 1))
+        .groupBy("__w1")
+        .agg(F.sum("__c2").alias("__c1"))
+    )
+    vstats = (
+        base.select(F.explode("__t").alias("__tok"))
+        .agg(F.countDistinct("__tok").alias("__v"))
+    )
+    # integer div, NOT double /: the bit_length identity needs the exact
+    # integer quotient (bin() of a double would round through 2^53)
+    s = (
+        F.length(F.bin(F.expr("(__c1 + __v) div (__c2 + 1)"))) - F.lit(1)
+    ).cast("bigint")
+    per_doc = (
+        grams.join(c2, "gram")
+        .withColumn("__w1", F.substring_index("gram", " ", 1))
+        .join(c1, "__w1")
+        .crossJoin(F.broadcast(vstats))
+        .select(F.col(id_col), s.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__s").alias("sum_surprisal"),
+        )
+    )
+    nb = F.coalesce("n_bigrams", F.lit(0).cast("bigint"))
+    ss = F.coalesce("sum_surprisal", F.lit(0).cast("bigint"))
+    avg = F.when(
+        nb > 0,
+        F.floor(ss.cast("double") / nb * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4),
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        nb.alias("n_bigrams"),
+        ss.alias("sum_surprisal"),
+        avg.alias("avg_surprisal"),
+    )
+    if keep_max_avg is not None:
+        out = out.withColumn(
+            "keep",
+            F.coalesce(F.col("avg_surprisal") <= F.lit(keep_max_avg), F.lit(True)),
+        )
+    return out
+
+
+def nb_classify(
+    df: DataFrame,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial Naive Bayes classifier trained ON the corpus and
+    applied back to it (resubstitution), returning the confusion matrix
+    (class_col, predicted, n_docs) — the trained twin of the heuristic
+    ``lang_id`` stage: a curation pipeline trains exactly this shape
+    (fastText-style label-from-bag-of-words) to audit whether a labeled
+    attribute is actually predictable from the text, and to route
+    unlabeled documents.
+
+    No-libm discipline: the usual sum-of-log-probabilities is replaced
+    by INTEGER surprisal weights — per (class, term) occurrence
+    wt = floor(log2((N_c + V) / (n_cw + 1))) and per class prior
+    sp = floor(log2(D / D_c)), both exact via the bit_length identity
+    (see lm_surprisal). A document's class score is
+    sp(c) + sum(m_w * wt(c, w)) over its term multiplicities; predicted
+    = argmin score with lexicographic class tie-break. Everything is
+    BIGINT end to end, so the oracle twin is exact.
+
+    Scale: one explode into (doc, term) occurrences, pre-aggregated to
+    (doc, term, multiplicity) so the class fanout multiplies the DISTINCT
+    doc-term relation, not raw occurrences; the model tables (class x
+    vocab counts, class totals, priors) aggregate off that same explode
+    and stay vocabulary-bounded; classes (a handful) broadcast onto the
+    probe, so scoring is one term-keyed shuffle + one doc-keyed
+    aggregate + one per-doc argmin window (partitioned by doc). The
+    1-row corpus aggregates (V, D) ride broadcast nested loops — the
+    accepted k-row shape.
+    """
+    base = _gram_base(df, id_col, text_col)
+    toked = df.select(F.col(id_col), F.col(class_col)).join(
+        base.select(
+            F.col(id_col), F.explode("__t").alias("term")
+        ),
+        id_col,
+    )
+    # model: class x term counts, class token totals, vocab size, priors
+    cls_term = toked.groupBy(class_col, "term").agg(
+        F.count(F.lit(1)).alias("__ncw")
+    )
+    cls_tot = cls_term.groupBy(class_col).agg(F.sum("__ncw").alias("__nc"))
+    vstats = base.select(F.explode("__t").alias("__tok")).agg(
+        F.countDistinct("__tok").alias("__v")
+    )
+    doc_counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__dc"))
+    dstats = df.agg(F.count(F.lit(1)).alias("__d"))
+    priors = (
+        doc_counts.crossJoin(F.broadcast(dstats))
+        .select(
+            F.col(class_col).alias("__cls"),
+            (F.length(F.bin(F.expr("__d div __dc"))) - F.lit(1))
+            .cast("bigint")
+            .alias("__sp"),
+        )
+    )
+    classes = cls_tot.select(
+        F.col(class_col).alias("__cls"), F.col("__nc")
+    )
+    # probe: distinct (doc, term, multiplicity) x classes
+    dt = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__m"))
+    wt = (
+        F.length(F.bin(F.expr("(__nc + __v) div (coalesce(__ncw, 0) + 1)")))
+        - F.lit(1)
+    ).cast("bigint")
+    scored = (
+        dt.crossJoin(F.broadcast(classes))
+        .join(
+            cls_term.select(
+                F.col(class_col).alias("__cls"), "term", "__ncw"
+            ),
+            ["__cls", "term"],
+            "left",
+        )
+        .crossJoin(F.broadcast(vstats))
+        .select(F.col(id_col), F.col("__cls"), (F.col("__m") * wt).alias("__s"))
+        .groupBy(id_col, "__cls")
+        .agg(F.sum("__s").alias("__score"))
+        .join(F.broadcast(priors), "__cls")
+        .select(
+            F.col(id_col),
+            F.col("__cls"),
+            (F.col("__score") + F.col("__sp")).alias("__total"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("__total"), F.asc("__cls"))
+    predicted = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cls").alias("predicted"))
+    )
+    return (
+        df.select(F.col(id_col), F.col(class_col))
+        .join(predicted, id_col, "left")
+        .groupBy(class_col, "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    top_words: int = 2000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train byte-pair-encoding merges on the corpus — the tokenizer-
+    TRAINING stage of an LLM data pipeline (the catalog already tokenizes
+    with a fixed BPE-ish regex; this learns the merge table itself).
+    Returns one row per merge round: (step, pair, merged, pair_count).
+
+    Classic word-level BPE: the corpus collapses to a (word, freq) table
+    capped at the ``top_words`` most frequent words (freq desc, word asc —
+    deterministic cap); each word starts as its space-joined characters
+    plus a terminal '</w>' symbol; each round counts freq-weighted
+    adjacent symbol pairs, merges the argmax (count desc, pair asc
+    tie-break) everywhere, and repeats.
+
+    The merge application is pure string replace, made exact and
+    portable by a TWO-PASS padded replace: searching ' a b ' in
+    ' '||s||' ' consumes the trailing space, so a single left-to-right
+    pass skips the second of two adjacent occurrences ('a b a b').
+    After one pass the skipped occurrences are isolated singles (two
+    adjacent leftovers would require the scan to have consumed both
+    boundaries, impossible), and a merge never creates a fresh
+    occurrence of its own pair (the merged symbol is strictly longer
+    than either side), so a second identical pass reaches the
+    no-occurrence fixpoint. The result is deterministic and
+    bit-identical across engines (plain replace is left-to-right
+    non-overlapping in Spark and DuckDB alike; no regex, no libm);
+    note that for runs of a SELF-adjacent pair ('a a a a a') the
+    pass-1 skip makes the merge positions differ from reference BPE's
+    single-sweep greedy ('aa a aa' here vs 'aa aa a') — a valid BPE
+    variant; cross-engine exactness, not reference-implementation
+    parity, is the contract.
+
+    Scale: the corpus is touched ONCE (word-frequency aggregate — one
+    term-keyed shuffle); every round after that runs on the bounded
+    top_words relation: a pair explode (~chars per word), a pair-keyed
+    aggregate, and a 1-row argmax collect — the kmeans k-row-collect
+    shape. Rounds chain lazily on a vocabulary-sized frame, so plan
+    depth grows with n_merges, never with the corpus."""
+    from .curation import _contiguous_grams
+    from .dedup import tokens
+
+    toks = df.select(tokens(text_col).alias("__t")).select(
+        F.filter("__t", lambda t: t != F.lit("")).alias("__t")
+    )
+    words = (
+        toks.select(F.explode("__t").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+    )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.concat(F.concat_ws(" ", chars), F.lit(" </w>")).alias("s"),
+    )
+    spark = df.sparkSession
+    out_rows = []
+    for step in range(1, n_merges + 1):
+        syms = cur.select("freq", F.split("s", " ").alias("__sy"))
+        top = (
+            syms.select(
+                "freq", F.explode(_contiguous_grams("__sy", 2)).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            raise ValueError(f"bpe_train: no adjacent pairs left at step {step}")
+        pair, cnt = top[0]["pair"], top[0]["pair_count"]
+        merged = pair.replace(" ", "")
+        out_rows.append((step, pair, merged, cnt))
+        padded = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+        search, repl = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        cur = cur.select(
+            "word",
+            "freq",
+            F.trim(F.replace(F.replace(padded, search, repl), search, repl)).alias(
+                "s"
+            ),
+        )
+    return spark.createDataFrame(
+        out_rows, "step int, pair string, merged string, pair_count bigint"
+    )

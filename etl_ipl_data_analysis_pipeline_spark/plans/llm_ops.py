@@ -2267,3 +2267,204 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("checksum"),
     )
+
+
+# bigram twin of _GRAMS3_SQL: i-th gram is the 2-element slice at i
+# (DuckDB list slices are inclusive), i in [1, len-1]
+_GRAMS2_SQL = (
+    "CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_transform(range(1, len(t)), "
+    "i -> array_to_string(t[i:i+1], ' ')) END"
+)
+
+
+@register(
+    "lm_surprisal_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, gram, str_split(gram, ' ')[1] AS w1 FROM (
+        SELECT doc_id, unnest({_GRAMS2_SQL}) AS gram FROM toks
+      )
+    ), c2 AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY 1
+    ), c1 AS (
+      SELECT str_split(gram, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM c2 GROUP BY 1
+    ), vs AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    ), sc AS (
+      SELECT doc_id,
+             CAST(length(bin(CAST((c1 + v) // (c2 + 1) AS BIGINT))) - 1
+                  AS BIGINT) AS s
+      FROM grams JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN vs
+    ), pd AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s) AS BIGINT) AS sum_surprisal
+      FROM sc GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(sum_surprisal, 0) AS BIGINT) AS sum_surprisal,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN floor(CAST(sum_surprisal AS DOUBLE) / n_bigrams * 1e4
+                           + 0.5) / 1e4
+           END AS avg_surprisal,
+           CASE WHEN coalesce(n_bigrams, 0) > 0
+                THEN floor(CAST(sum_surprisal AS DOUBLE) / n_bigrams * 1e4
+                           + 0.5) / 1e4 <= 4.4
+                ELSE TRUE
+           END AS keep
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    tags=("X4", "X6", "A4", "F5"),
+)
+def lm_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter, libm-free: every document scored
+    under an add-one-smoothed bigram LM trained on the corpus itself,
+    with INTEGER per-bigram surprisal floor(log2(1/p)) via the exact
+    bit_length identity (operators/textstats.lm_surprisal) and a keep
+    flag at avg <= 4.4 (drops the high-surprisal tail at both fixture
+    SFs). The corpus is scanned once into bigram occurrences feeding
+    both the count aggregate and the scoring probe (AQE exchange
+    reuse); everything is integer until one final exact-ratio rounded
+    division, so the oracle twin is exact."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    return ts.lm_surprisal(d, keep_max_avg=4.4)
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS_SQL} AS t FROM documents
+    ), occ AS (
+      SELECT doc_id, lang, unnest(t) AS term FROM toks
+    ), cls_term AS (
+      SELECT lang AS cls, term, CAST(count(*) AS BIGINT) AS ncw
+      FROM occ GROUP BY 1, 2
+    ), cls_tot AS (
+      SELECT cls, CAST(sum(ncw) AS BIGINT) AS nc FROM cls_term GROUP BY 1
+    ), vs AS (
+      SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM occ
+    ), dc AS (
+      SELECT lang AS cls, CAST(count(*) AS BIGINT) AS ndc
+      FROM documents GROUP BY 1
+    ), dtot AS (
+      SELECT CAST(count(*) AS BIGINT) AS d FROM documents
+    ), priors AS (
+      SELECT cls, CAST(length(bin(CAST(d // ndc AS BIGINT))) - 1 AS BIGINT)
+                 AS sp
+      FROM dc CROSS JOIN dtot
+    ), dt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS m
+      FROM occ GROUP BY 1, 2
+    ), sc AS (
+      SELECT dt.doc_id, c.cls,
+             sum(m * (length(bin(CAST((nc + v) // (coalesce(ncw, 0) + 1)
+                                      AS BIGINT))) - 1)) AS score
+      FROM dt CROSS JOIN cls_tot c
+      LEFT JOIN cls_term ct ON ct.cls = c.cls AND ct.term = dt.term
+      CROSS JOIN vs
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, sc.cls, score + sp AS total FROM sc JOIN priors USING (cls)
+    ), pred AS (
+      SELECT doc_id, cls AS predicted FROM (
+        SELECT doc_id, cls,
+               row_number() OVER (PARTITION BY doc_id ORDER BY total, cls) AS rn
+        FROM tot
+      ) WHERE rn = 1
+    )
+    SELECT d.lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN pred USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    tags=("X4", "X6", "A4", "W1", "J5"),
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes language classifier, resubstitution
+    confusion matrix (operators/textstats.nb_classify): integer surprisal
+    weights via the exact floor-log2 bit_length identity stand in for
+    sum-of-log-probabilities, so the trained model AND its predictions are
+    bit-identical across engines — the corpus-QA answer to "is the lang
+    label actually predictable from the text". The class fanout rides the
+    distinct (doc, term) relation with a broadcast 5-row class table; the
+    argmin is a per-doc partitioned window."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    return ts.nb_classify(d, class_col="lang")
+
+
+def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 2000) -> str:
+    """Unrolled-round DuckDB twin of operators/textstats.bpe_train — the
+    kmeans_clusters_exact pattern (iterative training as chained CTEs).
+    Each round: freq-weighted adjacent-pair counts over the current
+    symbol strings, argmax (count desc, pair asc), then the same TWO-PASS
+    padded replace the Spark side applies (see bpe_train's fixpoint
+    argument)."""
+    pair_sql = (
+        "CASE WHEN len(sy) < 2 THEN CAST([] AS VARCHAR[]) "
+        "ELSE list_transform(range(1, len(sy)), "
+        "i -> array_to_string(sy[i:i+1], ' ')) END"
+    )
+    merge_sql = (
+        "trim(replace(replace(' ' || s || ' ', ' ' || pair || ' ', "
+        "' ' || replace(pair, ' ', '') || ' '), ' ' || pair || ' ', "
+        "' ' || replace(pair, ' ', '') || ' '))"
+    )
+    ctes = [
+        f"toks AS (SELECT {_TOKS_SQL} AS t FROM documents)",
+        "wc AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1)",
+        f"words AS (SELECT word, freq FROM wc ORDER BY freq DESC, word"
+        f" LIMIT {top_words})",
+        "w0 AS (SELECT word, freq, array_to_string("
+        "list_transform(range(1, length(word) + 1),"
+        " i -> substr(word, i, 1)), ' ') || ' </w>' AS s FROM words)",
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(
+            f"p{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count"
+            f" FROM (SELECT freq, unnest({pair_sql}) AS pair"
+            f" FROM (SELECT freq, str_split(s, ' ') AS sy FROM w{r - 1}))"
+            f" GROUP BY 1)"
+        )
+        ctes.append(
+            f"t{r} AS (SELECT pair, pair_count FROM p{r}"
+            f" ORDER BY pair_count DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"w{r} AS (SELECT word, freq, {merge_sql} AS s"
+            f" FROM w{r - 1} CROSS JOIN t{r})"
+        )
+    selects = [
+        f"SELECT CAST({r} AS INT) AS step, pair,"
+        f" replace(pair, ' ', '') AS merged, pair_count FROM t{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle_sql(),
+    tags=("X4", "A4", "SO3"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING: learn the first 8 BPE merges from the corpus
+    word-frequency table (operators/textstats.bpe_train) — corpus scanned
+    once, every round runs on the bounded top-2000 word relation with a
+    1-row argmax collect (the kmeans shape). Merge application is the
+    two-pass padded replace, deterministic and engine-identical; the
+    oracle unrolls the same 8 rounds as chained CTEs."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    return ts.bpe_train(d, n_merges=8, top_words=2000)

@@ -1,0 +1,222 @@
+"""Round-7 LM ops (operators/textstats): corpus-LM surprisal filter,
+Naive Bayes classifier, BPE merge training — each against a pure-Python
+mirror of the exact integer semantics (the floor-log2 bit_length
+identity, the two-pass padded replace), Hypothesis-driven where the
+input space matters."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+WORDS = ["the", "cat", "sat", "mat", "dog", "ran", "a", "on"]
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return [t for t in re.sub(r"\s+", " ", text.lower()).strip().split(" ") if t]
+
+
+def _surprisal(a: int, b: int) -> int:
+    """floor(log2(a/b)) for integers a >= b >= 1, exactly."""
+    return (a // b).bit_length() - 1
+
+
+def _mirror_lm_surprisal(texts: dict[int, str]) -> dict[int, tuple[int, int]]:
+    toks = {i: _norm_tokens(t) for i, t in texts.items()}
+    bigrams: dict[int, list[tuple[str, str]]] = {
+        i: list(zip(t, t[1:])) for i, t in toks.items()
+    }
+    c2: dict[tuple[str, str], int] = {}
+    for bs in bigrams.values():
+        for b in bs:
+            c2[b] = c2.get(b, 0) + 1
+    c1: dict[str, int] = {}
+    for (w1, _), n in c2.items():
+        c1[w1] = c1.get(w1, 0) + n
+    vocab = {w for t in toks.values() for w in t}
+    v = len(vocab)
+    out = {}
+    for i, bs in bigrams.items():
+        ss = sum(_surprisal(c1[b[0]] + v, c2[b] + 1) for b in bs)
+        out[i] = (len(bs), ss)
+    return out
+
+
+texts_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts_strategy)
+def test_lm_surprisal_matches_python_mirror(spark, texts):
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_surprisal"], r["avg_surprisal"])
+        for r in textstats.lm_surprisal(df).collect()
+    }
+    mirror = _mirror_lm_surprisal(dict(enumerate(texts)))
+    assert set(got) == set(range(len(texts)))
+    for i in range(len(texts)):
+        n, ss = mirror.get(i, (0, 0))
+        import math
+
+        want_avg = math.floor(ss / n * 1e4 + 0.5) / 1e4 if n else None
+        assert got[i] == (n, ss, want_avg), f"doc {i}"
+
+
+def test_lm_surprisal_short_docs_kept(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [(0, "single"), (1, ""), (2, "two tokens here")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textstats.lm_surprisal(df, keep_max_avg=0.0).collect()
+    }
+    # <2-token docs: no bigrams, NULL avg, kept (the filter targets
+    # improbable text, not absence of text)
+    for i in (0, 1):
+        assert rows[i]["n_bigrams"] == 0
+        assert rows[i]["avg_surprisal"] is None
+        assert rows[i]["keep"] is True
+    # a real doc with avg > threshold 0.0 is dropped
+    assert rows[2]["n_bigrams"] == 2 and rows[2]["keep"] is False
+
+
+def _mirror_nb(rows: list[tuple[int, str, str]]) -> dict[int, str]:
+    toks = {i: _norm_tokens(t) for i, _, t in rows}
+    cls_of = {i: c for i, c, _ in rows}
+    classes = sorted({c for _, c, _ in rows})
+    ncw: dict[tuple[str, str], int] = {}
+    nc: dict[str, int] = {}
+    for i, t in toks.items():
+        for w in t:
+            ncw[(cls_of[i], w)] = ncw.get((cls_of[i], w), 0) + 1
+            nc[cls_of[i]] = nc.get(cls_of[i], 0) + 1
+    vocab = {w for t in toks.values() for w in t}
+    v = len(vocab)
+    d = len(rows)
+    dc: dict[str, int] = {}
+    for _, c, _ in rows:
+        dc[c] = dc.get(c, 0) + 1
+    pred = {}
+    for i, t in toks.items():
+        if not t:
+            pred[i] = None
+            continue
+        best = None
+        for c in classes:
+            score = _surprisal(d, dc[c]) + sum(
+                _surprisal(nc.get(c, 0) + v, ncw.get((c, w), 0) + 1) for w in t
+            )
+            if best is None or (score, c) < best:
+                best = (score, c)
+        pred[i] = best[1]
+    return pred
+
+
+def test_nb_classify_matches_python_mirror(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the dog ran on the mat"),
+        (2, "fr", "le chat le chien le tapis"),
+        (3, "fr", "le chien et le chat"),
+        (4, "en", "a cat and a dog"),
+        (5, "fr", "le chat"),
+        (6, "en", ""),  # empty text -> NULL prediction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["lang"], r["predicted"]): r["n_docs"]
+        for r in textstats.nb_classify(df, class_col="lang").collect()
+    }
+    pred = _mirror_nb(rows)
+    want: dict[tuple[str, str | None], int] = {}
+    for i, c, _ in rows:
+        key = (c, pred[i])
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+    # resubstitution on separable vocab must be perfect for non-empty docs
+    assert all(pred[i] == c for i, c, t in rows if _norm_tokens(t))
+
+
+def _mirror_bpe(words: dict[str, int], n_merges: int):
+    cur = {w: " ".join(list(w)) + " </w>" for w in words}
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs: dict[str, int] = {}
+        for w, s in cur.items():
+            sy = s.split(" ")
+            for a, b in zip(sy, sy[1:]):
+                pairs[f"{a} {b}"] = pairs.get(f"{a} {b}", 0) + words[w]
+        if not pairs:
+            break
+        top = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        pair, cnt = top
+        merged = pair.replace(" ", "")
+        out.append((step, pair, merged, cnt))
+        cur = {
+            w: f" {s} ".replace(f" {pair} ", f" {merged} ")
+            .replace(f" {pair} ", f" {merged} ")
+            .strip(" ")
+            for w, s in cur.items()
+        }
+    return out
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.sampled_from(["aba", "abab", "banana", "aa", "aaaaa", "cab", "bc"]),
+        st.integers(min_value=1, max_value=9),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_bpe_train_matches_python_mirror(spark, words):
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    # one doc per word repeated freq times keeps the corpus word-frequency
+    # table equal to `words` exactly
+    df = spark.createDataFrame(
+        [(i, " ".join([w] * f)) for i, (w, f) in enumerate(sorted(words.items()))],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in textstats.bpe_train(df, n_merges=4).collect()
+    ]
+    assert got == _mirror_bpe(words, 4)
+
+
+def test_bpe_self_pair_run_documented_variant(spark):
+    """'a a a a a' with top pair (a,a): the two-pass padded replace merges
+    positions (0,1) and (3,4) — 'aa a aa', the documented deviation from
+    single-sweep greedy 'aa aa a' — and reaches the no-occurrence fixpoint
+    in two passes."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame([(0, "aaaaa")], "doc_id long, text string")
+    got = [
+        (r["step"], r["pair"], r["merged"], r["pair_count"])
+        for r in textstats.bpe_train(df, n_merges=2).collect()
+    ]
+    # round 1: chars 'a a a a a </w>' -> pair 'a a' (count 4 occurrences
+    # weighted by freq 1), two-pass merge -> 'aa a aa </w>'
+    assert got[0] == (1, "a a", "aa", 4)
+    # round 2 runs on 'aa a aa </w>': top pair by (count desc, pair asc)
+    assert got[1] == _mirror_bpe({"aaaaa": 1}, 2)[1]
