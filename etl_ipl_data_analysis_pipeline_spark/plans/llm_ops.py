@@ -2468,3 +2468,90 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return ts.bpe_train(d, n_merges=8, top_words=2000)
+
+
+# shared doc-level surprisal CTE chain (toks -> ... -> pd), the oracle twin
+# of operators/textstats.lm_surprisal's per-doc (n_bigrams, sum_surprisal)
+_LM_PD_CTES = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, gram, str_split(gram, ' ')[1] AS w1 FROM (
+        SELECT doc_id, unnest({_GRAMS2_SQL}) AS gram FROM toks
+      )
+    ), c2 AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS c2 FROM grams GROUP BY 1
+    ), c1 AS (
+      SELECT str_split(gram, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      FROM c2 GROUP BY 1
+    ), vs AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(t) AS tok FROM toks)
+    ), sc AS (
+      SELECT doc_id,
+             CAST(length(bin(CAST((c1 + v) // (c2 + 1) AS BIGINT))) - 1
+                  AS BIGINT) AS s
+      FROM grams JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN vs
+    ), pd AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s) AS BIGINT) AS sum_surprisal
+      FROM sc GROUP BY 1
+    )"""
+
+
+@register(
+    "surprisal_tertile_mixture",
+    oracle=f"""
+    WITH {_LM_PD_CTES},
+    scored AS (
+      SELECT doc_id, sum_surprisal,
+             floor(CAST(sum_surprisal AS DOUBLE) / n_bigrams * 1e4 + 0.5)
+                 / 1e4 AS avg_surprisal
+      FROM pd WHERE n_bigrams > 0
+    ), binned AS (
+      SELECT *, ntile(3) OVER (ORDER BY avg_surprisal, doc_id) AS tertile
+      FROM scored
+    )
+    SELECT CAST(tertile AS INT) AS tertile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(avg_surprisal) AS min_avg,
+           max(avg_surprisal) AS max_avg,
+           CAST(sum(sum_surprisal) AS BIGINT) AS total_surprisal
+    FROM binned GROUP BY 1
+    """,
+    tags=("X4", "X6", "W1", "A4"),
+)
+def surprisal_tertile_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: documents binned into perplexity
+    tertiles (equal-frequency thirds of the corpus by LM surprisal) —
+    the bucketing that CCNet samples its training mixture from. Composes
+    the round-7 surprisal scorer with the distributed exact ntile
+    (operators/layout._exact_ntile): the tertile assignment is
+    bit-identical to ntile(3) OVER (ORDER BY avg_surprisal, doc_id)
+    without a single-partition window over the corpus-scaling scored
+    relation; approxQuantile cuts steer parallelism only."""
+    from ..operators.layout import _exact_ntile
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    lm = ts.lm_surprisal(d)
+    scored = lm.filter(F.col("n_bigrams") > 0).select(
+        "doc_id", "sum_surprisal", "avg_surprisal"
+    )
+    cuts = sorted(
+        set(scored.approxQuantile("avg_surprisal", [i / 8 for i in range(1, 8)], 0.01))
+    )
+    binned = _exact_ntile(
+        scored, scored, "avg_surprisal", "doc_id", 3, cuts, "__t0"
+    )
+    return (
+        binned.withColumn("tertile", (F.col("__t0") + 1).cast("int"))
+        .groupBy("tertile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_surprisal").alias("min_avg"),
+            F.max("avg_surprisal").alias("max_avg"),
+            F.sum("sum_surprisal").alias("total_surprisal"),
+        )
+    )

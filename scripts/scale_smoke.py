@@ -222,6 +222,14 @@ def main() -> int:
             ),
             "bm25_top_docs",
         ),
+        # round-7: LM surprisal filter — one bigram explode feeds both the
+        # count aggregate and the scoring probe (AQE exchange reuse), so
+        # wall-time must track ~2 gram-keyed shuffles over the corpus;
+        # everything integer (floor-log2 bit_length identity)
+        "lm_surprisal": t(
+            lambda: textstats.lm_surprisal(docs, keep_max_avg=4.4),
+            "lm_surprisal",
+        ),
     }
     # fuzzy edit-distance blocking: replicate customers with pairwise-
     # distant suffixes (aaa/bbb/... are >2 apart) so the TRUE pair set is

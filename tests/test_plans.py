@@ -343,7 +343,14 @@ def test_no_unbounded_global_windows_in_rank_cumsum_family(spark, sf_dir, qs):
     # ranks, __zv running sums) must be partitioned by the range bucket
     # __zb, and any single-partition exchange may only feed the bounded
     # per-bucket offsets relation (__zc sums over <= num_ranges+1 rows)
-    for name in ("feature_binning_decile", "pareto_part_classes", "revenue_gini"):
+    # surprisal_tertile_mixture (r7) joined the family: tertiles over the
+    # corpus-scaling scored relation through the same _exact_ntile
+    for name in (
+        "feature_binning_decile",
+        "pareto_part_classes",
+        "revenue_gini",
+        "surprisal_tertile_mixture",
+    ):
         plan = _executed(qs[name](spark, sf_dir))
         assert "ntile" not in plan, name
         lines = plan.split("\n")
