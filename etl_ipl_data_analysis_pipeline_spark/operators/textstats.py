@@ -755,3 +755,51 @@ def bpe_train(
     return spark.createDataFrame(
         out_rows, "step int, pair string, merged string, pair_count bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION: segment every distinct corpus word with a
+    trained BPE merge list (:func:`bpe_train`'s (pair, merged) rows, in
+    training order). Returns one row per distinct word:
+    (word, subtokens array<string>, n_sub).
+
+    Encoding is dictionary-style: the corpus collapses to its DISTINCT
+    word set first, each word is char-split (+ terminal '</w>') and the
+    merges are applied as the same TWO-PASS padded replace the trainer
+    used (see bpe_train's fixpoint argument — deterministic,
+    left-to-right non-overlapping, engine-identical). OOV words (outside
+    the trainer's top_words cap) are segmented by the same merge table,
+    exactly like real BPE inference.
+
+    Scale: the merge list is bounded (n_merges rows of driver-side
+    literals — the kmeans k-row-collect shape), so the whole application
+    is ONE vocabulary-sized projection: 2·n_merges nested replaces in a
+    single whole-stage-codegen'd select, no joins, no shuffles beyond
+    the distinct-word aggregate. Callers re-attach segmentations to the
+    corpus by joining on the word key — and should pre-aggregate the
+    corpus side to (group, word, cnt) first so a frequent word costs one
+    join row, not one per occurrence."""
+    from .dedup import tokens
+
+    toks = df.select(tokens(text_col).alias("__t")).select(
+        F.filter("__t", lambda t: t != F.lit("")).alias("__t")
+    )
+    words = toks.select(F.explode("__t").alias("word")).distinct()
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    s = F.concat(F.concat_ws(" ", chars), F.lit(" </w>"))
+    for pair, merged in merges:
+        padded = F.concat(F.lit(" "), s, F.lit(" "))
+        search, repl = F.lit(f" {pair} "), F.lit(f" {merged} ")
+        s = F.trim(F.replace(F.replace(padded, search, repl), search, repl))
+    sub = F.col("__sub")
+    return (
+        words.select("word", F.split(s, " ").alias("__sub"))
+        .select("word", sub.alias("subtokens"), F.size(sub).alias("n_sub"))
+    )

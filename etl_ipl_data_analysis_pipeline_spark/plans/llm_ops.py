@@ -2402,13 +2402,11 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.nb_classify(d, class_col="lang")
 
 
-def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 2000) -> str:
-    """Unrolled-round DuckDB twin of operators/textstats.bpe_train — the
-    kmeans_clusters_exact pattern (iterative training as chained CTEs).
-    Each round: freq-weighted adjacent-pair counts over the current
-    symbol strings, argmax (count desc, pair asc), then the same TWO-PASS
-    padded replace the Spark side applies (see bpe_train's fixpoint
-    argument)."""
+def _bpe_train_ctes(n_merges: int = 8, top_words: int = 2000) -> list[str]:
+    """CTE chain (toks, wc, words, w0, then p/t/w per round) replaying
+    operators/textstats.bpe_train in DuckDB — shared by the training
+    oracle and every oracle that CONSUMES the trained merges (t1..tN
+    each hold that round's 1-row argmax)."""
     pair_sql = (
         "CASE WHEN len(sy) < 2 THEN CAST([] AS VARCHAR[]) "
         "ELSE list_transform(range(1, len(sy)), "
@@ -2444,12 +2442,70 @@ def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 2000) -> str:
             f"w{r} AS (SELECT word, freq, {merge_sql} AS s"
             f" FROM w{r - 1} CROSS JOIN t{r})"
         )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int = 8, top_words: int = 2000) -> str:
+    """Unrolled-round DuckDB twin of operators/textstats.bpe_train — the
+    kmeans_clusters_exact pattern (iterative training as chained CTEs).
+    Each round: freq-weighted adjacent-pair counts over the current
+    symbol strings, argmax (count desc, pair asc), then the same TWO-PASS
+    padded replace the Spark side applies (see bpe_train's fixpoint
+    argument)."""
+    ctes = _bpe_train_ctes(n_merges, top_words)
     selects = [
         f"SELECT CAST({r} AS INT) AS step, pair,"
         f" replace(pair, ' ', '') AS merged, pair_count FROM t{r}"
         for r in range(1, n_merges + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def _bpe_fertility_oracle_sql(n_merges: int = 8, top_words: int = 2000) -> str:
+    """Training replay + ENCODE replay: every distinct corpus word is
+    char-split and pushed through the n_merges two-pass padded replaces,
+    each round's pair read from its t{r} CTE via scalar subqueries —
+    the SQL twin of textstats.bpe_encode's literal-driven replace chain."""
+    ctes = _bpe_train_ctes(n_merges, top_words)
+    ctes.append(
+        "dw AS (SELECT DISTINCT tok AS word"
+        " FROM (SELECT unnest(t) AS tok FROM toks))"
+    )
+    ctes.append(
+        "e0 AS (SELECT word, array_to_string(list_transform("
+        "range(1, length(word) + 1), i -> substr(word, i, 1)), ' ')"
+        " || ' </w>' AS s FROM dw)"
+    )
+    for r in range(1, n_merges + 1):
+        pat = f"(SELECT ' ' || pair || ' ' FROM t{r})"
+        rep = f"(SELECT ' ' || replace(pair, ' ', '') || ' ' FROM t{r})"
+        ctes.append(
+            f"e{r} AS (SELECT word, trim(replace(replace("
+            f"' ' || s || ' ', {pat}, {rep}), {pat}, {rep})) AS s"
+            f" FROM e{r - 1})"
+        )
+    ctes.append(
+        f"wt AS (SELECT word, CAST(len(str_split(s, ' ')) AS BIGINT) AS n_sub"
+        f" FROM e{n_merges})"
+    )
+    ctes.append(
+        f"sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        f"SELECT source, unnest(t) AS word FROM ("
+        f"SELECT source, {_TOKS_SQL} AS t FROM documents)) GROUP BY 1, 2)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT source,
+           CAST(sum(cnt) AS BIGINT) AS n_words,
+           CAST(sum(cnt * n_sub) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(cnt * n_sub) AS DOUBLE) / sum(cnt) * 1e4 + 0.5)
+               / 1e4 AS fertility
+    FROM sw JOIN wt USING (word)
+    GROUP BY 1
+    """
+    )
 
 
 @register(
@@ -2554,4 +2610,52 @@ def surprisal_tertile_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_surprisal").alias("max_avg"),
             F.sum("sum_surprisal").alias("total_surprisal"),
         )
+    )
+
+
+@register(
+    "bpe_fertility_by_source",
+    oracle=_bpe_fertility_oracle_sql(),
+    tags=("X4", "X6", "A4", "J4"),
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train -> ENCODE lifecycle: learn 8 BPE merges on the
+    corpus (textstats.bpe_train), segment every distinct word with them
+    (textstats.bpe_encode), and report per-source tokenizer FERTILITY
+    (subword tokens per word) — the standard metric for how well a
+    tokenizer fits each slice of a training mixture. The corpus side is
+    pre-aggregated to (source, word, cnt) before the word-keyed join, so
+    a frequent word costs one join row, not one per occurrence, and the
+    hot-key skew of natural language never reaches the shuffle; the
+    vocabulary side is one codegen'd replace-chain projection. The
+    oracle replays training AND encoding (scalar-subquery-driven
+    replaces over the t1..t8 merge CTEs), so any drift anywhere in the
+    lifecycle breaks the hash."""
+    from ..operators.dedup import tokens
+
+    d = load(spark, sf_dir, "documents")
+    trained = textstats.bpe_train(d, n_merges=8, top_words=2000).collect()
+    merges = [
+        (r["pair"], r["merged"]) for r in sorted(trained, key=lambda r: r["step"])
+    ]
+    wt = textstats.bpe_encode(d, merges).select("word", "n_sub")
+    sw = (
+        d.select(F.explode(tokens("text")).alias("word"), "source")
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = sw.join(wt, "word")
+    return j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_sub")).cast("bigint").alias("n_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("cnt") * F.col("n_sub")).cast("double")
+                / F.sum("cnt")
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("fertility"),
     )

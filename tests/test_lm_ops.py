@@ -220,3 +220,59 @@ def test_bpe_self_pair_run_documented_variant(spark):
     assert got[0] == (1, "a a", "aa", 4)
     # round 2 runs on 'aa a aa </w>': top pair by (count desc, pair asc)
     assert got[1] == _mirror_bpe({"aaaaa": 1}, 2)[1]
+
+
+def _mirror_encode(words: set[str], merges: list[tuple[str, str]]):
+    out = {}
+    for w in words:
+        s = " ".join(list(w)) + " </w>"
+        for pair, merged in merges:
+            s = (
+                f" {s} "
+                .replace(f" {pair} ", f" {merged} ")
+                .replace(f" {pair} ", f" {merged} ")
+                .strip(" ")
+            )
+        out[w] = s.split(" ")
+    return out
+
+
+def test_bpe_encode_matches_python_mirror_incl_oov(spark):
+    """bpe_encode segments every DISTINCT corpus word — including words
+    outside the trainer's top_words cap (OOV inference) — with the same
+    two-pass padded replace as training, and n_sub == len(subtokens)."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    rows = [
+        (0, "banana banana banana bandana"),
+        (1, "banana cabana cab cab"),
+        (2, "ab abab bc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap the vocab so 'bandana'/'abab'/'bc' are OOV at train time
+    trained = textstats.bpe_train(df, n_merges=3, top_words=3).collect()
+    merges = [
+        (r["pair"], r["merged"]) for r in sorted(trained, key=lambda r: r["step"])
+    ]
+    got = {
+        r["word"]: (r["subtokens"], r["n_sub"])
+        for r in textstats.bpe_encode(df, merges).collect()
+    }
+    vocab = {w for _, t in rows for w in t.split(" ")}
+    want = _mirror_encode(vocab, merges)
+    assert set(got) == vocab
+    for w, (sub, n) in got.items():
+        assert sub == want[w], w
+        assert n == len(sub)
+        # segmentation identity: concatenation restores word + terminal
+        assert "".join(sub) == w + "</w>"
+
+
+def test_bpe_encode_no_merges_is_char_split(spark):
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats
+
+    df = spark.createDataFrame([(0, "ab ab cd")], "doc_id long, text string")
+    got = {
+        r["word"]: r["subtokens"] for r in textstats.bpe_encode(df, []).collect()
+    }
+    assert got == {"ab": ["a", "b", "</w>"], "cd": ["c", "d", "</w>"]}
