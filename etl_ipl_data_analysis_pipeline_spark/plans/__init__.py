@@ -94,16 +94,17 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 19
-# queries whose code or oracle is new or changed in round 7 (the three
-# new LM ops — surprisal filter, NB classifier, BPE trainer — the three
-# de-globaled windows, the ten seeded dedup/ANN queries graduated from
-# rows-only to exact oracles via the portable md5 family / decimal
-# twins, the new semantic dedup, the replay-guarded count streams, the
-# ragged-guarded covariance, the refactored zorder ntile); (2) the 13
-# remaining queries whose freshest driver evidence is round 2 (VERDICT
-# r6 item 2 names this cohort); (3) 18 of the 45 round-3-era queries,
-# oldest window first — the rest rotate in next round. Exactly 50.
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 21
+# queries whose code or oracle is new or changed in round 7 (the five
+# new LM ops — surprisal filter + tertile mixture, NB classifier, BPE
+# trainer + encoder/fertility — the three de-globaled windows, the ten
+# seeded dedup/ANN queries graduated from rows-only to exact oracles via
+# the portable md5 family / decimal twins, the new semantic dedup, the
+# replay-guarded count streams, the ragged-guarded covariance, the
+# refactored zorder ntile); (2) the 13 remaining queries whose freshest
+# driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
+# (3) 16 of the 45 round-3-era queries, oldest window first — the rest
+# rotate in next round. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
 # that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -111,6 +112,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
     "nb_lang_confusion",  # trained NB language classifier, integer weights
     "bpe_train_merges",  # tokenizer training: 8 BPE merges, unrolled oracle
+    "bpe_fertility_by_source",  # tokenizer ENCODE: per-source fertility
+    "surprisal_tertile_mixture",  # CCNet head/middle/tail via exact ntile
     "dedup_semantic_planted",  # SemDeDup via exact kmeans cells, full oracle
     "feature_binning_decile",  # global ntile -> distributed exact ntile
     "pareto_part_classes",  # global cumsum -> range-bucketed decimal cumsum
@@ -158,8 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "vocab_stats",
     "label_centroids",
-    "incremental_summary_avg",
-    "catalog_scan_bucketed",
 )
 
 
