@@ -647,29 +647,44 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup-style semantic deduplication: cluster the embeddings,
-    then drop every vector that has a WITHIN-CLUSTER neighbor with
-    cosine >= ``min_sim`` and a smaller id (keep-first, the
-    minhash_dedup contract applied to meaning instead of n-grams).
-    Returns the surviving rows of ``emb``.
+    """SemDeDup-style semantic deduplication: collapse EXACT duplicate
+    vectors to their smallest id, cluster the unique vectors, then drop
+    every representative that has a WITHIN-CLUSTER neighbor with cosine
+    >= ``min_sim`` and a smaller id (keep-first, the minhash_dedup
+    contract applied to meaning instead of n-grams). Returns the
+    surviving rows of ``emb``.
+
+    The exact-collapse stage is both a correctness identity and THE
+    scale lever. Identity: a non-representative always dies (its
+    representative has a smaller id at similarity 1.0), and a
+    representative's survival depends only on smaller-id
+    representatives (similarity to any duplicate equals similarity to
+    that duplicate's representative), so pair-dedup over representatives
+    alone reproduces the keep-first contract exactly. Scale: web-scale
+    corpora are ~30-50% exact copies, and without the collapse every
+    duplicate CLASS hits the within-cell stage quadratically (a 10k-copy
+    boilerplate vector alone is 5·10^7 pairs); after it, duplicate mass
+    costs one linear hash-groupBy on the vector bytes — the exact_dedup
+    shape — and never reaches the quadratic stage (measured: the 10x
+    smoke's replicated corpus went 102.8s -> flat, see SCALE_SMOKE_r07).
 
     Clustering is :func:`similarity.kmeans_exact` + the decimal
     squared-distance argmin (the ivf_topk_exact assignment): every
     routing decision is partitioning-independent and replayable in SQL,
     so the FULL result — which natural near-duplicates get caught, not
-    just a planted floor — sits under an exact DuckDB oracle (unrolled
-    Lloyd CTEs + the same assignment/pair CTEs). An exact copy always
-    lands in its original's cell (identical vector, identical decimal
-    distances, same cid tie-break) at similarity 1.0, so recall on
-    exact duplicates is 1 by construction whatever the data.
+    just a planted floor — sits under an exact DuckDB oracle (collapse
+    CTE + unrolled Lloyd CTEs + the same assignment/pair CTEs). An
+    exact copy is dropped in the collapse by construction, so recall on
+    exact duplicates is 1 whatever the data.
 
-    Scale shape: the SemDeDup trade — pair cost is Σ_cells |cell|²,
-    controlled by ``k`` (cells of ~1k vectors at any corpus size keep
-    the self-join bounded); the join key is the cell id, so disjoint
-    cells never meet, and the 100 TB layout co-partitions members by
-    cell (write bucketed by cid, the persisted-IVF pattern). Cosine is
-    computed inside the join stage; losers reduce to a distinct id set
-    and anti-join back — no window over the corpus anywhere.
+    Scale shape: the SemDeDup trade — pair cost is Σ_cells |cell|² over
+    UNIQUE vectors, controlled by ``k`` (cells of ~1k uniques at any
+    corpus size keep the self-join bounded); the join key is the cell
+    id, so disjoint cells never meet, and the 100 TB layout
+    co-partitions members by cell (write bucketed by cid, the
+    persisted-IVF pattern). Cosine is computed inside the join stage;
+    losers reduce to a distinct id set, survivors semi-join back — no
+    window over the corpus anywhere.
     """
     from .similarity import (
         _as_double_array,
@@ -677,11 +692,21 @@ def semantic_dedup(
         kmeans_exact,
     )
 
-    cents = kmeans_exact(emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    reps = (
+        emb.select(
+            F.col(id_col).alias("__vid"),
+            _as_double_array(F.col(vec_col)).alias("__vec"),
+        )
+        .groupBy("__vec")
+        .agg(F.min("__vid").alias("__vid"))
+    )
+    rep_emb = reps.select(
+        F.col("__vid").alias(id_col), F.col("__vec").alias(vec_col)
+    )
+    cents = kmeans_exact(rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
-    ex = emb.select(
-        F.col(id_col).alias("__vid"),
-        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
+    ex = reps.select(
+        "__vid", F.posexplode("__vec").alias("pos0", "v")
     ).select("__vid", (F.col("pos0") + 1).alias("pos"), "v")
     term = F.col("v") - F.col("c")
     dists = (
@@ -694,13 +719,7 @@ def semantic_dedup(
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("__vid", F.col("cid").alias("cell"))
-        .join(
-            emb.select(
-                F.col(id_col).alias("__vid"),
-                _as_double_array(F.col(vec_col)).alias("__vec"),
-            ),
-            "__vid",
-        )
+        .join(reps.select("__vid", "__vec"), "__vid")
     )
     a, b = members.alias("a"), members.alias("b")
     sim = F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6)
@@ -711,10 +730,15 @@ def semantic_dedup(
             & (F.col("a.__vid") < F.col("b.__vid")),
         )
         .filter(sim >= min_sim)
-        .select(F.col("b.__vid").alias(id_col))
+        .select(F.col("b.__vid").alias("__vid"))
         .distinct()
     )
-    return emb.join(losers, id_col, "left_anti")
+    keep = (
+        reps.select("__vid")
+        .join(losers, "__vid", "left_anti")
+        .select(F.col("__vid").alias(id_col))
+    )
+    return emb.join(keep, id_col, "left_semi")
 
 
 EDIT_JOIN_CONF = "spark.etl_ipl.editDistance.joinStrategy"

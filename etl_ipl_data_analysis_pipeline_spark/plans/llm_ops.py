@@ -1249,17 +1249,23 @@ def kmeans_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_oracle(k: int, iters: int, min_sim: float, every: int) -> str:
     """Oracle twin of operators/dedup.semantic_dedup over the planted
-    union (every ``every``-th embedding mirrored at +200000): the shared
-    unrolled-Lloyd CTEs pointed at the union, 6dp-floored centroids, the
-    decimal assignment argmin, within-cell cosine pairs, keep-smallest-id
+    union (every ``every``-th embedding mirrored at +200000): the exact
+    collapse CTE (min id per identical double vector — the planted
+    mirrors all die here), then the shared unrolled-Lloyd CTEs pointed
+    at the representatives, 6dp-floored centroids, the decimal
+    assignment argmin, within-cell cosine pairs, keep-smallest-id
     survivors. The FULL survivor set is replayed — natural near-dups
     included — not just the planted recall floor."""
-    body, last = _kmeans_cte(k, iters, src="corpus")
+    body, last = _kmeans_cte(k, iters, src="reps")
     return f"""
     WITH corpus AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT vec_id + 200000, embedding FROM embeddings WHERE vec_id % {every} = 0
+    ), reps AS (
+      SELECT min(vec_id) AS vec_id, embedding
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM corpus)
+      GROUP BY embedding
     ), {body}, cm AS (
       SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
     ), dists AS (
@@ -1276,11 +1282,11 @@ def _semantic_dedup_oracle(k: int, iters: int, min_sim: float, every: int) -> st
       SELECT DISTINCT y.vid
       FROM acell x
       JOIN acell y ON y.cid = x.cid AND x.vid < y.vid
-      JOIN corpus pe ON pe.vec_id = x.vid
-      JOIN corpus ce ON ce.vec_id = y.vid
+      JOIN reps pe ON pe.vec_id = x.vid
+      JOIN reps ce ON ce.vec_id = y.vid
       WHERE {_COS6_SQL} >= {min_sim}
     )
-    SELECT vec_id FROM corpus WHERE vec_id NOT IN (SELECT vid FROM losers)
+    SELECT vec_id FROM reps WHERE vec_id NOT IN (SELECT vid FROM losers)
     """
 
 
@@ -1292,14 +1298,14 @@ def _semantic_dedup_oracle(k: int, iters: int, min_sim: float, every: int) -> st
 def dedup_semantic_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup)
     under the EXACT hash gate: an exact copy of every 10th embedding is
-    planted at vec_id + 200000, the corpus is clustered with the
-    decimal-exact Lloyd rounds, and within-cluster cosine >= 0.99
-    neighbors of a smaller id are dropped. Every mirror lands in its
-    original's cell (identical vector -> identical decimal distances ->
-    same argmin) at similarity 1.0, so all mirrors die and all
-    originals' survival depends only on natural near-dups — and the
-    oracle replays the ENTIRE pipeline (clustering included), so any
-    routing or scoring drift anywhere breaks the hash."""
+    planted at vec_id + 200000, exact duplicates collapse to their
+    smallest id (every mirror dies here by construction), the unique
+    vectors are clustered with the decimal-exact Lloyd rounds, and
+    within-cluster cosine >= 0.99 neighbors of a smaller id are
+    dropped. Originals' survival depends only on natural near-dups —
+    and the oracle replays the ENTIRE pipeline (collapse and clustering
+    included), so any routing or scoring drift anywhere breaks the
+    hash."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias("vec_id"),
