@@ -866,3 +866,131 @@ def containment_pairs(
         "n_bench_grams",
         containment.alias("containment"),
     ).filter(F.col("containment") >= F.lit(min_containment))
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weights for target-domain data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — public arXiv 2302.03169): score every document in the
+    raw pool by how much more probable its hashed n-gram features are
+    under the TARGET distribution (the rows where ``target`` is true)
+    than under the RAW pool distribution, then select the top-scoring
+    documents as "target-like" pretraining data.
+
+    Features are unigrams + bigrams of the normalized whitespace tokens,
+    hashed into ``n_buckets`` buckets with the portable md5 60-bit hash
+    (functions.portable_hash64, salt ``"dsir"``), exactly as the paper
+    hashes grams into a fixed feature space. Both bucket distributions
+    are add-one smoothed over the bucket space, and the per-bucket
+    log-ratio log2(p_tgt(b)/p_raw(b)) is replaced by the INTEGER
+    surprisal difference
+
+        s(b) = floor(log2((n_raw + B) / (c_raw(b) + 1)))
+             - floor(log2((n_tgt + B) / (c_tgt(b) + 1)))
+
+    via the exact bit_length identity (see textstats.lm_surprisal), so
+    the document weight sum(m_b * s(b)) is pure integer arithmetic and
+    bit-identical across engines — the repo's libm-free discipline
+    applied to importance weighting. (The paper's Gumbel-noised sampling
+    step is deliberately replaced by the deterministic top-k of
+    ``dsir_topk`` — same selection semantics, reproducible.)
+
+    Returns one row per input document: ``(id, n_grams, weight,
+    is_target)`` with gram-less documents at weight 0.
+
+    Scale: one explode of the corpus into gram occurrences, one
+    (doc, bucket)-keyed partial-agg shuffle, ONE bucket-keyed aggregate
+    producing a <= n_buckets-row score table that is broadcast back, one
+    doc-keyed aggregate. The raw corpus is never joined to itself and
+    nothing unbounded is collected; the bucket table is O(B) regardless
+    of corpus size, which is the entire point of hashed features at
+    100 TB."""
+    pre = df.select(
+        F.col(id_col),
+        target.cast("bigint").alias("__tgt"),
+        tokens(text_col).alias("__t0"),
+    ).select(
+        F.col(id_col),
+        "__tgt",
+        F.filter("__t0", lambda t: t != F.lit("")).alias("__t"),
+    )
+    from ..functions import portable_hash64
+
+    occ = pre.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(F.concat(F.col("__t"), _contiguous_grams("__t", 2))).alias(
+            "__gram"
+        ),
+    ).select(
+        F.col(id_col),
+        "__tgt",
+        F.pmod(portable_hash64("__gram", salt="dsir"), F.lit(n_buckets)).alias(
+            "__b"
+        ),
+    )
+    db = occ.groupBy(id_col, "__tgt", "__b").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    bs = db.groupBy("__b").agg(
+        F.sum("__m").alias("__c_raw"),
+        F.sum(F.col("__m") * F.col("__tgt")).alias("__c_tgt"),
+    )
+    tot = db.agg(
+        F.sum("__m").alias("__n_raw"),
+        F.sum(F.col("__m") * F.col("__tgt")).alias("__n_tgt"),
+    )
+    # integer div, NOT double /: bin() of a double would round through 2^53
+    surp_raw = F.length(
+        F.bin(F.expr(f"(__n_raw + {n_buckets}) div (__c_raw + 1)"))
+    ) - F.lit(1)
+    surp_tgt = F.length(
+        F.bin(F.expr(f"(__n_tgt + {n_buckets}) div (__c_tgt + 1)"))
+    ) - F.lit(1)
+    scores = (
+        bs.crossJoin(F.broadcast(tot))
+        .select("__b", (surp_raw - surp_tgt).cast("bigint").alias("__s"))
+    )
+    per_doc = (
+        db.join(F.broadcast(scores), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_grams"),
+            F.sum(F.col("__m") * F.col("__s")).alias("weight"),
+        )
+    )
+    return (
+        df.select(F.col(id_col), target.alias("is_target"))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("weight", F.lit(0).cast("bigint")).alias("weight"),
+            "is_target",
+        )
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The selection step of DSIR: the ``k`` documents whose importance
+    weight says they are most target-like, deterministically tie-broken
+    by id (weight desc, id asc). Compiles to TakeOrderedAndProject —
+    each partition keeps a local k-row heap and the driver merges k-row
+    heads, so the global sort never materializes at any scale."""
+    w = dsir_importance(
+        df, target, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    return w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)

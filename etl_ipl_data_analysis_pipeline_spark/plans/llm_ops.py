@@ -2665,3 +2665,87 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("fertility"),
     )
+
+
+# DSIR oracle body shared by the weights and top-k twins: hashed
+# unigram+bigram features, add-one smoothed bucket distributions, integer
+# surprisal-difference scores via the bit_length identity — every step a
+# mirror of operators/curation.dsir_importance.
+_DSIR_CTES = f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS tgt, {_TOKS_SQL} AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, tgt, unnest(list_concat(t, {_GRAMS2_SQL})) AS gram
+      FROM toks
+    ), occ AS (
+      SELECT doc_id, tgt,
+             (('0x' || substr(md5(gram || 'dsir'), 1, 15))::BIGINT % 4096) AS b
+      FROM feats
+    ), db AS (
+      SELECT doc_id, tgt, b, CAST(count(*) AS BIGINT) AS m
+      FROM occ GROUP BY 1, 2, 3
+    ), bs AS (
+      SELECT b, CAST(sum(m) AS BIGINT) AS c_raw,
+             CAST(sum(m * tgt) AS BIGINT) AS c_tgt
+      FROM db GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(m) AS BIGINT) AS n_raw,
+             CAST(sum(m * tgt) AS BIGINT) AS n_tgt
+      FROM db
+    ), sc AS (
+      SELECT b,
+             (length(bin(CAST((n_raw + 4096) // (c_raw + 1) AS BIGINT))) - 1)
+           - (length(bin(CAST((n_tgt + 4096) // (c_tgt + 1) AS BIGINT))) - 1)
+             AS s
+      FROM bs CROSS JOIN tot
+    ), pd AS (
+      SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_grams,
+             CAST(sum(m * s) AS BIGINT) AS weight
+      FROM db JOIN sc USING (b) GROUP BY 1
+    ), wts AS (
+      SELECT d.doc_id,
+             CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+             CAST(coalesce(weight, 0) AS BIGINT) AS weight,
+             d.lang = 'en' AS is_target
+      FROM documents d LEFT JOIN pd USING (doc_id)
+    )
+"""
+
+
+@register(
+    "dsir_weights",
+    oracle=_DSIR_CTES + "SELECT doc_id, n_grams, weight, is_target FROM wts",
+    tags=("X6", "X4", "A4", "F7"),
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (curation.dsir_importance) over the full
+    document pool with target = the English sub-corpus: per-document
+    integer weight = sum over hashed unigram+bigram buckets of
+    count x (floor-log2 raw surprisal - floor-log2 target surprisal),
+    the libm-free twin of the paper's log p_tgt/p_raw feature sum. All
+    integer arithmetic on portable md5 bucket hashes, so the oracle is
+    exact."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    return curation.dsir_importance(d, F.col("lang") == F.lit("en"))
+
+
+@register(
+    "dsir_select_topk",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, n_grams, weight, is_target FROM wts
+    ORDER BY weight DESC, doc_id ASC LIMIT 100
+    """,
+    tags=("X6", "SO3", "F7"),
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection step: top-100 most-target-like documents by
+    importance weight, deterministic (weight desc, doc_id asc) —
+    TakeOrderedAndProject, never a global sort."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    return curation.dsir_topk(d, F.col("lang") == F.lit("en"), k=100)

@@ -564,3 +564,51 @@ class TestContainmentPairs:
         # the bench doc has ONE distinct 8-gram; repeating it in the
         # corpus doc must not push n_shared past the distinct count
         assert row["n_shared"] == 1 and row["containment"] == pytest.approx(1.0)
+
+
+class TestDsir:
+    @pytest.fixture()
+    def corpus(self, spark):
+        # target docs (0-9) speak "alpha beta"; background (10-29) speaks
+        # "gamma delta"; probe 100 is pure target vocab, probe 101 pure
+        # background vocab, probe 102 is empty
+        rows = [(i, "alpha beta alpha beta alpha", True) for i in range(10)]
+        rows += [(i, "gamma delta gamma delta gamma", False) for i in range(10, 30)]
+        rows += [
+            (100, "alpha beta alpha beta", False),
+            (101, "gamma delta gamma delta", False),
+            (102, "   ", False),
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string, tgt boolean")
+
+    def test_target_like_doc_outranks_background(self, spark, corpus):
+        w = {
+            r["doc_id"]: r["weight"]
+            for r in curation.dsir_importance(corpus, F.col("tgt")).collect()
+        }
+        # target-vocab probe must score strictly above the background probe:
+        # its buckets are dense in the target distribution, sparse overall
+        assert w[100] > w[101]
+        # gramless doc scores 0 and is still present
+        assert w[102] == 0
+        assert len(w) == 33
+
+    def test_weight_is_count_weighted(self, spark, corpus):
+        out = curation.dsir_importance(corpus, F.col("tgt")).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        # 4 tokens + 3 bigrams
+        assert by_id[100]["n_grams"] == 7
+        assert by_id[102]["n_grams"] == 0
+        assert by_id[100]["is_target"] is False
+        assert by_id[0]["is_target"] is True
+
+    def test_topk_deterministic_and_bounded_plan(self, spark, corpus):
+        top = curation.dsir_topk(corpus, F.col("tgt"), k=5)
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan  # never a global sort
+        got = [r["doc_id"] for r in top.collect()]
+        # the ten identical target docs share the max weight; ties broken
+        # by ascending id, so the head is exactly the first five of them
+        assert got == [0, 1, 2, 3, 4]
+        again = [r["doc_id"] for r in curation.dsir_topk(corpus, F.col("tgt"), k=5).collect()]
+        assert got == again
