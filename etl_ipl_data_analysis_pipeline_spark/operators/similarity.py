@@ -937,3 +937,67 @@ def embedding_standardize(
     return base.join(F.broadcast(stats), "i").select(
         id_col, "i", z.alias("z")
     )
+
+
+def embedding_quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column with per-vector
+    reconstruction-error stats — the storage/bandwidth step an ANN index
+    at 100 TB runs before anything else (4x smaller vectors, 4x more of
+    the index resident in memory). Per-dimension affine codes:
+
+        q = floor((x - min_i) / (max_i - min_i) * 255 + 0.5)   in [0, 255]
+        x_hat = min_i + q / 255 * (max_i - min_i)
+
+    with dead dimensions (max == min) coded 0. Returns one row per
+    vector: (id, n_dims, code_sum, mse) where ``code_sum`` is the exact
+    BIGINT sum of the vector's codes — a checksum that gates every code
+    value — and ``mse`` the 8dp floor-rounded mean squared
+    reconstruction error from 12dp-quantized DECIMAL-summed terms
+    (order-independent, so the exact-gate discipline of
+    embedding_dim_covariance applies end to end).
+
+    Scale: one posexplode (narrow), one d-cell min/max aggregate
+    (map-side combined; shuffle is partitions x d cells), one d-row
+    broadcast join back, then a vec-keyed aggregate whose partial agg
+    collapses each vector's d rows inside its original partition —
+    the exploded relation is never shuffled at rows x d size and the
+    vectors themselves never move."""
+    base = df.select(F.col(id_col), F.posexplode(vec_col).alias("i", "__x0")).select(
+        F.col(id_col), "i", F.col("__x0").cast("double").alias("__x")
+    )
+    dims = base.groupBy("i").agg(
+        F.min("__x").alias("__mn"), F.max("__x").alias("__mx")
+    )
+    x, mn, mx = F.col("__x"), F.col("__mn"), F.col("__mx")
+    q = (
+        F.when(mx > mn, F.floor((x - mn) / (mx - mn) * F.lit(255.0) + F.lit(0.5)))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    joined = base.join(F.broadcast(dims), "i").withColumn("__q", q)
+    deq = mn + F.col("__q").cast("double") / F.lit(255.0) * (mx - mn)
+    e2 = (
+        F.floor((x - deq) * (x - deq) * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    ).cast("decimal(20,12)")
+    per_vec = (
+        joined.select(F.col(id_col), "__q", e2.alias("__e2"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("__q").alias("code_sum"),
+            F.sum("__e2").alias("__se"),
+        )
+    )
+    mse = (
+        F.floor(
+            F.col("__se").cast("double") / F.col("n_dims") * F.lit(1e8) + F.lit(0.5)
+        )
+        / F.lit(1e8)
+    )
+    return per_vec.select(
+        F.col(id_col), "n_dims", "code_sum", mse.alias("mse")
+    )

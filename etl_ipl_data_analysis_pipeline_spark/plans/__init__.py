@@ -94,17 +94,17 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 23
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 24
 # queries whose code or oracle is new or changed in round 7 (the two
-# DSIR importance-resampling ops, the five new LM ops — surprisal
-# filter + tertile mixture, NB classifier, BPE trainer +
-# encoder/fertility — the three de-globaled windows, the ten
+# DSIR importance-resampling ops, the int8 embedding quantizer, the
+# five new LM ops — surprisal filter + tertile mixture, NB classifier,
+# BPE trainer + encoder/fertility — the three de-globaled windows, the ten
 # seeded dedup/ANN queries graduated from rows-only to exact oracles via
 # the portable md5 family / decimal twins, the new semantic dedup, the
 # replay-guarded count streams, the ragged-guarded covariance, the
 # refactored zorder ntile); (2) the 13 remaining queries whose freshest
 # driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
-# (3) 14 of the 45 round-3-era queries, oldest window first — the rest
+# (3) 13 of the 45 round-3-era queries, oldest window first — the rest
 # rotate in next round. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
 # that justifies this ordering.
@@ -112,6 +112,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new/changed in round 7: never sampled or must re-green --
     "dsir_weights",  # DSIR importance weights, integer surprisal diff
     "dsir_select_topk",  # DSIR top-k selection, TakeOrderedAndProject
+    "embedding_quantize_int8",  # int8 codes + reconstruction MSE, exact
     "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
     "nb_lang_confusion",  # trained NB language classifier, integer weights
     "bpe_train_merges",  # tokenizer training: 8 BPE merges, unrolled oracle
@@ -147,7 +148,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_stats",
     "q3_top_revenue",
-    # -- round-3-era evidence, oldest-first refresh (21 of 45) --
+    # -- round-3-era evidence, oldest-first refresh (13 of 45) --
     "split_train_valtest",
     "stratified_sample_lang",
     "repetition_stats",
@@ -161,7 +162,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_collect_list",
     "lang_profile",
     "corpus_profile",
-    "tfidf_top_terms",
 )
 
 

@@ -2749,3 +2749,49 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return curation.dsir_topk(d, F.col("lang") == F.lit("en"), k=100)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    ), dims AS (
+      SELECT i, min(x) AS mn, max(x) AS mx FROM xs GROUP BY i
+    ), qz AS (
+      SELECT vec_id, x, mn, mx,
+             CASE WHEN mx > mn
+                  THEN CAST(floor((x - mn) / (mx - mn) * 255.0 + 0.5) AS BIGINT)
+                  ELSE 0 END AS q
+      FROM xs JOIN dims USING (i)
+    ), errs AS (
+      SELECT vec_id, q,
+             CAST(floor(
+               (x - (mn + CAST(q AS DOUBLE) / 255.0 * (mx - mn)))
+               * (x - (mn + CAST(q AS DOUBLE) / 255.0 * (mx - mn)))
+               * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS e2
+      FROM qz
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+           CAST(sum(q) AS BIGINT) AS code_sum,
+           floor(CAST(sum(e2) AS DOUBLE) / count(*) * 1e8 + 0.5) / 1e8 AS mse
+    FROM errs GROUP BY 1
+    """,
+    tags=("X3", "A8", "F3"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embeddings table
+    (similarity.embedding_quantize_int8): per-dimension affine [0,255]
+    codes with exact BIGINT code-sum checksums gating every code value
+    and an 8dp decimal-disciplined reconstruction MSE per vector — the
+    compression stage in front of the IVF/LSH index family. Min/max are
+    order-independent exact aggregates, the quantize/dequantize doubles
+    are mirrored expression-for-expression in the oracle, and the error
+    terms are 12dp floor-quantized before the decimal sum."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.embedding_quantize_int8(e)

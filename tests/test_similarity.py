@@ -343,3 +343,28 @@ def test_dim_covariance_rejects_ragged_vectors(spark):
     )
     rows = {(r["i"], r["j"]): r for r in similarity.embedding_dim_covariance(uniform).collect()}
     assert all(r["n"] == 3 for r in rows.values())  # guard adds zero on valid input
+
+
+class TestQuantizeInt8:
+    def test_codes_and_errors_hand_checked(self, spark):
+        # dim 0 spans [0, 1] -> codes 0 / 255 / 128; dim 1 is dead
+        # (constant 2.0) -> code 0 and ZERO reconstruction error
+        df = spark.createDataFrame(
+            [(0, [0.0, 2.0]), (1, [1.0, 2.0]), (2, [0.5, 2.0])],
+            "vec_id bigint, embedding array<double>",
+        )
+        from etl_ipl_data_analysis_pipeline_spark.operators.similarity import (
+            embedding_quantize_int8,
+        )
+
+        rows = {r["vec_id"]: r for r in embedding_quantize_int8(df).collect()}
+        assert rows[0]["code_sum"] == 0 and rows[0]["mse"] == 0.0
+        assert rows[1]["code_sum"] == 255 and rows[1]["mse"] == 0.0
+        assert rows[2]["code_sum"] == 128
+        # v2 dim0: deq = 128/255, err = 0.5 - 128/255; mirrored float math
+        import math
+
+        e = 0.5 - (0.0 + 128.0 / 255.0 * 1.0)
+        e2 = math.floor(e * e * 1e12 + 0.5) / 1e12
+        assert rows[2]["mse"] == math.floor(e2 / 2 * 1e8 + 0.5) / 1e8
+        assert all(r["n_dims"] == 2 for r in rows.values())
