@@ -1001,3 +1001,145 @@ def embedding_quantize_int8(
     return per_vec.select(
         F.col(id_col), "n_dims", "code_sum", mse.alias("mse")
     )
+
+
+def pq_model_exact(
+    emb: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization model (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI — the public
+    ANN-compression standard): split every d = m x sub_dim vector into
+    ``m`` contiguous subspaces and learn an independent ``k``-centroid
+    codebook per subspace with :func:`kmeans_exact` (decimal-summed
+    Lloyd rounds, 6dp-floored coordinates), then code each vector as its
+    per-subspace nearest centroid under the same DECIMAL(38,12)
+    squared-distance argmin with (dist, cid) tie-break — so the whole
+    model, codes included, is bit-identical across engines and replayable
+    as chained SQL CTEs.
+
+    Vectors whose length is not exactly m x sub_dim are dropped (the
+    fixed-dimensionality contract of the embedding family; mirror the
+    filter in any oracle). Returns ``(codes, cents)``: codes is
+    (vec_id, subspace, code) long-form — m rows per vector, the 8x-to-
+    256x compressed representation an ANN index stores at 100 TB —
+    and cents is (subspace, cid, pos, c) with subspace-local 1-based
+    positions.
+
+    Scale shape per subspace: kmeans_exact's O(n*k) broadcast-join
+    passes, then one more broadcast assignment pass — m independent
+    chains, no cross-subspace shuffle, nothing collected."""
+    d = m * sub_dim
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("__vec"),
+    ).filter(F.size("__vec") == d)
+    codes = None
+    cents = None
+    for j in range(m):
+        sub = base.select(
+            "vec_id", F.slice("__vec", j * sub_dim + 1, sub_dim).alias("embedding")
+        )
+        cj = kmeans_exact(sub, k=k, iters=iters, id_col="vec_id")
+        cm = cj.select("cid", "pos", F.col("centroid").alias("__c"))
+        ex = sub.select(
+            "vec_id", F.posexplode("embedding").alias("pos0", "__v")
+        ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "__v")
+        term = F.col("__v") - F.col("__c")
+        dists = (
+            ex.join(F.broadcast(cm), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((term * term).cast("decimal(38,12)")).alias("__dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("__dist", "cid")
+        asg = (
+            dists.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "vec_id",
+                F.lit(j).alias("subspace"),
+                F.col("cid").alias("code"),
+            )
+        )
+        codes = asg if codes is None else codes.unionByName(asg)
+        cjm = cm.select(
+            F.lit(j).alias("subspace"), "cid", "pos", F.col("__c").alias("c")
+        )
+        cents = cjm if cents is None else cents.unionByName(cjm)
+    return codes, cents
+
+
+def pq_topk_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    sub_dim: int = 16,
+    k_codebook: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes: per probe,
+    precompute the m x k table of exact decimal squared distances from
+    each probe subvector to each codebook centroid, then score every
+    corpus vector as the SUM of its m table lookups — the corpus is
+    touched only through its (vec_id, subspace, code) rows; the raw
+    vectors are never re-read at query time, which is the entire point
+    of PQ at scale (the codes are 8x-256x smaller than the vectors and
+    the distance table is O(probes x m x k), broadcastable at any corpus
+    size). Every distance is a DECIMAL(38,12) sum of mirrored double
+    terms, so ranking (adc ASC, vec_id ASC) is partitioning-independent
+    and the whole build-code-search lifecycle carries an exact SQL
+    oracle. Self-matches are excluded; the returned ``adc`` is the 6dp
+    floor-rounded double of the exact decimal.
+
+    Scale: codebooks/table broadcast; the scored relation is m rows per
+    corpus vector partial-aggregated map-side to one; the top-k merge is
+    the skew-free two-phase topk_per_query."""
+    codes, cents = pq_model_exact(
+        corpus, m=m, sub_dim=sub_dim, k=k_codebook, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    ).filter(F.size("__pvec") == m * sub_dim)
+    pex = p.select(
+        "query_id", F.posexplode("__pvec").alias("pos0", "__v")
+    ).select(
+        "query_id",
+        F.expr(f"pos0 div {sub_dim}").cast("int").alias("subspace"),
+        (F.col("pos0") % sub_dim + 1).alias("pos"),
+        "__v",
+    )
+    term = F.col("__v") - F.col("c")
+    dtab = (
+        pex.join(F.broadcast(cents), ["subspace", "pos"])
+        .groupBy("query_id", "subspace", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("__d"))
+        .select("query_id", "subspace", F.col("cid").alias("code"), "__d")
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("__d").alias("__adc"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    top = topk_per_query(
+        scored.select("query_id", "vec_id", (-F.col("__adc")).alias("sim")), k
+    )
+    return top.select(
+        "query_id",
+        "vec_id",
+        (
+            F.floor((-F.col("sim")).cast("double") * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("adc"),
+    )

@@ -94,9 +94,10 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 24
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 26
 # queries whose code or oracle is new or changed in round 7 (the two
-# DSIR importance-resampling ops, the int8 embedding quantizer, the
+# DSIR importance-resampling ops, the int8 embedding quantizer,
+# the PQ codebook/ADC search pair, the
 # five new LM ops — surprisal filter + tertile mixture, NB classifier,
 # BPE trainer + encoder/fertility — the three de-globaled windows, the ten
 # seeded dedup/ANN queries graduated from rows-only to exact oracles via
@@ -104,7 +105,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # replay-guarded count streams, the ragged-guarded covariance, the
 # refactored zorder ntile); (2) the 13 remaining queries whose freshest
 # driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
-# (3) 13 of the 45 round-3-era queries, oldest window first — the rest
+# (3) 10 of the 45 round-3-era queries, oldest window first — the rest
 # rotate in next round. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
 # that justifies this ordering.
@@ -113,6 +114,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dsir_weights",  # DSIR importance weights, integer surprisal diff
     "dsir_select_topk",  # DSIR top-k selection, TakeOrderedAndProject
     "embedding_quantize_int8",  # int8 codes + reconstruction MSE, exact
+    "topk_pq_exact",  # product-quantization ADC search, full oracle
+    "topk_pq_planted",  # PQ recall gate: planted copies surface
     "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
     "nb_lang_confusion",  # trained NB language classifier, integer weights
     "bpe_train_merges",  # tokenizer training: 8 BPE merges, unrolled oracle
@@ -148,7 +151,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_stats",
     "q3_top_revenue",
-    # -- round-3-era evidence, oldest-first refresh (13 of 45) --
+    # -- round-3-era evidence, oldest-first refresh (10 of 45) --
     "split_train_valtest",
     "stratified_sample_lang",
     "repetition_stats",
@@ -160,8 +163,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "event_value_outliers",
     "multimodal_features",
     "agg_collect_list",
-    "lang_profile",
-    "corpus_profile",
 )
 
 

@@ -457,43 +457,48 @@ def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, probes, k=5, probe_id_col="query_id")
 
 
-def _kmeans_cte(k: int, iters: int, src: str = "embeddings") -> tuple[str, str]:
+def _kmeans_cte(
+    k: int, iters: int, src: str = "embeddings", prefix: str = ""
+) -> tuple[str, str]:
     """(WITH-clause body, final-CTE name) for the unrolled Lloyd rounds —
     shared by the kmeans oracle, the exact-IVF oracle that builds its
-    coarse centroids with the same machinery, and the semantic-dedup
-    oracle (which points ``src`` at a planted-union CTE)."""
+    coarse centroids with the same machinery, the semantic-dedup
+    oracle (which points ``src`` at a planted-union CTE), and the PQ
+    oracle, which instantiates one chain per subspace via ``prefix``
+    (CTE names get the prefix so chains can coexist in one WITH)."""
+    p = prefix
     parts = [
-        f"""ex AS (
+        f"""{p}ex AS (
       SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM {src}
-    ), c0 AS (
+    ), {p}c0 AS (
       SELECT row_number() OVER (PARTITION BY pos ORDER BY vid) - 1 AS cid,
              pos, v AS c
-      FROM ex
+      FROM {p}ex
       WHERE vid IN (SELECT vec_id FROM {src} ORDER BY vec_id LIMIT {k})
     )"""
     ]
-    prev = "c0"
+    prev = f"{p}c0"
     for i in range(1, iters + 1):
         parts.append(
-            f""", d{i} AS (
+            f""", {p}d{i} AS (
       SELECT e.vid, c.cid,
              sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
-      FROM ex e JOIN {prev} c USING (pos) GROUP BY 1, 2
-    ), a{i} AS (
+      FROM {p}ex e JOIN {prev} c USING (pos) GROUP BY 1, 2
+    ), {p}a{i} AS (
       SELECT vid, cid FROM (
         SELECT vid, cid,
                row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
-        FROM d{i}) WHERE rn = 1
-    ), c{i} AS (
+        FROM {p}d{i}) WHERE rn = 1
+    ), {p}c{i} AS (
       SELECT a.cid, e.pos,
              CAST(sum(CAST(e.v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS c,
              count(*) AS n
-      FROM a{i} a JOIN ex e USING (vid) GROUP BY 1, 2
+      FROM {p}a{i} a JOIN {p}ex e USING (vid) GROUP BY 1, 2
     )"""
         )
-        prev = f"c{i}"
+        prev = f"{p}c{i}"
     return "".join(parts), prev
 
 
@@ -2795,3 +2800,145 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms are 12dp floor-quantized before the decimal sum."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.embedding_quantize_int8(e)
+
+
+def _pq_oracle(
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    n_probes: int = 3,
+    topk: int = 5,
+    planted: bool = False,
+) -> str:
+    """Oracle twin of similarity.pq_topk_exact: one prefixed unrolled-
+    Lloyd chain per subspace over sliced embeddings, 6dp-floored
+    codebooks, the same DECIMAL(38,12) argmin coding, probe distance
+    tables, and the (adc ASC, vec_id ASC) top-k. ``planted`` unions the
+    probe mirrors into the pool and keeps only the mirror rows, turning
+    the query into a deterministic recall gate."""
+    d = m * sub_dim
+    pool = f"SELECT vec_id, embedding FROM embeddings WHERE len(embedding) = {d}"
+    if planted:
+        pool += (
+            f" UNION ALL SELECT vec_id + 200000 AS vec_id, embedding"
+            f" FROM embeddings WHERE vec_id < {n_probes} AND len(embedding) = {d}"
+        )
+    parts = [f"pool AS ({pool})"]
+    code_sel, cent_sel = [], []
+    for j in range(m):
+        lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
+        parts.append(
+            f"s{j}src AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+            f" FROM pool)"
+        )
+        body, last = _kmeans_cte(k, iters, src=f"s{j}src", prefix=f"s{j}_")
+        parts.append(body)
+        parts.append(
+            f"s{j}cm AS (SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c"
+            f" FROM {last})"
+        )
+        parts.append(
+            f"""s{j}asg AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT e.vid, c.cid,
+                 sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+          FROM s{j}_ex e JOIN s{j}cm c USING (pos) GROUP BY 1, 2
+        )) WHERE rn = 1
+    )"""
+        )
+        code_sel.append(
+            f"SELECT vid AS vec_id, {j} AS subspace, cid AS code FROM s{j}asg"
+        )
+        cent_sel.append(f"SELECT {j} AS subspace, cid, pos, c FROM s{j}cm")
+    parts.append("codes AS (" + " UNION ALL ".join(code_sel) + ")")
+    parts.append("cents AS (" + " UNION ALL ".join(cent_sel) + ")")
+    parts.append(
+        f"""probes AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {n_probes} AND len(embedding) = {d}
+    ), pex AS (
+      SELECT query_id,
+             CAST((gpos - 1) // {sub_dim} AS INT) AS subspace,
+             (gpos - 1) % {sub_dim} + 1 AS pos, v
+      FROM (
+        SELECT query_id, generate_subscripts(embedding, 1) AS gpos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM probes
+      )
+    ), dtab AS (
+      SELECT p.query_id, p.subspace, c.cid AS code,
+             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dd
+      FROM pex p JOIN cents c ON c.subspace = p.subspace AND c.pos = p.pos
+      GROUP BY 1, 2, 3
+    ), adcs AS (
+      SELECT d.query_id, c.vec_id, sum(d.dd) AS adc
+      FROM codes c JOIN dtab d ON d.subspace = c.subspace AND d.code = c.code
+      GROUP BY 1, 2
+    )"""
+    )
+    guard = f" AND vec_id - query_id = 200000" if planted else ""
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT query_id, vec_id,
+           floor(CAST(adc AS DOUBLE) * 1e6 + 0.5) / 1e6 AS adc
+    FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+      FROM adcs WHERE vec_id != query_id
+    ) WHERE rn <= {topk}{guard}"""
+    )
+
+
+@register(
+    "topk_pq_exact",
+    oracle=_pq_oracle(planted=False),
+    tags=("X3", "J10", "A4", "W1"),
+)
+def topk_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (similarity.pq_topk_exact): m=4
+    subspace codebooks of k=8 decimal-exact Lloyd centroids, corpus
+    coded to 4 bytes/vector, probes 0-2 searched through broadcast
+    distance tables — the full PQ build-code-search lifecycle under one
+    exact unrolled-CTE oracle (one prefixed kmeans chain per subspace).
+    The compressed-domain twin of topk_ivf_exact: at 100 TB the codes
+    relation is what fits where the raw vectors don't."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_topk_exact(e, probes, k=5)
+
+
+@register(
+    "topk_pq_planted",
+    oracle=_pq_oracle(planted=True),
+    tags=("X3", "J10", "A4", "W1"),
+)
+def topk_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search under the deterministic recall gate: each probe's exact
+    copy is planted in the pool at +200000; identical subvectors take
+    identical codes in every subspace, so the mirror's ADC distance
+    equals the probe's own quantization error — the minimum any
+    candidate can achieve in each subspace — and the mirror must
+    surface in the top-k. The filter keeps only (probe, mirror) rows;
+    approximate neighbors stay covered by topk_pq_exact's full oracle."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = e.unionByName(
+        e.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+    )
+    out = similarity.pq_topk_exact(pool, probes, k=5)
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)

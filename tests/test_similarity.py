@@ -5,6 +5,7 @@ embedding near-dup recall."""
 import math
 import random
 
+import pyspark.sql.functions as F
 import pytest
 
 from etl_ipl_data_analysis_pipeline_spark.operators import similarity
@@ -368,3 +369,71 @@ class TestQuantizeInt8:
         e2 = math.floor(e * e * 1e12 + 0.5) / 1e12
         assert rows[2]["mse"] == math.floor(e2 / 2 * 1e8 + 0.5) / 1e8
         assert all(r["n_dims"] == 2 for r in rows.values())
+
+
+class TestProductQuantization:
+    @pytest.fixture()
+    def vecs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>"
+        )
+
+    def test_codes_shape(self, spark, vecs):
+        from etl_ipl_data_analysis_pipeline_spark.operators.similarity import (
+            pq_model_exact,
+        )
+
+        codes, cents = pq_model_exact(vecs, m=2, sub_dim=4, k=4, iters=1)
+        got = codes.collect()
+        assert len(got) == 80  # m rows per vector
+        assert all(0 <= r["code"] < 4 for r in got)
+        per_vec = {}
+        for r in got:
+            per_vec.setdefault(r["vec_id"], set()).add(r["subspace"])
+        assert all(s == {0, 1} for s in per_vec.values())
+        # centroids: k x sub_dim per subspace
+        assert cents.count() == 2 * 4 * 4
+
+    def test_planted_copy_has_minimal_adc(self, spark, vecs):
+        from etl_ipl_data_analysis_pipeline_spark.operators.similarity import (
+            pq_topk_exact,
+        )
+
+        probe = vecs.filter(F.col("vec_id") == 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        mirror = vecs.filter(F.col("vec_id") == 3).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+        )
+        pool = vecs.unionByName(mirror)
+        out = pq_topk_exact(
+            pool, probe, k=40, m=2, sub_dim=4, k_codebook=4, iters=1
+        ).collect()
+        by_id = {r["vec_id"]: r["adc"] for r in out}
+        # the exact copy shares all codes with the probe, so its ADC is
+        # the global minimum
+        assert by_id[1003] == min(by_id.values())
+
+    def test_deterministic(self, spark, vecs):
+        from etl_ipl_data_analysis_pipeline_spark.operators.similarity import (
+            pq_topk_exact,
+        )
+
+        probes = vecs.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        a = sorted(
+            map(tuple, pq_topk_exact(vecs, probes, k=3, m=2, sub_dim=4,
+                                     k_codebook=4, iters=1).collect())
+        )
+        b = sorted(
+            map(tuple, pq_topk_exact(vecs.repartition(7), probes, k=3, m=2,
+                                     sub_dim=4, k_codebook=4, iters=1).collect())
+        )
+        assert a == b
