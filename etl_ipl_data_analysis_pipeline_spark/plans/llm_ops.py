@@ -2942,3 +2942,29 @@ def topk_pq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = similarity.pq_topk_exact(pool, probes, k=5)
     return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+@register(
+    "blocklist_filter_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(t, x -> x IN ('slow', 'crash'))) AS BIGINT)
+               AS n_blocked,
+           len(list_filter(t, x -> x IN ('slow', 'crash'))) <= 1 AS keep
+    FROM toks
+    """,
+    tags=("X6", "X4", "P6", "F5"),
+)
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level blocklist filtering (curation.blocklist_filter) with a
+    two-term list and max_hits=1 — non-vacuous at both fixture SFs
+    ('slow' is a frequent fixture token, so all three of {{0 hits, 1 hit,
+    >1 hits}} occur). Integer counts and boolean keep only: exact."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    return curation.blocklist_filter(d, ["slow", "crash"], max_hits=1)

@@ -612,3 +612,26 @@ class TestDsir:
         assert got == [0, 1, 2, 3, 4]
         again = [r["doc_id"] for r in curation.dsir_topk(corpus, F.col("tgt"), k=5).collect()]
         assert got == again
+
+
+class TestBlocklistFilter:
+    def test_token_level_not_substring(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the scrape tool"),      # substring of blocked term: keep
+                (2, "a rape case"),           # exact token: blocked
+                (3, "rape rape rape"),        # over max_hits
+                (4, ""),                      # empty doc: keep, 0 tokens
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in curation.blocklist_filter(
+                df, ["rape"], max_hits=1
+            ).collect()
+        }
+        assert out[1]["n_blocked"] == 0 and out[1]["keep"]
+        assert out[2]["n_blocked"] == 1 and out[2]["keep"]  # at max_hits
+        assert out[3]["n_blocked"] == 3 and not out[3]["keep"]
+        assert out[4]["n_tokens"] == 0 and out[4]["keep"]

@@ -370,3 +370,17 @@ def test_no_unbounded_global_windows_in_rank_cumsum_family(spark, sf_dir, qs):
                     f"{name}: single-partition exchange outside the bounded "
                     "offsets branch"
                 )
+
+
+def test_blocklist_filter_zero_shuffles(spark, sf_dir):
+    """The blocklist filter must stay a pure narrow map: the IN-literal
+    higher-order filter adds no Exchange, no join, no UDF."""
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    out = curation.blocklist_filter(
+        load(spark, sf_dir, "documents"), ["slow", "crash"], max_hits=1
+    )
+    plan = _executed(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
