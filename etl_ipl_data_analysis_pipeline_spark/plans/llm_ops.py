@@ -2968,3 +2968,89 @@ def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return curation.blocklist_filter(d, ["slow", "crash"], max_hits=1)
+
+
+def _cluster_top_terms_oracle(k: int, iters: int) -> str:
+    """Oracle twin of cluster_top_terms: unrolled-Lloyd chain, 6dp-floored
+    codebook, the decimal argmin assignment, then per-cell term counts
+    ranked (n_occ DESC, term ASC)."""
+    body, last = _kmeans_cte(k, iters)
+    return f"""
+    WITH {body}, cm AS (
+      SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
+    ), asg AS (
+      SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+        FROM (
+          SELECT e.vid, c.cid,
+                 sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+          FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
+        )) WHERE rn = 1
+    ), toks AS (
+      SELECT a.cid, {_TOKS_SQL} AS t
+      FROM documents JOIN asg a ON a.vid = documents.doc_id
+    ), tc AS (
+      SELECT cid, term, CAST(count(*) AS BIGINT) AS n_occ FROM (
+        SELECT cid, unnest(t) AS term FROM toks
+      ) GROUP BY 1, 2
+    )
+    SELECT cid, term, n_occ, rnk FROM (
+      SELECT cid, term, n_occ,
+             CAST(row_number() OVER (
+               PARTITION BY cid ORDER BY n_occ DESC, term) AS INT) AS rnk
+      FROM tc
+    ) WHERE rnk <= 5
+    """
+
+
+@register(
+    "cluster_top_terms",
+    oracle=_cluster_top_terms_oracle(4, 2),
+    tags=("X3", "X4", "A4", "W4", "J4"),
+)
+def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic map: k-means cells over the embeddings
+    (similarity.kmeans_exact, decimal-exact assignment — the semantic_dedup
+    routing) joined to their documents (the fixture keys embeddings by the
+    document id), then the 5 most frequent tokens per cluster — the
+    "what is actually IN each cluster" diagnostic every embedding-driven
+    curation run needs before trusting cluster-level decisions. Integer
+    counts with (n_occ DESC, term ASC) tie-break: exact.
+
+    Scale: the rank window partitions by cid over the per-cell VOCABULARY
+    relation (bounded by distinct terms, not corpus size); the doc join
+    is id-keyed; assignment is the broadcast k x d pattern."""
+    from ..operators.dedup import tokens as _tokens
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = similarity.kmeans_exact(e, k=4, iters=2)
+    cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
+    ex = e.select(
+        "vec_id", F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    term = F.col("v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(cm), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("__dist"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("__dist", "cid")
+    asg = (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "cid")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = (
+        d.join(asg, d.doc_id == asg.vec_id)
+        .select("cid", _tokens("text").alias("__t0"))
+        .select("cid", F.explode(F.filter("__t0", lambda t: t != F.lit(""))).alias("term"))
+    )
+    tc = toks.groupBy("cid", "term").agg(F.count(F.lit(1)).alias("n_occ"))
+    rw = Window.partitionBy("cid").orderBy(F.desc("n_occ"), F.asc("term"))
+    return (
+        tc.withColumn("rnk", F.row_number().over(rw))
+        .filter(F.col("rnk") <= 5)
+        .select("cid", "term", "n_occ", "rnk")
+    )
