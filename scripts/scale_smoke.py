@@ -162,6 +162,40 @@ def main() -> int:
             lambda: similarity.kmeans_exact(embs, k=4, iters=2),
             "kmeans_exact",
         ),
+        # round-7: DSIR importance weights — one explode + (doc,bucket)
+        # partial agg + O(B) broadcast score table; must stay ~linear
+        "dsir_weights": t(
+            lambda: curation.dsir_importance(
+                docs, F.col("doc_id") % 3 == 0
+            ),
+            "dsir_weights",
+        ),
+        # round-7: int8 quantization — d-cell min/max broadcast back,
+        # per-vector partial agg collapses in place; ~linear
+        "quantize_int8": t(
+            lambda: similarity.embedding_quantize_int8(embs),
+            "quantize_int8",
+        ),
+        # round-7: PQ build+code+ADC search — m exact kmeans chains plus
+        # broadcast distance tables; O(m * n * k) compute, ~linear
+        "pq_topk": t(
+            lambda: similarity.pq_topk_exact(
+                embs,
+                embs.filter(F.col("vec_id") < 3).select(
+                    F.col("vec_id").alias("query_id"), "embedding"
+                ),
+                k=5,
+            ),
+            "pq_topk",
+        ),
+        # round-7: token blocklist — zero-shuffle narrow map, the floor
+        # of what any corpus pass can cost
+        "blocklist": t(
+            lambda: curation.blocklist_filter(
+                docs, ["slow", "crash"], max_hits=1
+            ),
+            "blocklist",
+        ),
         # round-3 curation family: each must stay ~linear in corpus size
         "hash_split": t(
             lambda: curation.hash_split(
