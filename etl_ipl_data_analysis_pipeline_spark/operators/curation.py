@@ -1032,3 +1032,54 @@ def blocklist_filter(
         blocked.cast("bigint").alias("n_blocked"),
         (blocked <= F.lit(max_hits)).alias("keep"),
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    group_col: str,
+    epochs: dict[str, float],
+    key_col: str = "doc_id",
+    default: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Epoch-budgeted mixture materialization — the "repeat wiki 3.2x,
+    cap crawl at 1 epoch" sampling-proportions step of assembling a
+    pretraining mix (the public Llama / Gopher recipes publish exactly
+    such per-source epoch factors). Every row of group ``g`` with factor
+    e appears floor(e) times, plus once more iff md5(key || salt) falls
+    below the frac(e) threshold (hex_threshold) — so group token mass
+    scales by e in expectation with a per-ROW deterministic draw:
+    re-running reproduces the byte-identical mix, growing the corpus
+    never flips an existing row's replicas, and independent re-draws are
+    one salt away.
+
+    Output = the input rows replicated, plus an ``epoch`` column
+    (0-based replica index) so downstream shuffles/packing can keep
+    replicas apart. Rows in groups with factor 0 vanish.
+
+    Scale: a broadcast |groups|-row factor table, one narrow
+    explode(sequence) — no shuffle, no window, no state. The fractional
+    draw reuses the hash_split bucket, so the SQL twin is exact."""
+    items = sorted(epochs.items())
+    factor = F.lit(float(default))
+    for name, e in reversed(items):
+        factor = F.when(F.col(group_col) == F.lit(name), F.lit(float(e))).otherwise(
+            factor
+        )
+    n_full = F.floor(factor).cast("int")
+    # hex_threshold is resolved at PLAN time from the python floats, so the
+    # per-group fractional thresholds fold into one CASE (unlisted groups
+    # take the default factor's fraction)
+    dthr = float(default) - int(float(default))
+    thr = F.lit(hex_threshold(dthr))
+    for name, e in reversed(items):
+        f = float(e) - int(float(e))
+        thr = F.when(F.col(group_col) == F.lit(name), F.lit(hex_threshold(f))).otherwise(
+            thr
+        )
+    extra = (_hash_bucket(key_col, salt) < thr).cast("int")
+    n = n_full + extra
+    reps = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(reps))

@@ -3054,3 +3054,58 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("cid", "term", "n_occ", "rnk")
     )
+
+
+def _mixture_epochs_oracle(epochs: dict[str, float], default: float, salt: str) -> str:
+    """Oracle twin of curation.mixture_epochs: the same plan-time
+    hex_threshold literals, DuckDB range() replication."""
+    from ..operators.curation import hex_threshold
+
+    items = sorted(epochs.items())
+    fcase = " ".join(
+        f"WHEN lang = '{n}' THEN {float(e)!r}" for n, e in items
+    )
+    tcase = " ".join(
+        f"WHEN lang = '{n}' THEN '{hex_threshold(float(e) - int(float(e)))}'"
+        for n, e in items
+    )
+    dthr = hex_threshold(float(default) - int(float(default)))
+    return f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CASE {fcase} ELSE {float(default)!r} END AS factor,
+             CASE {tcase} ELSE '{dthr}' END AS thr
+      FROM documents
+    ), n AS (
+      SELECT doc_id, lang,
+             CAST(floor(factor) AS INT)
+             + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8)
+                         < thr THEN 1 ELSE 0 END AS n_rep
+      FROM f
+    )
+    SELECT doc_id, lang, CAST(unnest(range(0, n_rep)) AS INT) AS epoch
+    FROM n WHERE n_rep > 0
+    """
+
+
+_MIX_EPOCHS = {"en": 2.5, "de": 1.0, "fr": 0.25, "zh": 0.0}
+
+
+@register(
+    "mixture_epochs_lang",
+    oracle=_mixture_epochs_oracle(_MIX_EPOCHS, default=1.0, salt="mix"),
+    tags=("X6", "P5", "F5", "F7"),
+)
+def mixture_epochs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-budgeted mixture materialization (curation.mixture_epochs):
+    English repeated 2.5x (every row twice, half a third time by
+    deterministic md5 draw), German/Spanish 1x, French quarter-sampled,
+    Chinese dropped — the published-recipe sampling-proportions step,
+    byte-identical on re-run and engine-portable. Zero shuffles: a CASE
+    projection and one explode(sequence)."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.mixture_epochs(
+        d, "lang", _MIX_EPOCHS, key_col="doc_id", default=1.0, salt="mix"
+    )

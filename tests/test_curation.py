@@ -635,3 +635,32 @@ class TestBlocklistFilter:
         assert out[2]["n_blocked"] == 1 and out[2]["keep"]  # at max_hits
         assert out[3]["n_blocked"] == 3 and not out[3]["keep"]
         assert out[4]["n_tokens"] == 0 and out[4]["keep"]
+
+
+class TestMixtureEpochs:
+    def test_matches_python_md5_replication(self, spark):
+        rows = [(i, ["en", "de", "fr", "zh"][i % 4]) for i in range(400)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+        epochs = {"en": 2.5, "de": 1.0, "fr": 0.25, "zh": 0.0}
+        out = curation.mixture_epochs(
+            df, "lang", epochs, key_col="doc_id", default=1.0, salt="s"
+        ).collect()
+        got = {}
+        for r in out:
+            got.setdefault(r["doc_id"], []).append(r["epoch"])
+        thr = {g: curation.hex_threshold(e - int(e)) for g, e in epochs.items()}
+        for i, lang in rows:
+            e = epochs[lang]
+            n = int(e) + (1 if _md5_bucket(str(i), "s") < thr[lang] else 0)
+            expect = list(range(n)) if n else None
+            assert got.get(i, None) == expect, (i, lang)
+
+    def test_expected_mass_and_determinism(self, spark):
+        rows = [(i, "en") for i in range(2000)]
+        df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+        out = curation.mixture_epochs(df, "lang", {"en": 2.5}, key_col="doc_id")
+        n = out.count()
+        assert 4700 <= n <= 5300  # ~2.5 x 2000
+        assert out.count() == n  # stable on re-run
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure narrow map
