@@ -1143,3 +1143,73 @@ def pq_topk_exact(
             / F.lit(1e6)
         ).alias("adc"),
     )
+
+
+def embedding_norm_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    factor: float = 2.0,
+) -> DataFrame:
+    """Norm-based embedding sanity check: flag vectors whose L2 norm is
+    more than ``factor``x the corpus MEDIAN norm (or less than 1/factor)
+    — the cheap catch for truncated, zero-padded, un-normalized or
+    double-scaled vectors before they poison an index or a semantic-
+    dedup threshold.
+
+    Exactness: squared norms are 12dp floor-quantized DECIMAL sums
+    (order-independent, the covariance discipline); the median is the
+    lower median by EXACT global position — layout.global_positions'
+    range-bucketed row_number, so no single-partition window touches a
+    relation that grows with the corpus (approxQuantile supplies only
+    the bucket boundaries, which steer parallelism, never the result);
+    and the flag compares decimals against the broadcast 1-row median
+    with factor^2 folded in (norm^2 vs median^2 avoids any sqrt).
+
+    Returns (id, n_dims, norm2 — 8dp floor-rounded double, is_outlier).
+    """
+    from .layout import global_positions
+
+    f2 = factor * factor
+    if f2 != int(f2):
+        raise ValueError("factor^2 must be integral for the exact-decimal flag")
+    f2 = int(f2)
+    base = df.select(
+        F.col(id_col), F.posexplode(_as_double_array(F.col(vec_col))).alias("__i", "__x")
+    ).select(
+        F.col(id_col),
+        (
+            F.floor(F.col("__x") * F.col("__x") * F.lit(1e12) + F.lit(0.5))
+            / F.lit(1e12)
+        )
+        .cast("decimal(20,12)")
+        .alias("__x2"),
+    )
+    norms = base.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dims"), F.sum("__x2").alias("__n2")
+    )
+    cuts = sorted(
+        set(
+            norms.select(F.col("__n2").cast("double").alias("__n2d")).approxQuantile(
+                "__n2d", [i / 8 for i in range(1, 8)], 0.01
+            )
+        )
+    )
+    pos = global_positions(
+        norms, norms, "__n2", id_col, cuts, "__pos", tot_col="__tot"
+    )
+    med = (
+        pos.filter(F.col("__pos") == F.expr("(__tot + 1) div 2"))
+        .select(F.col("__n2").alias("__med"))
+    )
+    flag = (F.col("__n2") > F.col("__med") * F.lit(f2)) | (
+        F.col("__n2") * F.lit(f2) < F.col("__med")
+    )
+    return norms.crossJoin(F.broadcast(med)).select(
+        F.col(id_col),
+        "n_dims",
+        (
+            F.floor(F.col("__n2").cast("double") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+        ).alias("norm2"),
+        flag.alias("is_outlier"),
+    )

@@ -3109,3 +3109,41 @@ def mixture_epochs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mixture_epochs(
         d, "lang", _MIX_EPOCHS, key_col="doc_id", default=1.0, salt="mix"
     )
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH xs AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+    ), n2s AS (
+      SELECT vec_id,
+             CAST(count(*) AS BIGINT) AS n_dims,
+             sum(CAST(floor(x * x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS n2
+      FROM xs GROUP BY 1
+    ), med AS (
+      SELECT n2 AS m FROM (
+        SELECT n2, row_number() OVER (ORDER BY n2, vec_id) AS rn,
+               count(*) OVER () AS tot
+        FROM n2s
+      ) WHERE rn = (tot + 1) // 2
+    )
+    SELECT vec_id, n_dims,
+           floor(CAST(n2 AS DOUBLE) * 1e8 + 0.5) / 1e8 AS norm2,
+           (n2 > m * 4 OR n2 * 4 < m) AS is_outlier
+    FROM n2s CROSS JOIN med
+    """,
+    tags=("X3", "A8", "W1", "F3"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm-based embedding outlier flags
+    (similarity.embedding_norm_outliers, factor 2): 12dp-quantized
+    decimal squared norms, the EXACT lower-median by distributed global
+    position (range-bucketed row_number — the oracle's global window
+    replayed without a single-partition exchange over the corpus), and
+    decimal comparisons against the broadcast median with factor^2
+    folded in. The fixture's synthetic embeddings are well-conditioned,
+    so outliers are rare-but-present at sf0.1 and the flag is
+    non-vacuous; norm2 itself gates every vector either way."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.embedding_norm_outliers(e, factor=2.0)

@@ -437,3 +437,28 @@ class TestProductQuantization:
                                      sub_dim=4, k_codebook=4, iters=1).collect())
         )
         assert a == b
+
+
+class TestNormOutliers:
+    def test_planted_scaled_vectors_flagged(self, spark):
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)]
+        rows += [
+            (100, [4.0 * v for v in rows[0][1]]),   # 16x the median norm2
+            (101, [0.01 * v for v in rows[1][1]]),  # ~1e-4x
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = {
+            r["vec_id"]: r
+            for r in similarity.embedding_norm_outliers(df).collect()
+        }
+        assert out[100]["is_outlier"] and out[101]["is_outlier"]
+        flagged = [k for k, r in out.items() if r["is_outlier"]]
+        # the bulk of the well-conditioned corpus is not flagged
+        assert len(flagged) <= 8
+        assert all(r["n_dims"] == 8 for r in out.values())
+
+    def test_factor_must_square_to_int(self, spark):
+        df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError):
+            similarity.embedding_norm_outliers(df, factor=1.5)
