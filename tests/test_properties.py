@@ -534,3 +534,61 @@ def test_remove_duplicate_spans_matches_python_mirror(spark, texts, window):
         r = out[i]
         assert (r["n_spans"], r["n_kept"]) == (len(spans), len(kept))
         assert r["clean_text"] == " ".join(kept)
+
+
+def _py_dsir_weights(rows, n_buckets=64, salt="dsir"):
+    """Pure-Python mirror of curation.dsir_importance: md5 bucket hash,
+    add-one smoothed distributions, integer surprisal difference via
+    int.bit_length."""
+    import hashlib
+
+    def bucket(gram: str) -> int:
+        h = int(hashlib.md5((gram + salt).encode()).hexdigest()[:15], 16)
+        return h % n_buckets
+
+    per_doc = {}
+    c_raw, c_tgt = {}, {}
+    n_raw = n_tgt = 0
+    for doc_id, text, tgt in rows:
+        toks = [t for t in _py_tokens(text) if t]
+        grams = toks + [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        counts = {}
+        for g in grams:
+            counts[bucket(g)] = counts.get(bucket(g), 0) + 1
+        per_doc[doc_id] = counts
+        for b, m in counts.items():
+            c_raw[b] = c_raw.get(b, 0) + m
+            n_raw += m
+            if tgt:
+                c_tgt[b] = c_tgt.get(b, 0) + m
+                n_tgt += m
+
+    def surp(n, c):
+        return ((n + n_buckets) // (c + 1)).bit_length() - 1
+
+    out = {}
+    for doc_id, counts in per_doc.items():
+        w = sum(
+            m * (surp(n_raw, c_raw[b]) - surp(n_tgt, c_tgt.get(b, 0)))
+            for b, m in counts.items()
+        )
+        out[doc_id] = (sum(counts.values()), w)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(TEXTS, st.integers(min_value=1, max_value=7))
+def test_dsir_weights_match_python_mirror(spark, texts, tgt_mod):
+    from etl_ipl_data_analysis_pipeline_spark.operators import curation
+
+    rows = [(i, t, i % tgt_mod == 0) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight"])
+        for r in curation.dsir_importance(
+            df, F.col("tgt"), n_buckets=64
+        ).collect()
+    }
+    expect = _py_dsir_weights(rows)
+    for doc_id, (n_grams, weight) in expect.items():
+        assert got[doc_id] == (n_grams, weight), doc_id
