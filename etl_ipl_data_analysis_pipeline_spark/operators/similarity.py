@@ -1107,6 +1107,26 @@ def pq_topk_exact(
         corpus, m=m, sub_dim=sub_dim, k=k_codebook, iters=iters,
         id_col=id_col, vec_col=vec_col,
     )
+    return _pq_adc_search(
+        codes, cents, probes, k=k, m=m, sub_dim=sub_dim,
+        vec_col=vec_col, probe_id_col=probe_id_col,
+    )
+
+
+def _pq_adc_search(
+    codes: DataFrame,
+    cents: DataFrame,
+    probes: DataFrame,
+    k: int,
+    m: int,
+    sub_dim: int,
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """The ADC search stage shared by the in-memory and persisted PQ
+    paths: probe distance tables against the (subspace, cid, pos, c)
+    codebook, decimal lookup-sum over the (vec_id, subspace, code)
+    relation, skew-free top-k."""
     p = probes.select(
         F.col(probe_id_col).alias("query_id"),
         _as_double_array(F.col(vec_col)).alias("__pvec"),
@@ -1142,6 +1162,76 @@ def pq_topk_exact(
             F.floor((-F.col("sim")).cast("double") * F.lit(1e6) + F.lit(0.5))
             / F.lit(1e6)
         ).alias("adc"),
+    )
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist a PQ index — the compressed-domain twin of
+    ivf_build_index's pay-once lifecycle. Layout on disk:
+
+    - ``path/codebooks``: (subspace, cid, pos, c) — m*k*sub_dim rows,
+      the 6dp-floored codebook (coalesced to one file: it is the model).
+    - ``path/codes``: (vec_id, codes array<int>) — ONE row per vector,
+      the m-byte compressed representation, subspace-ordered. At 100 TB
+      this table is the index: 4 int codes instead of 64 floats per
+      vector, the only thing a search ever scans.
+
+    Everything is integers or parquet-exact doubles, so the persisted
+    searcher is value-identical to the in-memory pq_topk_exact — the
+    tests and the driver oracle assert it."""
+    codes, cents = pq_model_exact(
+        corpus, m=m, sub_dim=sub_dim, k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cents.coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    wide = (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "code"))
+            ).alias("__sc")
+        )
+        .select(
+            "vec_id",
+            F.transform("__sc", lambda s: s["code"]).alias("codes"),
+        )
+    )
+    wide.write.mode("overwrite").parquet(path + "/codes")
+
+
+def pq_search_index(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    sub_dim: int = 16,
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted PQ index (pq_build_index) from disk: load the
+    m*k*sub_dim-row codebook (broadcast-sized at any corpus scale),
+    re-explode the codes array to (vec_id, subspace, code), and run the
+    shared ADC stage. The scan reads ONLY the codes table — the raw
+    vectors never leave cold storage, which is the PQ promise at
+    100 TB."""
+    cents = spark.read.parquet(path + "/codebooks")
+    codes = spark.read.parquet(path + "/codes").select(
+        "vec_id",
+        F.posexplode("codes").alias("subspace", "code"),
+    )
+    return _pq_adc_search(
+        codes, cents, probes, k=k, m=m, sub_dim=sub_dim,
+        vec_col=vec_col, probe_id_col=probe_id_col,
     )
 
 

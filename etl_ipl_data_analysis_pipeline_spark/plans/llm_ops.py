@@ -3147,3 +3147,42 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous; norm2 itself gates every vector either way."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.embedding_norm_outliers(e, factor=2.0)
+
+
+@register(
+    "topk_pq_persisted_planted",
+    oracle=_pq_oracle(planted=True),
+    tags=("X3", "J10", "SNK1"),
+)
+def topk_pq_persisted_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED PQ lifecycle under the FULL exact oracle: build the
+    index to parquet (pq_build_index — one-file codebook + one-row-per-
+    vector codes array, the compressed-at-rest ANN shape), then search
+    it from disk in a separate read path (pq_search_index). Codes are
+    integers and the codebook is 6dp-floored doubles, both parquet-
+    exact, so the persisted search is value-identical to the in-memory
+    topk_pq_planted — the SAME unrolled-CTE oracle gates the round trip:
+    a model that loses precision at rest, a codes writer that reorders
+    subspaces, or a search that mis-rebuilds the distance table all
+    break the hash, not just the recall floor."""
+    import shutil
+
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = e.unionByName(
+        e.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+    )
+    idx = _scratch_dir(sf_dir, "pq_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.pq_build_index(pool, idx)
+    out = similarity.pq_search_index(spark, idx, probes, k=5)
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)

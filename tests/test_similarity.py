@@ -462,3 +462,35 @@ class TestNormOutliers:
         df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<double>")
         with pytest.raises(ValueError):
             similarity.embedding_norm_outliers(df, factor=1.5)
+
+
+class TestPQPersisted:
+    def test_persisted_search_identical_to_in_memory(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        probes = df.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        mem = similarity.pq_topk_exact(
+            df, probes, k=7, m=2, sub_dim=4, k_codebook=4, iters=1
+        )
+        idx = str(tmp_path / "pq")
+        similarity.pq_build_index(df, idx, m=2, sub_dim=4, k=4, iters=1)
+        disk = similarity.pq_search_index(
+            spark, idx, probes, k=7, m=2, sub_dim=4
+        )
+        assert sorted(map(tuple, mem.collect())) == sorted(
+            map(tuple, disk.collect())
+        )
+        # the search scans codes + codebook only — no scan in the plan
+        # reads a raw embedding column
+        plan = disk._jdf.queryExecution().executedPlan().toString()
+        scan_schemas = [
+            line for line in plan.split("\n") if "ReadSchema" in line
+        ]
+        assert scan_schemas and all(
+            "embedding" not in line for line in scan_schemas
+        )
