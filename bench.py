@@ -75,6 +75,10 @@ HEADLINE = [
     "lm_surprisal_scores",
     "nb_lang_confusion",
     "bpe_train_merges",
+    "dsir_weights",
+    "embedding_quantize_int8",
+    "topk_pq_exact",
+    "cluster_top_terms",
 ]
 
 
