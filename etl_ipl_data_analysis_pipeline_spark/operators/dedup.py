@@ -177,6 +177,31 @@ def minhash_signatures(
     )
 
 
+def _band_keys(sig_col, bands: int, rows_per_band: int, hash_family: str):
+    """Per-band key expressions over a signature array column. "md5"
+    keys on the band's comma-joined VALUE string (no hash collision can
+    admit a pair the signatures don't justify — what makes the pair set
+    exactly oracle-able); "xx" keys on the band's xxhash64 (the fast
+    JVM default)."""
+    sig_col = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    if hash_family == "md5":
+        return [
+            F.array_join(
+                F.slice(sig_col, b * rows_per_band + 1, rows_per_band).cast(
+                    "array<string>"
+                ),
+                ",",
+            )
+            for b in range(bands)
+        ]
+    return [
+        F.xxhash64(
+            F.slice(sig_col, b * rows_per_band + 1, rows_per_band).cast("string")
+        )
+        for b in range(bands)
+    ]
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -206,25 +231,7 @@ def minhash_near_dup_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed, hash_family)
-    if hash_family == "md5":
-        band_keys = [
-            F.array_join(
-                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
-                    "array<string>"
-                ),
-                ",",
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_keys = [
-            F.xxhash64(
-                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band).cast(
-                    "string"
-                )
-            )
-            for b in range(bands)
-        ]
+    band_keys = _band_keys("__sig", bands, rows_per_band, hash_family)
     banded = sig.select(
         "__id",
         "__sig",
@@ -925,3 +932,104 @@ def remove_duplicate_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def minhash_sig_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_family: str = "xx",
+) -> DataFrame:
+    """The persistable LSH index state for cross-snapshot dedup:
+    (doc_id, sig array<bigint>) — one row per document of the EXISTING
+    corpus. Signatures are the expensive part (tokenize + shingle + hash
+    every byte of text); band keys are cheap arithmetic over the array,
+    so the index stores signatures only and each search derives its own
+    banding — the same signature table serves any (bands, threshold)
+    choice later. Write it partitioned/bucketed however the fleet likes;
+    the incremental probe below never re-reads the old TEXT."""
+    return minhash_signatures(
+        df, text_col, id_col, n, num_hashes, seed, hash_family
+    ).select(F.col("__id").alias(id_col), F.col("__sig").alias("sig"))
+
+
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.7,
+    hash_family: str = "xx",
+) -> DataFrame:
+    """Cross-SNAPSHOT near-dup detection — the crawl N+1 shape: which
+    documents of a NEW batch near-duplicate the EXISTING corpus, without
+    ever rescanning the existing corpus text. The old side enters as the
+    persisted signature index (:func:`minhash_sig_index`); only the new
+    batch is tokenized/shingled/hashed. Both sides derive band keys from
+    their signature arrays and meet on (band_idx, band_key) — the
+    O(new·bands) LSH shuffle against an index pre-bucketable by band key
+    at rest, never new × old.
+
+    The first-agreeing-band trick carries over unchanged to the
+    cross-relation join (both sides carry the per-band key array, so a
+    pair agreeing on k bands survives exactly once), and with
+    ``hash_family="md5"`` every signature and band key is cross-engine
+    exact, so the incremental pipeline sits under a full DuckDB oracle.
+
+    Returns (new_id, old_id, est_jaccard) for pairs at or above
+    ``min_jaccard``. New-batch-internal duplicates are NOT this
+    operator's job — run the self-join pair dedup on the batch first,
+    then union the survivors' signatures into the index."""
+    rows_per_band = num_hashes // bands
+    new_sig = minhash_signatures(
+        new_docs, text_col, id_col, n, num_hashes, seed, hash_family
+    )
+    old_sig = index.select(
+        F.col(id_col).alias("__id"), F.col("sig").alias("__sig")
+    )
+
+    def banded(sig: DataFrame) -> DataFrame:
+        keys = _band_keys("__sig", bands, rows_per_band, hash_family)
+        return sig.select(
+            "__id", "__sig", F.array(*keys).alias("__bhs")
+        ).select(
+            "__id",
+            "__sig",
+            "__bhs",
+            F.posexplode("__bhs").alias("band_idx", "band_hash"),
+        )
+
+    a = banded(new_sig).alias("a")
+    b = banded(old_sig).alias("b")
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("a.__sig"), F.col("b.__sig"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    ) / F.lit(float(num_hashes))
+    first_agree = F.array_position(
+        F.zip_with(F.col("a.__bhs"), F.col("b.__bhs"), lambda x, y: x == y),
+        True,
+    ) - F.lit(1)
+    pairs = (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .filter(F.col("a.band_idx") == first_agree)
+        .select(
+            F.col("a.__id").alias("new_id"),
+            F.col("b.__id").alias("old_id"),
+            F.round(est, 4).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= F.lit(min_jaccard))
+    )
+    return pairs

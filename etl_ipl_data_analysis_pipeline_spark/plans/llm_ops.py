@@ -108,13 +108,12 @@ _MHSHINGLES_SQL = (
 _MH_P = 2_147_483_647  # functions.PORTABLE_MOD
 
 
-def _minhash_pairs_cte(min_jaccard: float, num_hashes: int = 32, bands: int = 8,
-                       seed: int = 42) -> str:
-    """WITH-clause body computing the portable MinHash-LSH pair set
-    (mhpairs: id_a, id_b, est_jaccard) — the exact oracle twin of
-    dedup.minhash_near_dup_pairs(hash_family='md5'): same universal-hash
-    constants (interpolated literals from the same seeded stream), same
-    banding, band equality on the comma-joined VALUE string."""
+def _minhash_sig_cte(num_hashes: int = 32, bands: int = 8, seed: int = 42,
+                     src: str = "documents") -> str:
+    """WITH-clause body computing portable md5 MinHash signatures and
+    band VALUE-strings (CTEs: toks/sh/g/ks/sig/band) over ``src`` —
+    shared by the self-join pair oracle and the cross-snapshot
+    incremental oracle."""
     rows = num_hashes // bands
     ks = ", ".join(
         f"({i}, {a}, {b})"
@@ -122,7 +121,7 @@ def _minhash_pairs_cte(min_jaccard: float, num_hashes: int = 32, bands: int = 8,
     )
     return f"""
     toks AS (
-      SELECT doc_id, {_MHTOKS_SQL} AS t FROM documents
+      SELECT doc_id, {_MHTOKS_SQL} AS t FROM {src}
     ), sh AS (
       SELECT doc_id, {_MHSHINGLES_SQL} AS grams FROM toks WHERE len(t) > 0
     ), g AS (
@@ -138,7 +137,17 @@ def _minhash_pairs_cte(min_jaccard: float, num_hashes: int = 32, bands: int = 8,
       SELECT doc_id, i // {rows} AS band_idx,
              string_agg(h::VARCHAR, ',' ORDER BY i) AS bsig
       FROM sig GROUP BY 1, 2
-    ), cand AS (
+    )"""
+
+
+def _minhash_pairs_cte(min_jaccard: float, num_hashes: int = 32, bands: int = 8,
+                       seed: int = 42) -> str:
+    """WITH-clause body computing the portable MinHash-LSH pair set
+    (mhpairs: id_a, id_b, est_jaccard) — the exact oracle twin of
+    dedup.minhash_near_dup_pairs(hash_family='md5'): same universal-hash
+    constants (interpolated literals from the same seeded stream), same
+    banding, band equality on the comma-joined VALUE string."""
+    return _minhash_sig_cte(num_hashes, bands, seed) + f""", cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM band a JOIN band b
         ON a.band_idx = b.band_idx AND a.bsig = b.bsig AND a.doc_id < b.doc_id
@@ -3186,3 +3195,55 @@ def topk_pq_persisted_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.pq_build_index(pool, idx)
     out = similarity.pq_search_index(spark, idx, probes, k=5)
     return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH pool AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zqxsnapshot' AS text
+      FROM documents WHERE doc_id < 10
+    ), {_minhash_sig_cte(src="pool")}, cand AS (
+      SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+      FROM band a JOIN band b
+        ON a.band_idx = b.band_idx AND a.bsig = b.bsig
+      WHERE a.doc_id >= 200000 AND b.doc_id < 200000
+    )
+    SELECT new_id, old_id, est_jaccard FROM (
+      SELECT c.new_id, c.old_id,
+             round(sum(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) / 32.0, 4)
+               AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.new_id
+      JOIN sig sb ON sb.doc_id = c.old_id AND sb.i = sa.i
+      GROUP BY 1, 2
+    ) WHERE est_jaccard >= 0.5
+    """,
+    tags=("X2", "L1", "J10", "F7"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental near-dup detection
+    (dedup.minhash_incremental_pairs): the existing corpus enters ONLY as
+    its persisted signature index (dedup.minhash_sig_index — the old text
+    is never rescanned), the new batch is ten lightly-edited copies of
+    existing documents (one appended marker token, planted at +200000
+    with the runtime domain guard), and every (new, old) pair at
+    est_jaccard >= 0.5 must surface. The portable md5 family makes the
+    whole incremental pipeline — persisted signatures, derived band
+    VALUE-strings, first-agreeing-band pair set, Jaccard estimates —
+    bit-identical to the oracle, which recomputes it from the unioned
+    pool (value-equivalent by construction: signatures are pure functions
+    of text)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    index = dedup.minhash_sig_index(d, hash_family="md5")
+    new_batch = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
+            "doc_id"
+        ),
+        F.concat(F.col("text"), F.lit(" zqxsnapshot")).alias("text"),
+    )
+    return dedup.minhash_incremental_pairs(
+        new_batch, index, min_jaccard=0.5, hash_family="md5"
+    )

@@ -323,3 +323,51 @@ def test_semantic_dedup_drops_exact_embedding_copies(spark):
     # recall 1 on exact copies (same cell by identical decimal distances),
     # no false drops among the random base vectors
     assert survivors == {i for i, _ in base}
+
+
+class TestMinhashIncremental:
+    def test_modified_copies_found_fresh_docs_not(self, spark):
+        from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+        old = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+                (2, "one two three four five six seven eight nine ten"),
+            ],
+            "doc_id bigint, text string",
+        )
+        index = dedup.minhash_sig_index(old, hash_family="md5")
+        new = spark.createDataFrame(
+            [
+                # doc 1 with one extra token: high jaccard vs old doc 1
+                (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa marker"),
+                # entirely fresh vocabulary: no pair
+                (101, "xx yy zz ww vv uu tt ss rr qq"),
+            ],
+            "doc_id bigint, text string",
+        )
+        pairs = dedup.minhash_incremental_pairs(
+            new, index, min_jaccard=0.5, hash_family="md5"
+        ).collect()
+        assert {(r["new_id"], r["old_id"]) for r in pairs} == {(100, 1)}
+        assert all(r["est_jaccard"] >= 0.5 for r in pairs)
+
+    def test_exact_copy_recall_one_any_family(self, spark):
+        from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+        old = spark.createDataFrame(
+            [(i, f"w{i} " * 3 + "shared common tail tokens here") for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        for fam in ("xx", "md5"):
+            index = dedup.minhash_sig_index(old, hash_family=fam)
+            new = old.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+            pairs = dedup.minhash_incremental_pairs(
+                new, index, min_jaccard=0.9, hash_family=fam
+            ).collect()
+            found = {(r["new_id"], r["old_id"]) for r in pairs}
+            # an exact copy shares every signature position: est 1.0,
+            # found whatever the family/seed
+            assert {(1000 + i, i) for i in range(5)} <= found
