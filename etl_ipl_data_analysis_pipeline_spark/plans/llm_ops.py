@@ -2298,10 +2298,10 @@ _GRAMS2_SQL = (
 )
 
 
-@register(
-    "lm_surprisal_scores",
-    oracle=f"""
-    WITH toks AS (
+# Shared WITH-body: per-document bigram-LM surprisal sums (toks/grams/
+# c2/c1/vs/sc/pd) — used by the surprisal filter and the curriculum
+# packer, both of which derive avg_surprisal from pd identically.
+_SURPRISAL_CTES = f"""toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ), grams AS (
       SELECT doc_id, gram, str_split(gram, ' ')[1] AS w1 FROM (
@@ -2325,7 +2325,13 @@ _GRAMS2_SQL = (
              CAST(count(*) AS BIGINT) AS n_bigrams,
              CAST(sum(s) AS BIGINT) AS sum_surprisal
       FROM sc GROUP BY 1
-    )
+    )"""
+
+
+@register(
+    "lm_surprisal_scores",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES}
     SELECT d.doc_id,
            CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(sum_surprisal, 0) AS BIGINT) AS sum_surprisal,
@@ -3246,4 +3252,66 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup.minhash_incremental_pairs(
         new_batch, index, min_jaccard=0.5, hash_family="md5"
+    )
+
+
+@register(
+    "curriculum_pack_shards",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES}, scored AS (
+      SELECT d.doc_id,
+             CASE WHEN coalesce(n_bigrams, 0) > 0
+                  THEN floor(CAST(sum_surprisal AS DOUBLE) / n_bigrams * 1e4
+                             + 0.5) / 1e4
+             END AS avg_surprisal,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS n_tokens
+      FROM documents d LEFT JOIN pd USING (doc_id)
+    ), c AS (
+      SELECT doc_id, avg_surprisal, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               ORDER BY avg_surprisal ASC NULLS FIRST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cum_before
+      FROM scored
+    )
+    SELECT doc_id, avg_surprisal, n_tokens,
+           CAST(cum_before // 2000 AS BIGINT) AS shard
+    FROM c
+    """,
+    tags=("X6", "X4", "W3", "SO2"),
+)
+def curriculum_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered shard packing: documents sorted easiest-first
+    by bigram-LM surprisal (the CCNet score, NULLs-first for short docs)
+    and packed into ~2000-token training shards by EXCLUSIVE running
+    token count — "start training on the easy tokens" materialized. The
+    running sum is layout.global_running_sum (range-bucketed, broadcast
+    prefix offsets): the oracle's single-partition window is replayed
+    distributed, bit-identically, because token counts sum as integers
+    under any bucketing."""
+    from ..operators import textstats as ts
+    from ..operators.layout import global_running_sum
+
+    d = load(spark, sf_dir, "documents")
+    s = ts.lm_surprisal(d).select("doc_id", "avg_surprisal")
+    base = d.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    ).join(s, "doc_id")
+    cuts = sorted(
+        set(
+            base.approxQuantile("avg_surprisal", [i / 16 for i in range(1, 16)], 0.01)
+        )
+    )
+    cum = global_running_sum(
+        base, "avg_surprisal", "doc_id", F.col("n_tokens"), cuts, "__cum"
+    )
+    return cum.select(
+        "doc_id",
+        "avg_surprisal",
+        "n_tokens",
+        ((F.col("__cum") - F.col("n_tokens")) / F.lit(2000))
+        .cast("bigint")
+        .alias("shard"),
     )
