@@ -94,7 +94,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 33
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 34
 # queries whose code or oracle is new or changed in round 7 (the two
 # DSIR importance-resampling ops, the int8 embedding quantizer,
 # the PQ codebook/ADC search pair, the
@@ -105,7 +105,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # replay-guarded count streams, the ragged-guarded covariance, the
 # refactored zorder ntile); (2) the 13 remaining queries whose freshest
 # driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
-# (3) 3 of the 45 round-3-era queries, oldest window first — the rest
+# (3) 2 of the 45 round-3-era queries, oldest window first — the rest
 # rotate in next round. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
 # that justifies this ordering.
@@ -113,6 +113,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- new/changed in round 7: never sampled or must re-green --
     "dsir_weights",  # DSIR importance weights, integer surprisal diff
     "dsir_select_topk",  # DSIR top-k selection, TakeOrderedAndProject
+    "stream_dsir_buckets",  # DSIR model state maintained at ingest
     "embedding_quantize_int8",  # int8 codes + reconstruction MSE, exact
     "topk_pq_exact",  # product-quantization ADC search, full oracle
     "topk_pq_planted",  # PQ recall gate: planted copies surface
@@ -158,11 +159,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_stats",
     "q3_top_revenue",
-    # -- round-3-era evidence, oldest-first refresh (3 of 45) --
+    # -- round-3-era evidence, oldest-first refresh (2 of 45) --
     "split_train_valtest",
     "stratified_sample_lang",
     "repetition_stats",
-    "pii_redaction",
 )
 
 

@@ -582,3 +582,70 @@ def stream_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state + suffix, ignore_errors=True)
     counts = sketch_stream.run_count_stream(terms, state, keys=["source", "term"])
     return chi_square_from_counts(counts, "source", "term", "n_occurrences", 5)
+
+
+@register(
+    "stream_dsir_buckets",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS tgt,
+             list_filter(str_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                         x -> x <> '') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, tgt, unnest(list_concat(t,
+        CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+             ELSE list_transform(range(1, len(t)),
+                                 i -> array_to_string(t[i:i+1], ' ')) END
+      )) AS gram FROM toks
+    )
+    SELECT (('0x' || substr(md5(gram || 'dsir'), 1, 15))::BIGINT % 4096) AS b,
+           tgt, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM feats GROUP BY 1, 2
+    """,
+    tags=("L6", "X6", "A4", "F7"),
+)
+def stream_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR at ingest: maintain the hashed-feature bucket distributions
+    (the model state of curation.dsir_importance — per-bucket raw and
+    target occurrence counts) incrementally as documents stream in, via
+    the replay-guarded additive count stream
+    (streaming/sketch_stream.run_count_stream). Integer addition makes
+    the final (bucket, tgt) table bit-identical to the batch
+    distribution whatever the micro-batch boundaries, so importance
+    weights for any NEW batch can be scored against an always-current
+    O(B)-row state without rescanning the corpus — the streaming half
+    of the crawl-snapshot DSIR loop. Oracle = the batch bucket
+    distribution; hash-gated end to end."""
+    import shutil
+
+    from ..operators.curation import _contiguous_grams
+    from ..operators.dedup import tokens
+    from ..functions import portable_hash64
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = incremental._stream_reader(spark, path, "parquet", schema)
+    base = docs.select(
+        (F.col("lang") == F.lit("en")).cast("bigint").alias("tgt"),
+        tokens("text").alias("__t0"),
+    ).select(
+        "tgt", F.filter("__t0", lambda t: t != F.lit("")).alias("__t")
+    )
+    occ = base.select(
+        "tgt",
+        F.explode(F.concat(F.col("__t"), _contiguous_grams("__t", 2))).alias(
+            "__gram"
+        ),
+    ).select(
+        F.pmod(portable_hash64("__gram", salt="dsir"), F.lit(4096)).alias("b"),
+        "tgt",
+    )
+    state = _scratch_dir(sf_dir, "dsir_stream_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    return sketch_stream.run_count_stream(occ, state, keys=["b", "tgt"])
