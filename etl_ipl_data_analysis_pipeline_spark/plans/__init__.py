@@ -94,7 +94,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 34
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 35
 # queries whose code or oracle is new or changed in round 7 (the two
 # DSIR importance-resampling ops, the int8 embedding quantizer,
 # the PQ codebook/ADC search pair, the
@@ -105,7 +105,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # replay-guarded count streams, the ragged-guarded covariance, the
 # refactored zorder ntile); (2) the 13 remaining queries whose freshest
 # driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
-# (3) 2 of the 45 round-3-era queries, oldest window first — the rest
+# (3) 1 of the 45 round-3-era queries, oldest window first — the rest
 # rotate in next round. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
 # that justifies this ordering.
@@ -123,6 +123,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",  # cross-snapshot LSH vs sig index
     "mixture_epochs_lang",  # epoch-budgeted mixture replication
     "curriculum_pack_shards",  # easiest-first token-budget shards
+    "delete_propagation",  # GDPR cascade audit, broadcast semi joins
     "embedding_norm_outliers",  # exact-median norm sanity flags
     "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
     "nb_lang_confusion",  # trained NB language classifier, integer weights
@@ -159,10 +160,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_cube",
     "agg_stats",
     "q3_top_revenue",
-    # -- round-3-era evidence, oldest-first refresh (2 of 45) --
+    # -- round-3-era evidence, oldest-first refresh (1 of 45) --
     "split_train_valtest",
     "stratified_sample_lang",
-    "repetition_stats",
 )
 
 

@@ -2816,3 +2816,71 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("false_positive_cnt"),
     )
+
+
+@register(
+    "delete_propagation",
+    oracle="""
+    WITH victims AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), del_orders AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM victims)
+    ), del_items AS (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_deleted,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM victims) AS BIGINT) AS n_kept
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM del_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM del_items) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) -
+                (SELECT count(*) FROM del_items) AS BIGINT)
+    """,
+    tags=("J6", "J2", "A1", "SE1"),
+)
+def delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: a deterministic ~1% of customers
+    (custkey % 97 = 0) is deleted, the deletion propagates through the
+    foreign-key chain (their orders, those orders' line items), and the
+    query reports per-table deleted/kept counts — the dry-run every
+    GDPR pipeline wants before the real anti-join rewrite.
+
+    Scale: the victim key set broadcasts into a semi-join against
+    orders (the fact side never shuffles); the surviving order keys are
+    a filtered-fact relation joined to lineitem on its natural key.
+    Deleted counts come from semi joins, kept counts from total minus
+    deleted — one scan per table, no window, no collect."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    victims = cust.filter(F.col("c_custkey") % 97 == 0)
+    del_orders = orders.join(
+        F.broadcast(victims), orders.o_custkey == victims.c_custkey, "semi"
+    )
+    del_items = li.join(
+        del_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "semi",
+    )
+    def counts(name, deleted, total):
+        return deleted.agg(F.count(F.lit(1)).alias("n_deleted")).crossJoin(
+            total.agg(F.count(F.lit(1)).alias("__tot"))
+        ).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_deleted").cast("bigint").alias("n_deleted"),
+            (F.col("__tot") - F.col("n_deleted")).cast("bigint").alias("n_kept"),
+        )
+    return (
+        counts("customer", victims, cust)
+        .unionByName(counts("orders", del_orders, orders))
+        .unionByName(counts("lineitem", del_items, li))
+    )
