@@ -3315,3 +3315,66 @@ def curriculum_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard"),
     )
+
+
+@register(
+    "cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_cte(0.5)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mhpairs
+      UNION
+      SELECT id_b, id_a FROM mhpairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), roots AS (
+      SELECT doc_id,
+             coalesce((SELECT min(r.b) FROM reach r
+                       WHERE r.a = doc_id AND r.b < doc_id), doc_id) AS root
+      FROM documents
+    )
+    SELECT doc_id, root,
+           CASE WHEN substr(md5(CAST(root AS VARCHAR) || 'ccsplit'), 1, 8)
+                     < 'cccccccc' THEN 'train'
+                WHEN substr(md5(CAST(root AS VARCHAR) || 'ccsplit'), 1, 8)
+                     < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split
+    FROM roots
+    """,
+    tags=("X2", "X6", "F7", "J5"),
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split: hash-split on the near-dup
+    COMPONENT root instead of the document id, so two near-duplicate
+    documents can never land on opposite sides of the train/test wall —
+    the leakage mode a plain per-doc split cannot prevent and the reason
+    serious eval pipelines split after clustering, not before. Pair
+    graph = the md5 MinHash-LSH pipeline (exact-oracled), components =
+    the large-star/small-star fixpoint (min-id roots; singletons root
+    at themselves), membership = the md5 hash_split on the root —
+    every stage already under the exact gate, composed.
+
+    Scale: the banded pair join (never all-pairs), O(log n) CC rounds
+    over the PAIR list (tiny vs corpus), a left join back, and a narrow
+    split projection."""
+    from ..operators import curation
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        d, min_jaccard=0.5, hash_family="md5"
+    ).select("id_a", "id_b")
+    cc = dedup.connected_components(pairs)
+    rooted = (
+        d.select("doc_id")
+        .join(cc, d.doc_id == cc.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("root"),
+        )
+    )
+    return curation.hash_split(
+        rooted, "root", [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        salt="ccsplit",
+    ).select("doc_id", "root", "split")

@@ -664,3 +664,37 @@ class TestMixtureEpochs:
         assert out.count() == n  # stable on re-run
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure narrow map
+
+
+class TestClusterSafeSplit:
+    def test_near_dups_never_straddle_the_wall(self, spark):
+        """The leakage property itself: members of one near-dup component
+        always share a split."""
+        from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(i, base + f" tail{i}") for i in range(10)]          # one near-dup cluster
+        rows += [(100 + i, f"solo{i} " * 12) for i in range(20)]      # singletons
+        d = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = dedup.minhash_near_dup_pairs(
+            d, min_jaccard=0.5, hash_family="md5"
+        ).select("id_a", "id_b")
+        cc = dedup.connected_components(pairs)
+        rooted = (
+            d.select("doc_id")
+            .join(cc, d.doc_id == cc.node, "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias("root"),
+            )
+        )
+        out = curation.hash_split(
+            rooted, "root", [("a", 0.5), ("b", 0.5)], salt="s"
+        ).collect()
+        by_root = {}
+        for r in out:
+            by_root.setdefault(r["root"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_root.values())
+        # the planted cluster really is one component rooted at its min id
+        clustered = [r for r in out if r["doc_id"] < 100]
+        assert {r["root"] for r in clustered} == {0}
