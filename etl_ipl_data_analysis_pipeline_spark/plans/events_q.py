@@ -915,3 +915,60 @@ def kmv_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_overlap"))
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "user_event_sequences",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           string_agg(event_type, ' ' ORDER BY rn) AS seq,
+           max(n) > 32 AS truncated
+    FROM r WHERE rn <= 32 GROUP BY user_id
+    """,
+    tags=("W1", "A3", "F2", "X6"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral training sequences: per user, the event-type stream in
+    exact (ts, event_id) order, truncated to the first 32 — the
+    sequence-materialization step of a recommendation / behavior-model
+    pretraining pipeline, with the per-user total and a truncation flag
+    so downstream packing can weight by true length. Deterministic
+    tie-break makes the joined string exact cross-engine.
+
+    Scale: the window partitions by user_id (high-cardinality; a
+    pathological single hot user bounds ONE partition's rows — the same
+    exposure as any per-entity op), the ordered reassembly aggregates
+    structs sorted per group, and truncation drops the tail before the
+    collect so state per user is bounded by the cap."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    seq = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+    )
+    return (
+        r.filter(F.col("rn") <= 32)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            seq.alias("seq"),
+            (F.max("n") > 32).alias("truncated"),
+        )
+    )
