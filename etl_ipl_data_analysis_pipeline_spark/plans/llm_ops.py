@@ -3378,3 +3378,93 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         rooted, "root", [("train", 0.8), ("val", 0.1), ("test", 0.1)],
         salt="ccsplit",
     ).select("doc_id", "root", "split")
+
+
+def _quality_gate_oracle() -> str:
+    """Oracle twin of quality_gate_composite: the surprisal CTEs, the
+    repetition top-bigram fragment (curation_q helpers), the blocklist
+    count, and the conjunction — every fragment already proven green in
+    its standalone query."""
+    from .curation_q import _TOKS as _CQ_TOKS, _grams as _cq_grams
+
+    return f"""
+    WITH {_SURPRISAL_CTES}, rt AS (
+      SELECT doc_id, {_CQ_TOKS} AS toks FROM documents
+    ), rg2 AS (
+      SELECT doc_id, unnest({_cq_grams(2, "toks")}) AS g FROM rt
+    ), rc2 AS (
+      SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY doc_id, g
+    ), rf2 AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS tbf
+      FROM rc2 GROUP BY doc_id
+    ), flags AS (
+      SELECT rt.doc_id,
+             coalesce(
+               CASE WHEN coalesce(n_bigrams, 0) > 0
+                    THEN floor(CAST(sum_surprisal AS DOUBLE) / n_bigrams
+                               * 1e4 + 0.5) / 1e4 <= 4.4 END,
+               TRUE) AS pass_surprisal,
+             coalesce(tbf, 0.0) <= 0.2 AS pass_repetition,
+             len(list_filter(toks, x -> x IN ('slow', 'crash'))) <= 1
+               AS pass_blocklist,
+             len(toks) BETWEEN 5 AND 10000 AS pass_length
+      FROM rt
+      LEFT JOIN pd USING (doc_id)
+      LEFT JOIN rf2 USING (doc_id)
+    )
+    SELECT doc_id, pass_surprisal, pass_repetition, pass_blocklist,
+           pass_length,
+           (pass_surprisal AND pass_repetition AND pass_blocklist
+            AND pass_length) AS keep
+    FROM flags
+    """
+
+
+@register(
+    "quality_gate_composite",
+    oracle=_quality_gate_oracle(),
+    tags=("X4", "X6", "P6", "A4", "J5"),
+)
+def quality_gate_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final keep/drop gate of a crawl-curation pipeline: one boolean
+    per document conjoining four independent signals — CCNet surprisal
+    (avg <= 4.4, short docs pass), Gopher repetition (top-bigram
+    occupancy <= 0.2), the C4 token blocklist (<= 1 hit), and a length
+    window (5..10000 tokens) — with each signal surfaced as its own
+    reason column so drop decisions stay auditable. Every component is
+    an already-green exact-gated operator; the composition is three
+    doc-keyed left joins over corpus-sized relations plus narrow maps,
+    nothing new at scale."""
+    from ..operators import curation
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    s = ts.lm_surprisal(d, keep_max_avg=4.4).select(
+        "doc_id", F.col("keep").alias("pass_surprisal")
+    )
+    r = curation.repetition_stats(d).select(
+        "doc_id",
+        (F.col("top_bigram_frac") <= F.lit(0.2)).alias("pass_repetition"),
+        F.col("n_tokens"),
+    )
+    b = curation.blocklist_filter(d, ["slow", "crash"], max_hits=1).select(
+        "doc_id", F.col("keep").alias("pass_blocklist")
+    )
+    out = (
+        s.join(r, "doc_id")
+        .join(b, "doc_id")
+        .select(
+            "doc_id",
+            "pass_surprisal",
+            "pass_repetition",
+            "pass_blocklist",
+            F.col("n_tokens").between(5, 10000).alias("pass_length"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("pass_surprisal")
+        & F.col("pass_repetition")
+        & F.col("pass_blocklist")
+        & F.col("pass_length"),
+    )
