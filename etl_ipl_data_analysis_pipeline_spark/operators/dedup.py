@@ -884,6 +884,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 16,
+    scope: str = "global",
 ) -> DataFrame:
     """C4-style span-level deduplication: split every document into
     NON-overlapping ``window``-token spans, keep only the globally FIRST
@@ -903,14 +904,25 @@ def remove_duplicate_spans(
     reassemble. Everything is strings/ints — the operator is exactly
     reproducible cross-engine with no float discipline needed.
 
+    ``scope="document"`` restricts first-occurrence to WITHIN each
+    document (partition by (doc, span text)): the self-repetition
+    trimmer — a page whose template repeats its own header keeps one
+    copy, but cross-document boilerplate is untouched. The Lee et al.
+    intra-doc repeat removal next to the C4 global form.
+
     Returns (id_col, n_spans, n_kept, clean_text); a document whose
     every span was seen earlier comes back with n_kept = 0 and
     clean_text = ''.
     """
     from .curation import chunk_sliding
 
+    if scope not in ("global", "document"):
+        raise ValueError("scope must be 'global' or 'document'")
     ch = chunk_sliding(df, id_col, text_col, window=window, stride=window)
-    w = Window.partitionBy("chunk_text").orderBy(
+    part = (
+        ["chunk_text"] if scope == "global" else [id_col, "chunk_text"]
+    )
+    w = Window.partitionBy(*part).orderBy(
         F.col(id_col).asc(), F.col("chunk_idx").asc()
     )
     ranked = ch.withColumn("__rn", F.row_number().over(w))

@@ -3468,3 +3468,76 @@ def quality_gate_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("pass_blocklist")
         & F.col("pass_length"),
     )
+
+
+@register(
+    "dedup_span_intradoc",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             text || ' ' || array_to_string(({_TOKS_SQL})[1:16], ' ') AS text
+      FROM documents WHERE doc_id < 20 AND len({_TOKS_SQL}) >= 16
+    ), toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM corpus
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), spans AS (
+      SELECT doc_id,
+             CAST(start_tok // 16 AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, start_tok + 1, start_tok + 16), ' ')
+               AS chunk_text
+      FROM (
+        SELECT doc_id, t, n, unnest(range(0, n, 16)) AS start_tok FROM sized
+      )
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             row_number() OVER (
+               PARTITION BY doc_id, chunk_text ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(
+             string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+                        ORDER BY chunk_idx),
+             ''
+           ) AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("X1", "X2", "X6", "W1"),
+)
+def dedup_span_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repeated-span trimming
+    (dedup.remove_duplicate_spans scope='document'): self-repetition is
+    removed while cross-document boilerplate survives — the Lee et al.
+    repeat trimmer next to the C4 global form. Non-vacuous by planting:
+    docs 0..19 (with >= 16 tokens) are mirrored at +300000 with their own
+    first 16-token span appended, so every planted doc repeats its first
+    span internally and must come back with that tail span dropped
+    (n_kept = n_spans - 1 whenever the appended span aligns on the
+    16-token grid) while its UNMODIFIED original keeps everything —
+    and cross-doc copies (original vs mirror prefix) are untouched,
+    proving the scope really is per-document. Strings and ints only:
+    exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators.dedup import tokens as _tokens
+
+    toks = F.filter(_tokens("text"), lambda t: t != F.lit(""))
+    eligible = d.filter(F.size(toks) >= 16)
+    planted = eligible.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 300000 + _planted_domain_guard("doc_id")).alias(
+            "doc_id"
+        ),
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.array_join(F.slice(toks, 1, 16), " "),
+        ).alias("text"),
+    )
+    return dedup.remove_duplicate_spans(
+        d.unionByName(planted), "doc_id", "text", window=16, scope="document"
+    )

@@ -371,3 +371,45 @@ class TestMinhashIncremental:
             # an exact copy shares every signature position: est 1.0,
             # found whatever the family/seed
             assert {(1000 + i, i) for i in range(5)} <= found
+
+
+class TestIntraDocSpanDedup:
+    def test_scope_document_vs_global(self, spark):
+        from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+        span_a = " ".join(f"a{i}" for i in range(16))
+        span_b = " ".join(f"b{i}" for i in range(16))
+        df = spark.createDataFrame(
+            [
+                (1, f"{span_a} {span_b} {span_a}"),  # repeats its own span
+                (2, span_a),                          # cross-doc copy of span_a
+            ],
+            "doc_id bigint, text string",
+        )
+        intra = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(
+                df, window=16, scope="document"
+            ).collect()
+        }
+        # doc 1 drops only its own repeat; doc 2 keeps everything
+        assert intra[1]["n_spans"] == 3 and intra[1]["n_kept"] == 2
+        assert intra[1]["clean_text"] == f"{span_a} {span_b}"
+        assert intra[2]["n_kept"] == 1
+        glob = {
+            r["doc_id"]: r
+            for r in dedup.remove_duplicate_spans(
+                df, window=16, scope="global"
+            ).collect()
+        }
+        # global scope additionally kills doc 2's copy of span_a
+        assert glob[2]["n_kept"] == 0
+
+    def test_bad_scope_raises(self, spark):
+        from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+        df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            dedup.remove_duplicate_spans(df, scope="nope")
