@@ -803,3 +803,90 @@ def bpe_encode(
         words.select("word", F.split(s, " ").alias("__sub"))
         .select("word", sub.alias("subtokens"), F.size(sub).alias("n_sub"))
     )
+
+
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BM25 retrieval for a BATCH of queries at once — the RAG-eval /
+    corpus-slicing shape where hundreds of probes share one corpus scan.
+    ``queries`` is long-form (query_id, term). Scoring is exactly
+    :func:`bm25_top_docs`'s rational-idf integer BM25 (same constants,
+    same 4dp decimal per-term discipline), computed ONCE per (doc, term)
+    over the union of all query terms, then fanned out to queries by a
+    broadcast term join — the corpus is scanned and shuffled once no
+    matter how many queries ride the batch.
+
+    Scale: hits filter against a broadcast distinct-term set (non-query
+    tokens never reach a shuffle), one (doc, term) partial-agg, the
+    per-query top-k through the skew-free two-phase topk_per_query, and
+    ranks attached per query over k-row groups only.
+
+    Returns (query_id, id_col, score, rnk)."""
+    from .similarity import topk_per_query
+
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    allterms = qt.select("term").distinct()
+    toked = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: t != F.lit(""),
+        ).alias("__t"),
+    ).withColumn("__dl", F.size("__t"))
+    docs = toked.filter(F.col("__dl") > 0)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__sum_dl")
+    )
+    hits = docs.select(id_col, "__dl", F.explode("__t").alias("term")).join(
+        F.broadcast(allterms), "term"
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    num = (
+        F.lit(22) * F.col("__tf") * F.col("__sum_dl") * (2 * F.col("__n_docs") + 2)
+    )
+    den = (
+        F.lit(10) * F.col("__tf") * F.col("__sum_dl")
+        + F.lit(3) * F.col("__sum_dl")
+        + F.lit(9) * F.col("__dl") * F.col("__n_docs")
+    ) * (2 * F.col("__df") + 1)
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select(
+            id_col,
+            "term",
+            (F.floor(num.cast("double") / den * 1e4 + F.lit(0.5)) / 1e4)
+            .cast("decimal(14,4)")
+            .alias("__s"),
+        )
+    )
+    qdoc = (
+        per_term.join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__s").cast("double").alias("score"))
+    )
+    top = topk_per_query(
+        qdoc.select(
+            "query_id", F.col(id_col).alias("vec_id"), F.col("score").alias("sim")
+        ),
+        k,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return top.select(
+        "query_id",
+        F.col("vec_id").alias(id_col),
+        F.col("sim").alias("score"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )

@@ -3541,3 +3541,70 @@ def dedup_span_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.remove_duplicate_spans(
         d.unionByName(planted), "doc_id", "text", window=16, scope="document"
     )
+
+
+_BM25_BATCH_QUERIES = [
+    (0, ("spark", "stream", "batch")),
+    (1, ("table", "scan", "filter")),
+    (2, ("customer", "order", "value")),
+]
+
+
+@register(
+    "bm25_batch_queries",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), docs AS (
+      SELECT doc_id, len(t) AS dl, t FROM toks WHERE len(t) > 0
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM docs
+    ), qt(query_id, term) AS (
+      SELECT * FROM (VALUES {", ".join(f"({q}, '{t}')" for q, ts in _BM25_BATCH_QUERIES for t in ts)})
+    ), hits AS (
+      SELECT doc_id, dl, unnest(t) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM hits WHERE term IN (SELECT term FROM qt)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(
+               floor(
+                 CAST(22 * tf * sum_dl * (2 * n_docs + 2) AS DOUBLE)
+                 / ((10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)
+                    * (2 * df + 1))
+                 * 1e4 + 0.5
+               ) / 1e4
+             AS DECIMAL(14,4)) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ), qdoc AS (
+      SELECT qt.query_id, p.doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM qt JOIN per_term p USING (term) GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+      FROM qdoc
+    ) WHERE rn <= 5
+    """,
+    tags=("X4", "A4", "W4", "SO3"),
+)
+def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 retrieval (textstats.bm25_batch_topk): three probe
+    queries share ONE corpus scan — per-(doc, term) integer BM25 factors
+    computed once over the union of query terms, fanned out to queries
+    by a broadcast join, per-query top-5 through the skew-free two-phase
+    merge. Same rational-idf exact-BIGINT scoring contract as
+    bm25_top_docs_query, so the whole batch is hash-gated."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    return ts.bm25_batch_topk(d, queries, k=5)
