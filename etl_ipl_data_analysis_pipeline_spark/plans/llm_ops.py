@@ -3608,3 +3608,63 @@ def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
     queries = spark.createDataFrame(rows, "query_id int, term string")
     return ts.bm25_batch_topk(d, queries, k=5)
+
+
+@register(
+    "dedup_rates_by_source",
+    oracle=f"""
+    WITH {_minhash_pairs_cte(0.5)}, stats AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             ) AS BIGINT) AS n_unique
+      FROM documents GROUP BY source
+    ), nd AS (
+      SELECT d.source, CAST(count(DISTINCT d.doc_id) AS BIGINT)
+               AS n_near_dropped
+      FROM documents d JOIN mhpairs p ON p.id_b = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, n_docs,
+           n_docs - n_unique AS n_exact_dups,
+           coalesce(n_near_dropped, 0) AS n_near_dropped,
+           floor(CAST(coalesce(n_near_dropped, 0) AS DOUBLE) / n_docs * 1e4
+                 + 0.5) / 1e4 AS near_dup_rate
+    FROM stats LEFT JOIN nd USING (source)
+    """,
+    tags=("X1", "X2", "A4", "A5", "J5"),
+)
+def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet-level dedup visibility: per ingestion source, document count,
+    exact-duplicate count (docs minus distinct normalized texts) and the
+    near-dup drop count/rate (docs that lose the md5 MinHash keep-first
+    contest) — the "which crawl source is feeding us copies" report that
+    decides where dedup budget goes. Both dedup pipelines are the
+    already-exact-gated operators; this aggregates their outcomes by
+    source."""
+    d = load(spark, sf_dir, "documents")
+    from ..functions import normalized_text
+
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(normalized_text("text")).alias("__n_unique"),
+    )
+    pairs = dedup.minhash_near_dup_pairs(
+        d, min_jaccard=0.5, hash_family="md5"
+    ).select(F.col("id_b").alias("doc_id")).distinct()
+    nd = (
+        d.join(pairs, "doc_id")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("__n_near"))
+    )
+    near = F.coalesce(F.col("__n_near"), F.lit(0).cast("bigint"))
+    return stats.join(nd, "source", "left").select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") - F.col("__n_unique")).alias("n_exact_dups"),
+        near.alias("n_near_dropped"),
+        (
+            F.floor(near.cast("double") / F.col("n_docs") * F.lit(1e4) + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("near_dup_rate"),
+    )
