@@ -972,3 +972,49 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("n") > 32).alias("truncated"),
         )
     )
+
+
+@register(
+    "value_quantiles_by_type",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM vals
+    ), qv(q) AS (
+      SELECT CAST(col0 AS DOUBLE) FROM (VALUES (0.5), (0.95), (0.99))
+    ), targets AS (
+      SELECT g, n, q,
+             CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) AS lo,
+             CAST(n - 1 AS DOUBLE) * q
+               - floor(CAST(n - 1 AS DOUBLE) * q) AS frac
+      FROM (SELECT DISTINCT g, n FROM ranked) CROSS JOIN qv
+    ), lv AS (
+      SELECT t.g, t.q, t.n, t.frac, r.v AS vlo
+      FROM targets t JOIN ranked r ON r.g = t.g AND r.rn = t.lo + 1
+    ), hv AS (
+      SELECT t.g, t.q, r.v AS vhi
+      FROM targets t JOIN ranked r ON r.g = t.g AND r.rn = least(t.lo + 2, t.n)
+    )
+    SELECT lv.g AS event_type, lv.q AS q, CAST(n AS BIGINT) AS n,
+           floor((vlo + frac * (vhi - vlo)) * 1e6 + 0.5) / 1e6 AS quantile
+    FROM lv JOIN hv ON hv.g = lv.g AND hv.q = lv.q
+    """,
+    tags=("A8", "W1", "F3"),
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of event value per type WITHOUT per-group memory
+    (operators/profile.grouped_exact_quantiles): per-(group, bucket)
+    row_numbers shifted by broadcast per-group bucket offsets give exact
+    per-group positions, the two order statistics each quantile needs are
+    fetched by broadcast position joins, and the type-7 interpolation is
+    one mirrored double expression — bit-identical to the oracle's
+    single-partition sort, the scale-correct replacement for percentile()
+    when a group is 10% of 100 TB."""
+    from ..operators.profile import grouped_exact_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    return grouped_exact_quantiles(ev, "event_type", "value", [0.5, 0.95, 0.99])

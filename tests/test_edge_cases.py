@@ -324,3 +324,57 @@ def test_two_hop_reach_path_and_hub_cap(spark):
     loopy = spark.createDataFrame([(1, 1), (1, 2)], "u long, v long")
     got = {r.node: r.n_reach_2hop for r in graphs.two_hop_reach(loopy).collect()}
     assert got == {1: 1, 2: 1}
+
+
+class TestGroupedExactQuantiles:
+    def test_matches_percentile_and_partitioning_independent(self, spark):
+        import random
+
+        from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+            grouped_exact_quantiles,
+        )
+
+        rng = random.Random(5)
+        rows = [(f"g{i % 3}", rng.uniform(0, 100)) for i in range(900)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {
+            (r["g"], r["q"]): r["quantile"]
+            for r in grouped_exact_quantiles(df, "g", "v", [0.5, 0.9]).collect()
+        }
+        # semantic sanity vs Spark's in-memory exact percentile (same
+        # type-7 interpolation); 6dp floor-rounding on our side
+        import pyspark.sql.functions as F
+
+        ref = {
+            (r["g"], q): r[f"p{int(q*100)}"]
+            for r in df.groupBy("g").agg(
+                F.expr("percentile(v, 0.5)").alias("p50"),
+                F.expr("percentile(v, 0.9)").alias("p90"),
+            ).collect()
+            for q in (0.5, 0.9)
+        }
+        for k, got in out.items():
+            assert abs(got - ref[k]) < 1e-5, k
+        again = {
+            (r["g"], r["q"]): r["quantile"]
+            for r in grouped_exact_quantiles(
+                df.repartition(13), "g", "v", [0.5, 0.9]
+            ).collect()
+        }
+        assert out == again
+
+    def test_single_row_group_and_nulls(self, spark):
+        from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+            grouped_exact_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 7.0), ("a", None), ("b", 1.0), ("b", 3.0)],
+            "g string, v double",
+        )
+        out = {
+            (r["g"], r["q"]): (r["n"], r["quantile"])
+            for r in grouped_exact_quantiles(df, "g", "v", [0.5]).collect()
+        }
+        assert out[("a", 0.5)] == (1, 7.0)   # null excluded, n=1 -> the value
+        assert out[("b", 0.5)] == (2, 2.0)   # midpoint interpolation
