@@ -51,6 +51,7 @@ def grouped_exact_quantiles(
     value_col: str,
     qs: list[float],
     num_ranges: int = 32,
+    round_digits: int | None = 6,
 ) -> DataFrame:
     """EXACT per-group linear-interpolated quantiles (the quantile_cont /
     numpy type-7 definition: h = (n-1)q, result = v[floor(h)] +
@@ -77,7 +78,10 @@ def grouped_exact_quantiles(
     row_number assignment is not.
 
     Returns (group_col, q, n, quantile) with NULL values excluded, one
-    row per (group, q)."""
+    row per (group, q). ``round_digits`` floor-rounds the result for
+    terminal/oracle output; pass None for the RAW double when a
+    downstream computation consumes the quantile (rounding a consumed
+    value is the round-3 trap)."""
     from pyspark.sql import Window
 
     from ..functions import range_bucket
@@ -138,9 +142,12 @@ def grouped_exact_quantiles(
         "__g", "q", F.col("__v").alias("__vhi")
     )
     quant = F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+    if round_digits is not None:
+        p10 = float(10 ** round_digits)
+        quant = F.floor(quant * F.lit(p10) + F.lit(0.5)) / F.lit(p10)
     return vlo.join(vhi, ["__g", "q"]).select(
         F.col("__g").alias(group_col),
         "q",
         F.col("__n").cast("bigint").alias("n"),
-        (F.floor(quant * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("quantile"),
+        quant.alias("quantile"),
     )

@@ -94,7 +94,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 38
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 40
 # queries whose code or oracle is new or changed in round 7 (the two
 # DSIR importance-resampling ops, the int8 embedding quantizer,
 # the PQ codebook/ADC search pair, the
@@ -127,6 +127,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "cluster_safe_split",  # near-dup components share a split
     "user_event_sequences",  # ordered behavioral sequences, capped
     "quality_gate_composite",  # conjunction of four keep signals
+    "mad_outliers",  # grouped medians now distributed, must re-green
+    "value_quantiles_by_type",  # exact grouped p50/p95/p99, new
     "embedding_norm_outliers",  # exact-median norm sanity flags
     "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
     "nb_lang_confusion",  # trained NB language classifier, integer weights
@@ -156,8 +158,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_ingest_idempotent",
     "asof_join_tolerance",
     "asof_join_strict",
-    "incremental_summary_merge",
-    "agg_count_distinct",
     "agg_approx_distinct",
     "q3_top_revenue",
     # -- round-3-era evidence, oldest-first refresh (1 of 45) --

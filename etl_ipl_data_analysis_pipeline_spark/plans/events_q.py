@@ -208,17 +208,27 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outliers via median absolute deviation (|v - med| > 3.5 sigma
     with sigma ~ 1.4826*MAD) — the estimator that survives the very
     outliers a mean/stddev z-score absorbs. Two grouped exact medians
-    (percentile <-> quantile_cont, identical linear interpolation of IEEE
-    doubles), each a 5-row result broadcast back onto the scan; the raw
-    events never shuffle."""
+    through profile.grouped_exact_quantiles (range-bucketed per-group
+    positions — no per-group buffering, unlike percentile(), whose
+    per-executor group state dies when one event type is 20 TB of a
+    100 TB table), each a 5-row result broadcast back onto the scan;
+    the raw events never shuffle and the type-7 interpolation matches
+    quantile_cont bit-for-bit."""
+    from ..operators.profile import grouped_exact_quantiles
+
     ev = load(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+    med = grouped_exact_quantiles(
+        ev, "event_type", "value", [0.5], round_digits=None
+    ).select("event_type", F.col("quantile").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "__absdev", F.abs(F.col("value") - F.col("med"))
     )
     mad = (
-        ev.join(F.broadcast(med), "event_type")
-        .groupBy("event_type", "med")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        grouped_exact_quantiles(
+            dev, "event_type", "__absdev", [0.5], round_digits=None
+        )
+        .select("event_type", F.col("quantile").alias("mad"))
+        .join(F.broadcast(med), "event_type")
     )
     return (
         ev.join(F.broadcast(mad), "event_type")
