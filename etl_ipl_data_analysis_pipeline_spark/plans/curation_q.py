@@ -407,9 +407,11 @@ def quality_median_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = text_quality(d, keep=("lang",)).select(
         "doc_id", "lang", "quality_score"
     )
-    med = scored.groupBy("lang").agg(
-        F.expr("percentile(quality_score, 0.5)").alias("med_score")
-    )
+    from ..operators.profile import grouped_exact_quantiles
+
+    med = grouped_exact_quantiles(
+        scored, "lang", "quality_score", [0.5], round_digits=None
+    ).select("lang", F.col("quantile").alias("med_score"))
     return (
         scored.join(F.broadcast(med), "lang")
         .filter(F.col("quality_score") >= F.col("med_score"))

@@ -583,13 +583,24 @@ def winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from ..operators.profile import grouped_exact_quantiles
+
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type")
-    b = ev.select(
-        "event_type",
-        "value",
-        F.expr("percentile(value, 0.05)").over(w).alias("lo"),
-        F.expr("percentile(value, 0.95)").over(w).alias("hi"),
+    qs = grouped_exact_quantiles(
+        ev, "event_type", "value", [0.05, 0.95], round_digits=None
+    )
+    bounds = (
+        qs.filter(F.col("q") == 0.05)
+        .select("event_type", F.col("quantile").alias("lo"))
+        .join(
+            qs.filter(F.col("q") == 0.95).select(
+                "event_type", F.col("quantile").alias("hi")
+            ),
+            "event_type",
+        )
+    )
+    b = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type", "value", "lo", "hi"
     )
     clamped = (
         F.when(F.col("value") < F.col("lo"), F.col("lo"))

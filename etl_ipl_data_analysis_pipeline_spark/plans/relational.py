@@ -236,25 +236,34 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A8", "X4"),
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical profile per language. `percentile` is the exact variant
-    (matches DuckDB quantile_cont). Variance/stddev are computed from exact
+    """Statistical profile per language. The median comes from the
+    distributed grouped-quantile machinery (no per-group buffering;
+    matches DuckDB quantile_cont bit-for-bit). Variance/stddev are computed from exact
     integer sums (sum-of-squares in DECIMAL(38,0) — overflow-proof at any
     corpus size) with one deterministic float evaluation, because both
     engines' streaming var_samp accumulate doubles in partition order and
     can round() differently run to run."""
+    from ..operators.profile import grouped_exact_quantiles
+
     d = load(spark, sf_dir, "documents")
     n = F.count(F.lit(1))
     s1 = F.sum("n_chars").cast("double")
     s2 = F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).cast("double")
     var = (s2 - s1 * s1 / n) / (n - 1)
-    return d.groupBy("lang").agg(
+    med = grouped_exact_quantiles(
+        d, "lang", "n_chars", [0.5], round_digits=None
+    ).select("lang", F.round(F.col("quantile"), 4).alias("med_chars"))
+    base = d.groupBy("lang").agg(
         n.alias("n_docs"),
         F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 4).alias("avg_chars"),
         F.when(n < 2, F.lit(None)).otherwise(F.round(F.sqrt(var), 4)).alias("sd_chars"),
         F.when(n < 2, F.lit(None)).otherwise(F.round(var, 4)).alias("var_chars"),
-        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("med_chars"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
+    )
+    return base.join(F.broadcast(med), "lang").select(
+        "lang", "n_docs", "avg_chars", "sd_chars", "var_chars",
+        "med_chars", "min_chars", "max_chars",
     )
 
 
@@ -957,15 +966,34 @@ def key_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A8",),
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (sort-based, deterministic — both
-    engines produce bit-identical doubles, unlike summation-order-dependent
-    sums). At 100 TB swap percentile() for percentile_approx(): fixed-size
-    GK sketch, map-side combine, rank error ≤ 1/accuracy."""
+    """Exact interpolated percentiles, now through the distributed
+    grouped-quantile machinery (profile.grouped_exact_quantiles): no
+    per-group value buffering, so the former "swap for percentile_approx
+    at 100 TB" compromise is gone — the exact answer survives a group
+    that is 10% of the table. Raw doubles match quantile_cont
+    bit-for-bit (type-7 interpolation, mirrored expression)."""
+    from ..operators.profile import grouped_exact_quantiles
+
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", 0.5).alias("qty_p50"),
-        F.percentile("l_quantity", 0.95).alias("qty_p95"),
-        F.percentile("l_extendedprice", 0.5).alias("price_p50"),
+    qty = grouped_exact_quantiles(
+        li, "l_returnflag", "l_quantity", [0.5, 0.95], round_digits=None
+    )
+    price = grouped_exact_quantiles(
+        li, "l_returnflag", "l_extendedprice", [0.5], round_digits=None
+    )
+    return (
+        qty.filter(F.col("q") == 0.5)
+        .select("l_returnflag", F.col("quantile").alias("qty_p50"))
+        .join(
+            qty.filter(F.col("q") == 0.95).select(
+                "l_returnflag", F.col("quantile").alias("qty_p95")
+            ),
+            "l_returnflag",
+        )
+        .join(
+            price.select("l_returnflag", F.col("quantile").alias("price_p50")),
+            "l_returnflag",
+        )
     )
 
 
