@@ -1039,3 +1039,57 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     return grouped_exact_quantiles(ev, "event_type", "value", [0.5, 0.95, 0.99])
+
+
+@register(
+    "value_histogram_by_type",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ), bounds AS (
+      SELECT event_type, min(v) AS mn, max(v) AS mx
+      FROM vals GROUP BY event_type
+    ), binned AS (
+      SELECT vals.event_type,
+             CASE WHEN mx > mn THEN
+               least(CAST(floor((v - mn) / (mx - mn) * 20.0) AS BIGINT), 19)
+             ELSE 0 END AS bin
+      FROM vals JOIN bounds USING (event_type)
+    )
+    SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+    FROM binned GROUP BY event_type, bin
+    """,
+    tags=("A8", "A4", "F3"),
+)
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of event value per type — the
+    distribution-shape profile next to the quantile rollup. Bin edges
+    come from exact per-group min/max (order-independent aggregates,
+    broadcast back); the bin index is one mirrored double expression
+    floored to an integer, with the max value folded into the last bin
+    and degenerate (constant) groups collapsing to bin 0. Two scans and
+    one (type, bin)-keyed partial-agg shuffle — nothing buffers a
+    group."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vals = ev.select("event_type", F.col("value").cast("double").alias("__v"))
+    bounds = vals.groupBy("event_type").agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    binx = F.when(
+        F.col("__mx") > F.col("__mn"),
+        F.least(
+            F.floor(
+                (F.col("__v") - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+                * F.lit(20.0)
+            ).cast("bigint"),
+            F.lit(19).cast("bigint"),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        vals.join(F.broadcast(bounds), "event_type")
+        .select("event_type", binx.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
