@@ -307,6 +307,25 @@ def main() -> int:
         )
         evs = rep if evs is None else evs.unionByName(rep)
     evs = evs.repartition(64).localCheckpoint(eager=True)
+
+    # round-7: exact grouped quantiles over a HOT-group relation — the
+    # replicated events keep ~5 event-type-sized groups (here: value
+    # buckets stand in), i.e. each group is ~20% of the table, exactly
+    # the shape percentile() cannot hold in one executor; runtime must
+    # stay ~linear with rows, not group size
+    from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+        grouped_exact_quantiles,
+    )
+
+    timings["grouped_quantiles"] = t(
+        lambda: grouped_exact_quantiles(
+            evs.withColumn("g", (F.col("event_id") % 5).cast("string")),
+            "g",
+            "value",
+            [0.5, 0.95, 0.99],
+        ),
+        "grouped_quantiles",
+    )
     timings["n_events"] = evs.count()
     import shutil
     import tempfile
