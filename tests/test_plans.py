@@ -384,3 +384,20 @@ def test_blocklist_filter_zero_shuffles(spark, sf_dir):
     plan = _executed(out)
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_no_buffering_percentile_in_grouped_stats(spark, sf_dir, qs):
+    """The whole-group-buffering percentile() aggregate was eliminated in
+    round 7 (grouped_exact_quantiles everywhere); pin every quantile-
+    consuming query so it can't silently return. approxQuantile supplies
+    only plan-build-time bucket cuts and never appears in the plan."""
+    for name in (
+        "agg_stats",
+        "mad_outliers",
+        "winsorize_events",
+        "quality_median_gate",
+        "agg_percentiles",
+        "value_quantiles_by_type",
+    ):
+        plan = _executed(qs[name](spark, sf_dir))
+        assert "percentile" not in plan, name
