@@ -203,12 +203,19 @@ def test_planted_id_offset_clears_fixture_domain(spark, sf_dir):
     assert max_vec < 100000, "planted vec offset collides with fixture ids"
 
 
-def test_winsorize_single_shuffle(spark, sf_dir, qs):
-    # both percentile windows and the final agg key on event_type: one
-    # Exchange total — the window's hash partitioning is reused by the agg
-    plan = _executed(qs["winsorize_events"](spark, sf_dir))
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges == 1, plan[:2000]
+def test_winsorize_scale_shape(spark, sf_dir, qs):
+    """Round 7 swapped winsorize's bounds onto the distributed quantile
+    machinery: the plan gains bucketed-window exchanges but must keep
+    the scale invariants — every exchange hash-partitioned (never a
+    single-partition funnel), the duplicated quantile subtrees deduped
+    at runtime (ReusedExchange), and no whole-group percentile
+    aggregate anywhere."""
+    df = qs["winsorize_events"](spark, sf_dir)
+    df.collect()  # ReusedExchange only materializes in the executed AQE plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "percentile" not in plan
+    assert "ReusedExchange" in plan, plan[:2000]
 
 
 def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
