@@ -3668,3 +3668,91 @@ def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e4)
         ).alias("near_dup_rate"),
     )
+
+
+@register(
+    "minhash_estimator_audit",
+    oracle=f"""
+    WITH {_minhash_pairs_cte(0.5)}, pg AS (
+      SELECT doc_id, unnest(grams) AS gram FROM sh
+    ), sizes AS (
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n FROM sh
+    ), inter AS (
+      SELECT p.id_a, p.id_b, p.est_jaccard, CAST(count(*) AS BIGINT) AS i
+      FROM mhpairs p
+      JOIN pg ga ON ga.doc_id = p.id_a
+      JOIN pg gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+      GROUP BY 1, 2, 3
+    )
+    SELECT x.id_a, x.id_b, x.est_jaccard,
+           floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e4 + 0.5) / 1e4
+             AS exact_jaccard,
+           floor(abs(x.est_jaccard
+                     - floor(CAST(i AS DOUBLE) / (sa.n + sb.n - i) * 1e4
+                             + 0.5) / 1e4) * 1e4 + 0.5) / 1e4 AS abs_err
+    FROM inter x
+    JOIN sizes sa ON sa.doc_id = x.id_a
+    JOIN sizes sb ON sb.doc_id = x.id_b
+    """,
+    tags=("X2", "A4", "J4", "F5"),
+)
+def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash pipeline: every candidate
+    pair the md5 LSH surfaces gets its EXACT shingle Jaccard computed
+    next to the 32-hash estimate, with the absolute error — the
+    measurement that justifies (or retunes) the signature width and the
+    banding threshold before a fleet trusts est >= tau as a drop
+    decision. Exact Jaccard is integer set arithmetic over the same
+    distinct 3-gram shingles the signatures hashed (|A∩B| via a
+    gram-keyed join restricted to candidate pairs, |A∪B| by
+    inclusion-exclusion), so the whole audit is under the exact gate.
+
+    Scale: the gram join touches only candidate-pair documents (a
+    semi-bounded relation — candidates are what LSH already made
+    sub-quadratic); per-doc shingle sizes ride a doc-keyed join."""
+    from ..operators.dedup import shingles_from_tokens, tokens
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        d, min_jaccard=0.5, hash_family="md5"
+    ).select("id_a", "id_b", "est_jaccard")
+    sh = (
+        d.select("doc_id", tokens("text").alias("__t0"))
+        .select("doc_id", F.filter("__t0", lambda t: t != F.lit("")).alias("__t"))
+        .filter(F.size("__t") > 0)
+        .select("doc_id", shingles_from_tokens("__t", 3).alias("__grams"))
+    )
+    pg = sh.select("doc_id", F.explode("__grams").alias("gram"))
+    sizes = sh.select("doc_id", F.size("__grams").cast("bigint").alias("__n"))
+    ga = pg.select(F.col("doc_id").alias("id_a"), "gram")
+    gb = pg.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b", "est_jaccard")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb"))
+    exact = (
+        F.floor(
+            F.col("__i").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__i"))
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        / F.lit(1e4)
+    )
+    out = inter.join(sa, "id_a").join(sb, "id_b")
+    return out.select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        exact.alias("exact_jaccard"),
+        (
+            F.floor(
+                F.abs(F.col("est_jaccard") - exact) * F.lit(1e4) + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("abs_err"),
+    )
