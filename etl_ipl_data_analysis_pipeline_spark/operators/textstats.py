@@ -890,3 +890,145 @@ def bm25_batch_topk(
         F.col("sim").alias("score"),
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+def lm_backoff_surprisal(
+    df: DataFrame,
+    train: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Held-out LM scoring with stupid backoff (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale LM
+    scoring recipe): a 3-gram model with raw relative frequencies is
+    "trained" on the rows where ``train`` is true, and every OTHER
+    document is scored token by token, backing off to lower orders when
+    the higher-order count is zero — the proper train/held-out
+    perplexity-evaluation shape, where backoff actually fires (unlike
+    resubstitution scoring, where every trigram trivially contains
+    itself).
+
+    Integer scoring contract (the lm_surprisal libm-free discipline):
+    for each held-out token w3 with full context (w1, w2) —
+
+      level 0 (c3 > 0):             s = bit_length(c2ctx div c3) - 1
+      level 1 (c3 = 0, c2 > 0):     s = bit_length(c1ctx div c2) - 1 + 1
+      level 2 (c2 = 0, c1 > 0):     s = bit_length(N div c1) - 1 + 2
+      OOV     (c1 = 0):             s = bit_length(N) - 1 + 3
+
+    where c3/c2/c1 are train counts of the trigram/bigram/unigram,
+    c2ctx/c1ctx the corresponding context marginals (sums over the
+    count tables, never a second corpus pass), N the train token count,
+    and the +k terms are one integer penalty bit per backoff level —
+    the engine's deterministic stand-in for the paper's alpha = 0.4
+    multiplier (floor(log2(1/0.4)) = 1). Every quantity is integer
+    arithmetic on exact counts, so the whole evaluation carries an
+    exact SQL oracle.
+
+    Returns one row per HELD-OUT document: (id, n_scored, n_l0, n_l1,
+    n_l2, n_oov, sum_surprisal, avg_surprisal 4dp; docs with < 3 tokens
+    score nothing and report zeros/NULL avg).
+
+    Scale: the train half is exploded once into trigram occurrences
+    whose aggregate feeds every count table (the marginals re-aggregate
+    the vocabulary-sized c3/c2 tables); scoring is four gram-keyed
+    joins of the held-out occurrences against vocabulary-sized count
+    relations plus a 1-row broadcast N — the lm_surprisal shape one
+    order higher, nothing unbounded."""
+    from .curation import _contiguous_grams
+
+    base = _gram_base(df, id_col, text_col).join(
+        df.select(F.col(id_col), train.alias("__train")), id_col
+    )
+    tr = base.filter(F.col("__train"))
+    ho = base.filter(~F.col("__train"))
+
+    tri_tr = tr.select(F.explode(_contiguous_grams("__t", 3)).alias("g3"))
+    c3 = tri_tr.groupBy("g3").agg(F.count(F.lit(1)).alias("__c3"))
+    c2ctx = (
+        c3.withColumn("__ctx", F.substring_index("g3", " ", 2))
+        .groupBy("__ctx")
+        .agg(F.sum("__c3").alias("__c2ctx"))
+    )
+    bi_tr = tr.select(F.explode(_contiguous_grams("__t", 2)).alias("g2"))
+    c2 = bi_tr.groupBy("g2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1ctx = (
+        c2.withColumn("__w", F.substring_index("g2", " ", 1))
+        .groupBy("__w")
+        .agg(F.sum("__c2").alias("__c1ctx"))
+    )
+    uni_tr = tr.select(F.explode("__t").alias("w"))
+    c1 = uni_tr.groupBy("w").agg(F.count(F.lit(1)).alias("__c1"))
+    nstat = uni_tr.agg(F.count(F.lit(1)).alias("__n"))
+
+    occ = ho.select(
+        F.col(id_col), F.explode(_contiguous_grams("__t", 3)).alias("g3")
+    ).select(
+        F.col(id_col),
+        "g3",
+        F.substring_index("g3", " ", 2).alias("__ctx"),
+        F.substring_index("g3", " ", -2).alias("g2"),
+        F.substring_index("g3", " ", -1).alias("w"),
+    )
+    j = (
+        occ.join(F.broadcast(c3), "g3", "left")
+        .join(F.broadcast(c2ctx), "__ctx", "left")
+        .join(F.broadcast(c2), "g2", "left")
+        .withColumn("__w", F.substring_index("g2", " ", 1))
+        .join(F.broadcast(c1ctx), "__w", "left")
+        .join(F.broadcast(c1), "w", "left")
+        .crossJoin(F.broadcast(nstat))
+    )
+    blen = lambda e: (F.length(F.bin(e)) - F.lit(1)).cast("bigint")
+    level = (
+        F.when(F.col("__c3").isNotNull(), F.lit(0))
+        .when(F.col("__c2").isNotNull(), F.lit(1))
+        .when(F.col("__c1").isNotNull(), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    s = (
+        F.when(level == 0, blen(F.expr("__c2ctx div __c3")))
+        .when(level == 1, blen(F.expr("__c1ctx div __c2")) + F.lit(1))
+        .when(level == 2, blen(F.expr("__n div __c1")) + F.lit(2))
+        .otherwise(blen(F.col("__n")) + F.lit(3))
+    )
+    per_doc = (
+        j.select(F.col(id_col), level.alias("__lvl"), s.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum((F.col("__lvl") == 0).cast("bigint")).alias("n_l0"),
+            F.sum((F.col("__lvl") == 1).cast("bigint")).alias("n_l1"),
+            F.sum((F.col("__lvl") == 2).cast("bigint")).alias("n_l2"),
+            F.sum((F.col("__lvl") == 3).cast("bigint")).alias("n_oov"),
+            F.sum("__s").alias("sum_surprisal"),
+        )
+    )
+    ns = F.coalesce("n_scored", F.lit(0).cast("bigint"))
+    z = F.lit(0).cast("bigint")
+    avg = F.when(
+        ns > 0,
+        F.floor(
+            F.coalesce("sum_surprisal", F.lit(0).cast("bigint")).cast("double")
+            / ns
+            * F.lit(1e4)
+            + F.lit(0.5)
+        )
+        / F.lit(1e4),
+    )
+    return (
+        df.select(F.col(id_col), train.alias("__train"))
+        .filter(~F.col("__train"))
+        .select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            ns.alias("n_scored"),
+            F.coalesce("n_l0", z).alias("n_l0"),
+            F.coalesce("n_l1", z).alias("n_l1"),
+            F.coalesce("n_l2", z).alias("n_l2"),
+            F.coalesce("n_oov", z).alias("n_oov"),
+            F.coalesce("sum_surprisal", z).alias("sum_surprisal"),
+            avg.alias("avg_surprisal"),
+        )
+    )

@@ -3756,3 +3756,100 @@ def minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e4)
         ).alias("abs_err"),
     )
+
+
+@register(
+    "lm_backoff_heldout",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, (doc_id % 2 = 0) AS train, {_TOKS_SQL} AS t
+      FROM documents
+    ), tri_tr AS (
+      SELECT unnest({_GRAMS3_SQL}) AS g3 FROM base WHERE train
+    ), tc3 AS (
+      SELECT g3, CAST(count(*) AS BIGINT) AS c3 FROM tri_tr GROUP BY 1
+    ), tctx2 AS (
+      SELECT array_to_string(str_split(g3, ' ')[1:2], ' ') AS ctx,
+             CAST(sum(c3) AS BIGINT) AS c2ctx
+      FROM tc3 GROUP BY 1
+    ), bi_tr AS (
+      SELECT unnest({_GRAMS2_SQL}) AS g2 FROM base WHERE train
+    ), tc2 AS (
+      SELECT g2, CAST(count(*) AS BIGINT) AS c2 FROM bi_tr GROUP BY 1
+    ), tctx1 AS (
+      SELECT str_split(g2, ' ')[1] AS w, CAST(sum(c2) AS BIGINT) AS c1ctx
+      FROM tc2 GROUP BY 1
+    ), uni_tr AS (
+      SELECT unnest(t) AS w FROM base WHERE train
+    ), tc1 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM uni_tr GROUP BY 1
+    ), tn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM uni_tr
+    ), occ AS (
+      SELECT doc_id, g3,
+             array_to_string(str_split(g3, ' ')[1:2], ' ') AS ctx,
+             array_to_string(str_split(g3, ' ')[2:3], ' ') AS bg,
+             str_split(g3, ' ')[3] AS w3,
+             str_split(g3, ' ')[2] AS w2
+      FROM (
+        SELECT doc_id, unnest({_GRAMS3_SQL}) AS g3
+        FROM base WHERE NOT train
+      )
+    ), sc AS (
+      SELECT o.doc_id,
+        CASE WHEN tc3.c3 IS NOT NULL THEN 0
+             WHEN tc2.c2 IS NOT NULL THEN 1
+             WHEN tc1.c1 IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+        CASE WHEN tc3.c3 IS NOT NULL
+               THEN length(bin(CAST(tctx2.c2ctx // tc3.c3 AS BIGINT))) - 1
+             WHEN tc2.c2 IS NOT NULL
+               THEN length(bin(CAST(tctx1.c1ctx // tc2.c2 AS BIGINT))) - 1 + 1
+             WHEN tc1.c1 IS NOT NULL
+               THEN length(bin(CAST(tn.n // tc1.c1 AS BIGINT))) - 1 + 2
+             ELSE length(bin(CAST(tn.n AS BIGINT))) - 1 + 3 END AS s
+      FROM occ o
+      LEFT JOIN tc3 ON tc3.g3 = o.g3
+      LEFT JOIN tctx2 ON tctx2.ctx = o.ctx
+      LEFT JOIN tc2 ON tc2.g2 = o.bg
+      LEFT JOIN tctx1 ON tctx1.w = o.w2
+      LEFT JOIN tc1 ON tc1.w = o.w3
+      CROSS JOIN tn
+    ), pd AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_scored,
+             CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_l0,
+             CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+             CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+             CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(s) AS BIGINT) AS sum_surprisal
+      FROM sc GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(coalesce(n_scored, 0) AS BIGINT) AS n_scored,
+           CAST(coalesce(n_l0, 0) AS BIGINT) AS n_l0,
+           CAST(coalesce(n_l1, 0) AS BIGINT) AS n_l1,
+           CAST(coalesce(n_l2, 0) AS BIGINT) AS n_l2,
+           CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+           CAST(coalesce(sum_surprisal, 0) AS BIGINT) AS sum_surprisal,
+           CASE WHEN coalesce(n_scored, 0) > 0
+                THEN floor(CAST(sum_surprisal AS DOUBLE) / n_scored * 1e4
+                           + 0.5) / 1e4
+           END AS avg_surprisal
+    FROM base b LEFT JOIN pd USING (doc_id)
+    WHERE NOT b.train
+    """,
+    tags=("X4", "X6", "A4", "J5", "F5"),
+)
+def lm_backoff_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out stupid-backoff LM evaluation
+    (textstats.lm_backoff_surprisal): a 3-gram model trained on the
+    even-id half of the corpus scores the odd-id half, backing off
+    trigram -> bigram -> unigram -> OOV with one integer penalty bit
+    per level — the train/held-out perplexity shape where backoff
+    genuinely fires (per-level counts are part of the output, so the
+    gate also pins HOW OFTEN each order was used). All integer counts
+    and bit_length surprisal: exact."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    return ts.lm_backoff_surprisal(d, F.col("doc_id") % 2 == 0)
