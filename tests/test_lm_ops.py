@@ -276,3 +276,36 @@ def test_bpe_encode_no_merges_is_char_split(spark):
         r["word"]: r["subtokens"] for r in textstats.bpe_encode(df, []).collect()
     }
     assert got == {"ab": ["a", "b", "</w>"], "cd": ["c", "d", "</w>"]}
+
+
+class TestBackoffSurprisal:
+    def test_hand_checked_levels(self, spark):
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.operators.textstats import (
+            lm_backoff_surprisal,
+        )
+
+        # train: "a b c a b c" -> N=6; c3: abc=2,bca=1,cab=1;
+        # c2: ab=2,bc=2,ca=1; c1: a=b=c=2
+        rows = [
+            (0, "a b c a b c"),  # train
+            (1, "a b c"),        # trigram hit: s = bitlen(2//2)-1 = 0
+            (3, "c a b"),        # trigram 'cab': s = bitlen(1//1)-1 = 0
+            (5, "a c a"),        # bigram backoff via 'c a': s = 0+1 = 1
+            (7, "b c c"),        # unigram backoff: s = bitlen(6//2)-1+2 = 3
+            (9, "a b x"),        # OOV: s = bitlen(6)-1+3 = 5
+            (11, "a b"),         # too short: nothing scored
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = {
+            r["doc_id"]: r
+            for r in lm_backoff_surprisal(df, F.col("doc_id") % 2 == 0).collect()
+        }
+        assert set(out) == {1, 3, 5, 7, 9, 11}
+        assert (out[1]["n_l0"], out[1]["sum_surprisal"]) == (1, 0)
+        assert (out[3]["n_l0"], out[3]["sum_surprisal"]) == (1, 0)
+        assert (out[5]["n_l1"], out[5]["sum_surprisal"]) == (1, 1)
+        assert (out[7]["n_l2"], out[7]["sum_surprisal"]) == (1, 3)
+        assert (out[9]["n_oov"], out[9]["sum_surprisal"]) == (1, 5)
+        assert out[11]["n_scored"] == 0 and out[11]["avg_surprisal"] is None
