@@ -1303,3 +1303,79 @@ def embedding_norm_outliers(
         ).alias("norm2"),
         flag.alias("is_outlier"),
     )
+
+
+def jl_project_signs(
+    df: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a DETERMINISTIC
+    ±1 sign matrix (Achlioptas 2003, "Database-friendly random
+    projections" — the public sparse-JL result): y_j = (1/sqrt(k)) *
+    sum_i s_ij * x_i with s_ij = ±1 drawn from the portable md5 hash of
+    (i, j) — no stored model, no seed file: the projection matrix is a
+    pure function both engines recompute identically, so reduced vectors
+    are exact cross-engine. The pre-reduction step in front of an ANN
+    index when d is large and 8x fewer dimensions buys 8x cheaper
+    distance math at a bounded distortion (the JL lemma's guarantee).
+
+    ``k`` must be a perfect square so the 1/sqrt(k) scale is one exact
+    double division (the libm-free discipline; sqrt of a perfect square
+    is exact anyway, but the integer guard keeps the contract obvious).
+
+    Exact-gate discipline: per-term products are 12dp floor-quantized
+    DECIMAL(20,12) and summed (order-independent); the output is 6dp
+    floor-rounded after the exact scale division.
+
+    Scale: one posexplode, a broadcast d x k sign relation (built from
+    the DISTINCT dimension ids — 1024 md5 calls for d=64, k=16, never
+    per row), and a (vec, j)-keyed partial-agg whose map-side combine
+    collapses each vector's d x k terms inside its partition. Returns
+    (id, j, proj) long-form — k rows per vector."""
+    import math
+
+    r = math.isqrt(k)
+    if r * r != k:
+        raise ValueError("k must be a perfect square")
+    from ..functions import portable_hash64
+
+    ex = df.select(
+        F.col(id_col), F.posexplode(_as_double_array(F.col(vec_col))).alias("i", "__x")
+    )
+    dims = ex.select("i").distinct()
+    js = df.sparkSession.range(k).select(F.col("id").cast("int").alias("j"))
+    sign = F.when(
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("i").cast("string"), F.lit(":"), F.col("j").cast("string")
+                )
+            ),
+            F.lit(2),
+        )
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    signs = dims.crossJoin(js).select("i", "j", sign.alias("__s"))
+    term = (
+        F.floor(F.col("__x") * F.col("__s") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    ).cast("decimal(20,12)")
+    return (
+        ex.join(F.broadcast(signs), "i")
+        .select(F.col(id_col), "j", term.alias("__t"))
+        .groupBy(id_col, "j")
+        .agg(F.sum("__t").alias("__sum"))
+        .select(
+            F.col(id_col),
+            "j",
+            (
+                F.floor(
+                    F.col("__sum").cast("double") / F.lit(float(r)) * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("proj"),
+        )
+    )

@@ -3853,3 +3853,43 @@ def lm_backoff_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return ts.lm_backoff_surprisal(d, F.col("doc_id") % 2 == 0)
+
+
+@register(
+    "jl_projection_16d",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    ), js AS (
+      SELECT CAST(unnest(range(0, 16)) AS INT) AS j
+    ), signs AS (
+      SELECT d.i, js.j,
+             CASE WHEN ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':'
+                          || CAST(js.j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT DISTINCT i FROM ex) d CROSS JOIN js
+    ), terms AS (
+      SELECT vec_id, j,
+             CAST(floor(x * s * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS t
+      FROM ex JOIN signs USING (i)
+    )
+    SELECT vec_id, j,
+           floor(CAST(sum(t) AS DOUBLE) / 4.0 * 1e6 + 0.5) / 1e6 AS proj
+    FROM terms GROUP BY 1, 2
+    """,
+    tags=("X3", "A8", "F7", "F3"),
+)
+def jl_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction of the embeddings to 16 dimensions
+    (similarity.jl_project_signs): deterministic md5 ±1 sign matrix, 12dp
+    decimal-summed terms, one exact 1/sqrt(16) division — the modelless
+    pre-reduction in front of distance-heavy ANN stages, fully under the
+    exact gate because the projection matrix is recomputed identically
+    from the dimension/component ids in both engines."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.jl_project_signs(e, k=16)

@@ -494,3 +494,35 @@ class TestPQPersisted:
         assert scan_schemas and all(
             "embedding" not in line for line in scan_schemas
         )
+
+
+class TestJLProjection:
+    def test_distance_roughly_preserved_and_deterministic(self, spark):
+        rng = random.Random(9)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)]
+        # planted identical pair: projection must map them identically
+        rows.append((100, list(rows[0][1])))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = similarity.jl_project_signs(df, k=16).collect()
+        by_vec = {}
+        for r in out:
+            by_vec.setdefault(r["vec_id"], {})[r["j"]] = r["proj"]
+        assert all(len(v) == 16 for v in by_vec.values())
+        assert by_vec[100] == by_vec[0]  # identical inputs, identical outputs
+        # JL sanity: norms preserved within a loose factor for most vectors
+        import math
+
+        ok = 0
+        for i, emb in rows[:30]:
+            orig = math.sqrt(sum(x * x for x in emb))
+            proj = math.sqrt(sum(v * v for v in by_vec[i].values()))
+            if 0.4 * orig <= proj <= 1.9 * orig:
+                ok += 1
+        assert ok >= 24  # the lemma is probabilistic; most must land
+        again = similarity.jl_project_signs(df.repartition(7), k=16).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_k_must_be_square(self, spark):
+        df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<double>")
+        with pytest.raises(ValueError):
+            similarity.jl_project_signs(df, k=10)
