@@ -52,6 +52,7 @@ def grouped_exact_quantiles(
     qs: list[float],
     num_ranges: int = 32,
     round_digits: int | None = 6,
+    broadcast_groups: bool = True,
 ) -> DataFrame:
     """EXACT per-group linear-interpolated quantiles (the quantile_cont /
     numpy type-7 definition: h = (n-1)q, result = v[floor(h)] +
@@ -81,13 +82,26 @@ def grouped_exact_quantiles(
     row per (group, q). ``round_digits`` floor-rounds the result for
     terminal/oracle output; pass None for the RAW double when a
     downstream computation consumes the quantile (rounding a consumed
-    value is the round-3 trap)."""
+    value is the round-3 trap).
+
+    Group-cardinality contract: with ``broadcast_groups=True`` (default)
+    the groups x buckets offset relation and the groups x qs target
+    relations are BROADCAST — correct and fastest when the group column
+    is low-cardinality (event types, languages, sources: the profile
+    shape this operator serves), but a broadcast grows linearly with
+    group count and would OOM the driver/executors if the group key were
+    e.g. a user id at 10^8 groups. For high-cardinality groups pass
+    ``broadcast_groups=False``: the same joins run as plain shuffle
+    joins on (__g, __b) / (__g, __pos) — AQE still converts them back to
+    broadcasts at runtime when the group side turns out small, so the
+    flag caps the worst case without taxing the common one."""
     from pyspark.sql import Window
 
     from ..functions import range_bucket
 
     if not qs:
         raise ValueError("qs must be non-empty")
+    maybe_bcast = F.broadcast if broadcast_groups else (lambda d: d)
     g, v = F.col(group_col), F.col(value_col).cast("double")
     vals = df.select(g.alias("__g"), v.alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -112,7 +126,9 @@ def grouped_exact_quantiles(
     offsets = bcounts.withColumn(
         "__off", F.coalesce(F.sum("__c").over(wo), F.lit(0))
     )
-    pos = local.join(F.broadcast(offsets.select("__g", "__b", "__off")), ["__g", "__b"]).select(
+    pos = local.join(
+        maybe_bcast(offsets.select("__g", "__b", "__off")), ["__g", "__b"]
+    ).select(
         "__g", "__v", (F.col("__rn") + F.col("__off")).alias("__pos")
     )
     ns = bcounts.groupBy("__g").agg(F.sum("__c").alias("__n"))
@@ -135,10 +151,10 @@ def grouped_exact_quantiles(
         "q",
         F.least(F.col("__lo") + 2, F.col("__n")).alias("__pos"),
     )
-    vlo = pos.join(F.broadcast(lo), ["__g", "__pos"]).select(
+    vlo = pos.join(maybe_bcast(lo), ["__g", "__pos"]).select(
         "__g", "q", "__n", "__frac", F.col("__v").alias("__vlo")
     )
-    vhi = pos.join(F.broadcast(hi), ["__g", "__pos"]).select(
+    vhi = pos.join(maybe_bcast(hi), ["__g", "__pos"]).select(
         "__g", "q", F.col("__v").alias("__vhi")
     )
     quant = F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))

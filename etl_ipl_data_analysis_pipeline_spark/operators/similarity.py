@@ -939,20 +939,28 @@ def embedding_standardize(
     )
 
 
-def embedding_quantize_int8(
+def embedding_quantize_uint8(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Scalar int8 quantization of an embedding column with per-vector
-    reconstruction-error stats — the storage/bandwidth step an ANN index
-    at 100 TB runs before anything else (4x smaller vectors, 4x more of
-    the index resident in memory). Per-dimension affine codes:
+    """Scalar UNSIGNED-8-bit quantization of an embedding column with
+    per-vector reconstruction-error stats — the storage/bandwidth step an
+    ANN index at 100 TB runs before anything else (4x smaller vectors, 4x
+    more of the index resident in memory). Per-dimension affine codes:
 
         q = floor((x - min_i) / (max_i - min_i) * 255 + 0.5)   in [0, 255]
         x_hat = min_i + q / 255 * (max_i - min_i)
 
-    with dead dimensions (max == min) coded 0. Returns one row per
+    Codes are UNSIGNED: the range is [0, 255], so a consumer persisting
+    them in a SIGNED 8-bit type (Spark ``tinyint`` / parquet INT8) would
+    overflow every value above 127 — store them in an unsigned byte
+    (arrow uint8, numpy u1) or subtract 128 first if a signed container
+    is mandatory. (This function previously shipped under the misleading
+    name ``embedding_quantize_int8``, kept as an alias; the registered
+    catalog query keeps that historical name too.)
+
+    Dead dimensions (max == min) are coded 0. Returns one row per
     vector: (id, n_dims, code_sum, mse) where ``code_sum`` is the exact
     BIGINT sum of the vector's codes — a checksum that gates every code
     value — and ``mse`` the 8dp floor-rounded mean squared
@@ -1001,6 +1009,11 @@ def embedding_quantize_int8(
     return per_vec.select(
         F.col(id_col), "n_dims", "code_sum", mse.alias("mse")
     )
+
+
+#: Back-compat alias — the codes were always unsigned [0, 255]; the old
+#: name implied a signed byte could hold them (it can't, values > 127).
+embedding_quantize_int8 = embedding_quantize_uint8
 
 
 def pq_model_exact(

@@ -696,12 +696,16 @@ def bpe_train(
     variant; cross-engine exactness, not reference-implementation
     parity, is the contract.
 
-    Scale: the corpus is touched ONCE (word-frequency aggregate — one
-    term-keyed shuffle); every round after that runs on the bounded
-    top_words relation: a pair explode (~chars per word), a pair-keyed
-    aggregate, and a 1-row argmax collect — the kmeans k-row-collect
-    shape. Rounds chain lazily on a vocabulary-sized frame, so plan
-    depth grows with n_merges, never with the corpus."""
+    Scale: the corpus is touched ONCE — the (word, freq) cap is CACHED
+    after its first materialization, because each round's 1-row argmax
+    ``.collect()`` is a separate Spark job and exchange reuse does not
+    span jobs (without the cache every round would re-run the corpus
+    word-frequency aggregate, n_merges+1 scans). Every round then runs
+    on the bounded top_words relation: a pair explode (~chars per
+    word), a pair-keyed aggregate, and a 1-row argmax collect — the
+    kmeans k-row-collect shape. Rounds chain lazily on a
+    vocabulary-sized frame, so plan depth grows with n_merges, never
+    with the corpus."""
     from .curation import _contiguous_grams
     from .dedup import tokens
 
@@ -714,6 +718,7 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(top_words)
+        .cache()  # ≤top_words rows; keeps round-k argmax jobs off the corpus
     )
     chars = F.transform(
         F.sequence(F.lit(1), F.length("word")),
@@ -752,6 +757,7 @@ def bpe_train(
                 "s"
             ),
         )
+    words.unpersist()
     return spark.createDataFrame(
         out_rows, "step int, pair string, merged string, pair_count bigint"
     )

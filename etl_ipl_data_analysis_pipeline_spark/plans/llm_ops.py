@@ -2805,8 +2805,10 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("X3", "A8", "F3"),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar int8 quantization of the embeddings table
-    (similarity.embedding_quantize_int8): per-dimension affine [0,255]
+    """Scalar 8-bit quantization of the embeddings table
+    (similarity.embedding_quantize_uint8 — codes are UNSIGNED [0,255];
+    the historical query name predates the rename and is kept for driver
+    evidence continuity): per-dimension affine [0,255]
     codes with exact BIGINT code-sum checksums gating every code value
     and an 8dp decimal-disciplined reconstruction MSE per vector — the
     compression stage in front of the IVF/LSH index family. Min/max are
@@ -2814,7 +2816,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     are mirrored expression-for-expression in the oracle, and the error
     terms are 12dp floor-quantized before the decimal sum."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return similarity.embedding_quantize_int8(e)
+    return similarity.embedding_quantize_uint8(e)
 
 
 def _pq_oracle(
@@ -3311,9 +3313,12 @@ def curriculum_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "avg_surprisal",
         "n_tokens",
-        ((F.col("__cum") - F.col("n_tokens")) / F.lit(2000))
-        .cast("bigint")
-        .alias("shard"),
+        # Integer DIV, not double /: the oracle uses cum_before // 2000, and
+        # a double quotient can round across a shard boundary once the
+        # cumulative token count exceeds 2^53 (same discipline as
+        # _exact_ntile). Both operands are nonnegative bigints, so Spark's
+        # truncating div == DuckDB's flooring //.
+        F.expr("(__cum - n_tokens) div 2000").cast("bigint").alias("shard"),
     )
 
 

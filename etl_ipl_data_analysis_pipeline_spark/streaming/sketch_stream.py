@@ -84,10 +84,16 @@ def _merge_count_batch(
     """Fold one micro-batch into the persisted count table, exactly once:
     the state carries the last applied batch id in every row (written in
     the SAME atomic rename as the counts, so marker and counts can never
-    disagree), and a batch whose id is <= the stored marker is a no-op —
+    disagree), and a batch whose id EQUALS the stored marker is a no-op —
     the replay-after-crash case the additive merge can't absorb on its
-    own. Module-level (not a closure) so replay semantics are directly
-    unit-testable."""
+    own (the checkpoint can only re-deliver the one batch whose commit
+    didn't land, so a legitimate replay id is exactly the marker). A
+    batch id strictly BELOW the marker is not a replay — it means the
+    checkpoint directory was reset while the state parquet survived, so
+    batch numbering restarted and silently no-op'ing would freeze the
+    state forever; that case raises. State and checkpoint must share a
+    lifetime: delete both together or neither. Module-level (not a
+    closure) so replay semantics are directly unit-testable."""
     import pyspark.sql.functions as F
 
     incoming = batch.groupBy(*keys).agg(
@@ -98,8 +104,16 @@ def _merge_count_batch(
         current = sess.read.parquet(state_path)
         if _BATCH_MARKER in current.columns:
             last = current.select(F.max(_BATCH_MARKER)).first()[0]
-            if last is not None and batch_id <= last:
+            if last is not None and batch_id == last:
                 return  # at-least-once replay of an already-applied batch
+            if last is not None and batch_id < last:
+                raise RuntimeError(
+                    f"run_count_stream: batch id regressed ({batch_id} < "
+                    f"stored marker {last}) at {state_path!r} — the stream "
+                    "checkpoint was reset while the state parquet survived. "
+                    "Silently skipping would freeze the state; delete the "
+                    "state and its __checkpoint together and restart."
+                )
             current = current.drop(_BATCH_MARKER)
         merged = (
             current.unionByName(incoming)

@@ -356,9 +356,12 @@ class TestQuantizeInt8:
         )
         from etl_ipl_data_analysis_pipeline_spark.operators.similarity import (
             embedding_quantize_int8,
+            embedding_quantize_uint8,
         )
 
-        rows = {r["vec_id"]: r for r in embedding_quantize_int8(df).collect()}
+        # historical name is a pure alias for the unsigned-code quantizer
+        assert embedding_quantize_int8 is embedding_quantize_uint8
+        rows = {r["vec_id"]: r for r in embedding_quantize_uint8(df).collect()}
         assert rows[0]["code_sum"] == 0 and rows[0]["mse"] == 0.0
         assert rows[1]["code_sum"] == 255 and rows[1]["mse"] == 0.0
         assert rows[2]["code_sum"] == 128

@@ -448,3 +448,21 @@ def test_count_stream_replay_is_noop(spark, tmp_path):
     assert counts == {"a": 4, "b": 2}
     marker = spark.read.parquet(state).select(F.max("__last_batch_id")).first()[0]
     assert marker == 1
+
+
+def test_count_stream_batch_id_regression_raises(spark, tmp_path):
+    """A batch id strictly below the stored marker is NOT a replay (the
+    checkpoint can only re-deliver the marker batch itself): it means the
+    checkpoint directory was reset while the state parquet survived, so
+    ids restarted at 0. Silently no-op'ing would freeze the state forever
+    — the merge must fail loudly instead."""
+    import pytest
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    state = str(tmp_path / "regress_state")
+    batch = spark.createDataFrame([("a",), ("b",)], "gram string")
+
+    sketch_stream._merge_count_batch(batch, 5, state, ["gram"], "n")
+    with pytest.raises(RuntimeError, match="batch id regressed"):
+        sketch_stream._merge_count_batch(batch, 0, state, ["gram"], "n")
