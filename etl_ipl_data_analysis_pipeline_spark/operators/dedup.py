@@ -555,6 +555,20 @@ def connected_components(
     one-hop compromise in :func:`minhash_dedup` over- or under-merges
     chains. Each iteration is localCheckpoint'ed to cut lineage (swap for
     ``checkpoint`` with a checkpoint dir on a real cluster).
+
+    Cost model (r8 profile): wall-time is LINEAR in the input edge list —
+    each round is a bounded number of edge-sized shuffles — times the
+    round count, which is 1 for clique-shaped components (every near-dup
+    cluster whose members all pair with each other: the min-id is every
+    node's direct neighbor, so large-star resolves it immediately) and
+    O(log diameter) for chains. What LOOKS superlinear at corpus scale is
+    the input itself: a k-member near-dup clique contributes ~k²/2 pairs,
+    so doubling duplication depth quadruples the edge list before CC ever
+    runs (measured: 10x replicas -> 109x pairs -> one 2.3s->11.1s star
+    round). That quadratic mass is semantic, not wasteful — the closure of
+    the VERIFIED near-dup relation needs the verified pairs — but exact
+    collapse first (semantic_dedup's identity argument) removes the
+    duplicate-class cliques that dominate it in web corpora.
     """
     # Materialize the deduped edge list BEFORE the loop: iteration 1
     # references ``edges`` several times (the symmetrized union, the
@@ -648,11 +662,12 @@ def minhash_dedup_cc(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 16,
+    k: int | None = None,
     iters: int = 2,
     min_sim: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: collapse EXACT duplicate
     vectors to their smallest id, cluster the unique vectors, then drop
@@ -685,13 +700,26 @@ def semantic_dedup(
     exact duplicates is 1 whatever the data.
 
     Scale shape: the SemDeDup trade — pair cost is Σ_cells |cell|² over
-    UNIQUE vectors, controlled by ``k`` (cells of ~1k uniques at any
-    corpus size keep the self-join bounded); the join key is the cell
-    id, so disjoint cells never meet, and the 100 TB layout
-    co-partitions members by cell (write bucketed by cid, the
-    persisted-IVF pattern). Cosine is computed inside the join stage;
-    losers reduce to a distinct id set, survivors semi-join back — no
-    window over the corpus anywhere.
+    UNIQUE vectors, controlled by the cell count. With ``k=None`` (the
+    default) the cell count is GOVERNED, not guessed: the collapse's
+    unique count n is measured (the collapsed relation is checkpointed,
+    so the count job and every downstream stage share one
+    materialization) and ``k = ceil(n / target_cell_size)``, which pins
+    expected Σ|cell|² ≈ n·target_cell_size — LINEAR in uniques at any
+    corpus size, where any fixed k degrades quadratically (at 10^9
+    uniques and k=16, one cell is ~6·10^7 vectors ⇒ ~2·10^15 pairs).
+    An explicit ``k`` bypasses the count (callers whose oracle unrolls
+    k-means CTEs must pin it). The join key is the cell id, so disjoint
+    cells never meet, and the 100 TB layout co-partitions members by
+    cell (write bucketed by cid, the persisted-IVF pattern). Cosine is
+    computed inside the join stage; losers reduce to a distinct id set,
+    survivors semi-join back — no window over the corpus anywhere.
+
+    Governed-k boundary: Lloyd assignment is O(n·k) = O(n²/target_cell)
+    compute with a k×dim broadcast, so the derived k itself has a
+    ceiling (~10^4 centroids ≈ 5 MB broadcast at d=64). Past that, the
+    production shape is hierarchical: cluster to √n coarse cells first,
+    then run this operator per coarse cell — same contract, composed.
     """
     from .similarity import (
         _as_double_array,
@@ -707,6 +735,17 @@ def semantic_dedup(
         .groupBy("__vec")
         .agg(F.min("__vid").alias("__vid"))
     )
+    if k is None:
+        # Deriving k needs the unique count — a separate job from the
+        # dedup itself, so checkpoint the collapsed relation first: the
+        # count job and every downstream stage then read one
+        # materialization. (With an explicit k there is no extra job and
+        # exchange reuse inside the single action covers the collapse —
+        # measured: an unconditional checkpoint was ~10-20% SLOWER on the
+        # sf0.1 planted query, the aqe-stage-reuse-vs-checkpoint trap.)
+        reps = reps.localCheckpoint(eager=True)
+        n_unique = reps.count()
+        k = max(1, -(-n_unique // target_cell_size))  # ceil div
     rep_emb = reps.select(
         F.col("__vid").alias(id_col), F.col("__vec").alias(vec_col)
     )

@@ -85,23 +85,24 @@ def grouped_exact_quantiles(
     value is the round-3 trap).
 
     Group-cardinality contract: with ``broadcast_groups=True`` (default)
-    the groups x buckets offset relation and the groups x qs target
-    relations are BROADCAST — correct and fastest when the group column
-    is low-cardinality (event types, languages, sources: the profile
-    shape this operator serves), but a broadcast grows linearly with
-    group count and would OOM the driver/executors if the group key were
-    e.g. a user id at 10^8 groups. For high-cardinality groups pass
-    ``broadcast_groups=False``: the same joins run as plain shuffle
-    joins on (__g, __b) / (__g, __pos) — AQE still converts them back to
-    broadcasts at runtime when the group side turns out small, so the
-    flag caps the worst case without taxing the common one."""
+    the groups x buckets count table is COLLECTED (the kmeans
+    k-row-collect shape) and the offset / order-statistic target
+    relations become literal broadcasts — correct and fastest when the
+    group column is low-cardinality (event types, languages, sources:
+    the profile shape this operator serves), but that table grows
+    linearly with group count and would OOM the driver/executors if the
+    group key were e.g. a user id at 10^8 groups. For high-cardinality
+    groups pass ``broadcast_groups=False``: everything stays
+    distributed and the joins shuffle on (__g, __b) / (__g, __pos) —
+    AQE still converts them back to broadcasts at runtime when the
+    group side turns out small, so the flag caps the worst case without
+    taxing the common one."""
     from pyspark.sql import Window
 
     from ..functions import range_bucket
 
     if not qs:
         raise ValueError("qs must be non-empty")
-    maybe_bcast = F.broadcast if broadcast_groups else (lambda d: d)
     g, v = F.col(group_col), F.col(value_col).cast("double")
     vals = df.select(g.alias("__g"), v.alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -115,53 +116,146 @@ def grouped_exact_quantiles(
     )
     bucketed = vals.withColumn("__b", range_bucket(F.col("__v"), cuts))
     wl = Window.partitionBy("__g", "__b").orderBy("__v")
-    local = bucketed.withColumn("__rn", F.row_number().over(wl))
-    bcounts = bucketed.groupBy("__g", "__b").agg(F.count(F.lit(1)).alias("__c"))
-    # per-group exclusive prefix over <= num_ranges bucket rows per group
-    wo = (
-        Window.partitionBy("__g")
-        .orderBy("__b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bcounts.withColumn(
-        "__off", F.coalesce(F.sum("__c").over(wo), F.lit(0))
-    )
-    pos = local.join(
-        maybe_bcast(offsets.select("__g", "__b", "__off")), ["__g", "__b"]
-    ).select(
-        "__g", "__v", (F.col("__rn") + F.col("__off")).alias("__pos")
-    )
-    ns = bcounts.groupBy("__g").agg(F.sum("__c").alias("__n"))
-    qdf = vals.sparkSession.createDataFrame(
-        [(float(q),) for q in qs], "q double"
-    )
-    h = (F.col("__n") - F.lit(1)).cast("double") * F.col("q")
-    targets = ns.crossJoin(F.broadcast(qdf)).select(
-        "__g",
-        "q",
-        "__n",
-        F.floor(h).cast("bigint").alias("__lo"),
-        (h - F.floor(h)).alias("__frac"),
-    )
-    lo = targets.select(
-        "__g", "q", "__n", "__frac", (F.col("__lo") + 1).alias("__pos")
-    )
-    hi = targets.select(
-        "__g",
-        "q",
-        F.least(F.col("__lo") + 2, F.col("__n")).alias("__pos"),
-    )
-    vlo = pos.join(maybe_bcast(lo), ["__g", "__pos"]).select(
-        "__g", "q", "__n", "__frac", F.col("__v").alias("__vlo")
-    )
-    vhi = pos.join(maybe_bcast(hi), ["__g", "__pos"]).select(
-        "__g", "q", F.col("__v").alias("__vhi")
-    )
+    if broadcast_groups:
+        # Bounded-group fast path: the (group, bucket) count table is
+        # <= groups x num_ranges rows by contract, so collect it ONCE
+        # and derive the offset and order-statistic target relations
+        # driver-side as literal broadcasts. Without this, each
+        # broadcast subtree (offsets, lo, hi) re-executes the base
+        # scan+aggregate — ~5 scans where one suffices (r8 profile:
+        # 4.25s -> ~1s main job at sf0.1). Arithmetic is bit-identical
+        # to the shuffle path below: counts are exact bigints and
+        # h = (n-1)*q is the same IEEE double product whether Python
+        # or the JVM evaluates it.
+        import math
+        from collections import defaultdict
+
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        g_type = vals.schema["__g"].dataType
+        per_g: dict = defaultdict(list)
+        brows = (
+            bucketed.groupBy("__g", "__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        for r in brows:
+            per_g[r["__g"]].append((r["__b"], r["__c"]))
+
+        def locate(bl, pos):
+            # (bucket, local rank) holding 1-based per-group position pos
+            run = 0
+            for b, c in bl:
+                if pos <= run + c:
+                    return b, pos - run
+                run += c
+            raise AssertionError("position past group count")
+
+        tgt_rows = []
+        for gv, bl in per_g.items():
+            bl.sort()
+            n = sum(c for _, c in bl)
+            for q in qs:
+                h = float(n - 1) * float(q)
+                lo_i = int(math.floor(h))
+                # Both order statistics of one q become tagged target
+                # rows addressed by (bucket, LOCAL rank) — the exclusive
+                # prefix offsets are applied HERE, driver-side, so the
+                # probe needs no offset relation and, crucially, the
+                # rank window below runs only over buckets that contain
+                # a requested statistic (a broadcast semi-join drops the
+                # rest at the scan): the sort shuffles ~2*qs/num_ranges
+                # of the rows instead of all of them.
+                for pos1, role in (
+                    (lo_i + 1, "lo"),
+                    (min(lo_i + 2, n), "hi"),
+                ):
+                    b, lp = locate(bl, pos1)
+                    tgt_rows.append((gv, b, lp, float(q), n, h - lo_i, role))
+        sess = vals.sparkSession
+        targets_lit = sess.createDataFrame(
+            tgt_rows,
+            StructType(
+                [
+                    StructField("__g", g_type),
+                    StructField("__b", IntegerType()),
+                    StructField("__rn", IntegerType()),
+                    StructField("q", DoubleType()),
+                    StructField("__n", LongType()),
+                    StructField("__frac", DoubleType()),
+                    StructField("__role", StringType()),
+                ]
+            ),
+        )
+        tb = targets_lit.select("__g", "__b").distinct()
+        hot = bucketed.join(F.broadcast(tb), ["__g", "__b"], "left_semi")
+        ranked = hot.withColumn("__rn", F.row_number().over(wl))
+        hits = ranked.join(F.broadcast(targets_lit), ["__g", "__b", "__rn"])
+        merged = hits.groupBy("__g", "q").agg(
+            F.max("__n").alias("__n"),
+            F.max("__frac").alias("__frac"),
+            F.max(F.when(F.col("__role") == "lo", F.col("__v"))).alias("__vlo"),
+            F.max(F.when(F.col("__role") == "hi", F.col("__v"))).alias("__vhi"),
+        )
+    else:
+        # High-cardinality path: everything stays distributed (shuffle
+        # joins on (__g, __b) / (__g, __pos)); AQE re-broadcasts at
+        # runtime if the group side turns out small.
+        local = bucketed.withColumn("__rn", F.row_number().over(wl))
+        bcounts = bucketed.groupBy("__g", "__b").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        # per-group exclusive prefix over <= num_ranges bucket rows per group
+        wo = (
+            Window.partitionBy("__g")
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = bcounts.withColumn(
+            "__off", F.coalesce(F.sum("__c").over(wo), F.lit(0))
+        )
+        pos = local.join(
+            offsets.select("__g", "__b", "__off"), ["__g", "__b"]
+        ).select("__g", "__v", (F.col("__rn") + F.col("__off")).alias("__pos"))
+        ns = bcounts.groupBy("__g").agg(F.sum("__c").alias("__n"))
+        qdf = vals.sparkSession.createDataFrame(
+            [(float(q),) for q in qs], "q double"
+        )
+        h = (F.col("__n") - F.lit(1)).cast("double") * F.col("q")
+        targets = ns.crossJoin(F.broadcast(qdf)).select(
+            "__g",
+            "q",
+            "__n",
+            F.floor(h).cast("bigint").alias("__lo"),
+            (h - F.floor(h)).alias("__frac"),
+        )
+        lo = targets.select(
+            "__g", "q", "__n", "__frac", (F.col("__lo") + 1).alias("__pos")
+        )
+        hi = targets.select(
+            "__g",
+            "q",
+            F.least(F.col("__lo") + 2, F.col("__n")).alias("__pos"),
+        )
+        vlo = pos.join(lo, ["__g", "__pos"]).select(
+            "__g", "q", "__n", "__frac", F.col("__v").alias("__vlo")
+        )
+        vhi = pos.join(hi, ["__g", "__pos"]).select(
+            "__g", "q", F.col("__v").alias("__vhi")
+        )
+        merged = vlo.join(vhi, ["__g", "q"])
     quant = F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
     if round_digits is not None:
         p10 = float(10 ** round_digits)
         quant = F.floor(quant * F.lit(p10) + F.lit(0.5)) / F.lit(p10)
-    return vlo.join(vhi, ["__g", "q"]).select(
+    return merged.select(
         F.col("__g").alias(group_col),
         "q",
         F.col("__n").cast("bigint").alias("n"),

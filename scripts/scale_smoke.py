@@ -67,6 +67,26 @@ def main() -> int:
         embs = rep if embs is None else embs.unionByName(rep)
     embs = embs.repartition(64).localCheckpoint(eager=True)
 
+    # UNIQUE-growth twin of embs (VERDICT r7 item 2): each replica's
+    # vectors are elementwise sign-flipped by a per-replica ±1 pattern
+    # (bits 0-6 of r spread over the dims), so replicas are (a) all
+    # DISTINCT — the exact-collapse keeps every one, n_unique grows with
+    # factor — and (b) far apart in cosine (one differing bit flips ~1/7
+    # of the coordinate mass: cosine ~0.7 « 0.99), so no spurious
+    # near-dup mass is planted either.
+    dim = len(emb.select("embedding").first()[0])
+    embu = None
+    for r in range(factor):
+        pat = F.array(
+            *[F.lit(1.0 - 2.0 * ((r >> (i % 7)) & 1)) for i in range(dim)]
+        )
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+            F.zip_with("embedding", pat, lambda x, p: x * p).alias("embedding"),
+        )
+        embu = rep if embu is None else embu.unionByName(rep)
+    embu = embu.repartition(64).localCheckpoint(eager=True)
+
     def t(fn, name="op"):
         # progress to stderr, flushed: when a memory-starved run dies the
         # partial trace says WHICH op killed it — a silent empty stdout
@@ -146,6 +166,17 @@ def main() -> int:
         "semantic_dedup": t(
             lambda: dedup.semantic_dedup(embs, k=16, iters=2, min_sim=0.99),
             "semantic_dedup",
+        ),
+        # round-8: SemDeDup under UNIQUE-vector growth (VERDICT r7 item
+        # 2) — the replicated-corpus entry above keeps n_unique CONSTANT
+        # (the collapse kills every replica), so it never measures the
+        # within-cell Σ|cell|² term. Here n_unique = factor x base and
+        # k=None derives k = ceil(n/1024), pinning expected Σ|cell|² ≈
+        # n·1024: wall-time must stay ~linear in uniques.
+        "semantic_dedup_unique_n": factor * emb.count(),
+        "semantic_dedup_unique": t(
+            lambda: dedup.semantic_dedup(embu, iters=2, min_sim=0.99),
+            "semantic_dedup_unique",
         ),
         # round-7: the portable md5 universal-hash family (what the
         # oracled queries run) next to the xxhash64 default above —
@@ -429,12 +460,29 @@ def main() -> int:
         file=sys.stderr, flush=True,
     )
 
-    print(f"scale_smoke[{factor}x]: connected_components ...", file=sys.stderr, flush=True)
+    # round-8 split (VERDICT r7 item 3): the r7 entry timed pair GENERATION
+    # and CC together, and the replica corpus makes the pair list grow
+    # ~factor^2 (each base doc's replicas form a near-clique: 100 replicas
+    # -> ~100^2/2 pairs vs 10^2/2 at f10) — so the combined number looked
+    # superlinear while CC itself is linear in its edge input and converges
+    # in ONE star round on clique-shaped components (profiled r8: f10 =
+    # 250k pairs, f100 = 27.3M pairs = 109x; star round 2.3s -> 11.1s).
+    # Materialize the pair list first so each stage's slope is its own.
+    print(f"scale_smoke[{factor}x]: cc_pair_gen ...", file=sys.stderr, flush=True)
     t0 = time.time()
-    pairs = dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)
+    pairs = (
+        dedup.minhash_near_dup_pairs(docs, min_jaccard=0.5)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = pairs.count()
+    t1 = time.time()
+    timings["cc_pair_gen"] = round(t1 - t0, 2)
+    timings["n_input_pairs"] = n_pairs
+    print(f"scale_smoke[{factor}x]: connected_components ...", file=sys.stderr, flush=True)
     comp = dedup.connected_components(pairs)
     n_comp = comp.count()
-    timings["connected_components"] = round(time.time() - t0, 2)
+    timings["connected_components"] = round(time.time() - t1, 2)
     timings["n_component_edges"] = n_comp
     print(json.dumps({"metric": "scale_smoke", "factor": factor, "timings": timings}))
     return 0

@@ -325,6 +325,30 @@ def test_semantic_dedup_drops_exact_embedding_copies(spark):
     assert survivors == {i for i, _ in base}
 
 
+def test_semantic_dedup_governed_k_matches_explicit(spark):
+    """k=None derives k = ceil(n_unique / target_cell_size) from the
+    post-collapse unique count: the governed run must produce exactly the
+    explicit-k run's survivors (k is the ONLY thing derived — routing,
+    scoring, keep-first are untouched)."""
+    import random
+
+    rnd = random.Random(11)
+    base = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(12)]
+    mirrors = [(100 + i, vec) for i, vec in base[:4]]  # collapse -> 12 uniques
+    emb = spark.createDataFrame(base + mirrors, "vec_id long, embedding array<double>")
+    governed = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb, iters=2, min_sim=0.999, target_cell_size=4
+        ).collect()  # 12 uniques / 4 per cell -> derived k = 3
+    }
+    explicit = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(emb, k=3, iters=2, min_sim=0.999).collect()
+    }
+    assert governed == explicit == {i for i, _ in base}
+
+
 class TestMinhashIncremental:
     def test_modified_copies_found_fresh_docs_not(self, spark):
         from etl_ipl_data_analysis_pipeline_spark.operators import dedup
