@@ -57,6 +57,61 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    sparse: DataFrame,
+    dense: DataFrame,
+    k: int = 5,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval lists — the standard
+    hybrid-retrieval combiner (Cormack et al., SIGIR'09): each candidate
+    scores sum(1 / (rrf_k + rank)) over the lists that retrieved it, so
+    agreement between lexical (BM25) and dense (ANN) rankers dominates
+    either ranker's absolute scores, and no score calibration between
+    incomparable scales is needed.
+
+    Inputs are (query, id, rank) relations (rank 1-based, as
+    bm25_batch_topk and the top-k searchers emit). The fusion is pure
+    rank arithmetic: 1/(rrf_k + r) is one IEEE division of exact
+    integers and the two-list sum is a single commutative add, so the
+    result is bit-identical across engines and the whole hybrid sits
+    under the exact oracle gate of its two inputs for free.
+
+    Scale: a full-outer equi-join of two k-row-per-query relations and a
+    rank window over <= 2k candidates per query — bounded by the input
+    list length, never by the corpus. Returns (query, id, rrf_score,
+    rnk) with rrf_score floor-rounded at 8dp, top-``k`` per query."""
+    sp = sparse.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rs")
+    )
+    dn = dense.select(
+        F.col(query_col), F.col(id_col), F.col(rank_col).alias("__rd")
+    )
+    fused = sp.join(dn, [query_col, id_col], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(rrf_k) + F.col("__rs")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("__rd")), F.lit(0.0))
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("__rrf"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("__rrf", rrf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            query_col,
+            id_col,
+            (F.floor(F.col("__rrf") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias(
+                "rrf_score"
+            ),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     probes: DataFrame,

