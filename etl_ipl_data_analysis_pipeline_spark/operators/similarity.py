@@ -57,6 +57,38 @@ def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def embedding_dim_covariance_jl(
+    df: DataFrame,
+    jl_k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`embedding_dim_covariance` over a Johnson-Lindenstrauss
+    projection of the vectors — the high-d scale path (see the d-sweep
+    guidance in embedding_dim_covariance's docstring): project to
+    ``jl_k`` dims with the deterministic md5 sign matrix (d*jl_k work,
+    exact-gated), reassemble the long-form projection into ordered
+    arrays (jl_k elements per vector — bounded collect_list, not a
+    corpus buffer), and run the exact covariance at jl_k²/2 cells
+    instead of d²/2. The whole composition stays inside the exact
+    cross-engine gate: both stages' arithmetic is decimal-summed
+    fixed-point on engine-recomputable inputs.
+
+    The answer is the covariance OF THE PROJECTION — a diagnostics
+    proxy whose distortion the JL lemma bounds — which is exactly what
+    a dead-dimension / redundancy health check needs at d >= ~256,
+    where the exact matrix's d²/2 per-row cell fanout dominates
+    (measured: 783s at d=256 vs 48s at d=64 per 500k rows)."""
+    proj = jl_project_signs(df, k=jl_k, id_col=id_col, vec_col=vec_col)
+    arr = proj.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "proj"))),
+            lambda s: s["proj"],
+        ).alias(vec_col)
+    )
+    return embedding_dim_covariance(arr, vec_col)
+
+
 def rrf_fuse(
     sparse: DataFrame,
     dense: DataFrame,
@@ -804,6 +836,16 @@ def embedding_dim_covariance(
     sums are partitioning-dependent). The diagonal join-back is a
     d-row broadcast. The token array is materialized before the HOF
     lambdas (interpreted, no CSE — the measured 30x trap).
+
+    d-sweep guidance (SCALE_SMOKE r7/r8, 500k rows): d=64 -> 2,080
+    cells/vector, 48s; d=256 -> 32,896 cells, 783s — linear in rows,
+    quadratic in d. Past d ~256 prefer either (a) the Arrow Gram-matrix
+    mapInPandas (exact gate lost), or (b) :func:`embedding_dim_covariance_jl`
+    below — JL-project to k dims first (d*k work) and run this operator
+    at k²/2 cells, STAYING inside the exact gate (the md5 sign matrix is
+    engine-recomputable); at d=1024, k=64 that is ~240x fewer cells for
+    a diagnostics-grade answer (covariance of the projection, distortion
+    bounded by the JL lemma).
 
     Fixed-dimensionality contract: all (non-empty) vectors must share
     one length d — ragged input would mix inconsistent populations in

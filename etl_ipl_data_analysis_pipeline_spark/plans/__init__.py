@@ -116,6 +116,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "minhash_estimator_audit",  # MinHash Jaccard estimator vs truth
     "value_histogram_by_type",  # fixed-width value histograms
     "hybrid_rrf_topk",  # NEW r8: BM25 + IVF reciprocal-rank fusion
+    "dim_covariance_jl16",  # NEW r8: JL-first covariance, composed oracle
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -160,7 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "agg_filtered",
     "q5_region_revenue",
-    "join_salted_skew",
 )
 
 

@@ -4038,3 +4038,77 @@ def jl_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the dimension/component ids in both engines."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.jl_project_signs(e, k=16)
+
+
+@register(
+    "dim_covariance_jl16",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    ), js AS (
+      SELECT CAST(unnest(range(0, 16)) AS INT) AS j
+    ), signs AS (
+      SELECT d.i, js.j,
+             CASE WHEN ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':'
+                          || CAST(js.j AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT DISTINCT i FROM ex) d CROSS JOIN js
+    ), terms AS (
+      SELECT vec_id, j,
+             CAST(floor(x * s * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS t
+      FROM ex JOIN signs USING (i)
+    ), xs AS (
+      SELECT vec_id, j AS i,
+             floor(CAST(sum(t) AS DOUBLE) / 4.0 * 1e6 + 0.5) / 1e6 AS x
+      FROM terms GROUP BY 1, 2
+    ), cells AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(floor(a.x * b.x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS p
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+    ), sums AS (
+      SELECT i,
+             sum(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS s
+      FROM xs GROUP BY i
+    ), sp AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(p) AS spv
+      FROM cells GROUP BY i, j
+    ), m AS (
+      SELECT sp.i, sp.j, sp.n,
+             floor(
+               (CAST(spv AS DOUBLE)
+                - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / sp.n)
+               / sp.n * 1e8 + 0.5
+             ) / 1e8 AS cov
+      FROM sp
+      JOIN sums si ON si.i = sp.i
+      JOIN sums sj ON sj.i = sp.j
+    )
+    SELECT m.i, m.j, m.n, m.cov,
+           CASE WHEN di.cov > 0 AND dj.cov > 0 THEN
+             floor(m.cov / (sqrt(di.cov) * sqrt(dj.cov)) * 1e6 + 0.5) / 1e6
+           END AS corr
+    FROM m
+    JOIN m di ON di.i = m.i AND di.j = m.i
+    JOIN m dj ON dj.i = m.j AND dj.j = m.j
+    """,
+    tags=("X3", "A8", "F7"),
+)
+def dim_covariance_jl16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension covariance over a 16-d Johnson-Lindenstrauss projection
+    (similarity.embedding_dim_covariance_jl) — the high-d scale path for
+    the redundancy diagnostic: project first (d*16 exact-gated work),
+    then covariance at 136 cells/vector instead of d(d+1)/2. Both
+    stages' fixed-point decimal arithmetic is engine-recomputable, so
+    the COMPOSITION sits under one exact oracle (JL CTEs feeding the
+    covariance CTEs verbatim). The answer is the projection's
+    covariance — the JL lemma bounds its distortion, which is the
+    contract a dead-dimension health check needs at d >= ~256 where the
+    exact matrix's cell fanout dominates (783s vs 48s per 500k rows at
+    d=256 vs d=64, SCALE_SMOKE r7)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return similarity.embedding_dim_covariance_jl(e, jl_k=16)

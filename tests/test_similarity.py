@@ -569,3 +569,20 @@ class TestRRFFuse:
         out = similarity.rrf_fuse(sparse, dense, k=3).collect()
         assert len(out) == 3
         assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [5, 4, 3]
+
+
+class TestJLFirstCovariance:
+    def test_shape_and_diagonal(self, spark):
+        """JL-first covariance emits k(k+1)/2 cells with the full row
+        count and positive diagonal variances (a projection of
+        non-degenerate vectors can't have a dead component a.s. — here
+        checked on a fixed corpus, so deterministic)."""
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+        out = similarity.embedding_dim_covariance_jl(df, jl_k=16).collect()
+        assert len(out) == 16 * 17 // 2
+        assert all(r["n"] == 50 for r in out)
+        diag = [r for r in out if r["i"] == r["j"]]
+        assert len(diag) == 16 and all(r["cov"] > 0 for r in diag)
+        assert all(r["corr"] == 1.0 for r in diag)
