@@ -79,6 +79,10 @@ HEADLINE = [
     "embedding_quantize_int8",
     "topk_pq_exact",
     "cluster_top_terms",
+    # round-8 additions: hybrid lexical+dense fusion and the JL-first
+    # high-d covariance path, both exact-oracled compositions
+    "hybrid_rrf_topk",
+    "dim_covariance_jl16",
 ]
 
 
