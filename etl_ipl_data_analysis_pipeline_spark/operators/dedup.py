@@ -733,7 +733,6 @@ def semantic_dedup(
     """
     from .similarity import (
         _as_double_array,
-        cosine_similarity,
         kmeans_exact,
     )
 
@@ -791,8 +790,21 @@ def semantic_dedup(
         )
     else:
         raise ValueError(f"assign must be 'exact' or 'fast', got {assign!r}")
+    # Precompute each member's norm ONCE (n interpreted array folds) so the
+    # quadratic pair stage evaluates only the dot — HOF lambdas run
+    # interpreted with no CSE, and cosine_similarity's inline norms would
+    # triple the per-pair cost (the README 30x trap, measured ~60s of the
+    # f10 unique smoke). Float-identical to the inline form: same norm
+    # expression per array, same dot / (na * nb) association.
+    from ..functions import dot as _dot, norm as _norm
+
+    members = members.withColumn("__nr", _norm(F.col("__vec")))
     a, b = members.alias("a"), members.alias("b")
-    sim = F.round(cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), 6)
+    sim = F.round(
+        _dot(F.col("a.__vec"), F.col("b.__vec"))
+        / (F.col("a.__nr") * F.col("b.__nr")),
+        6,
+    )
     losers = (
         a.join(
             b.hint("SHUFFLE_HASH"),
