@@ -117,6 +117,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "value_histogram_by_type",  # fixed-width value histograms
     "hybrid_rrf_topk",  # NEW r8: BM25 + IVF reciprocal-rank fusion
     "dim_covariance_jl16",  # NEW r8: JL-first covariance, composed oracle
+    "stream_minhash_sig_index",  # NEW r8: streaming LSH index upkeep
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -159,7 +160,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "incremental_summary_avg",
     "catalog_scan_bucketed",
     "q1_pricing_summary",
-    "agg_filtered",
     "q5_region_revenue",
 )
 

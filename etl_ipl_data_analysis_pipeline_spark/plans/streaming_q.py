@@ -649,3 +649,53 @@ def stream_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for suffix in ("", "__checkpoint"):
         shutil.rmtree(state + suffix, ignore_errors=True)
     return sketch_stream.run_count_stream(occ, state, keys=["b", "tgt"])
+
+
+def _sig_index_oracle() -> str:
+    from .llm_ops import _minhash_sig_cte
+
+    return f"""
+    WITH {_minhash_sig_cte(32, 8, 42)}
+    SELECT doc_id, CAST(i AS INT) AS hash_idx, CAST(h AS BIGINT) AS sig_val
+    FROM sig
+    """
+
+
+@register(
+    "stream_minhash_sig_index",
+    oracle=_sig_index_oracle(),
+    tags=("L6", "X2", "F7"),
+)
+def stream_minhash_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash signature-index upkeep under the EXACT gate
+    (streaming/sketch_stream.run_sig_index_stream): an actual
+    foreachBatch run hashes each micro-batch of documents ONCE with the
+    portable md5 family and id-merges the (doc_id, sig) rows into the
+    persisted index — the ingest half of the crawl-N+1 dedup loop,
+    whose probe half (dedup_minhash_incremental) searches new batches
+    against exactly this state without rescanning old text. Signatures
+    are pure functions of the text, so the merge is idempotent under
+    replay and the final index is bit-identical to the single-shot
+    batch build — the oracle replays the signature CTE family shared
+    with dedup_minhash_pairs. Output is the exploded long form
+    (doc_id, hash_idx, sig_val): 32 scalar rows per document, the
+    driver-canon shape."""
+    import shutil
+
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = incremental._stream_reader(spark, path, "parquet", schema)
+    state = _scratch_dir(sf_dir, "mh_sig_index_stream_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    index = sketch_stream.run_sig_index_stream(
+        docs.select("doc_id", "text"), state, hash_family="md5"
+    )
+    return index.select(
+        "doc_id", F.posexplode("sig").alias("hash_idx", "sig_val")
+    )

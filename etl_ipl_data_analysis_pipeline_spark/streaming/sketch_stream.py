@@ -225,3 +225,64 @@ def run_bloom_stream(
         return spark.read.parquet(state_path)
     empty = spark.createDataFrame([], stream_df.schema)
     return bloom.bloom_build(empty, key_col, num_bits, num_hashes, salt)
+
+
+def run_sig_index_stream(
+    stream_df: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """Maintain the MinHash SIGNATURE INDEX (dedup.minhash_sig_index —
+    the cross-snapshot dedup state) from a document stream with
+    ``foreachBatch``: each micro-batch is tokenized/shingled/hashed
+    exactly once into (doc_id, sig) rows, which merge into the persisted
+    index by id. A signature is a PURE FUNCTION of the document text, so
+    a replayed batch re-derives bit-identical rows and the id-dedup
+    absorbs it — idempotent like the Bloom OR, no batch marker needed —
+    and the final index is bit-identical to a single-shot batch build
+    whatever the micro-batch boundaries. This is the ingest half of the
+    crawl-N+1 dedup loop: dedup.minhash_incremental_pairs probes new
+    batches against this state without ever rescanning old text.
+
+    Contract: ``id_col`` identifies a document — re-delivering an id
+    with DIFFERENT text is an upstream bug this operator resolves
+    arbitrarily (one of the signatures wins).
+
+    Per batch: O(batch text) signature build + O(state) id-dedup merge,
+    never O(history) re-hash. State writes reuse the crash-safe
+    temp-path + atomic-rename swap."""
+    from ..operators.dedup import minhash_sig_index
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        incoming = minhash_sig_index(
+            batch, text_col, id_col, n, num_hashes, seed, hash_family
+        )
+        sess = batch.sparkSession
+        if recover_swapped(sess, state_path):
+            current = sess.read.parquet(state_path)
+            merged = current.unionByName(incoming).dropDuplicates([id_col])
+        else:
+            merged = incoming
+        _swap_write(merged, state_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", state_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if recover_swapped(spark, state_path):
+        return spark.read.parquet(state_path)
+    empty = spark.createDataFrame([], stream_df.schema)
+    return minhash_sig_index(
+        empty, text_col, id_col, n, num_hashes, seed, hash_family
+    )

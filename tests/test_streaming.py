@@ -466,3 +466,48 @@ def test_count_stream_batch_id_regression_raises(spark, tmp_path):
     sketch_stream._merge_count_batch(batch, 5, state, ["gram"], "n")
     with pytest.raises(RuntimeError, match="batch id regressed"):
         sketch_stream._merge_count_batch(batch, 0, state, ["gram"], "n")
+
+
+def test_sig_index_stream_batch_boundary_and_replay_independent(spark, tmp_path):
+    """run_sig_index_stream over 3 file-grain micro-batches must produce
+    the byte-identical signature index as the single-shot batch build
+    (signatures are pure functions of text), and a FULL re-delivery —
+    checkpoint deleted, state kept, ids restarting at 0 — must leave the
+    index unchanged: the id-dedup merge is idempotent, so unlike the
+    additive count stream no batch marker is needed."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} " * 3)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "sig_src")
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    state = str(tmp_path / "sig_state")
+    got = sketch_stream.run_sig_index_stream(stream(), state, hash_family="md5")
+    want = dedup.minhash_sig_index(df, hash_family="md5")
+    as_rows = lambda d: sorted((r["doc_id"], tuple(r["sig"])) for r in d.collect())
+    assert as_rows(got) == as_rows(want)
+
+    # replay: wipe ONLY the checkpoint; every batch re-delivers from id 0
+    shutil.rmtree(state + "__checkpoint")
+    again = sketch_stream.run_sig_index_stream(stream(), state, hash_family="md5")
+    assert as_rows(again) == as_rows(want)
