@@ -699,3 +699,51 @@ def stream_minhash_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index.select(
         "doc_id", F.posexplode("sig").alias("hash_idx", "sig_val")
     )
+
+
+def _stream_pairs_oracle() -> str:
+    from .llm_ops import _minhash_pairs_cte
+
+    return f"""
+    WITH {_minhash_pairs_cte(0.5)}
+    SELECT id_a, id_b, est_jaccard FROM mhpairs
+    """
+
+
+@register(
+    "stream_minhash_pairs",
+    oracle=_stream_pairs_oracle(),
+    tags=("L6", "X2", "J10", "F7"),
+)
+def stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END streaming near-dup detection under the EXACT gate
+    (streaming/sketch_stream.run_minhash_pair_stream): each micro-batch
+    self-pairs AND probes the persisted signature index (intra- +
+    cross-batch pairs, old text never rescanned), accumulating a pair
+    table that must be bit-identical to the single-shot batch LSH pair
+    set — the same mhpairs oracle as dedup_minhash_pairs, now earned by
+    a stream. Batch-boundary independence: every corpus pair is
+    intra-batch or cross-batch exactly once; replay independence: pairs
+    are pure functions of text, normalized (least, greatest) and
+    key-deduped."""
+    import shutil
+
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = incremental._stream_reader(spark, path, "parquet", schema)
+    pairs_state = _scratch_dir(sf_dir, "mh_pair_stream_state")
+    index_state = _scratch_dir(sf_dir, "mh_pair_stream_index")
+    for p in (pairs_state, pairs_state + "__checkpoint", index_state):
+        shutil.rmtree(p, ignore_errors=True)
+    return sketch_stream.run_minhash_pair_stream(
+        docs.select("doc_id", "text"),
+        pairs_state,
+        index_state,
+        min_jaccard=0.5,
+        hash_family="md5",
+    )

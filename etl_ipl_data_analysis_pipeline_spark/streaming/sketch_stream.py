@@ -286,3 +286,103 @@ def run_sig_index_stream(
     return minhash_sig_index(
         empty, text_col, id_col, n, num_hashes, seed, hash_family
     )
+
+
+def run_minhash_pair_stream(
+    stream_df: DataFrame,
+    pairs_path: str,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    min_jaccard: float = 0.7,
+    hash_family: str = "md5",
+) -> DataFrame:
+    """END-TO-END streaming near-duplicate detection: per micro-batch,
+    (1) self-pair the batch (dedup.minhash_near_dup_pairs — intra-batch
+    duplicates), (2) probe the persisted signature index
+    (dedup.minhash_incremental_pairs — cross-batch duplicates against
+    every EARLIER batch, old text never rescanned), (3) fold both into
+    the persisted pair table, (4) merge the batch's signatures into the
+    index. Every pair of the corpus is either intra-batch or
+    cross-batch exactly once, so the accumulated pair table is
+    IDENTICAL to the single-shot batch LSH pair set whatever the
+    micro-batch boundaries — the batch-boundary-independence contract
+    that puts a streaming dedup under the exact oracle gate (with
+    hash_family='md5', the same mhpairs CTE as dedup_minhash_pairs).
+
+    Replay safety without a batch marker: pairs and signatures are pure
+    functions of document text, pairs are normalized to
+    (least, greatest) id order, self-pairs are dropped, and both merges
+    dedup by key — so a re-delivered batch (even one whose index merge
+    landed but whose checkpoint commit did not) re-derives rows the
+    distinct absorbs. Per batch: O(batch text) hashing + banded joins
+    sized by the batch and its true matches + O(state) key-dedup
+    merges; never O(history) text."""
+    import pyspark.sql.functions as F
+
+    from ..operators import dedup as _dedup
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        intra = _dedup.minhash_near_dup_pairs(
+            batch, text_col, id_col, n, num_hashes, bands, seed,
+            min_jaccard, hash_family,
+        )
+        have_index = recover_swapped(sess, index_path)
+        if have_index:
+            index = sess.read.parquet(index_path)
+            cross = (
+                _dedup.minhash_incremental_pairs(
+                    batch, index, text_col, id_col, n, num_hashes, bands,
+                    seed, min_jaccard, hash_family,
+                )
+                .filter(F.col("new_id") != F.col("old_id"))
+                .select(
+                    F.least("new_id", "old_id").alias("id_a"),
+                    F.greatest("new_id", "old_id").alias("id_b"),
+                    "est_jaccard",
+                )
+            )
+            new_pairs = intra.unionByName(cross)
+        else:
+            index = None
+            new_pairs = intra
+        if recover_swapped(sess, pairs_path):
+            cur = sess.read.parquet(pairs_path)
+            merged_pairs = cur.unionByName(new_pairs).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+        else:
+            merged_pairs = new_pairs
+        _swap_write(merged_pairs, pairs_path)
+        sigs = _dedup.minhash_sig_index(
+            batch, text_col, id_col, n, num_hashes, seed, hash_family
+        )
+        merged_idx = (
+            index.unionByName(sigs).dropDuplicates([id_col])
+            if have_index
+            else sigs
+        )
+        _swap_write(merged_idx, index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", pairs_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if recover_swapped(spark, pairs_path):
+        return spark.read.parquet(pairs_path)
+    empty = spark.createDataFrame([], stream_df.schema)
+    return _dedup.minhash_near_dup_pairs(
+        empty, text_col, id_col, n, num_hashes, bands, seed, min_jaccard,
+        hash_family,
+    )

@@ -511,3 +511,69 @@ def test_sig_index_stream_batch_boundary_and_replay_independent(spark, tmp_path)
     shutil.rmtree(state + "__checkpoint")
     again = sketch_stream.run_sig_index_stream(stream(), state, hash_family="md5")
     assert as_rows(again) == as_rows(want)
+
+
+def test_minhash_pair_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """Streaming dedup contract: 3 file-grain micro-batches with near-dup
+    pairs INSIDE batches and ACROSS batches must accumulate exactly the
+    single-shot batch LSH pair set (every pair is intra- or cross-batch
+    exactly once); then a FULL re-delivery with the index already merged
+    (checkpoint wiped, both states kept — the crash-after-index-swap
+    worst case) must leave the pair table unchanged: cross-probe now
+    re-finds intra pairs and self-pairs, which the (least, greatest)
+    normalization, self-filter and key-dedup absorb."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet pink black white",
+    ]
+    rows = []
+    for i in range(18):
+        # docs i and i+100 are near-dups (one-token suffix change); ids are
+        # interleaved across the 3 files by (id % 3), so some pairs land in
+        # one batch and some span batches
+        t = base[i % 3] + f" tail{i}"
+        rows.append((i, t))
+        rows.append((100 + i, t + " zz"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "mhp_src")
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    pairs_state = str(tmp_path / "mhp_pairs")
+    index_state = str(tmp_path / "mhp_index")
+    got = sketch_stream.run_minhash_pair_stream(
+        stream(), pairs_state, index_state, min_jaccard=0.5, hash_family="md5"
+    )
+    want = dedup.minhash_near_dup_pairs(
+        df, min_jaccard=0.5, hash_family="md5"
+    )
+    rows_of = lambda d: sorted(map(tuple, d.collect()))
+    want_rows = rows_of(want)
+    assert rows_of(got) == want_rows
+    assert len(want_rows) > 0  # the planted near-dups actually paired
+    # at least one pair crossed a batch boundary (different id % 3)
+    assert any(a % 3 != b % 3 for a, b, _ in want_rows)
+
+    shutil.rmtree(pairs_state + "__checkpoint")
+    again = sketch_stream.run_minhash_pair_stream(
+        stream(), pairs_state, index_state, min_jaccard=0.5, hash_family="md5"
+    )
+    assert rows_of(again) == want_rows
