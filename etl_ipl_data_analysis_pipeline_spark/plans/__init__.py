@@ -119,6 +119,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dim_covariance_jl16",  # NEW r8: JL-first covariance, composed oracle
     "stream_minhash_sig_index",  # NEW r8: streaming LSH index upkeep
     "stream_minhash_pairs",  # NEW r8: end-to-end streaming dedup, exact
+    "stream_value_histogram",  # NEW r8: fixed-bound additive histogram
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -160,7 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "label_centroids",
     "incremental_summary_avg",
     "catalog_scan_bucketed",
-    "q1_pricing_summary",
 )
 
 

@@ -747,3 +747,55 @@ def stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_jaccard=0.5,
         hash_family="md5",
     )
+
+
+@register(
+    "stream_value_histogram",
+    oracle="""
+    SELECT event_type,
+           least(greatest(CAST(floor(CAST(value AS DOUBLE) / 500.0 * 20.0)
+                               AS BIGINT), 0), 19) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("L6", "A8", "A4", "F3"),
+)
+def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FIXED-BOUND histogram maintenance: per-(type, bin)
+    counts folded through the replay-guarded additive count stream
+    (sketch_stream.run_count_stream). Unlike the batch
+    value_histogram_by_type (whose bin edges are data-derived min/max —
+    a two-pass shape no stream can maintain incrementally), the
+    streaming histogram uses CONFIGURED bounds with edge-bin clamping —
+    the production monitoring contract, where out-of-range mass lands
+    visibly in the first/last bin. Integer addition makes the final
+    table bit-identical to the batch histogram over the same bounds
+    whatever the micro-batch boundaries."""
+    import shutil
+
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    ev = incremental._stream_reader(spark, path, "parquet", schema)
+    binx = F.least(
+        F.greatest(
+            F.floor(F.col("value").cast("double") / F.lit(500.0) * F.lit(20.0))
+            .cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(19).cast("bigint"),
+    )
+    occ = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", binx.alias("bin")
+    )
+    state = _scratch_dir(sf_dir, "value_hist_stream_state")
+    for suffix in ("", "__checkpoint"):
+        shutil.rmtree(state + suffix, ignore_errors=True)
+    return sketch_stream.run_count_stream(
+        occ, state, keys=["event_type", "bin"], count_col="n"
+    )
