@@ -835,8 +835,6 @@ def bm25_batch_topk(
     ranks attached per query over k-row groups only.
 
     Returns (query_id, id_col, score, rnk)."""
-    from .similarity import topk_per_query
-
     qt = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
     ).distinct()
@@ -859,6 +857,19 @@ def bm25_batch_topk(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    return _bm25_rank(tf, dfreq, stats, qt, k, id_col)
+
+
+def _bm25_rank(tf, dfreq, stats, qt, k: int, id_col: str) -> DataFrame:
+    """Shared BM25 scoring tail: rank documents per query from the
+    (doc, term, tf, dl) / (term, df) / 1-row stats relations — the same
+    rational-idf integer arithmetic whether the tables were just built
+    (bm25_batch_topk) or read back from a persisted index
+    (bm25_search_index). Restricting df to query-term rows is exact:
+    a term's document frequency does not depend on which terms were
+    asked about."""
+    from .similarity import topk_per_query
+
     num = (
         F.lit(22) * F.col("__tf") * F.col("__sum_dl") * (2 * F.col("__n_docs") + 2)
     )
@@ -896,6 +907,105 @@ def bm25_batch_topk(
         F.col("sim").alias("score"),
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+
+def bm25_term_bucket_py(term: str, num_buckets: int) -> int:
+    """Driver-side twin of the index's term-bucket assignment
+    (portable_hash64 % num_buckets): lets a search compute its literal
+    partition-pruning bucket set from the query terms alone."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:15], 16) % num_buckets
+
+
+def bm25_build_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> None:
+    """Persist the FULL BM25 inverted index — the index-once / query-many
+    retrieval lifecycle (the persisted-IVF pattern applied to lexical
+    search): postings (term, doc, tf, dl) PARTITIONED by a term-hash
+    bucket so a query's loads prune to its terms' partitions, per-term
+    document frequencies (same layout), and the 1-row corpus stats.
+    Everything persisted is an exact integer, so a search from disk is
+    value-identical to scoring freshly-built tables — the whole
+    lifecycle sits under the batch oracle.
+
+    Scale: one corpus scan, one (term, doc)-keyed partial-agg shuffle
+    for postings (~tokens-sized, the unavoidable index cost paid ONCE),
+    a term-keyed rollup for df, and a 1-row stats aggregate. The
+    partition column is the PORTABLE md5 bucket (functions.
+    portable_hash64 % num_buckets) with a driver-side twin
+    (bm25_term_bucket_py), so searches can enumerate their buckets as
+    literals without touching the index."""
+    from ..functions import portable_hash64
+
+    toked = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalized_text(F.col(text_col)), " "),
+            lambda t: t != F.lit(""),
+        ).alias("__t"),
+    ).withColumn("__dl", F.size("__t"))
+    docs = toked.filter(F.col("__dl") > 0)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__sum_dl")
+    )
+    postings = (
+        docs.select(id_col, "__dl", F.explode("__t").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    bucket = F.pmod(portable_hash64(F.col("term")), F.lit(num_buckets)).cast(
+        "int"
+    )
+    (
+        postings.withColumn("term_bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path.rstrip("/") + "/postings")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    (
+        dfreq.withColumn("term_bucket", bucket)
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path.rstrip("/") + "/dfreq")
+    )
+    stats.write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+
+
+def bm25_search_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Search a persisted BM25 index (bm25_build_index) for a batch of
+    queries WITHOUT touching the corpus: the query terms' buckets are
+    computed driver-side (bm25_term_bucket_py) and pushed as literal
+    partition filters, so only ~|terms|/num_buckets of the postings and
+    df partitions are read; scoring is the shared _bm25_rank tail on the
+    loaded integer tables — value-identical to scoring a fresh build,
+    hence to the batch oracle. Returns (query_id, id_col, score, rnk)."""
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(term_col).alias("term")
+    ).distinct()
+    terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
+    buckets = sorted({bm25_term_bucket_py(t, num_buckets) for t in terms})
+    base = path.rstrip("/")
+    prune = F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+    tf = spark.read.parquet(base + "/postings").filter(prune).drop("term_bucket")
+    dfreq = spark.read.parquet(base + "/dfreq").filter(prune).drop("term_bucket")
+    stats = spark.read.parquet(base + "/stats")
+    return _bm25_rank(tf, dfreq, stats, qt, k, id_col)
 
 
 def lm_backoff_surprisal(

@@ -120,6 +120,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_minhash_sig_index",  # NEW r8: streaming LSH index upkeep
     "stream_minhash_pairs",  # NEW r8: end-to-end streaming dedup, exact
     "stream_value_histogram",  # NEW r8: fixed-bound additive histogram
+    "bm25_persisted_batch",  # NEW r8: index-once/query-many BM25 from disk
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -160,7 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "vocab_stats",
     "label_centroids",
     "incremental_summary_avg",
-    "catalog_scan_bucketed",
 )
 
 

@@ -3555,9 +3555,7 @@ _BM25_BATCH_QUERIES = [
 ]
 
 
-@register(
-    "bm25_batch_queries",
-    oracle=f"""
+_BM25_BATCH_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
     ), docs AS (
@@ -3597,7 +3595,12 @@ _BM25_BATCH_QUERIES = [
                     PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
       FROM qdoc
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "bm25_batch_queries",
+    oracle=_BM25_BATCH_ORACLE,
     tags=("X4", "A4", "W4", "SO3"),
 )
 def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3613,6 +3616,34 @@ def bm25_batch_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
     queries = spark.createDataFrame(rows, "query_id int, term string")
     return ts.bm25_batch_topk(d, queries, k=5)
+
+
+@register(
+    "bm25_persisted_batch",
+    oracle=_BM25_BATCH_ORACLE,
+    tags=("X4", "SNK1", "A4", "W4", "SO3"),
+)
+def bm25_persisted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED BM25 lifecycle under the batch oracle: build the
+    full inverted index to parquet (textstats.bm25_build_index —
+    postings + per-term df PARTITIONED by the portable term-hash bucket,
+    1-row stats), then serve the same three queries from DISK
+    (bm25_search_index): the query terms' buckets are computed
+    driver-side and pushed as literal partition filters, so the search
+    reads only its terms' partitions and never the corpus. Everything
+    persisted is an exact integer, so the from-disk ranking is
+    value-identical to bm25_batch_queries' fresh build — the
+    index-once / query-many shape that amortizes the one postings
+    shuffle over every later retrieval."""
+    from ..operators import textstats as ts
+    from .pipeline_q import _scratch_dir
+
+    d = load(spark, sf_dir, "documents")
+    idx = _scratch_dir(sf_dir, "bm25_index")
+    ts.bm25_build_index(d, idx)
+    rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    return ts.bm25_search_index(spark, idx, queries, k=5)
 
 
 def _hybrid_rrf_oracle() -> str:

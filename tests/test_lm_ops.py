@@ -309,3 +309,57 @@ class TestBackoffSurprisal:
         assert (out[7]["n_l2"], out[7]["sum_surprisal"]) == (1, 3)
         assert (out[9]["n_oov"], out[9]["sum_surprisal"]) == (1, 5)
         assert out[11]["n_scored"] == 0 and out[11]["avg_surprisal"] is None
+
+
+class TestBM25PersistedIndex:
+    def test_search_matches_fresh_build_and_prunes_partitions(self, spark, sf_dir, tmp_path):
+        """The from-disk ranking must be row-identical to the fresh-build
+        batch ranker (everything persisted is an exact integer), and the
+        postings scan must carry a term_bucket PartitionFilter so a
+        search reads only its query terms' partitions."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats as ts
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        d = load(spark, sf_dir, "documents")
+        idx = str(tmp_path / "bm25_idx")
+        ts.bm25_build_index(d, idx)
+        queries = spark.createDataFrame(
+            [(0, "spark"), (0, "stream"), (1, "customer"), (1, "value")],
+            "query_id int, term string",
+        )
+        got = ts.bm25_search_index(spark, idx, queries, k=5)
+        want = ts.bm25_batch_topk(d, queries, k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+        plan = got._sc._jvm.PythonSQLUtils.explainString(
+            got._jdf.queryExecution(), "formatted"
+        )
+        posting_scans = [
+            ln
+            for ln in plan.split("\n")
+            if "PartitionFilters" in ln or "Location" in ln
+        ]
+        assert "term_bucket" in plan.split("PartitionFilters")[1][:200]
+
+    def test_bucket_twin_matches_spark_expression(self, spark):
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.functions import portable_hash64
+        from etl_ipl_data_analysis_pipeline_spark.operators.textstats import (
+            bm25_term_bucket_py,
+        )
+
+        terms = ["spark", "stream", "customer", "value", "zebra"]
+        df = spark.createDataFrame([(t,) for t in terms], "term string")
+        got = {
+            r["term"]: r["b"]
+            for r in df.select(
+                "term",
+                F.pmod(portable_hash64(F.col("term")), F.lit(64))
+                .cast("int")
+                .alias("b"),
+            ).collect()
+        }
+        assert got == {t: bm25_term_bucket_py(t, 64) for t in terms}
