@@ -121,6 +121,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_minhash_pairs",  # NEW r8: end-to-end streaming dedup, exact
     "stream_value_histogram",  # NEW r8: fixed-bound additive histogram
     "bm25_persisted_batch",  # NEW r8: index-once/query-many BM25 from disk
+    "hybrid_rrf_persisted",  # NEW r8: hybrid serving from both indexes
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -160,7 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "vocab_stats",
     "label_centroids",
-    "incremental_summary_avg",
 )
 
 

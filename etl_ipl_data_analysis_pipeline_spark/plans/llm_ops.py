@@ -2827,6 +2827,7 @@ def _pq_oracle(
     n_probes: int = 3,
     topk: int = 5,
     planted: bool = False,
+    cte_only: bool = False,
 ) -> str:
     """Oracle twin of similarity.pq_topk_exact: one prefixed unrolled-
     Lloyd chain per subspace over sliced embeddings, 6dp-floored
@@ -2898,18 +2899,19 @@ def _pq_oracle(
     )"""
     )
     guard = f" AND vec_id - query_id = 200000" if planted else ""
-    return (
-        "\n    WITH "
-        + ",\n    ".join(parts)
-        + f"""
-    SELECT query_id, vec_id,
+    final = f"""SELECT query_id, vec_id,
            floor(CAST(adc AS DOUBLE) * 1e6 + 0.5) / 1e6 AS adc
     FROM (
       SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY adc, vec_id) AS rn
       FROM adcs WHERE vec_id != query_id
     ) WHERE rn <= {topk}{guard}"""
-    )
+    if cte_only:
+        # expose the ranked search as a final CTE so other oracle
+        # families (the persisted hybrid) can compose with it
+        parts.append(f"pqtop AS (\n    {final}\n    )")
+        return ",\n    ".join(parts)
+    return "\n    WITH " + ",\n    ".join(parts) + "\n    " + final
 
 
 @register(
@@ -3776,6 +3778,130 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wd = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     dense = (
         similarity.ivf_topk_exact(e, probes, k=10, probe_id_col="query_id")
+        .withColumn("rnk", F.row_number().over(wd))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rnk",
+        )
+    )
+    return similarity.rrf_fuse(sparse, dense, k=5)
+
+
+def _hybrid_persisted_oracle() -> str:
+    """Oracle of hybrid_rrf_persisted: the PQ CTE family (cte_only,
+    ranked dense list as ``pqtop``, k=10) + the BM25 sparse-list CTEs
+    (k=10) + the RRF fusion. From-disk searches are value-identical to
+    fresh builds (persisted state is exact integers / 6dp-floored
+    doubles), so the persisted hybrid inherits both components' exact
+    gates unchanged."""
+    pq = _pq_oracle(topk=10, n_probes=3, cte_only=True)
+    return f"""
+    WITH {pq}, btoks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), bdocs AS (
+      SELECT doc_id, len(t) AS dl, t FROM btoks WHERE len(t) > 0
+    ), bstats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl
+      FROM bdocs
+    ), qt(query_id, term) AS (
+      SELECT * FROM (VALUES {", ".join(f"({q}, '{t}')" for q, ts in _BM25_BATCH_QUERIES for t in ts)})
+    ), bhits AS (
+      SELECT doc_id, dl, unnest(t) AS term FROM bdocs
+    ), btf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+             CAST(min(dl) AS BIGINT) AS dl
+      FROM bhits WHERE term IN (SELECT term FROM qt)
+      GROUP BY doc_id, term
+    ), bdfreq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY term
+    ), bper_term AS (
+      SELECT btf.doc_id, btf.term,
+             CAST(
+               floor(
+                 CAST(22 * tf * sum_dl * (2 * n_docs + 2) AS DOUBLE)
+                 / ((10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)
+                    * (2 * df + 1))
+                 * 1e4 + 0.5
+               ) / 1e4
+             AS DECIMAL(14,4)) AS s
+      FROM btf JOIN bdfreq USING (term) CROSS JOIN bstats
+    ), bqdoc AS (
+      SELECT qt.query_id, p.doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM qt JOIN bper_term p USING (term) GROUP BY 1, 2
+    ), sp AS (
+      SELECT query_id, doc_id, rn FROM (
+        SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        FROM bqdoc
+      ) WHERE rn <= 10
+    ), dn AS (
+      SELECT CAST(query_id AS INT) AS query_id, vec_id AS doc_id,
+             row_number() OVER (
+                 PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+      FROM pqtop
+    ), fused AS (
+      SELECT coalesce(sp.query_id, dn.query_id) AS query_id,
+             coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + sp.rn), 0.0)
+               + coalesce(1.0 / (60 + dn.rn), 0.0) AS rrf
+      FROM sp FULL OUTER JOIN dn
+        ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id
+    )
+    SELECT CAST(query_id AS INT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           floor(rrf * 1e8 + 0.5) / 1e8 AS rrf_score,
+           CAST(rn AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "hybrid_rrf_persisted",
+    oracle=_hybrid_persisted_oracle(),
+    tags=("X3", "X4", "SNK1", "J5", "W4"),
+)
+def hybrid_rrf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid-serving path: both indexes built ONCE to
+    parquet — the partition-pruned BM25 inverted index
+    (textstats.bm25_build_index) and the codes-only PQ index
+    (similarity.pq_build_index) — then the query batch served entirely
+    FROM DISK (bm25_search_index + pq_search_index) and fused with
+    reciprocal-rank fusion. Persisted state is exact integers /
+    6dp-floored doubles, so every from-disk ranking is value-identical
+    to its fresh-build twin and the whole lifecycle sits under one
+    composed oracle: build → persist → search → fuse, all hash-gated.
+    At 100 TB this is the only shape that works — the corpus-sized
+    index costs are paid once, and each query batch reads only its
+    terms' postings partitions and the PQ codes."""
+    import shutil
+
+    from ..operators import textstats as ts
+    from .pipeline_q import _scratch_dir
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bm25_idx = _scratch_dir(sf_dir, "hybrid_bm25_idx")
+    pq_idx = _scratch_dir(sf_dir, "hybrid_pq_idx")
+    shutil.rmtree(pq_idx, ignore_errors=True)
+    ts.bm25_build_index(d, bm25_idx)
+    similarity.pq_build_index(e, pq_idx)
+    rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    sparse = ts.bm25_search_index(spark, bm25_idx, queries, k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    dense = (
+        similarity.pq_search_index(spark, pq_idx, probes, k=10)
         .withColumn("rnk", F.row_number().over(wd))
         .select(
             F.col("query_id").cast("int").alias("query_id"),
