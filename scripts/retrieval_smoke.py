@@ -1,0 +1,108 @@
+"""Retrieval-lifecycle scale smoke: replicate the sf0.1 fixtures and time
+the index-once / query-many path — BM25 inverted-index build vs a
+3-query batch served from disk, and the PQ build vs its from-disk ADC
+search. The point at 100 TB: the corpus-sized cost is paid ONCE (build),
+and each query batch reads only its terms' postings partitions / the
+codes table, so search time must stay ~flat while build scales with the
+corpus.
+
+Usage: python scripts/retrieval_smoke.py [replication_factor]
+Prints one JSON line: {"metric": "retrieval_smoke", "factor": N, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("retrieval-smoke")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity, textstats
+    from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+    base = load(spark, sf_dir, "documents")
+    docs = None
+    for r in range(factor):
+        rep = base.select(
+            (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" replica{r}")).alias("text"),
+        )
+        docs = rep if docs is None else docs.unionByName(rep)
+    docs = docs.repartition(64).localCheckpoint(eager=True)
+    n_docs = docs.count()
+
+    emb = load(spark, sf_dir, "embeddings")
+    embs = None
+    for r in range(factor):
+        rep = emb.select(
+            (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"), "embedding"
+        )
+        embs = rep if embs is None else embs.unionByName(rep)
+    embs = embs.repartition(64).localCheckpoint(eager=True)
+    n_vecs = embs.count()
+
+    scratch = tempfile.mkdtemp(prefix="retrieval_smoke_")
+    out = {"metric": "retrieval_smoke", "factor": factor,
+           "n_docs": n_docs, "n_vecs": n_vecs}
+    try:
+        bm25_idx = os.path.join(scratch, "bm25")
+        t0 = time.time()
+        textstats.bm25_build_index(docs, bm25_idx)
+        out["bm25_build"] = round(time.time() - t0, 2)
+
+        queries = spark.createDataFrame(
+            [(0, "spark"), (0, "stream"), (0, "batch"),
+             (1, "table"), (1, "scan"), (1, "filter"),
+             (2, "customer"), (2, "order"), (2, "value")],
+            "query_id int, term string",
+        )
+        t0 = time.time()
+        n = textstats.bm25_search_index(spark, bm25_idx, queries, k=10).count()
+        out["bm25_search"] = round(time.time() - t0, 2)
+        out["bm25_hits"] = n
+
+        pq_idx = os.path.join(scratch, "pq")
+        t0 = time.time()
+        similarity.pq_build_index(embs, pq_idx)
+        out["pq_build"] = round(time.time() - t0, 2)
+
+        probes = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        t0 = time.time()
+        n = similarity.pq_search_index(spark, pq_idx, probes, k=10).count()
+        out["pq_search"] = round(time.time() - t0, 2)
+        out["pq_hits"] = n
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
