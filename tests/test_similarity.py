@@ -570,6 +570,32 @@ class TestRRFFuse:
         assert len(out) == 3
         assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rnk"])] == [5, 4, 3]
 
+    def test_partitioning_and_order_invariant(self, spark):
+        """Fused ranking is a pure function of the (query, id, rank)
+        SETS: shuffled row order and different partitioning must yield
+        identical rows (the window orders on (rrf, id) — fully
+        deterministic, no arrival-order dependence)."""
+        rng = random.Random(21)
+        sp_rows = [
+            (q, d, r)
+            for q in range(4)
+            for r, d in enumerate(rng.sample(range(100), 10), start=1)
+        ]
+        dn_rows = [
+            (q, d, r)
+            for q in range(4)
+            for r, d in enumerate(rng.sample(range(100), 10), start=1)
+        ]
+        schema = "query_id int, doc_id bigint, rnk int"
+        sp = spark.createDataFrame(sp_rows, schema)
+        dn = spark.createDataFrame(dn_rows, schema)
+        base = sorted(map(tuple, similarity.rrf_fuse(sp, dn, k=5).collect()))
+        rng.shuffle(sp_rows)
+        rng.shuffle(dn_rows)
+        sp2 = spark.createDataFrame(sp_rows, schema).repartition(7)
+        dn2 = spark.createDataFrame(dn_rows, schema).repartition(3)
+        again = sorted(map(tuple, similarity.rrf_fuse(sp2, dn2, k=5).collect()))
+        assert base == again
 
 class TestJLFirstCovariance:
     def test_shape_and_diagonal(self, spark):
@@ -586,3 +612,4 @@ class TestJLFirstCovariance:
         diag = [r for r in out if r["i"] == r["j"]]
         assert len(diag) == 16 and all(r["cov"] > 0 for r in diag)
         assert all(r["corr"] == 1.0 for r in diag)
+
