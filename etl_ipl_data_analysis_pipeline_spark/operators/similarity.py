@@ -1345,6 +1345,116 @@ def pq_search_index(
     )
 
 
+def ivf_build_index_exact(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the EXACT-gated IVF index: centroids from kmeans_exact
+    (decimal-summed Lloyd rounds, 6dp-floored coordinates — fully
+    SQL-replayable, unlike ivf_build_index's seeded Arrow model) and the
+    corpus PARTITIONED by its decimal-argmin cell assignment. Layout:
+
+    - ``path/centroids``: long-form (cid, pos, c) — the 6dp model,
+      k*dim rows, one file.
+    - ``path/cells``: (vec_id, embedding) PARTITIONED BY cell — each
+      inverted list its own partition directory, so a search pruning to
+      nprobe cells reads nprobe/k of the corpus at the SCAN.
+
+    Floored centroid coordinates and integer cells round-trip parquet
+    exactly, so a from-disk search is value-identical to
+    ivf_topk_exact — the persisted lifecycle inherits the full exact
+    oracle, not just a planted recall gate."""
+    cents = kmeans_exact(
+        corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
+    cm.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("embedding"),
+    )
+    ex = c.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+    term = F.col("v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(cm), "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("cid").alias("cell"))
+        .join(c, F.col("vid") == F.col("vec_id"))
+        .select("vec_id", "embedding", "cell")
+    )
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path.rstrip("/") + "/cells")
+    )
+
+
+def ivf_search_index_exact(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted exact IVF index (ivf_build_index_exact) from
+    disk: route each probe by the same DECIMAL(38,12) squared-distance
+    argmin over the loaded 6dp centroid relation, collect the routed
+    cell ids (<= probes x nprobe rows — the kmeans k-row-collect shape)
+    as LITERAL partition filters, scan only those inverted lists, and
+    score in-cell cosine with the (sim DESC, vec_id) top-k. Every value
+    matches ivf_topk_exact bit for bit, so the whole persisted lifecycle
+    sits under the _ivf_exact_oracle CTE chain."""
+    base = path.rstrip("/")
+    cm = spark.read.parquet(base + "/centroids")
+    pex = probes.select(
+        F.col(probe_id_col).alias("query_id"),
+        _as_double_array(F.col(vec_col)).alias("__pvec"),
+    )
+    pxp = pex.select(
+        "query_id", F.posexplode("__pvec").alias("pos0", "v")
+    ).select("query_id", (F.col("pos0") + 1).alias("pos"), "v")
+    term = F.col("v") - F.col("c")
+    pdists = (
+        pxp.join(F.broadcast(cm), "pos")
+        .groupBy("query_id", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "cid")
+    routed = (
+        pdists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    cell_ids = sorted({r["cell"] for r in routed.select("cell").distinct().collect()})
+    members = spark.read.parquet(base + "/cells").filter(
+        F.col("cell").isin(cell_ids)
+    )
+    scored = (
+        members.join(F.broadcast(routed.join(pex, "query_id")), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(cosine_similarity(F.col("__pvec"), F.col("embedding")), 6),
+        )
+    )
+    return topk_per_query(scored, k)
+
+
 def embedding_norm_outliers(
     df: DataFrame,
     id_col: str = "vec_id",

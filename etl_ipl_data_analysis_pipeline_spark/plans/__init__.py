@@ -122,6 +122,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_value_histogram",  # NEW r8: fixed-bound additive histogram
     "bm25_persisted_batch",  # NEW r8: index-once/query-many BM25 from disk
     "hybrid_rrf_persisted",  # NEW r8: hybrid serving from both indexes
+    "topk_ivf_persisted_exact",  # NEW r8: persisted IVF under the full oracle
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -160,7 +161,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_profile",
     "tfidf_top_terms",
     "vocab_stats",
-    "label_centroids",
 )
 
 

@@ -617,6 +617,36 @@ def _lsh_exact_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
 
 
 @register(
+    "topk_ivf_persisted_exact",
+    oracle=_ivf_exact_oracle(5, 16, 4, 2),
+    tags=("X3", "J10", "SNK1", "W1"),
+)
+def topk_ivf_persisted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF lifecycle under the FULL exact oracle (not just
+    the planted recall gate of topk_ivf_persisted_planted):
+    similarity.ivf_build_index_exact writes the decimal-Lloyd centroids
+    and the corpus partitioned by its decimal-argmin cell, and
+    ivf_search_index_exact routes probes from the loaded 6dp model,
+    prunes to the routed cells' partitions, and scores in-cell cosine —
+    value-identical to the in-memory ivf_topk_exact, so build → persist
+    → search replays verbatim through the same unrolled-Lloyd CTE
+    chain. Floored doubles and integer cells round-trip parquet exactly;
+    the scan reads nprobe/k of the corpus by construction."""
+    import shutil
+
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _scratch_dir(sf_dir, "ivf_exact_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.ivf_build_index_exact(e, idx)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_search_index_exact(spark, idx, probes, k=5)
+
+
+@register(
     "topk_cosine_lsh",
     oracle=_lsh_exact_oracle(5, 8, 64, 42),
     tags=("X3", "J10", "W1"),

@@ -613,3 +613,26 @@ class TestJLFirstCovariance:
         assert len(diag) == 16 and all(r["cov"] > 0 for r in diag)
         assert all(r["corr"] == 1.0 for r in diag)
 
+
+
+class TestIVFPersistedExact:
+    def test_matches_in_memory_and_prunes_cells(self, spark, sf_dir, tmp_path):
+        """From-disk exact-IVF search must be row-identical to the
+        in-memory ivf_topk_exact (floored centroids and integer cells
+        round-trip parquet exactly) and its cells scan must carry a cell
+        PartitionFilter — the routed lists only."""
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        idx = str(tmp_path / "ivf_exact")
+        similarity.ivf_build_index_exact(e, idx)
+        probes = e.filter("vec_id < 5").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = similarity.ivf_search_index_exact(spark, idx, probes, k=5)
+        want = similarity.ivf_topk_exact(e, probes, k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        plan = got._sc._jvm.PythonSQLUtils.explainString(
+            got._jdf.queryExecution(), "formatted"
+        )
+        assert "cell" in plan.split("PartitionFilters")[1][:200]
