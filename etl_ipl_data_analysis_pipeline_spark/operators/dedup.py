@@ -669,6 +669,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     target_cell_size: int = 1024,
     assign: str = "exact",
+    rebalance_factor: int | None = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: collapse EXACT duplicate
     vectors to their smallest id, cluster the unique vectors, then drop
@@ -767,6 +768,47 @@ def semantic_dedup(
         members = reps.select("__vid", "__vec").withColumn(
             "cell", F.element_at(_cell_router(cn, 1)("__vec"), 1)
         )
+        if rebalance_factor:
+            # Skew guard: governed k bounds the EXPECTED cell size, but a
+            # dominant semantic cluster can still pile into one cell and
+            # re-quadraticize the pair join. Cells past rebalance_factor x
+            # target get ONE second-level split — a single global
+            # sub-clustering fit on the oversized cells' members (no
+            # per-group models), keyed (cell, sub): near-identical vectors
+            # still co-route (they are near each other under any
+            # clustering of their region), so the candidate contract is
+            # the same approximation as level 1 while the worst cell
+            # shrinks to ~oversized_mass/k2. The size probe collects
+            # <= k rows (the kmeans k-row-collect shape).
+            counts = members.groupBy("cell").count().collect()
+            big = sorted(
+                r["cell"]
+                for r in counts
+                if r["count"] > rebalance_factor * target_cell_size
+            )
+            if big:
+                n_big = sum(r["count"] for r in counts if r["cell"] in set(big))
+                k2 = max(2, -(-n_big // target_cell_size))
+                sub = members.filter(F.col("cell").isin(big)).select(
+                    F.col("__vid").alias(id_col),
+                    F.col("__vec").alias(vec_col),
+                )
+                cn2 = kmeans_centroids(
+                    sub, k=k2, iters=iters, id_col=id_col, vec_col=vec_col
+                )
+                subcell = F.when(
+                    F.col("cell").isin(big),
+                    F.element_at(_cell_router(cn2, 1)("__vec"), 1),
+                ).otherwise(F.lit(-1))
+                members = members.withColumn("__sub", subcell).select(
+                    "__vid",
+                    "__vec",
+                    (
+                        F.col("cell") * F.lit(1_000_000)
+                        + F.col("__sub")
+                        + F.lit(1)
+                    ).alias("cell"),
+                )
     elif assign == "exact":
         cents = kmeans_exact(
             rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col

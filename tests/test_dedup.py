@@ -462,3 +462,50 @@ class TestIntraDocSpanDedup:
 
         with _pt.raises(ValueError):
             dedup.remove_duplicate_spans(df, scope="nope")
+
+
+def test_semantic_dedup_fast_rebalance_preserves_contract(spark):
+    """A skewed corpus (most uniques piled near one direction) triggers
+    the fast path's second-level cell split; the contract is unchanged:
+    exact copies still die via the collapse (recall 1, routing-free) and
+    with a threshold no distinct pair can reach (cos < 0.999 for all
+    noisy pairs here), every unique vector survives whichever cells the
+    rebalance carves."""
+    import random
+
+    rnd = random.Random(17)
+    base_dir = [1.0] * 8 + [0.0] * 8
+    rows = []
+    for i in range(90):  # dominant cluster, distinct vectors
+        rows.append((i, [x + rnd.gauss(0, 0.15) for x in base_dir]))
+    for i in range(90, 120):  # spread tail
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(16)]))
+    mirrors = [(500 + i, list(v)) for i, v in rows[:10]]  # exact copies
+    emb = spark.createDataFrame(
+        rows + mirrors, "vec_id long, embedding array<double>"
+    )
+    survivors = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb,
+            iters=2,
+            min_sim=0.999,
+            assign="fast",
+            target_cell_size=16,
+            rebalance_factor=2,
+        ).collect()
+    }
+    assert survivors == {i for i, _ in rows}
+    # rebalance off: same survivors (the split only re-carves candidates)
+    survivors_off = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb,
+            iters=2,
+            min_sim=0.999,
+            assign="fast",
+            target_cell_size=16,
+            rebalance_factor=None,
+        ).collect()
+    }
+    assert survivors_off == survivors
