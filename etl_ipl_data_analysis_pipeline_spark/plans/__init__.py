@@ -95,8 +95,11 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
 # Round-8 rotation — NEVER-SAMPLED + CHANGED-THIS-ROUND + STALEST-FIRST:
-# (1) the 8 queries with no driver evidence at all (7 landed after the r7
-# driver run — VERDICT r7 item 1 — plus the new hybrid RRF fusion);
+# (1) the 16 queries with no driver evidence at all: the 7 that landed
+# after the r7 driver run (VERDICT r7 item 1) plus round 8's nine new
+# queries (hybrid RRF fusion in-memory + persisted, JL-first covariance,
+# the three streaming-state queries, the persisted BM25 batch, the
+# exact persisted IVF);
 # (2) the 14 queries whose code changed in round 8 and must re-green
 # (the six grouped-quantile consumers after the collect-offsets/
 # target-bucket rewrite, the integer-div shard fix, the cached BPE
