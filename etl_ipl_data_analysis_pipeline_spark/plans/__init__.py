@@ -126,6 +126,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "bm25_persisted_batch",  # NEW r8: index-once/query-many BM25 from disk
     "hybrid_rrf_persisted",  # NEW r8: hybrid serving from both indexes
     "topk_ivf_persisted_exact",  # NEW r8: persisted IVF under the full oracle
+    "stream_dedup_survivors_cc",  # NEW r8: streaming-fed full dedup capstone
     # -- changed in round 8: must re-green --
     "agg_stats",  # quantile machinery: collect-offsets rewrite
     "agg_percentiles",  # same rewrite, 3 quantiles
@@ -163,7 +164,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "lang_profile",
     "corpus_profile",
     "tfidf_top_terms",
-    "vocab_stats",
 )
 
 

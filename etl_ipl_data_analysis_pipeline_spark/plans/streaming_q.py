@@ -799,3 +799,69 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch_stream.run_count_stream(
         occ, state, keys=["event_type", "bin"], count_col="n"
     )
+
+
+def _stream_survivors_oracle() -> str:
+    from .llm_ops import _minhash_pairs_cte
+
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_cte(0.5)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM mhpairs
+      UNION
+      SELECT id_b, id_a FROM mhpairs
+    ), reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT a FROM reach WHERE b < a)
+    """
+
+
+@register(
+    "stream_dedup_survivors_cc",
+    oracle=_stream_survivors_oracle(),
+    tags=("L6", "X2", "J2", "F7"),
+)
+def stream_dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-fed FULL dedup capstone: the micro-batch pair stream
+    (run_minhash_pair_stream — intra- + cross-batch pairs, old text never
+    rescanned) feeds connected components and keep-min-per-component —
+    the corpus a crawl pipeline would actually retain after streaming
+    ingest. The accumulated pair table is bit-identical to the batch LSH
+    pair set at any micro-batch boundary, so the survivor set rides
+    dedup_minhash_survivors_cc's recursive-CTE closure oracle verbatim.
+    CC runs on the pair STATE (tiny vs corpus), the loser set anti-joins
+    back — no window over the corpus anywhere."""
+    import shutil
+
+    from ..operators import dedup as _dedup
+    from ..streaming import incremental, sketch_stream
+    from . import ensure_read_confs, table_path
+    from .pipeline_q import _scratch_dir
+
+    ensure_read_confs(spark)
+    path = table_path(sf_dir, "documents")
+    schema = spark.read.parquet(path).schema
+    docs = incremental._stream_reader(spark, path, "parquet", schema)
+    pairs_state = _scratch_dir(sf_dir, "mh_surv_stream_state")
+    index_state = _scratch_dir(sf_dir, "mh_surv_stream_index")
+    for p in (pairs_state, pairs_state + "__checkpoint", index_state):
+        shutil.rmtree(p, ignore_errors=True)
+    pairs = sketch_stream.run_minhash_pair_stream(
+        docs.select("doc_id", "text"),
+        pairs_state,
+        index_state,
+        min_jaccard=0.5,
+        hash_family="md5",
+    )
+    comp = _dedup.connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
