@@ -378,3 +378,32 @@ class TestGroupedExactQuantiles:
         }
         assert out[("a", 0.5)] == (1, 7.0)   # null excluded, n=1 -> the value
         assert out[("b", 0.5)] == (2, 2.0)   # midpoint interpolation
+
+    def test_shuffle_path_equals_broadcast_path(self, spark):
+        """broadcast_groups=False (the high-cardinality shuffle-join
+        fallback) must produce byte-identical rows to the default
+        collect-offsets path: same positions arithmetic, different
+        physical plumbing."""
+        import random
+
+        from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+            grouped_exact_quantiles,
+        )
+
+        rng = random.Random(29)
+        rows = [(f"g{i % 5}", rng.gauss(50, 20)) for i in range(700)]
+        rows += [("g0", None), ("g5", 3.0)]  # null + singleton group
+        df = spark.createDataFrame(rows, "g string, v double")
+        qs = [0.05, 0.5, 0.95]
+        bc = sorted(
+            map(tuple, grouped_exact_quantiles(df, "g", "v", qs).collect())
+        )
+        sh = sorted(
+            map(
+                tuple,
+                grouped_exact_quantiles(
+                    df, "g", "v", qs, broadcast_groups=False
+                ).collect(),
+            )
+        )
+        assert bc == sh and len(bc) == 6 * 3
