@@ -1148,3 +1148,62 @@ def lm_backoff_surprisal(
             avg.alias("avg_surprisal"),
         )
     )
+
+
+def bm25_merge_indexes(
+    spark,
+    path_a: str,
+    path_b: str,
+    out_path: str,
+    num_buckets: int = 64,
+) -> None:
+    """Merge two persisted BM25 indexes over DISJOINT corpora (crawl N +
+    batch N+1) WITHOUT touching any text — the incremental-index
+    maintenance shape (the lexical counterpart of the MinHash signature
+    index's cross-snapshot upkeep): postings union as-is (disjoint doc
+    sets can't share a (doc, term) row), per-term document frequencies
+    SUM, and the 1-row corpus stats SUM. Everything is exact integers,
+    so searching the merged index is value-identical to an index rebuilt
+    from the concatenated corpora — which the tests assert.
+
+    Contract: the two corpora's ``doc_id`` sets must be disjoint
+    (re-ingesting a doc would double-count its postings; dedup upstream
+    is the ledger's job, exactly as for minhash_sig_index)."""
+    import pyspark.sql.functions as F
+
+    from ..functions import portable_hash64
+
+    a, b = path_a.rstrip("/"), path_b.rstrip("/")
+    out = out_path.rstrip("/")
+    postings = spark.read.parquet(a + "/postings").unionByName(
+        spark.read.parquet(b + "/postings")
+    )
+    (
+        postings.write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(out + "/postings")
+    )
+    dfreq = (
+        spark.read.parquet(a + "/dfreq")
+        .unionByName(spark.read.parquet(b + "/dfreq"))
+        .groupBy("term")
+        .agg(F.sum("__df").alias("__df"))
+        .withColumn(
+            "term_bucket",
+            F.pmod(portable_hash64(F.col("term")), F.lit(num_buckets)).cast(
+                "int"
+            ),
+        )
+    )
+    dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        out + "/dfreq"
+    )
+    stats = (
+        spark.read.parquet(a + "/stats")
+        .unionByName(spark.read.parquet(b + "/stats"))
+        .agg(
+            F.sum("__n_docs").alias("__n_docs"),
+            F.sum("__sum_dl").alias("__sum_dl"),
+        )
+    )
+    stats.write.mode("overwrite").parquet(out + "/stats")

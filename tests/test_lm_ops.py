@@ -363,3 +363,29 @@ class TestBM25PersistedIndex:
             ).collect()
         }
         assert got == {t: bm25_term_bucket_py(t, 64) for t in terms}
+
+    def test_merge_indexes_equals_rebuild(self, spark, sf_dir, tmp_path):
+        """Merging two disjoint-corpus indexes must search identically to
+        an index rebuilt from the concatenated corpora — postings union,
+        df sums and stats sums are exact integers."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats as ts
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        d = load(spark, sf_dir, "documents")
+        half_a = d.filter(F.col("doc_id") % 2 == 0)
+        half_b = d.filter(F.col("doc_id") % 2 == 1)
+        pa, pb = str(tmp_path / "ia"), str(tmp_path / "ib")
+        pm, pf = str(tmp_path / "merged"), str(tmp_path / "full")
+        ts.bm25_build_index(half_a, pa)
+        ts.bm25_build_index(half_b, pb)
+        ts.bm25_merge_indexes(spark, pa, pb, pm)
+        ts.bm25_build_index(d, pf)
+        queries = spark.createDataFrame(
+            [(0, "spark"), (0, "stream"), (1, "customer"), (1, "value")],
+            "query_id int, term string",
+        )
+        got = ts.bm25_search_index(spark, pm, queries, k=5)
+        want = ts.bm25_search_index(spark, pf, queries, k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
