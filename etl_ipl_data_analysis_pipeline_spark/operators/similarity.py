@@ -1318,6 +1318,62 @@ def pq_build_index(
     wide.write.mode("overwrite").parquet(path + "/codes")
 
 
+def pq_append_index(
+    spark,
+    path: str,
+    new_corpus: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch to a persisted PQ index under its FROZEN
+    codebooks — the compressed-domain twin of ivf_append_index_exact:
+    each new vector's subspace slices are coded by the same
+    DECIMAL(38,12) argmin the build used (deterministic: an appended
+    copy of an indexed vector gets byte-identical codes, test-pinned),
+    and only the m-int code rows are appended — old vectors and old
+    codes are never read. Model retraining stays a rebuild-cadence
+    decision, as for IVF.
+
+    Contract: new ids disjoint from indexed ids (ledger upstream)."""
+    cents = spark.read.parquet(path.rstrip("/") + "/codebooks")
+    ex = new_corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double_array(F.col(vec_col))).alias("gpos0", "__v"),
+    ).select(
+        "vec_id",
+        (F.col("gpos0") / F.lit(sub_dim)).cast("int").alias("subspace"),
+        (F.col("gpos0") % F.lit(sub_dim) + 1).alias("pos"),
+        "__v",
+    )
+    term = F.col("__v") - F.col("c")
+    dists = (
+        ex.join(F.broadcast(cents), ["subspace", "pos"])
+        .groupBy("vec_id", "subspace", "cid")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist", "cid")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", F.col("cid").alias("code"))
+    )
+    wide = (
+        codes.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("subspace", "code"))
+            ).alias("__sc")
+        )
+        .select(
+            "vec_id",
+            F.transform("__sc", lambda s: s["code"]).alias("codes"),
+        )
+    )
+    wide.write.mode("append").parquet(path.rstrip("/") + "/codes")
+
+
 def pq_search_index(
     spark,
     path: str,

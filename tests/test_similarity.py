@@ -668,3 +668,38 @@ class TestIVFPersistedExact:
         rows = {(r["query_id"], r["vec_id"]): r["sim"] for r in got.collect()}
         for q in range(3):
             assert rows.get((q, q + 900000)) == 1.0  # planted mirror found
+
+
+class TestPQAppend:
+    def test_appended_copy_gets_identical_codes_and_surfaces(self, spark, sf_dir, tmp_path):
+        """Coding is a deterministic function of (vector, frozen
+        codebooks): an appended exact copy of an already-indexed vector
+        must receive byte-identical codes — and therefore tie at the
+        minimal ADC, surfacing in its probe's top-k."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        half = e.filter("vec_id % 2 = 0")
+        idx = str(tmp_path / "pq_app")
+        similarity.pq_build_index(half, idx)
+        mirrors = half.filter("vec_id < 6").select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+        )
+        similarity.pq_append_index(spark, idx, mirrors)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(idx + "/codes").collect()
+        }
+        originals = [v for v in codes if v < 6 and v % 2 == 0]
+        assert originals
+        for v in originals:
+            assert codes[v] == codes[v + 900000]  # frozen-model determinism
+        probes = half.filter("vec_id < 6").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = similarity.pq_search_index(spark, idx, probes, k=5)
+        found = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+        for v in originals:
+            assert (v, v + 900000) in found  # identical codes -> minimal ADC
