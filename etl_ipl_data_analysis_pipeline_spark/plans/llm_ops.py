@@ -647,6 +647,49 @@ def topk_ivf_persisted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_ivf_appended_planted",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 200000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 3
+    """,
+    tags=("X3", "SNK1", "J10", "L3"),
+)
+def topk_ivf_appended_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingestion under the deterministic recall gate:
+    the exact-IVF index is built on HALF the corpus, the other half AND
+    each probe's exact mirror are APPENDED under the frozen centroid
+    model (similarity.ivf_append_index_exact — old vectors never read),
+    and the from-disk search must surface every mirror at sim 1.0: an
+    identical vector routes to its original's cell under the same
+    decimal argmin, whatever batch it arrived in. The filter to
+    (probe, mirror) rows keeps the oracle deterministic; the full
+    appended-search values are pinned by the frozen-model pytest."""
+    import shutil
+
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _scratch_dir(sf_dir, "ivf_append_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.ivf_build_index_exact(e.filter(F.col("vec_id") % 2 == 0), idx)
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    late = e.filter(F.col("vec_id") % 2 == 1).unionByName(
+        e.filter(F.col("vec_id") < 3).select(
+            (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias(
+                "vec_id"
+            ),
+            "embedding",
+        )
+    )
+    similarity.ivf_append_index_exact(spark, idx, late)
+    out = similarity.ivf_search_index_exact(spark, idx, probes, k=5)
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+@register(
     "topk_cosine_lsh",
     oracle=_lsh_exact_oracle(5, 8, 64, 42),
     tags=("X3", "J10", "W1"),
