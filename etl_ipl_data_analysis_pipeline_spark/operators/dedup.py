@@ -668,7 +668,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cell_size: int = 1024,
-    assign: str = "exact",
+    assign: str = "fast",
     rebalance_factor: int | None = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: collapse EXACT duplicate
@@ -717,20 +717,23 @@ def semantic_dedup(
     computed inside the join stage; losers reduce to a distinct id set,
     survivors semi-join back — no window over the corpus anywhere.
 
-    Assignment engines (``assign``): ``"exact"`` (default) clusters and
-    routes with the decimal-exact Lloyd rounds — every routing decision
-    replayable in SQL, the oracle-gated path — but its assignment is an
-    exploded O(n·k) decimal aggregate, i.e. O(n²/target_cell) under the
-    governed k (measured r8: 85s for only 20k uniques at f10). ``"fast"``
-    routes with the Arrow-matmul spherical k-means (kmeans_centroids +
-    one narrow pandas-UDF matmul pass per vector — n·k FLOPS in numpy,
-    no shuffle): the PRODUCTION path at scale, trading SQL-replayable
-    routing for ~two orders of magnitude on the assignment term (cells
-    only steer which candidates meet; exact-copy recall stays 1 via the
-    collapse either way). Past ~10^4 derived centroids the k×dim
-    broadcast itself is the ceiling; there the shape is hierarchical —
-    cluster to √n coarse cells first, then run this operator per coarse
-    cell.
+    Assignment engines (``assign``): ``"fast"`` (DEFAULT — the
+    production default is the scale-safe default) routes with the
+    Arrow-matmul spherical k-means (kmeans_centroids + one narrow
+    pandas-UDF matmul pass per vector — n·k FLOPS in numpy, no
+    shuffle): measured 10x unique growth → ~4.4x cost (SCALE_SMOKE),
+    linear-ish under the governed k. Cells only steer which candidates
+    meet; exact-copy recall stays 1 via the collapse either way.
+    ``"exact"`` clusters and routes with the decimal-exact Lloyd
+    rounds — every routing decision replayable in SQL, the
+    oracle-gated path (dedup_semantic_planted pins it) — but its
+    assignment is an exploded O(n·k) decimal aggregate, i.e.
+    O(n²/target_cell) under the governed k (measured r8: 85s for only
+    20k uniques at f10; the SCALE_SMOKE crossover line records where
+    it becomes untenable). Never default it at scale. Past ~10^4
+    derived centroids the k×dim broadcast itself is the ceiling; there
+    the shape is hierarchical — cluster to √n coarse cells first, then
+    run this operator per coarse cell.
     """
     from .similarity import (
         _as_double_array,
@@ -768,6 +771,11 @@ def semantic_dedup(
         members = reps.select("__vid", "__vec").withColumn(
             "cell", F.element_at(_cell_router(cn, 1)("__vec"), 1)
         )
+        # The n·k matmul assignment is re-consumed by the rebalance
+        # size-probe, the sub-cluster fit, and BOTH sides of the pair
+        # self-join — without a checkpoint the pandas-UDF pass runs 3-4
+        # times (the collapse is checkpointed for the same reason).
+        members = members.localCheckpoint(eager=True)
         if rebalance_factor:
             # Skew guard: governed k bounds the EXPECTED cell size, but a
             # dominant semantic cluster can still pile into one cell and
@@ -789,6 +797,13 @@ def semantic_dedup(
             if big:
                 n_big = sum(r["count"] for r in counts if r["cell"] in set(big))
                 k2 = max(2, -(-n_big // target_cell_size))
+                # The composite key below multiplies cell by 1e6; a
+                # larger k2 would let sub-keys bleed into the next
+                # cell's range and collide unrelated cells.
+                assert k2 < 1_000_000 - 1, (
+                    f"rebalance k2={k2} would overflow the composite "
+                    "cell key; raise target_cell_size or go hierarchical"
+                )
                 sub = members.filter(F.col("cell").isin(big)).select(
                     F.col("__vid").alias(id_col),
                     F.col("__vec").alias(vec_col),
@@ -800,12 +815,17 @@ def semantic_dedup(
                     F.col("cell").isin(big),
                     F.element_at(_cell_router(cn2, 1)("__vec"), 1),
                 ).otherwise(F.lit(-1))
+                # bigint arithmetic: with governed k = ceil(n/1024) a
+                # cell id past ~2147 (> ~2.2M uniques — exactly the fast
+                # path's regime) would overflow int32 under the 1e6
+                # multiplier (ANSI mode throws; ANSI-off wraps silently
+                # and collides unrelated cells).
                 members = members.withColumn("__sub", subcell).select(
                     "__vid",
                     "__vec",
                     (
-                        F.col("cell") * F.lit(1_000_000)
-                        + F.col("__sub")
+                        F.col("cell").cast("bigint") * F.lit(1_000_000)
+                        + F.col("__sub").cast("bigint")
                         + F.lit(1)
                     ).alias("cell"),
                 )

@@ -45,6 +45,118 @@ def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return one.select(F.inline(per_col))
 
 
+def grouped_value_count_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    round_digits: int | None = 6,
+    pre_counted_col: str | None = None,
+) -> DataFrame:
+    """EXACT per-group linear-interpolated quantiles (same type-7 /
+    quantile_cont definition as :func:`grouped_exact_quantiles`) for
+    DOMAIN-BOUNDED measures — integer-ish columns whose distinct-value
+    count is capped by the value domain, not the corpus (char counts,
+    token counts, star ratings). The value-histogram reduction: ONE
+    partial-agg shuffle computes (group, value, count) — map-side
+    combine collapses the corpus to groups x NDV rows before the
+    exchange, and NDV stays bounded whatever the row count (10^12 docs
+    still yield <= max_len distinct char counts per group). Everything
+    after the histogram runs over that tiny relation: a per-group
+    cumulative-count window (<= NDV rows per partition) turns counts
+    into 1-based order-statistic positions, a broadcast of the qs list
+    fans out the targets, and ONE conditional-min aggregate fetches both
+    order statistics per (group, q). Fully distributed — no collect, no
+    rank machinery over the corpus — and a single action end to end, so
+    a caller that also aggregates moments from the same histogram gets
+    the exchange reused (the agg_stats shape: the whole profile is one
+    scan; measured r9: 2.3s -> ~0.6s at sf0.1).
+
+    Bit-identical to the rank path and to DuckDB's quantile_cont: counts
+    are exact bigints, h = (n-1)*q and vlo + frac*(vhi - vlo) are the
+    same IEEE double expressions either engine evaluates, and
+    integer-domain values are exactly representable as doubles.
+
+    ``pre_counted_col``: pass the count column's name when ``df``
+    already IS the (group, value, count) histogram — the caller computes
+    it once and shares it between this and its own aggregates.
+
+    Returns (group_col, q, n, quantile), NULLs excluded, one row per
+    (group, q)."""
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    g, v = F.col(group_col), F.col(value_col).cast("double")
+    if pre_counted_col is not None:
+        # NULL-value rows are kept and neutralized with CONDITIONAL sums
+        # instead of a filter: a filter here would be pushed through the
+        # caller's histogram aggregate down to the scan, making this
+        # subtree differ from the caller's moments subtree and costing
+        # the shared scan its ReusedExchange (measured r9: the filter
+        # doubled agg_stats' FileScans).
+        counted = df.select(
+            g.alias("__g"),
+            v.alias("__v"),
+            F.col(pre_counted_col).cast("bigint").alias("__c"),
+        )
+        ccond = F.when(F.col("__v").isNotNull(), F.col("__c"))
+    else:
+        counted = (
+            df.select(g.alias("__g"), v.alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .groupBy("__g", "__v")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        ccond = F.col("__c")
+    wg = Window.partitionBy("__g")
+    # inclusive cumulative count; NULL values sort first under asc so
+    # they never shift a non-null value's position
+    cum = F.sum(ccond).over(wg.orderBy("__v"))
+    ntot = F.sum(ccond).over(wg)
+    pos = counted.select(
+        "__g", "__v", cum.alias("__cum"), ntot.alias("__n")
+    )
+    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    h = (F.col("__n") - F.lit(1)).cast("double") * F.col("q")
+    tgt = pos.crossJoin(F.broadcast(qdf)).select(
+        "__g",
+        "__v",
+        "__cum",
+        "__n",
+        "q",
+        (F.floor(h).cast("bigint") + 1).alias("__lo"),
+        (h - F.floor(h)).alias("__frac"),
+    )
+    # the pos-th order statistic is the first value whose cumulative
+    # count reaches pos: min(v | cum >= pos)
+    merged = tgt.groupBy("__g", "q").agg(
+        F.max("__n").alias("__n"),
+        F.max("__frac").alias("__frac"),
+        F.min(F.when(F.col("__cum") >= F.col("__lo"), F.col("__v"))).alias("__vlo"),
+        F.min(
+            F.when(
+                F.col("__cum") >= F.least(F.col("__lo") + 1, F.col("__n")),
+                F.col("__v"),
+            )
+        ).alias("__vhi"),
+    )
+    # a group whose values are ALL null has __n null: exclude it (the
+    # NULLs-excluded contract); this filter sits on an aggregate output,
+    # so it cannot be pushed below the histogram
+    merged = merged.filter(F.col("__n").isNotNull())
+    quant = F.col("__vlo") + F.col("__frac") * (F.col("__vhi") - F.col("__vlo"))
+    if round_digits is not None:
+        p10 = float(10 ** round_digits)
+        quant = F.floor(quant * F.lit(p10) + F.lit(0.5)) / F.lit(p10)
+    return merged.select(
+        F.col("__g").alias(group_col),
+        "q",
+        F.col("__n").cast("bigint").alias("n"),
+        quant.alias("quantile"),
+    )
+
+
 def grouped_exact_quantiles(
     df: DataFrame,
     group_col: str,

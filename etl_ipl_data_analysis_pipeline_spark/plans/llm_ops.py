@@ -1399,7 +1399,10 @@ def dedup_semantic_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
     )
     return dedup.semantic_dedup(
-        e.unionByName(planted), k=16, iters=2, min_sim=0.99
+        # assign="exact" is pinned HERE (only): the oracle unrolls the
+        # decimal Lloyd CTEs, so routing must be SQL-replayable. The
+        # operator's production default is the Arrow fast path.
+        e.unionByName(planted), k=16, iters=2, min_sim=0.99, assign="exact"
     ).select("vec_id")
 
 

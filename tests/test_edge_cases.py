@@ -407,3 +407,76 @@ class TestGroupedExactQuantiles:
             )
         )
         assert bc == sh and len(bc) == 6 * 3
+
+class TestGroupedValueCountQuantiles:
+    def test_matches_rank_machinery_bit_for_bit(self, spark):
+        """The histogram reduction must equal the rank-based operator on
+        integer-domain data: same type-7 arithmetic over different
+        physical plans."""
+        import random
+
+        from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+            grouped_exact_quantiles,
+            grouped_value_count_quantiles,
+        )
+
+        rng = random.Random(41)
+        rows = [(f"g{i % 4}", rng.randint(0, 50)) for i in range(800)]
+        df = spark.createDataFrame(rows, "g string, v int")
+        qs = [0.05, 0.5, 0.9]
+        vc = sorted(
+            map(tuple, grouped_value_count_quantiles(df, "g", "v", qs).collect())
+        )
+        rk = sorted(
+            map(tuple, grouped_exact_quantiles(df, "g", "v", qs).collect())
+        )
+        assert vc == rk and len(vc) == 4 * 3
+        # partitioning independence
+        again = sorted(
+            map(
+                tuple,
+                grouped_value_count_quantiles(
+                    df.repartition(13), "g", "v", qs
+                ).collect(),
+            )
+        )
+        assert vc == again
+
+    def test_nulls_and_pre_counted_histogram(self, spark):
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+            grouped_value_count_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 7), ("a", None), ("b", 1), ("b", 3), ("c", None)],
+            "g string, v int",
+        )
+        out = {
+            (r["g"], r["q"]): (r["n"], r["quantile"])
+            for r in grouped_value_count_quantiles(df, "g", "v", [0.5]).collect()
+        }
+        # null values excluded; all-null group c absent entirely
+        assert out == {("a", 0.5): (1, 7.0), ("b", 0.5): (2, 2.0)}
+        # pre-counted histogram (null-value row included, as a caller
+        # sharing the histogram with count(*) moments would build it)
+        hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+        out2 = {
+            (r["g"], r["q"]): (r["n"], r["quantile"])
+            for r in grouped_value_count_quantiles(
+                hist, "g", "v", [0.5], pre_counted_col="c"
+            ).collect()
+        }
+        assert out2 == out
+
+    def test_empty_qs_raises(self, spark):
+        import pytest as _pt
+
+        from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+            grouped_value_count_quantiles,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "g string, v int")
+        with _pt.raises(ValueError):
+            grouped_value_count_quantiles(df, "g", "v", [])
