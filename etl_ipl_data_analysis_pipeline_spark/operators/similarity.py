@@ -1338,12 +1338,22 @@ def pq_append_index(
 
     Contract: new ids disjoint from indexed ids (ledger upstream)."""
     cents = spark.read.parquet(path.rstrip("/") + "/codebooks")
+    # Mirror the build's vector-length contract (pq_model_exact drops
+    # wrong-length vectors): a wrong-length vector coded over partial
+    # subspaces would produce short/biased code rows whose artificially
+    # small ADC sums corrupt every subsequent search ranking.
+    new_corpus = new_corpus.filter(
+        F.size(_as_double_array(F.col(vec_col))) == m * sub_dim
+    )
     ex = new_corpus.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(_as_double_array(F.col(vec_col))).alias("gpos0", "__v"),
     ).select(
         "vec_id",
-        (F.col("gpos0") / F.lit(sub_dim)).cast("int").alias("subspace"),
+        # integer div, matching pq_model_exact/_pq_adc_search exactly
+        # (double division agrees for realistic dims but departs from
+        # the byte-identical-codes determinism discipline)
+        F.expr(f"gpos0 div {sub_dim}").cast("int").alias("subspace"),
         (F.col("gpos0") % F.lit(sub_dim) + 1).alias("pos"),
         "__v",
     )

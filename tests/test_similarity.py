@@ -703,3 +703,35 @@ class TestPQAppend:
         found = {(r["query_id"], r["vec_id"]) for r in got.collect()}
         for v in originals:
             assert (v, v + 900000) in found  # identical codes -> minimal ADC
+
+    def test_append_drops_wrong_length_vectors(self, spark, sf_dir, tmp_path):
+        """pq_append_index mirrors the build's vector-length contract: a
+        wrong-length appended vector would otherwise be coded over
+        partial subspaces and its artificially small ADC sums would
+        corrupt every subsequent ranking — it must be dropped, not
+        half-coded."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        half = e.filter("vec_id % 2 = 0")
+        idx = str(tmp_path / "pq_badlen")
+        similarity.pq_build_index(half, idx)
+        bad = half.filter("vec_id < 4").select(
+            (F.col("vec_id") + 900000).alias("vec_id"),
+            F.slice("embedding", 1, 7).alias("embedding"),  # truncated
+        )
+        good = half.filter("vec_id < 4").select(
+            (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+        )
+        similarity.pq_append_index(spark, idx, bad.unionByName(good))
+        appended = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(idx + "/codes")
+            .filter("vec_id >= 800000")
+            .collect()
+        }
+        assert all(v < 900000 for v in appended)  # truncated rows dropped
+        assert appended  # full-length rows coded
+        assert all(len(c) == 4 for c in appended.values())  # m codes each
