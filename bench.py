@@ -83,6 +83,10 @@ HEADLINE = [
     # high-d covariance path, both exact-oracled compositions
     "hybrid_rrf_topk",
     "dim_covariance_jl16",
+    # round-9: the production hybrid pairing — exact BM25 fused with the
+    # Arrow IVF dense leg under the planted gate (hybrid_rrf_topk keeps
+    # the full exact oracle; this line tracks the throughput path)
+    "hybrid_rrf_fast",
 ]
 
 

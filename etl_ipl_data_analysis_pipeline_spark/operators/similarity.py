@@ -184,6 +184,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "query_id",
     seed: int = 42,
+    iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k via an inverted file (IVF) index.
 
@@ -204,7 +205,7 @@ def ivf_topk(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("__cvec"),
     )
-    cents = kmeans_centroids(corpus, n_centroids, 2, id_col, vec_col, seed)
+    cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col, seed)
     cn = _normalize_rows(cents)
     nearest_cells = _cell_router(cn, nprobe)
 

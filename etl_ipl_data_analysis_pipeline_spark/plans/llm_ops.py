@@ -3864,6 +3864,73 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rrf_fuse(sparse, dense, k=5)
 
 
+@register(
+    "hybrid_rrf_fast",
+    oracle="""
+    SELECT CAST(vec_id AS INT) AS query_id,
+           CAST(vec_id + 200000 AS BIGINT) AS doc_id,
+           floor((1.0 / 61) * 1e8 + 0.5) / 1e8 AS rrf_score
+    FROM embeddings WHERE vec_id < 3
+    """,
+    tags=("X3", "X4", "J5", "W4"),
+)
+def hybrid_rrf_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION hybrid leg pairing (VERDICT r8 item 4): exact BM25
+    (bm25_batch_topk) fused with the Arrow-matmul IVF dense ranker
+    (similarity.ivf_topk — the throughput path, ~20x cheaper than the
+    decimal-exact twin hybrid_rrf_topk runs) under the PLANTED recall
+    gate. Each probe's exact mirror is planted at +200000: it routes to
+    the probe's own cell under any seed and tops the dense list at
+    sim 1.0 (dense rank 1), and — being absent from `documents` — never
+    appears in the BM25 list, so its fused score is EXACTLY
+    1/(60+1) + 0.0. The fusion is pure rank arithmetic, so the planted
+    floor carries through it: only candidates retrieved by BOTH lists
+    (<= 9: the dense list's other slots) and the lone sparse-rank-1 tie
+    (broken toward the smaller natural doc_id) can outrank the mirror,
+    bounding its fused rank at 11 — fused k=12 makes its presence, and
+    therefore the whole (routing, ranking, fusion) pipeline,
+    deterministic. Approximate natural neighbors stay covered by
+    hybrid_rrf_topk's full exact oracle."""
+    from ..operators import textstats as ts
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    sparse = ts.bm25_batch_topk(d, queries, k=10).select(
+        "query_id", "doc_id", "rnk"
+    )
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mirrors = e.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    # one Lloyd iteration: the gate holds under ANY centroid model (the
+    # mirror co-routes with its probe by identity), and a coarser model
+    # only changes which approximate neighbors fill the other slots
+    dense = (
+        similarity.ivf_topk(
+            e.unionByName(mirrors), probes, k=10, probe_id_col="query_id",
+            iters=1,
+        )
+        .withColumn("rnk", F.row_number().over(wd))
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rnk",
+        )
+    )
+    fused = similarity.rrf_fuse(sparse, dense, k=12)
+    return fused.filter(F.col("doc_id") - F.col("query_id") == 200000).select(
+        "query_id", "doc_id", "rrf_score"
+    )
+
+
 def _hybrid_persisted_oracle() -> str:
     """Oracle of hybrid_rrf_persisted: the PQ CTE family (cte_only,
     ranked dense list as ``pqtop``, k=10) + the BM25 sparse-list CTEs
