@@ -157,19 +157,30 @@ def brute_force_topk(
     One pass over the corpus, no corpus shuffle: cross-join against broadcast
     probes, per-probe top-k via row_number. At 100 TB this is the *exact*
     fallback; use ivf_topk when the probe set or corpus is large.
+
+    Norms are hoisted to member columns (one interpreted array fold per
+    ROW instead of two per PAIR — HOF lambdas run interpreted with no
+    CSE, the semantic_dedup lesson) and the pair stage evaluates only
+    the dot. Float-identical to inline cosine_similarity: same norm
+    expression per array, same dot / (np * nc) association.
     """
+    from ..functions import dot as _dot, norm as _norm
+
     p = probes.select(
         F.col(probe_id_col).alias("query_id"),
         _as_double_array(F.col(vec_col)).alias("__pvec"),
-    )
+    ).withColumn("__pn", _norm(F.col("__pvec")))
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         _as_double_array(F.col(vec_col)).alias("__cvec"),
+    ).withColumn("__cn", _norm(F.col("__cvec")))
+    sim = _dot(F.col("__pvec"), F.col("__cvec")) / (
+        F.col("__pn") * F.col("__cn")
     )
     scored = (
         c.crossJoin(F.broadcast(p))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("sim", F.round(cosine_similarity(F.col("__pvec"), F.col("__cvec")), 6))
+        .withColumn("sim", F.round(sim, 6))
     )
     return topk_per_query(scored, k)
 
