@@ -1158,34 +1158,61 @@ def bm25_merge_indexes(
     num_buckets: int = 64,
 ) -> None:
     """Merge two persisted BM25 indexes over DISJOINT corpora (crawl N +
-    batch N+1) WITHOUT touching any text — the incremental-index
-    maintenance shape (the lexical counterpart of the MinHash signature
-    index's cross-snapshot upkeep): postings union as-is (disjoint doc
-    sets can't share a (doc, term) row), per-term document frequencies
-    SUM, and the 1-row corpus stats SUM. Everything is exact integers,
-    so searching the merged index is value-identical to an index rebuilt
-    from the concatenated corpora — which the tests assert.
+    batch N+1) WITHOUT touching any text — see
+    :func:`bm25_merge_many`, of which this is the 2-ary case."""
+    bm25_merge_many(spark, [path_a, path_b], out_path, num_buckets)
 
-    Contract: the two corpora's ``doc_id`` sets must be disjoint
+
+def bm25_merge_many(
+    spark,
+    paths: list[str],
+    out_path: str,
+    num_buckets: int = 64,
+) -> None:
+    """Compact N >= 2 persisted BM25 indexes over DISJOINT corpora into
+    one, WITHOUT touching any text — the daily-cadence maintenance
+    shape: a pipeline accumulates one small delta index per ingest
+    batch, and a periodic N-way fold re-establishes one
+    partition-prunable index. One fold of N indexes, not N-1 pairwise
+    rewrites: postings union as-is (disjoint doc sets can't share a
+    (doc, term) row) in a single partitioned write, per-term document
+    frequencies SUM across all N, the 1-row corpus stats SUM. Everything
+    persisted is an exact integer, so searching the compacted index is
+    value-identical to an index rebuilt from the concatenated corpora —
+    pytest- and oracle-gated.
+
+    Cost scales with the MERGED INDEX size (sum of delta sizes), never
+    the corpus text: nothing is re-tokenized, and each input's postings
+    are already bucketed by the same portable term hash, so the
+    partitioned rewrite moves rows without a shuffle stage keyed on the
+    corpus.
+
+    Contract: the corpora's ``doc_id`` sets must be pairwise disjoint
     (re-ingesting a doc would double-count its postings; dedup upstream
     is the ledger's job, exactly as for minhash_sig_index)."""
     import pyspark.sql.functions as F
 
     from ..functions import portable_hash64
 
-    a, b = path_a.rstrip("/"), path_b.rstrip("/")
+    if len(paths) < 2:
+        raise ValueError("bm25_merge_many needs at least two indexes")
+    ins = [p.rstrip("/") for p in paths]
     out = out_path.rstrip("/")
-    postings = spark.read.parquet(a + "/postings").unionByName(
-        spark.read.parquet(b + "/postings")
-    )
+
+    def _union(sub: str):
+        dfs = [spark.read.parquet(p + "/" + sub) for p in ins]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u
+
     (
-        postings.write.mode("overwrite")
+        _union("postings").write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(out + "/postings")
     )
     dfreq = (
-        spark.read.parquet(a + "/dfreq")
-        .unionByName(spark.read.parquet(b + "/dfreq"))
+        _union("dfreq")
         .groupBy("term")
         .agg(F.sum("__df").alias("__df"))
         .withColumn(
@@ -1198,12 +1225,8 @@ def bm25_merge_indexes(
     dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(
         out + "/dfreq"
     )
-    stats = (
-        spark.read.parquet(a + "/stats")
-        .unionByName(spark.read.parquet(b + "/stats"))
-        .agg(
-            F.sum("__n_docs").alias("__n_docs"),
-            F.sum("__sum_dl").alias("__sum_dl"),
-        )
+    stats = _union("stats").agg(
+        F.sum("__n_docs").alias("__n_docs"),
+        F.sum("__sum_dl").alias("__sum_dl"),
     )
     stats.write.mode("overwrite").parquet(out + "/stats")

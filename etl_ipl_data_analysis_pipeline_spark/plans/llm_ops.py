@@ -690,6 +690,56 @@ def topk_ivf_appended_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "topk_ivf_multi_appended_planted",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 200000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 3
+    """,
+    tags=("X3", "SNK1", "J10", "L3"),
+)
+def topk_ivf_multi_appended_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-delta incremental ANN ingestion (VERDICT r8 item 6): the
+    exact-IVF index is built on a QUARTER of the corpus and then grown
+    by THREE separate append batches under the same frozen centroid
+    model — the daily-cadence shape where deltas accumulate without a
+    rebuild — with each probe's exact mirror arriving in the LAST batch.
+    Every append is ivf_append_index_exact (cell-partitioned parquet
+    append: old vectors and old cells never read, cost scales with the
+    delta), and the from-disk search must surface every mirror at
+    sim 1.0: identical vectors route identically under the frozen
+    decimal argmin whichever batch carried them, and the search scans
+    all accumulated cell files. A lost delta, a model that drifted
+    between appends, or a search that misses late partition files breaks
+    the gate."""
+    import shutil
+
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _scratch_dir(sf_dir, "ivf_multi_append_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.ivf_build_index_exact(e.filter(F.col("vec_id") % 4 == 0), idx)
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for i in (1, 2, 3):
+        batch = e.filter(F.col("vec_id") % 4 == i)
+        if i == 3:
+            batch = batch.unionByName(
+                e.filter(F.col("vec_id") < 3).select(
+                    (
+                        F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")
+                    ).alias("vec_id"),
+                    "embedding",
+                )
+            )
+        similarity.ivf_append_index_exact(spark, idx, batch)
+    out = similarity.ivf_search_index_exact(spark, idx, probes, k=5)
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+@register(
     "topk_cosine_lsh",
     oracle=_lsh_exact_oracle(5, 8, 64, 42),
     tags=("X3", "J10", "W1"),
@@ -3722,6 +3772,40 @@ def bm25_persisted_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
     queries = spark.createDataFrame(rows, "query_id int, term string")
     return ts.bm25_search_index(spark, idx, queries, k=5)
+
+
+@register(
+    "bm25_compacted_nway",
+    oracle=_BM25_BATCH_ORACLE,
+    tags=("X4", "SNK1", "L3", "A4", "W4"),
+)
+def bm25_compacted_nway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way BM25 index compaction (VERDICT r8 item 6): the corpus
+    arrives as THREE disjoint ingest batches (doc_id mod 3), each built
+    into its own delta index, then textstats.bm25_merge_many folds all
+    three into one compacted index in a single pass — postings union,
+    dfreq sums, stats sums, no text ever re-tokenized — and the batch
+    queries are served from the compacted index. Everything persisted is
+    an exact integer, so searching the compacted index is
+    value-identical to one built from the whole corpus: the SAME batch
+    oracle that gates bm25_persisted_batch gates this lifecycle, which
+    is precisely the no-text-touch claim (a fold that dropped a delta's
+    postings, double-counted a df, or lost a stats row breaks the
+    hash)."""
+    from ..operators import textstats as ts
+    from .pipeline_q import _scratch_dir
+
+    d = load(spark, sf_dir, "documents")
+    shards = []
+    for i in range(3):
+        p = _scratch_dir(sf_dir, f"bm25_delta_{i}")
+        ts.bm25_build_index(d.filter(F.col("doc_id") % 3 == i), p)
+        shards.append(p)
+    merged = _scratch_dir(sf_dir, "bm25_compacted")
+    ts.bm25_merge_many(spark, shards, merged)
+    rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+    queries = spark.createDataFrame(rows, "query_id int, term string")
+    return ts.bm25_search_index(spark, merged, queries, k=5)
 
 
 def _hybrid_rrf_oracle() -> str:

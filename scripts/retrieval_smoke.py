@@ -98,6 +98,33 @@ def main() -> int:
         n = similarity.pq_search_index(spark, pq_idx, probes, k=10).count()
         out["pq_search"] = round(time.time() - t0, 2)
         out["pq_hits"] = n
+
+        # r9 (VERDICT r8 item 6): delta-compaction costs. A 1x-sized
+        # delta arrives against the factor-sized index:
+        # - bm25_merge must cost ~index-rewrite (no re-tokenization) —
+        #   compare bm25_merge vs bm25_build at the same factor;
+        # - pq_append must be ~flat in factor (frozen codebooks, codes
+        #   only the delta, old codes never read).
+        delta_docs = base.select(
+            (F.col("doc_id") + F.lit((factor + 1) * 10_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" deltabatch")).alias("text"),
+        )
+        delta_idx = os.path.join(scratch, "bm25_delta")
+        t0 = time.time()
+        textstats.bm25_build_index(delta_docs, delta_idx)
+        out["bm25_delta_build"] = round(time.time() - t0, 2)
+        merged_idx = os.path.join(scratch, "bm25_merged")
+        t0 = time.time()
+        textstats.bm25_merge_many(spark, [bm25_idx, delta_idx], merged_idx)
+        out["bm25_merge"] = round(time.time() - t0, 2)
+
+        delta_vecs = emb.select(
+            (F.col("vec_id") + F.lit((factor + 1) * 10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+        t0 = time.time()
+        similarity.pq_append_index(spark, pq_idx, delta_vecs)
+        out["pq_append_delta"] = round(time.time() - t0, 2)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     print(json.dumps(out))

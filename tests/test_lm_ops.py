@@ -389,3 +389,34 @@ class TestBM25PersistedIndex:
         got = ts.bm25_search_index(spark, pm, queries, k=5)
         want = ts.bm25_search_index(spark, pf, queries, k=5)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_merge_many_nway_equals_rebuild(self, spark, sf_dir, tmp_path):
+        """Folding FOUR disjoint delta indexes in one bm25_merge_many
+        call must search identically to an index rebuilt from the whole
+        corpus — the daily-cadence compaction contract (cost scales with
+        index size, text never re-tokenized)."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import textstats as ts
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        d = load(spark, sf_dir, "documents")
+        paths = []
+        for i in range(4):
+            p = str(tmp_path / f"delta{i}")
+            ts.bm25_build_index(d.filter(F.col("doc_id") % 4 == i), p)
+            paths.append(p)
+        pm, pf = str(tmp_path / "compacted"), str(tmp_path / "full")
+        ts.bm25_merge_many(spark, paths, pm)
+        ts.bm25_build_index(d, pf)
+        queries = spark.createDataFrame(
+            [(0, "spark"), (0, "stream"), (1, "customer"), (1, "value")],
+            "query_id int, term string",
+        )
+        got = ts.bm25_search_index(spark, pm, queries, k=5)
+        want = ts.bm25_search_index(spark, pf, queries, k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            ts.bm25_merge_many(spark, [pm], str(tmp_path / "nope"))

@@ -735,3 +735,41 @@ class TestPQAppend:
         assert all(v < 900000 for v in appended)  # truncated rows dropped
         assert appended  # full-length rows coded
         assert all(len(c) == 4 for c in appended.values())  # m codes each
+
+    def test_multi_append_codes_identical_and_surface(self, spark, sf_dir, tmp_path):
+        """THREE sequential append batches under the frozen codebooks —
+        the N-delta compaction shape — must code an exact copy
+        byte-identically whichever batch carried it, and the accumulated
+        codes table must serve all batches' vectors."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        quarter = e.filter("vec_id % 4 = 0")
+        idx = str(tmp_path / "pq_multi")
+        similarity.pq_build_index(quarter, idx)
+        for i in (1, 2, 3):
+            batch = e.filter(f"vec_id % 4 = {i}")
+            if i == 3:  # mirrors of indexed vectors arrive in the LAST delta
+                batch = batch.unionByName(
+                    quarter.filter("vec_id < 8").select(
+                        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+                    )
+                )
+            similarity.pq_append_index(spark, idx, batch)
+        codes = {
+            r["vec_id"]: list(r["codes"])
+            for r in spark.read.parquet(idx + "/codes").collect()
+        }
+        n = e.count()
+        assert len(codes) == n + 2  # all four batches + the 2 mirrors (0, 4)
+        for v in (0, 4):
+            assert codes[v] == codes[v + 900000]  # frozen-model determinism
+        probes = quarter.filter("vec_id < 8").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        got = similarity.pq_search_index(spark, idx, probes, k=5)
+        found = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+        for v in (0, 4):
+            assert (v, v + 900000) in found
