@@ -91,17 +91,27 @@ def main() -> int:
         "flagged": flagged,
         "notes": (
             "AQE disabled so nothing is hidden by runtime re-planning. "
-            "BroadcastNestedLoopJoins flagged here are reviewed per query: "
-            "every known instance joins a SINGLE-ROW (or <=k-row) relation "
-            "(scalar-subquery thresholds, 1-row sketch stats, PageRank "
-            "dangling-mass aggregates, the one query vector in topk_cosine) "
-            "- the shape BNLJ is correct for at any scale (bm25's 1-row "
-            "corpus-stats join is the same class). A NEW bnlj entry outside "
-            "that list, any cartesian, any BatchEvalPython, or any "
+            "BroadcastNestedLoopJoins flagged here are reviewed per query; "
+            "every known instance joins a relation that is 1-row or <=k-row "
+            "BY CONSTRUCTION, the shape BNLJ is correct for at any scale. "
+            "The reviewed family, explicitly: (a) scalar-subquery thresholds "
+            "- a global aggregate (quantile cut, mean, total) joined back as "
+            "one row (winsorize/outlier/drift/gini queries); (b) 1-row "
+            "sketch or corpus stats - CMS/KMV parameters, bm25's "
+            "n_docs/sum_dl stats relation; (c) PageRank's per-iteration "
+            "1-row dangling-mass aggregate; (d) probe/query relations "
+            "bounded by the probe set (<=5 vectors in topk_*, <=9 terms in "
+            "bm25 batches); (e) literal broadcast lists - the qs quantile "
+            "list, JL sign-matrix rows, planted-id guards; (f) the "
+            "crossJoin(1-row stats) in profile/covariance queries. A NEW "
+            "bnlj entry outside classes (a)-(f), any CartesianProduct, any "
+            "BatchEvalPython (row-at-a-time Python UDF), or any "
             "single-partition exchange over an UNBOUNDED relation is a "
-            "regression; the one SinglePartition instance "
-            "(bm25_top_docs_query) is the rank window over the 10-row "
-            "TakeOrderedAndProject head - bounded by the query's own k."
+            "regression. SinglePartition instances reviewed: "
+            "bm25_top_docs_query's rank window runs over the 10-row "
+            "TakeOrderedAndProject head, bounded by the query's own k; the "
+            "same k-row-head shape covers every other ranked-list tail "
+            "(hybrid fusion windows run per query_id over <=2k fused rows)."
         ),
         "per_query": report,
     }
