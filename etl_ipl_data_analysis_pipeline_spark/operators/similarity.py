@@ -1530,6 +1530,58 @@ def ivf_append_index_exact(
     )
 
 
+def ivf_compact_index(spark, path: str) -> None:
+    """Compact a persisted IVF index's cell partitions after N delta
+    appends — the file-count maintenance half of the daily-cadence
+    lifecycle (build → append × N → COMPACT → search): every
+    ivf_append_index_exact lands one-or-more new files in each touched
+    cell directory, and after enough deltas a search pays per-file open
+    overhead instead of scan throughput. The fix is a pure REWRITE:
+    repartition the cells table BY the cell key (all rows of a cell
+    hash to one task, so each partition directory collapses to one
+    file), write to the staging path, and crash-safely swap it in
+    (io.swap_directory — at every instant a complete copy exists on
+    disk). The model is untouched and rows are only moved, never
+    re-routed, so search results are value-identical before and after —
+    pytest-pinned. Cost scales with the INDEX (vectors x dim), never
+    with re-clustering; at 100 TB run it per-cell-range on a cadence,
+    exactly like any small-file compaction job."""
+    from ..io import staging_path, swap_directory
+
+    base = path.rstrip("/")
+    cells = base + "/cells"
+    tmp = staging_path(cells)
+    (
+        spark.read.parquet(cells)
+        .repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    swap_directory(spark, tmp, cells)
+
+
+def pq_compact_index(spark, path: str, num_files: int = 1) -> None:
+    """Compact a persisted PQ index's codes table after N delta appends
+    (pq_append_index): the codes are the ONLY thing a search scans, so
+    small-file buildup taxes every query. A pure coalesced rewrite via
+    the crash-safe staging swap; codes are untouched integers, so
+    search results are value-identical — pytest-pinned alongside the
+    IVF twin."""
+    from ..io import staging_path, swap_directory
+
+    base = path.rstrip("/")
+    codes = base + "/codes"
+    tmp = staging_path(codes)
+    (
+        spark.read.parquet(codes)
+        .repartition(num_files)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    swap_directory(spark, tmp, codes)
+
+
 def ivf_search_index_exact(
     spark,
     path: str,

@@ -773,3 +773,51 @@ class TestPQAppend:
         found = {(r["query_id"], r["vec_id"]) for r in got.collect()}
         for v in (0, 4):
             assert (v, v + 900000) in found
+
+    def test_compaction_preserves_search_and_shrinks_files(self, spark, sf_dir, tmp_path):
+        """ivf_compact_index / pq_compact_index after multi-delta appends:
+        search results must be value-identical (rows only move, nothing
+        re-routes or re-codes) and the per-directory file count must
+        drop to ~1."""
+        import glob as _glob
+
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        probes = e.filter("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        # IVF: build on half, append twice, compact
+        ivf = str(tmp_path / "ivf_c")
+        similarity.ivf_build_index_exact(e.filter("vec_id % 3 = 0"), ivf)
+        similarity.ivf_append_index_exact(spark, ivf, e.filter("vec_id % 3 = 1"))
+        similarity.ivf_append_index_exact(spark, ivf, e.filter("vec_id % 3 = 2"))
+        before = sorted(
+            map(tuple, similarity.ivf_search_index_exact(spark, ivf, probes, k=5).collect())
+        )
+        n_files_pre = len(_glob.glob(ivf + "/cells/cell=*/*.parquet"))
+        similarity.ivf_compact_index(spark, ivf)
+        after = sorted(
+            map(tuple, similarity.ivf_search_index_exact(spark, ivf, probes, k=5).collect())
+        )
+        assert before == after and before
+        cell_dirs = _glob.glob(ivf + "/cells/cell=*")
+        n_files_post = len(_glob.glob(ivf + "/cells/cell=*/*.parquet"))
+        assert n_files_post == len(cell_dirs) < n_files_pre
+        # PQ: build on half, append twice, compact
+        pq = str(tmp_path / "pq_c")
+        similarity.pq_build_index(e.filter("vec_id % 3 = 0"), pq)
+        similarity.pq_append_index(spark, pq, e.filter("vec_id % 3 = 1"))
+        similarity.pq_append_index(spark, pq, e.filter("vec_id % 3 = 2"))
+        b2 = sorted(
+            map(tuple, similarity.pq_search_index(spark, pq, probes, k=5).collect())
+        )
+        pre2 = len(_glob.glob(pq + "/codes/*.parquet"))
+        similarity.pq_compact_index(spark, pq)
+        a2 = sorted(
+            map(tuple, similarity.pq_search_index(spark, pq, probes, k=5).collect())
+        )
+        assert b2 == a2 and b2
+        assert len(_glob.glob(pq + "/codes/*.parquet")) == 1 < pre2
