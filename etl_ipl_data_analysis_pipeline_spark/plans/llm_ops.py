@@ -739,6 +739,88 @@ def topk_ivf_multi_appended_planted(spark: SparkSession, sf_dir: str) -> DataFra
     return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
 
 
+def _ivf_appended_exact_oracle(k: int, nprobe: int) -> str:
+    """FULL exact oracle for the append+compact IVF lifecycle: the Lloyd
+    CTEs run over the BUILD HALF only (src=half, prefix=h — the frozen
+    model), the decimal assignment and probe routing run over the FULL
+    corpus (exactly what ivf_append_index_exact produces on disk), and
+    compaction is an identity on results by construction. Every row of
+    the search — approximate neighbors included, not just planted
+    mirrors — is replayed."""
+    body, last = _kmeans_cte(16, 2, src="half", prefix="h")
+    return f"""
+    WITH half AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+    ), {body}, cm AS (
+      SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
+    ), ex AS (
+      SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), dists AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vid, cid,
+             row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+      FROM dists
+    ), acell AS (
+      SELECT vid, cid FROM ranked WHERE rn = 1
+    ), routed AS (
+      SELECT vid AS query_id, cid FROM ranked WHERE vid < 5 AND rn <= {nprobe}
+    ), scored AS (
+      SELECT r.query_id, a.vid AS vec_id, {_COS6_SQL} AS sim
+      FROM routed r
+      JOIN acell a USING (cid)
+      JOIN embeddings pe ON pe.vec_id = r.query_id
+      JOIN embeddings ce ON ce.vec_id = a.vid
+      WHERE a.vid != r.query_id
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "topk_ivf_appended_compacted_exact",
+    oracle=_ivf_appended_exact_oracle(5, 4),
+    tags=("X3", "SNK1", "J10", "L3"),
+)
+def topk_ivf_appended_compacted_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append + COMPACT IVF lifecycle under the FULL exact oracle —
+    strictly stronger than topk_ivf_appended_planted's recall gate: the
+    index is built on the even half (frozen decimal-Lloyd model), the
+    odd half is appended under that model, the accumulated small files
+    are compacted (similarity.ivf_compact_index: cell-keyed rewrite
+    behind the crash-safe staging swap — rows move, nothing re-routes),
+    and the from-disk search of the ENTIRE result set — every
+    approximate neighbor, every score — is replayed by the half-trained
+    unrolled-Lloyd CTE chain with full-corpus assignment. A model that
+    drifted during append, an appended row landing in the wrong cell, a
+    compaction that dropped or duplicated a file, or a search missing a
+    late partition all break the hash."""
+    import shutil
+
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = _scratch_dir(sf_dir, "ivf_append_compact_index")
+    shutil.rmtree(idx, ignore_errors=True)
+    similarity.ivf_build_index_exact(e.filter(F.col("vec_id") % 2 == 0), idx)
+    similarity.ivf_append_index_exact(
+        spark, idx, e.filter(F.col("vec_id") % 2 == 1)
+    )
+    similarity.ivf_compact_index(spark, idx)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_search_index_exact(spark, idx, probes, k=5)
+
+
 @register(
     "topk_cosine_lsh",
     oracle=_lsh_exact_oracle(5, 8, 64, 42),
