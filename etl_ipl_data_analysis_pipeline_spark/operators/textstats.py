@@ -826,8 +826,14 @@ def bm25_batch_topk(
     :func:`bm25_top_docs`'s rational-idf integer BM25 (same constants,
     same 4dp decimal per-term discipline), computed ONCE per (doc, term)
     over the union of all query terms, then fanned out to queries by a
-    broadcast term join — the corpus is scanned and shuffled once no
-    matter how many queries ride the batch.
+    broadcast term join — per-query cost is independent of corpus size
+    no matter how many queries ride the batch. The corpus text is
+    tokenized TWICE (the 1-row n_docs/sum_dl stats need every doc's
+    length, hit or not, and live in a separate aggregate subtree): the
+    honest ad-hoc cost. When the batch cadence justifies it, the
+    persisted index (bm25_build_index + bm25_search_index) pays the
+    tokenization once and every later batch reads only its terms'
+    postings partitions.
 
     Scale: hits filter against a broadcast distinct-term set (non-query
     tokens never reach a shuffle), one (doc, term) partial-agg, the

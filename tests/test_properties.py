@@ -592,3 +592,56 @@ def test_dsir_weights_match_python_mirror(spark, texts, tgt_mod):
     expect = _py_dsir_weights(rows)
     for doc_id, (n_grams, weight) in expect.items():
         assert got[doc_id] == (n_grams, weight), doc_id
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("abc"),
+            st.one_of(st.none(), st.integers(min_value=-30, max_value=30)),
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=3,
+        unique=True,
+    ),
+)
+def test_value_count_quantiles_match_python_type7(spark, rows, qs):
+    """grouped_value_count_quantiles (histogram reduction) vs a pure-
+    Python type-7 mirror on random grouped integers with NULLs: same
+    n per group, same interpolated quantile, NULL values excluded,
+    all-null groups absent."""
+    import math
+
+    from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+        grouped_value_count_quantiles,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r["g"], r["q"]): (r["n"], r["quantile"])
+        for r in grouped_value_count_quantiles(
+            df, "g", "v", qs, round_digits=6
+        ).collect()
+    }
+    want = {}
+    by_g: dict = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(float(v))
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        for q in qs:
+            h = float(n - 1) * float(q)
+            lo = int(math.floor(h))
+            vlo, vhi = vals[lo], vals[min(lo + 1, n - 1)]
+            quant = vlo + (h - lo) * (vhi - vlo)
+            quant = math.floor(quant * 1e6 + 0.5) / 1e6
+            want[(g, float(q))] = (n, quant)
+    assert got == want
