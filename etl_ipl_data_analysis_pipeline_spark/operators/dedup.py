@@ -466,6 +466,75 @@ def simhash_near_dup_pairs(
     )
 
 
+def fingerprint_near_dup_pairs(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "ahash",
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs over PRECOMPUTED integer fingerprints (simhash,
+    image average-hash, any <=62-bit perceptual hash) — the
+    simhash_near_dup_pairs machinery generalized to arbitrary
+    fingerprint relations: block the hash into ``max_hamming + 1``
+    contiguous bit-bands (pigeonhole: two hashes within the radius agree
+    on at least one whole band), equi-join per band, score exact Hamming
+    inside the join stage, and keep each pair only in its FIRST
+    agreeing band (the lowest zero band of the XOR — no pair-dedup
+    exchange; see simhash_near_dup_pairs for the measured rationale).
+    NULL fingerprints (decode failures) are dropped before banding.
+
+    Scale: one shuffle on (band_idx, band_val); never all-pairs. Returns
+    (id_a, id_b, hamming) with id_a < id_b, hamming <= max_hamming."""
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(
+            f"bits={bits} must divide into max_hamming+1={n_bands} equal bands"
+        )
+    w = bits // n_bands
+    mask = (1 << w) - 1
+    fp = fps.select(
+        F.col(id_col).alias("__id"), F.col(fp_col).cast("bigint").alias("__fp")
+    ).filter(F.col("__fp").isNotNull())
+    bands = fp.select(
+        "__id",
+        "__fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__fp"), q * w).bitwiseAND(F.lit(mask))
+                    for q in range(n_bands)
+                ]
+            )
+        ).alias("q_idx", "q_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    xor = F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+    hamming = F.bit_count(xor)
+    block = [
+        F.shiftright(xor, q * w).bitwiseAND(F.lit(mask)) for q in range(n_bands)
+    ]
+    first_zero = F.when(block[0] == 0, 0)
+    for q in range(1, n_bands - 1):
+        first_zero = first_zero.when(block[q] == 0, q)
+    first_zero = first_zero.otherwise(n_bands - 1)
+    return (
+        a.join(
+            b.hint("SHUFFLE_HASH"),
+            (F.col("a.q_idx") == F.col("b.q_idx"))
+            & (F.col("a.q_val") == F.col("b.q_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(F.col("a.q_idx") == first_zero)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

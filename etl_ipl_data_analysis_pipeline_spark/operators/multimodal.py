@@ -166,6 +166,142 @@ def _decode_wav(content: bytes, dim: int) -> tuple[int, int, list[float]]:
     return n_ch, rate // 1000, _pool_feature(np.abs(samples) / 32768.0, dim)
 
 
+def _raw_samples(content: bytes):
+    """Integer sample array for perceptual hashing: the EXACT decoded
+    bytes (PPM/BMP pixels as uint8 RGB, WAV as |int16| samples) with the
+    parsed (width, height) — no pooling, no floats, so everything
+    derived from it is integer arithmetic an oracle can replay."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(content)
+    head = buf[:4]
+    if head[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                pos = buf.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(buf[start:pos]))
+        pos += 1
+        width, height, _ = fields
+        px = np.frombuffer(buf, dtype=np.uint8, count=width * height * 3, offset=pos)
+        return width, height, px.astype(np.int64)
+    if head[:2] == b"BM":
+        data_off = struct.unpack_from("<I", buf, 10)[0]
+        width, height = struct.unpack_from("<ii", buf, 18)
+        bpp = struct.unpack_from("<H", buf, 28)[0]
+        compression = struct.unpack_from("<I", buf, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP decodes natively")
+        flip = height > 0
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3
+        rows = np.frombuffer(
+            buf, dtype=np.uint8, count=stride * height, offset=data_off
+        ).reshape(height, stride)[:, : width * 3]
+        arr = rows.reshape(height, width, 3)[:, :, ::-1]
+        if flip:
+            arr = arr[::-1]
+        return width, height, arr.reshape(-1).astype(np.int64)
+    if head == b"RIFF" and bytes(buf[8:12]) == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(buf)) as w:
+            n_ch, sampwidth, rate = (
+                w.getnchannels(),
+                w.getsampwidth(),
+                w.getframerate(),
+            )
+            frames = w.readframes(w.getnframes())
+        if sampwidth != 2:
+            raise NotImplementedError("only 16-bit PCM WAV decodes natively")
+        samples = np.abs(np.frombuffer(frames, dtype="<i2").astype(np.int64))
+        return n_ch, rate // 1000, samples
+    raise NotImplementedError(
+        "compressed-image/video decode requires PIL/libvips/ffmpeg — not "
+        "available in this environment"
+    )
+
+
+def image_ahash(media: DataFrame, bits: int = 16, fake: bool = False) -> DataFrame:
+    """Average-hash perceptual fingerprint — the image near-dup primitive
+    (the LAION-style pHash-family shape): split the decoded integer
+    samples into ``bits`` contiguous blocks (numpy array_split
+    boundaries: the first ``n % bits`` blocks are one longer) and set
+    bit i iff the block's mean exceeds the global mean. The comparison
+    is INTEGER cross-multiplication — ``block_sum * n_total >
+    total_sum * block_n`` — so the whole fingerprint is exact integer
+    arithmetic on exact decoded bytes: bit-replayable by a SQL oracle,
+    partitioning-independent, no float thresholds to drift. An exact
+    pixel copy hashes identically (hamming 0) whatever its id or batch.
+
+    Arrow mapInPandas over (media_id, format, n_bytes, content) — the
+    decode never leaves the executor; emits
+    (media_id, width, height, n_samples, ahash). ``bits`` <= 62 keeps
+    the hash in a signed bigint. Empty blocks (fewer samples than bits)
+    contribute 0-bits on both engines. ``fake=True`` swaps the
+    crc32-seeded stand-in decode (env-gated codec corpora)."""
+    import numpy as np
+    import pandas as pd
+
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62] for a signed-bigint hash")
+
+    def _hash_one(content) -> tuple:
+        if fake:
+            w, h, feat = _fake_decode(content, bits)
+            arr = np.array([int(f * 255.0) for f in feat], dtype=np.int64)
+        else:
+            w, h, arr = _raw_samples(content)
+        n = int(arr.size)
+        total = int(arr.sum())
+        out = 0
+        for i, blk in enumerate(np.array_split(arr, bits)):
+            bn = int(blk.size)
+            if bn and int(blk.sum()) * n > total * bn:
+                out |= 1 << i
+        return w, h, n, out
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": [],
+                "height": [],
+                "n_samples": [],
+                "ahash": [],
+            }
+            for content in pdf["content"]:
+                try:
+                    w, h, n, a = _hash_one(content)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_samples"].append(n)
+                    out["ahash"].append(a)
+                except Exception:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_samples"].append(None)
+                    out["ahash"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "format", "n_bytes", "content").mapInPandas(
+        _extract,
+        schema=(
+            "media_id bigint, width int, height int, "
+            "n_samples bigint, ahash bigint"
+        ),
+    )
+
+
 def _fake_decode(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """Deterministic stand-in: 'dimensions' and 'features' derived from
     content bytes — stable across runs/partitionings (crc32, not Python

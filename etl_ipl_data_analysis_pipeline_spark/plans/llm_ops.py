@@ -2497,6 +2497,110 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_image_neardup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, doc_id AS src
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 200000, doc_id
+      FROM documents WHERE doc_id < 40 AND doc_id % 5 = 0
+    ), geom AS (
+      SELECT media_id,
+             CAST((1 + src % 6) * (1 + src % 3) * 3 AS BIGINT) AS n,
+             substr(repeat(md5(CAST(src AS VARCHAR)), 4), 1,
+                    CAST((1 + src % 6) * (1 + src % 3) * 3 AS INT)) AS px
+      FROM media
+    ), bytes AS (
+      SELECT media_id, n, CAST(i - 1 AS BIGINT) AS j,
+             CAST(ascii(substr(px, CAST(i AS INT), 1)) AS BIGINT) AS b
+      FROM (SELECT media_id, n, px,
+                   unnest(generate_series(1, n)) AS i
+            FROM geom)
+    ), tot AS (
+      SELECT media_id, CAST(sum(b) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM bytes GROUP BY 1
+    ), blk AS (
+      SELECT y.media_id, b,
+             CASE WHEN j < (cnt % 16) * (cnt // 16 + 1)
+                  THEN j // (cnt // 16 + 1)
+                  ELSE (cnt % 16)
+                       + (j - (cnt % 16) * (cnt // 16 + 1))
+                         // greatest(cnt // 16, 1)
+             END AS blk_i,
+             cnt, s
+      FROM bytes y JOIN tot USING (media_id)
+    ), bsum AS (
+      SELECT media_id, blk_i, CAST(sum(b) AS BIGINT) AS bs,
+             CAST(count(*) AS BIGINT) AS bn,
+             max(cnt) AS cnt, max(s) AS s
+      FROM blk GROUP BY 1, 2
+    ), fp AS (
+      SELECT media_id,
+             CAST(coalesce(sum(CASE WHEN bs * cnt > s * bn
+                        THEN CAST(1 AS BIGINT) << CAST(blk_i AS INT)
+                        ELSE 0 END), 0) AS BIGINT) AS ahash
+      FROM bsum GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+    tags=("X5", "X2", "U4", "J10", "F7"),
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection under the FULL exact gate — the
+    perceptual-hash dedup a multimodal training corpus needs (the
+    LAION-style pipeline shape), composed from real parts: synthetic
+    varying-dimension binary PPMs (pixels are md5-hex ASCII — pure
+    functions of the id; every 5th image re-planted VERBATIM at
+    +200000), decoded by the production numpy P6 parser inside
+    mapInPandas, fingerprinted with multimodal.image_ahash — bit i iff
+    block_sum * n > total_sum * block_n, INTEGER cross-multiplication,
+    no float thresholds — and paired by
+    dedup.fingerprint_near_dup_pairs' banded hamming join (pigeonhole
+    bands, first-agreeing-band pair-dedup, never all-pairs). Because
+    the fingerprint is exact integer arithmetic on exact decoded bytes,
+    the ENTIRE pair set — natural near-dups included, not just the
+    planted floor — is replayed by the SQL oracle byte-for-byte; an
+    exact pixel copy hashes identically (hamming 0), so planted recall
+    is 1 by construction on top of the full-value gate."""
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = d.select(F.col("doc_id").alias("media_id"), F.col("doc_id").alias("src"))
+    mirrors = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
+            "media_id"
+        ),
+        F.col("doc_id").alias("src"),
+    )
+    w = (F.lit(1) + F.col("src") % 6).cast("int")
+    h = (F.lit(1) + F.col("src") % 3).cast("int")
+    n_px = w * h * 3
+    px = F.expr(
+        "substring(repeat(md5(CAST(src AS STRING)), 4), 1, "
+        "(1 + src % 6) * (1 + src % 3) * 3)"
+    )
+    media = base.unionByName(mirrors).select(
+        "media_id",
+        F.lit("synthetic.ppm").alias("path"),
+        F.lit("ppm").alias("format"),
+        n_px.cast("long").alias("n_bytes"),
+        F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"), px,
+        ).cast("binary").alias("content"),
+    )
+    fp = mm.image_ahash(media, bits=16)
+    return dedup.fingerprint_near_dup_pairs(
+        fp, id_col="media_id", fp_col="ahash", max_hamming=3, bits=16
+    )
+
+
 # bigram twin of _GRAMS3_SQL: i-th gram is the 2-element slice at i
 # (DuckDB list slices are inclusive), i in [1, len-1]
 _GRAMS2_SQL = (

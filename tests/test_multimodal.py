@@ -157,3 +157,87 @@ class TestRealDecode:
         assert (out[1]["width"], out[1]["height"]) == (2, 2)
         assert out[1]["feature"] is not None
         assert out[2]["width"] is None and out[2]["feature"] is None
+
+
+class TestImageAhash:
+    def test_exact_copy_same_hash_and_pairs(self, spark):
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import (
+            dedup,
+            multimodal as mm,
+        )
+
+        def ppm(w, h, seed):
+            px = bytes((seed * 37 + i * 11) % 256 for i in range(w * h * 3))
+            return b"P6\n%d %d\n255\n" % (w, h) + px
+
+        rows = [
+            (1, "a.ppm", "ppm", 27, ppm(3, 3, 5)),
+            (2, "b.ppm", "ppm", 27, ppm(3, 3, 99)),
+            (100, "c.ppm", "ppm", 27, ppm(3, 3, 5)),  # exact copy of 1
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id bigint, path string, format string, n_bytes bigint, content binary"
+        )
+        fp = mm.image_ahash(media, bits=16)
+        got = {r["media_id"]: r["ahash"] for r in fp.collect()}
+        assert got[1] == got[100]  # identical pixels -> identical hash
+        pairs = dedup.fingerprint_near_dup_pairs(
+            fp, max_hamming=0, bits=16
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 100)}
+        for r in pairs:
+            assert r["hamming"] == 0
+
+    def test_ahash_matches_python_mirror(self, spark):
+        """Spark-side ahash == a direct pure-Python integer mirror of the
+        block rule (array_split boundaries, cross-multiplied compare)."""
+        import numpy as np
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        def ppm(w, h, seed):
+            px = bytes((seed * 13 + i * 7) % 256 for i in range(w * h * 3))
+            return b"P6\n%d %d\n255\n" % (w, h) + px
+
+        rows = [(i, "x.ppm", "ppm", 3 * (1 + i % 4) * (1 + i % 2), ppm(1 + i % 4, 1 + i % 2, i)) for i in range(12)]
+        media = spark.createDataFrame(
+            rows, "media_id bigint, path string, format string, n_bytes bigint, content binary"
+        )
+        got = {r["media_id"]: (r["width"], r["height"], r["ahash"])
+               for r in mm.image_ahash(media, bits=16).collect()}
+        for mid, _, _, _, content in rows:
+            w, h, arr = mm._raw_samples(content)
+            n, total = arr.size, int(arr.sum())
+            want = 0
+            for i, blk in enumerate(np.array_split(arr, 16)):
+                if blk.size and int(blk.sum()) * n > total * int(blk.size):
+                    want |= 1 << i
+            assert got[mid] == (w, h, want)
+
+    def test_fingerprint_pairs_match_brute_force(self, spark):
+        import itertools
+        import random
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import dedup
+
+        rnd = random.Random(23)
+        fps = [(i, rnd.getrandbits(16)) for i in range(40)]
+        df = spark.createDataFrame(fps, "media_id bigint, ahash bigint")
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.fingerprint_near_dup_pairs(
+                df, max_hamming=3, bits=16
+            ).collect()
+        }
+        want = {
+            (a, b, bin(fa ^ fb).count("1"))
+            for (a, fa), (b, fb) in itertools.combinations(fps, 2)
+            if bin(fa ^ fb).count("1") <= 3
+        }
+        assert got == want
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            dedup.fingerprint_near_dup_pairs(df, max_hamming=2, bits=16)
