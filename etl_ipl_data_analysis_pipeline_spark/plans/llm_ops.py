@@ -2601,6 +2601,106 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_audio_neardup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, doc_id AS src
+      FROM documents WHERE doc_id < 40
+      UNION ALL
+      SELECT doc_id + 200000, doc_id
+      FROM documents WHERE doc_id < 40 AND doc_id % 4 = 0
+    ), geom AS (
+      SELECT media_id,
+             substr(repeat(md5(CAST(src AS VARCHAR)), 3), 1, 80) AS px
+      FROM media
+    ), samples AS (
+      SELECT media_id, CAST(k AS BIGINT) AS j,
+             CAST(ascii(substr(px, CAST(2 * k + 1 AS INT), 1))
+                  + 256 * ascii(substr(px, CAST(2 * k + 2 AS INT), 1))
+                  AS BIGINT) AS b
+      FROM (SELECT media_id, px, unnest(generate_series(0, 39)) AS k
+            FROM geom)
+    ), tot AS (
+      SELECT media_id, CAST(sum(b) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM samples GROUP BY 1
+    ), blk AS (
+      SELECT y.media_id, b,
+             CASE WHEN j < (cnt % 16) * (cnt // 16 + 1)
+                  THEN j // (cnt // 16 + 1)
+                  ELSE (cnt % 16)
+                       + (j - (cnt % 16) * (cnt // 16 + 1))
+                         // greatest(cnt // 16, 1)
+             END AS blk_i,
+             cnt, s
+      FROM samples y JOIN tot USING (media_id)
+    ), bsum AS (
+      SELECT media_id, blk_i, CAST(sum(b) AS BIGINT) AS bs,
+             CAST(count(*) AS BIGINT) AS bn,
+             max(cnt) AS cnt, max(s) AS s
+      FROM blk GROUP BY 1, 2
+    ), fp AS (
+      SELECT media_id,
+             CAST(coalesce(sum(CASE WHEN bs * cnt > s * bn
+                        THEN CAST(1 AS BIGINT) << CAST(blk_i AS INT)
+                        ELSE 0 END), 0) AS BIGINT) AS ahash
+      FROM bsum GROUP BY 1
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+    tags=("X5", "X2", "U4", "J10", "F7"),
+)
+def multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-duplicate detection under the FULL exact gate — the
+    WAV twin of multimodal_image_neardup, which also puts the stdlib
+    WAV decode path (previously pytest-only) under a driver oracle:
+    constant-geometry 16-bit mono PCM clips (the 44-byte RIFF header is
+    a CONSTANT binary literal; the 80 data bytes are md5-hex ASCII, so
+    each little-endian sample is ascii(b0) + 256*ascii(b1) — hex-ASCII
+    high bytes cap at 102, every sample positive, |s| == s), every 4th
+    clip replanted verbatim, decoded by multimodal._raw_samples' wave
+    reader, fingerprinted by the same integer block-threshold aHash,
+    and paired by the banded hamming join. Entire pair set
+    SQL-replayed; exact copies pair at hamming 0 by construction."""
+    import struct
+
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = d.select(F.col("doc_id").alias("media_id"), F.col("doc_id").alias("src"))
+    mirrors = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
+            "media_id"
+        ),
+        F.col("doc_id").alias("src"),
+    )
+    data_len = 80  # 40 frames x 2 bytes, mono 16-bit
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+    px = F.expr("substring(repeat(md5(CAST(src AS STRING)), 3), 1, 80)")
+    media = base.unionByName(mirrors).select(
+        "media_id",
+        F.lit("synthetic.wav").alias("path"),
+        F.lit("wav").alias("format"),
+        F.lit(44 + data_len).cast("long").alias("n_bytes"),
+        F.concat(F.lit(header), px.cast("binary")).alias("content"),
+    )
+    fp = mm.image_ahash(media, bits=16)
+    return dedup.fingerprint_near_dup_pairs(
+        fp, id_col="media_id", fp_col="ahash", max_hamming=3, bits=16
+    )
+
+
 # bigram twin of _GRAMS3_SQL: i-th gram is the 2-element slice at i
 # (DuckDB list slices are inclusive), i in [1, len-1]
 _GRAMS2_SQL = (
