@@ -58,11 +58,13 @@ def decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """Decode an image payload to (width, height, feature_vector).
 
     REAL for the lib-free formats — binary PPM (P6) and uncompressed
-    24-bit BMP are parsed with numpy alone; WAV PCM (RIFF/WAVE) decodes
-    via the stdlib ``wave`` module, mapping (n_channels, sample_rate//
-    1000) into the (width, height) slots so audio rides the same feature
-    schema. COMPRESSED formats (png/jpeg/video) still raise: their
-    codecs (PIL/libvips/ffmpeg) are not in this container — callers fall
+    24-bit BMP are parsed with numpy alone; PNG (8-bit RGB/RGBA/gray,
+    any scanline filter) decodes via stdlib zlib + a numpy unfilter
+    (_decode_png); WAV PCM (RIFF/WAVE) decodes via the stdlib ``wave``
+    module, mapping (n_channels, sample_rate//1000) into the (width,
+    height) slots so audio rides the same feature schema.
+    ENTROPY-CODED formats (jpeg/video/gif) still raise: their codecs
+    (PIL/libvips/ffmpeg) are not in this container — callers fall
     back to ``extract_features(fake=True)`` for those, and the
     per-payload try/except in extract_features turns a mixed-format
     corpus into real features where possible, NULLs elsewhere.
@@ -76,13 +78,97 @@ def decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
         return _decode_ppm(content, dim)
     if head[:2] == b"BM":
         return _decode_bmp(content, dim)
+    if bytes(content[:8]) == b"\x89PNG\r\n\x1a\n":
+        w, h, arr = _decode_png_pixels(content)
+        return w, h, _pool_feature(arr.astype("float64") / 255.0, dim)
     if head == b"RIFF" and bytes(content[8:12]) == b"WAVE":
         return _decode_wav(content, dim)
     raise NotImplementedError(
-        "compressed-image/video decode requires PIL/libvips/ffmpeg — not "
-        "available in this environment; PPM/BMP/WAV decode natively, other "
-        "formats use extract_features(df, fake=True)"
+        "entropy-coded image/video decode (jpeg/gif/video) requires "
+        "PIL/libvips/ffmpeg — not available in this environment; "
+        "PPM/BMP/PNG/WAV decode natively, other formats use "
+        "extract_features(df, fake=True)"
     )
+
+
+def _decode_png_pixels(content: bytes):
+    """Lib-free PNG decode (stdlib zlib + numpy): 8-bit-depth grayscale
+    (color type 0), RGB (2) and RGBA (6), no interlace — chunk walk,
+    IDAT inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth, the
+    full filter set), alpha dropped so every image lands in the shared
+    (h, w, channels) pixel contract. Interlaced, paletted and sub-byte
+    depths raise: they are rare in training crawls and add no new
+    mechanism. Entropy-coded formats (jpeg) genuinely need external
+    codecs; DEFLATE does not — it ships in the standard library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    buf = bytes(content)
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = b""
+    while pos + 8 <= len(buf):
+        length, ctype = struct.unpack_from(">I4s", buf, pos)
+        data = buf[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise NotImplementedError("only 8-bit-depth PNG decodes natively")
+            if color not in (0, 2, 6):
+                raise NotImplementedError(
+                    "only grayscale/RGB/RGBA PNG decodes natively"
+                )
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+            ch = {0: 1, 2: 3, 6: 4}[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros_like(data)
+    for y in range(height):
+        f, cur = int(filters[y]), data[y].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the in-row left neighbor: scan x
+            row = out[y]
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 1:  # Sub
+                    v = cur[x] + a
+                elif f == 3:  # Average
+                    v = cur[x] + (a + b) // 2
+                elif f == 4:  # Paeth
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur[x] + pred
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                row[x] = v & 0xFF
+    px = out.reshape(height, width, ch)
+    if ch == 4:
+        px = px[:, :, :3]  # drop alpha: shared RGB pixel contract
+    return width, height, px
 
 
 def _pool_feature(arr, dim: int) -> list[float]:
@@ -177,6 +263,9 @@ def _raw_samples(content: bytes):
 
     buf = bytes(content)
     head = buf[:4]
+    if buf[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, px = _decode_png_pixels(buf)
+        return w, h, px.reshape(-1).astype(np.int64)
     if head[:2] == b"P6":
         pos, fields = 2, []
         while len(fields) < 3:
@@ -299,6 +388,56 @@ def image_ahash(media: DataFrame, bits: int = 16, fake: bool = False) -> DataFra
             "media_id bigint, width int, height int, "
             "n_samples bigint, ahash bigint"
         ),
+    )
+
+
+def png_encode(px_rows, filters, channels: int = 3) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit gray/RGB/RGBA, one filter type
+    per scanline): raw pixel rows -> valid PNG bytes. Exists for
+    synthetic fixtures and round-trip gates — the decode query encodes
+    md5-derived pixels with every filter type and the production decoder
+    must recover the exact byte sum."""
+    import struct
+    import zlib
+
+    h = len(px_rows)
+    stride = len(px_rows[0])
+    w = stride // channels
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = [0] * stride
+    for y, row in enumerate(px_rows):
+        f = filters[y]
+        line = []
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            pred = (0, a, b, (a + b) // 2, paeth(a, b, c))[f]
+            line.append((row[x] - pred) & 0xFF)
+        raw += bytes([f]) + bytes(line)
+        prev = row
+    color = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -2498,6 +2498,87 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 6 AS INT) AS width,
+             CAST(1 + doc_id % 3 AS INT) AS height,
+             substr(repeat(md5(CAST(doc_id AS VARCHAR)), 4), 1,
+                    (1 + doc_id % 6) * (1 + doc_id % 3) * 3) AS px
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id AS media_id, width, height,
+           CAST(list_sum(list_transform(
+             range(1, width * height * 3 + 1),
+             i -> ascii(substr(px, CAST(i AS INT), 1))
+           )) AS BIGINT) AS checksum
+    FROM media
+    """,
+    tags=("X5", "U4", "F7"),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lib-free PNG decoder under the exact cross-engine gate — the
+    DEFLATE-compressed twin of multimodal_decode_ppm, closing the
+    "compressed codecs are env-gated" residual for the one compressed
+    format the standard library can inflate: the same md5-hex pixels
+    (dimensions vary with doc_id) are ENCODED into real PNGs with the
+    scanline filter CYCLING through all five types per row
+    ((doc_id + y) % 5 — None/Sub/Up/Average/Paeth all exercised),
+    pushed through the production mapInPandas decode
+    (extract_features(fake=False) -> zlib inflate + numpy unfilter),
+    and the pixel byte sum recovered from the pooled feature must match
+    the oracle's SQL sum over the RAW pre-compression bytes. A chunk
+    walk that mis-parses, an unfilter that gets any predictor wrong, or
+    a stride/channel slip all flip the gate. Entropy-coded formats
+    (jpeg/video) remain env-gated — DEFLATE ships in the stdlib, their
+    codecs do not."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def _synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "path": [], "format": [], "n_bytes": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 6, 1 + did % 3
+                n = w * h * 3
+                px = (hashlib.md5(str(did).encode()).hexdigest() * 4)[:n].encode()
+                rows = [list(px[y * w * 3 : (y + 1) * w * 3]) for y in range(h)]
+                filters = [(did + y) % 5 for y in range(h)]
+                content = mm.png_encode(rows, filters, channels=3)
+                out["media_id"].append(did)
+                out["path"].append("synthetic.png")
+                out["format"].append("png")
+                out["n_bytes"].append(len(content))
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id").mapInPandas(
+        _synth,
+        schema="media_id bigint, path string, format string, n_bytes bigint, content binary",
+    )
+    feats = mm.extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(
+            F.element_at("feature", 1)
+            * (F.col("width") * F.col("height") * 3).cast("double")
+            * F.lit(255.0)
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+@register(
     "multimodal_image_neardup",
     oracle="""
     WITH media AS (

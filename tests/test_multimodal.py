@@ -137,10 +137,14 @@ class TestRealDecode:
         assert (n_ch, rate_k) == (1, 16)
         assert feat[0] == pytest.approx(np.abs(samples / 32768.0).mean())
 
-    def test_compressed_formats_still_raise(self):
+    def test_entropy_coded_formats_still_raise(self):
+        # PNG decodes natively as of r9 (zlib is stdlib); jpeg remains
+        # env-gated, and a garbage PNG raises (-> NULL row in the UDF)
         from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
 
         with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+        with pytest.raises(Exception):
             mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
     def test_mixed_corpus_through_real_path(self, spark):
@@ -241,3 +245,127 @@ class TestImageAhash:
 
         with _pt.raises(ValueError):
             dedup.fingerprint_near_dup_pairs(df, max_hamming=2, bits=16)
+
+
+def _encode_png(px_rows, filters, channels):
+    """Test-side PNG encoder: raw pixel rows + a filter type per row ->
+    valid PNG bytes (stdlib only). The decoder under test must undo each
+    filter exactly."""
+    import struct
+    import zlib
+
+    h, w = len(px_rows), len(px_rows[0]) // channels
+    stride = w * channels
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = [0] * stride
+    for y, row in enumerate(px_rows):
+        f = filters[y]
+        line = []
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - a
+            elif f == 2:
+                v = row[x] - b
+            elif f == 3:
+                v = row[x] - (a + b) // 2
+            else:
+                v = row[x] - paeth(a, b, c)
+            line.append(v & 0xFF)
+        raw += bytes([f]) + bytes(line)
+        prev = row
+    color = {1: 0, 3: 2, 4: 6}[channels]
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+class TestPngDecode:
+    def test_all_filters_round_trip(self):
+        import random
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        rnd = random.Random(31)
+        for channels in (1, 3, 4):
+            w, h = 5, 6
+            rows = [
+                [rnd.randrange(256) for _ in range(w * channels)] for _ in range(h)
+            ]
+            filters = [y % 5 for y in range(h)]  # every filter type used
+            png = _encode_png(rows, filters, channels)
+            gw, gh, px = mm._decode_png_pixels(png)
+            assert (gw, gh) == (w, h)
+            keep = min(channels, 3)  # alpha dropped
+            want = [
+                rows[y][x * channels + c]
+                for y in range(h)
+                for x in range(w)
+                for c in range(keep)
+            ]
+            assert px.reshape(-1).tolist() == want
+
+    def test_decode_image_and_raw_samples_agree(self):
+        import random
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        rnd = random.Random(37)
+        rows = [[rnd.randrange(256) for _ in range(4 * 3)] for _ in range(3)]
+        png = _encode_png(rows, [4, 1, 3], 3)
+        w, h, feat = mm.decode_image(png, dim=8)
+        assert (w, h) == (4, 3) and len(feat) == 8
+        flat = [b for r in rows for b in r]
+        assert abs(feat[0] - sum(flat) / len(flat) / 255.0) < 1e-12
+        w2, h2, arr = mm._raw_samples(png)
+        assert (w2, h2) == (4, 3) and arr.tolist() == flat
+
+    def test_unsupported_variants_raise(self):
+        import struct
+        import zlib
+
+        import pytest as _pt
+
+        from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        for depth, color, interlace in ((16, 2, 0), (8, 3, 0), (8, 2, 1)):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+            png = (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+                + chunk(b"IEND", b"")
+            )
+            with _pt.raises(NotImplementedError):
+                mm._decode_png_pixels(png)
