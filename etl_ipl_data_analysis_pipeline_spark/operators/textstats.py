@@ -968,8 +968,15 @@ def bm25_build_index(
     bucket = F.pmod(portable_hash64(F.col("term")), F.lit(num_buckets)).cast(
         "int"
     )
+    # repartition on the bucket before the partitioned write: without it
+    # every (doc, term)-hashed task writes a sliver into ~every bucket
+    # directory (tasks x num_buckets small files — per-file open overhead
+    # taxes every later partition-pruned search); with it each bucket is
+    # ONE file. The extra shuffle moves the index relation once, at build
+    # time — the side that is paid once by construction.
     (
         postings.withColumn("term_bucket", bucket)
+        .repartition(num_buckets, "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(path.rstrip("/") + "/postings")
@@ -977,6 +984,7 @@ def bm25_build_index(
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     (
         dfreq.withColumn("term_bucket", bucket)
+        .repartition(num_buckets, "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(path.rstrip("/") + "/dfreq")
@@ -1212,8 +1220,13 @@ def bm25_merge_many(
             u = u.unionByName(d)
         return u
 
+    # bucket-keyed write distribution: the fold is ALSO the small-file
+    # compaction point — N delta indexes' per-bucket slivers collapse to
+    # one file per bucket directory (same medicine as ivf_compact_index)
     (
-        _union("postings").write.mode("overwrite")
+        _union("postings")
+        .repartition(num_buckets, "term_bucket")
+        .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(out + "/postings")
     )
@@ -1228,8 +1241,11 @@ def bm25_merge_many(
             ),
         )
     )
-    dfreq.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        out + "/dfreq"
+    (
+        dfreq.repartition(num_buckets, "term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(out + "/dfreq")
     )
     stats = _union("stats").agg(
         F.sum("__n_docs").alias("__n_docs"),
