@@ -771,8 +771,11 @@ def ivf_build_index(
     )
     cent_df.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
     assigned = c.withColumn("cell", F.element_at(_cell_router(cn, 1)("embedding"), 1))
+    # cell-keyed write distribution: one file per inverted-list directory
+    # (otherwise every task writes a sliver into ~every cell dir)
     (
-        assigned.write.mode("overwrite")
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path + "/vectors")
     )
@@ -1473,8 +1476,11 @@ def ivf_build_index_exact(
         .join(c, F.col("vid") == F.col("vec_id"))
         .select("vec_id", "embedding", "cell")
     )
+    # cell-keyed write distribution (one file per inverted list; the
+    # compaction operator stays the medicine for APPEND accumulation)
     (
-        assigned.write.mode("overwrite")
+        assigned.repartition(F.col("cell"))
+        .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path.rstrip("/") + "/cells")
     )
@@ -1523,8 +1529,11 @@ def ivf_append_index_exact(
         .join(c, F.col("vid") == F.col("vec_id"))
         .select("vec_id", "embedding", "cell")
     )
+    # one file per touched cell PER APPEND (delta-sized shuffle);
+    # cross-append accumulation is ivf_compact_index's job
     (
-        assigned.write.mode("append")
+        assigned.repartition(F.col("cell"))
+        .write.mode("append")
         .partitionBy("cell")
         .parquet(path.rstrip("/") + "/cells")
     )
