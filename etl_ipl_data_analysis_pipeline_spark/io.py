@@ -22,6 +22,7 @@ import os
 import zipfile
 from collections.abc import Iterable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 STAR_TABLES = (
@@ -111,11 +112,21 @@ def write_parquet(
 
     ``partition_by`` turns downstream equality filters on those columns into
     partition pruning (whole directories skipped at planning time).
+    Partitioned writes repartition on the partition columns first so each
+    directory receives ONE file per writing task-group rather than a
+    sliver from every upstream task — tasks x partitions small files is
+    the classic partitioned-write mistake at scale.
     """
-    writer = df.write.mode(mode)
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+        cols = list(partition_by)
+        (
+            df.repartition(*[F.col(c) for c in cols])
+            .write.mode(mode)
+            .partitionBy(*cols)
+            .parquet(path)
+        )
+        return
+    df.write.mode(mode).parquet(path)
 
 
 def write_bucketed(
