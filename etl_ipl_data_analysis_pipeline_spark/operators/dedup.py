@@ -535,6 +535,81 @@ def fingerprint_near_dup_pairs(
     )
 
 
+def fingerprint_incremental_pairs(
+    new_fps: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    fp_col: str = "ahash",
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Cross-snapshot fingerprint probe — the incremental twin of
+    :func:`fingerprint_near_dup_pairs` (minhash_incremental_pairs'
+    contract applied to perceptual hashes): the existing corpus enters
+    ONLY as its (id, fingerprint) index, the new batch is banded the
+    same way, and each (new, old) pair within the Hamming radius
+    surfaces exactly once via the first-agreeing-band rule. Old media
+    bytes are never re-decoded — per batch the cost is the batch's
+    banding plus an equi-join against the band-keyed index.
+
+    Returns (new_id, old_id, hamming)."""
+    n_bands = max_hamming + 1
+    if bits % n_bands:
+        raise ValueError(
+            f"bits={bits} must divide into max_hamming+1={n_bands} equal bands"
+        )
+    w = bits // n_bands
+    mask = (1 << w) - 1
+
+    def banded(fp: DataFrame) -> DataFrame:
+        return fp.select(
+            "__id",
+            "__fp",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(F.col("__fp"), q * w).bitwiseAND(F.lit(mask))
+                        for q in range(n_bands)
+                    ]
+                )
+            ).alias("q_idx", "q_val"),
+        )
+
+    new_b = banded(
+        new_fps.select(
+            F.col(id_col).alias("__id"), F.col(fp_col).cast("bigint").alias("__fp")
+        ).filter(F.col("__fp").isNotNull())
+    ).alias("a")
+    old_b = banded(
+        index.select(
+            F.col(id_col).alias("__id"), F.col(fp_col).cast("bigint").alias("__fp")
+        ).filter(F.col("__fp").isNotNull())
+    ).alias("b")
+    xor = F.col("a.__fp").bitwiseXOR(F.col("b.__fp"))
+    hamming = F.bit_count(xor)
+    block = [
+        F.shiftright(xor, q * w).bitwiseAND(F.lit(mask)) for q in range(n_bands)
+    ]
+    first_zero = F.when(block[0] == 0, 0)
+    for q in range(1, n_bands - 1):
+        first_zero = first_zero.when(block[q] == 0, q)
+    first_zero = first_zero.otherwise(n_bands - 1)
+    return (
+        new_b.join(
+            old_b.hint("SHUFFLE_HASH"),
+            (F.col("a.q_idx") == F.col("b.q_idx"))
+            & (F.col("a.q_val") == F.col("b.q_val")),
+        )
+        .filter(F.col("a.q_idx") == first_zero)
+        .select(
+            F.col("a.__id").alias("new_id"),
+            F.col("b.__id").alias("old_id"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

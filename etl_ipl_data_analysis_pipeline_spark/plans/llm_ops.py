@@ -2578,9 +2578,39 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_image_neardup",
-    oracle="""
+def _synth_ppm_media(d: DataFrame) -> DataFrame:
+    """Shared fixture shape for the image-dedup gates: varying-dimension
+    binary PPMs whose pixels are md5-hex ASCII (pure functions of the
+    id), originals for doc_id < 40 plus VERBATIM replants of every 5th
+    at +200000. Used by the batch query and its streaming twin — both
+    must produce the identical pair set."""
+    base = d.select(F.col("doc_id").alias("media_id"), F.col("doc_id").alias("src"))
+    mirrors = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
+            "media_id"
+        ),
+        F.col("doc_id").alias("src"),
+    )
+    w = (F.lit(1) + F.col("src") % 6).cast("int")
+    h = (F.lit(1) + F.col("src") % 3).cast("int")
+    n_px = w * h * 3
+    px = F.expr(
+        "substring(repeat(md5(CAST(src AS STRING)), 4), 1, "
+        "(1 + src % 6) * (1 + src % 3) * 3)"
+    )
+    return base.unionByName(mirrors).select(
+        "media_id",
+        F.lit("synthetic.ppm").alias("path"),
+        F.lit("ppm").alias("format"),
+        n_px.cast("long").alias("n_bytes"),
+        F.concat(
+            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+            F.lit("\n255\n"), px,
+        ).cast("binary").alias("content"),
+    )
+
+
+_IMAGE_NEARDUP_ORACLE = """
     WITH media AS (
       SELECT doc_id AS media_id, doc_id AS src
       FROM documents WHERE doc_id < 40
@@ -2629,7 +2659,12 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.media_id < b.media_id
     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
-    """,
+    """
+
+
+@register(
+    "multimodal_image_neardup",
+    oracle=_IMAGE_NEARDUP_ORACLE,
     tags=("X5", "X2", "U4", "J10", "F7"),
 )
 def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2652,31 +2687,7 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal as mm
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    base = d.select(F.col("doc_id").alias("media_id"), F.col("doc_id").alias("src"))
-    mirrors = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 200000 + _planted_domain_guard("doc_id")).alias(
-            "media_id"
-        ),
-        F.col("doc_id").alias("src"),
-    )
-    w = (F.lit(1) + F.col("src") % 6).cast("int")
-    h = (F.lit(1) + F.col("src") % 3).cast("int")
-    n_px = w * h * 3
-    px = F.expr(
-        "substring(repeat(md5(CAST(src AS STRING)), 4), 1, "
-        "(1 + src % 6) * (1 + src % 3) * 3)"
-    )
-    media = base.unionByName(mirrors).select(
-        "media_id",
-        F.lit("synthetic.ppm").alias("path"),
-        F.lit("ppm").alias("format"),
-        n_px.cast("long").alias("n_bytes"),
-        F.concat(
-            F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
-            F.lit("\n255\n"), px,
-        ).cast("binary").alias("content"),
-    )
-    fp = mm.image_ahash(media, bits=16)
+    fp = mm.image_ahash(_synth_ppm_media(d), bits=16)
     return dedup.fingerprint_near_dup_pairs(
         fp, id_col="media_id", fp_col="ahash", max_hamming=3, bits=16
     )

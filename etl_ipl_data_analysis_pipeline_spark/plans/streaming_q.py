@@ -865,3 +865,60 @@ def stream_dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+def _register_stream_image_neardup():
+    from .llm_ops import _IMAGE_NEARDUP_ORACLE, _synth_ppm_media
+
+    @register(
+        "stream_image_neardup",
+        oracle=_IMAGE_NEARDUP_ORACLE,
+        tags=("L6", "X5", "X2", "U4", "J10", "F7"),
+    )
+    def stream_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING multimodal near-dup detection under the FULL exact
+        gate (streaming/sketch_stream.run_fingerprint_pair_stream): the
+        document stream arrives in micro-batches, each batch is
+        synthesized into the SAME PPM corpus as the batch query
+        (llm_ops._synth_ppm_media — originals + verbatim replants),
+        decoded and aHash-fingerprinted inside the batch, self-paired
+        AND probed against the persisted fingerprint index (old media
+        never re-decoded; the index holds one bigint per item), and the
+        accumulated pair table must be bit-identical to
+        multimodal_image_neardup's single-shot pair set — the SAME
+        full SQL oracle, now earned by a stream. Batch-boundary
+        independence: each media id (mirror included, co-derived with
+        its original's row) lives in exactly one batch, so every pair
+        is intra- or cross-batch exactly once; replay independence:
+        fingerprints are pure functions of the bytes."""
+        import shutil
+
+        from ..operators import multimodal as mm
+        from ..streaming import incremental, sketch_stream
+        from . import ensure_read_confs, table_path
+        from .pipeline_q import _scratch_dir
+
+        ensure_read_confs(spark)
+        path = table_path(sf_dir, "documents")
+        schema = spark.read.parquet(path).schema
+        docs = incremental._stream_reader(spark, path, "parquet", schema)
+        pairs_state = _scratch_dir(sf_dir, "img_pair_stream_state")
+        index_state = _scratch_dir(sf_dir, "img_pair_stream_index")
+        for p in (pairs_state, pairs_state + "__checkpoint", index_state):
+            shutil.rmtree(p, ignore_errors=True)
+
+        def fp_fn(batch: DataFrame) -> DataFrame:
+            media = _synth_ppm_media(batch.filter(F.col("doc_id") < 40))
+            return mm.image_ahash(media, bits=16)
+
+        return sketch_stream.run_fingerprint_pair_stream(
+            docs.select("doc_id"),
+            fp_fn,
+            pairs_state,
+            index_state,
+            max_hamming=3,
+            bits=16,
+        )
+
+
+_register_stream_image_neardup()

@@ -386,3 +386,93 @@ def run_minhash_pair_stream(
         empty, text_col, id_col, n, num_hashes, bands, seed, min_jaccard,
         hash_family,
     )
+
+
+def run_fingerprint_pair_stream(
+    stream_df: DataFrame,
+    fp_fn,
+    pairs_path: str,
+    index_path: str,
+    id_col: str = "media_id",
+    fp_col: str = "ahash",
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """Streaming PERCEPTUAL-HASH near-dup detection — the multimodal twin
+    of run_minhash_pair_stream: per micro-batch, ``fp_fn`` turns the raw
+    batch into an (id, fingerprint) relation (decode + image_ahash — the
+    only place media bytes are touched), the batch is (1) self-paired
+    (dedup.fingerprint_near_dup_pairs), (2) probed against the persisted
+    fingerprint index (dedup.fingerprint_incremental_pairs — old media
+    never re-decoded), and (3) both pair sets fold into the persisted
+    pair table while the batch's fingerprints merge into the index.
+    Every corpus pair is intra- or cross-batch exactly once, so the
+    accumulated table equals the single-shot batch pair set whatever the
+    micro-batch boundaries — and because the integer aHash is a pure
+    function of the media bytes, the streamed result sits under the SAME
+    full SQL oracle as the batch query.
+
+    Replay safety mirrors the minhash stream: fingerprints are pure
+    functions of content, pairs normalize to (least, greatest), and both
+    merges dedup by key, so a re-delivered batch re-derives rows the
+    distinct absorbs. Per batch: O(batch decode) + banded joins sized by
+    the batch and its matches + O(state) key-dedup merges; the index
+    holds one bigint per media item — never the bytes."""
+    import pyspark.sql.functions as F
+
+    from ..operators import dedup as _dedup
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        fps = fp_fn(batch).select(id_col, fp_col)
+        intra = _dedup.fingerprint_near_dup_pairs(
+            fps, id_col=id_col, fp_col=fp_col,
+            max_hamming=max_hamming, bits=bits,
+        )
+        have_index = recover_swapped(sess, index_path)
+        if have_index:
+            index = sess.read.parquet(index_path)
+            cross = (
+                _dedup.fingerprint_incremental_pairs(
+                    fps, index, id_col=id_col, fp_col=fp_col,
+                    max_hamming=max_hamming, bits=bits,
+                )
+                .filter(F.col("new_id") != F.col("old_id"))
+                .select(
+                    F.least("new_id", "old_id").alias("id_a"),
+                    F.greatest("new_id", "old_id").alias("id_b"),
+                    "hamming",
+                )
+            )
+            new_pairs = intra.unionByName(cross)
+        else:
+            index = None
+            new_pairs = intra
+        if recover_swapped(sess, pairs_path):
+            cur = sess.read.parquet(pairs_path)
+            merged_pairs = cur.unionByName(new_pairs).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+        else:
+            merged_pairs = new_pairs
+        _swap_write(merged_pairs, pairs_path)
+        merged_idx = (
+            index.unionByName(fps).dropDuplicates([id_col])
+            if have_index
+            else fps
+        )
+        _swap_write(merged_idx, index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", pairs_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if recover_swapped(spark, pairs_path):
+        return spark.read.parquet(pairs_path)
+    return spark.createDataFrame([], "id_a bigint, id_b bigint, hamming int")

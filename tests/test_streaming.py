@@ -577,3 +577,70 @@ def test_minhash_pair_stream_equals_batch_and_survives_replay(spark, tmp_path):
         stream(), pairs_state, index_state, min_jaccard=0.5, hash_family="md5"
     )
     assert rows_of(again) == want_rows
+
+
+def test_fingerprint_pair_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """Streaming perceptual-hash dedup: 3 file-grain micro-batches of
+    synthetic PPMs with exact copies INSIDE and ACROSS batches must
+    accumulate exactly the single-shot fingerprint pair set; a full
+    re-delivery with both states kept (checkpoint wiped — the
+    crash-after-index-swap worst case) leaves the table unchanged."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import (
+        dedup,
+        multimodal as mm,
+    )
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    def ppm(seed):
+        px = bytes((seed * 29 + i * 17) % 256 for i in range(27))
+        return b"P6\n3 3\n255\n" + px
+
+    rows = []
+    for i in range(12):
+        rows.append((i, bytearray(ppm(i % 4))))  # 4 classes -> many copies
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    src = str(tmp_path / "img_src")
+    for i in range(3):
+        df.filter((F.col("media_id") % 3) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def fp_fn(batch):
+        media = batch.select(
+            "media_id",
+            F.lit("x.ppm").alias("path"),
+            F.lit("ppm").alias("format"),
+            F.lit(27).cast("long").alias("n_bytes"),
+            "content",
+        )
+        return mm.image_ahash(media, bits=16)
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    pairs_state = str(tmp_path / "img_pairs")
+    index_state = str(tmp_path / "img_index")
+    got = sketch_stream.run_fingerprint_pair_stream(
+        stream(), fp_fn, pairs_state, index_state, max_hamming=0, bits=16
+    )
+    want = dedup.fingerprint_near_dup_pairs(
+        fp_fn(df), max_hamming=0, bits=16
+    )
+    rows_of = lambda d: sorted(map(tuple, d.collect()))
+    want_rows = rows_of(want)
+    assert rows_of(got) == want_rows and len(want_rows) > 0
+    # full replay: wipe the checkpoint only, both states survive
+    shutil.rmtree(pairs_state + "__checkpoint", ignore_errors=True)
+    again = sketch_stream.run_fingerprint_pair_stream(
+        stream(), fp_fn, pairs_state, index_state, max_hamming=0, bits=16
+    )
+    assert rows_of(again) == want_rows
