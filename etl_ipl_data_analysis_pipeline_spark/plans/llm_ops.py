@@ -842,6 +842,99 @@ def topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle(k: int, nprobe: int) -> str:
+    """Oracle of ivf_recall_audit: the exact-IVF CTE chain (unrolled
+    Lloyd + decimal assignment/routing at the given nprobe) and the
+    brute-force top-k CTE, intersected per probe. Both rankers are
+    deterministic (6dp cosine, (sim DESC, vec_id) tie-break), so the
+    recall table is exact."""
+    body, last = _kmeans_cte(16, 2)
+    return f"""
+    WITH {body}, cm AS (
+      SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
+    ), dists AS (
+      SELECT e.vid, c.cid,
+             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+      FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vid, cid,
+             row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
+      FROM dists
+    ), acell AS (
+      SELECT vid, cid FROM ranked WHERE rn = 1
+    ), routed AS (
+      SELECT vid AS query_id, cid FROM ranked WHERE vid < 5 AND rn <= {nprobe}
+    ), ivfk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT r.query_id, a.vid AS vec_id,
+               row_number() OVER (
+                   PARTITION BY r.query_id
+                   ORDER BY {_COS6_SQL} DESC, a.vid) AS rn
+        FROM routed r
+        JOIN acell a USING (cid)
+        JOIN embeddings pe ON pe.vec_id = r.query_id
+        JOIN embeddings ce ON ce.vec_id = a.vid
+        WHERE a.vid != r.query_id
+      ) WHERE rn <= {k}
+    ), bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT pe.vec_id AS query_id, ce.vec_id,
+               row_number() OVER (
+                   PARTITION BY pe.vec_id
+                   ORDER BY {_COS6_SQL} DESC, ce.vec_id) AS rn
+        FROM embeddings pe
+        JOIN embeddings ce ON ce.vec_id != pe.vec_id
+        WHERE pe.vec_id < 5
+      ) WHERE rn <= {k}
+    )
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(ivfk.vec_id) AS BIGINT) AS n_hits,
+           round(count(ivfk.vec_id) / {float(k)}, 4) AS recall_at_k
+    FROM bf LEFT JOIN ivfk USING (query_id, vec_id)
+    GROUP BY 1
+    """
+
+
+@register(
+    "ivf_recall_audit",
+    oracle=_ivf_recall_oracle(5, 2),
+    tags=("X3", "J10", "W4", "A4"),
+)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION under the exact gate — the recall
+    dashboard an ANN deployment runs continuously (the minhash
+    estimator-audit shape applied to vector search): per probe, the
+    exact-IVF top-k at a deliberately tight nprobe=2 (half the serving
+    default, so recall is allowed to dip below 1) is compared against
+    the brute-force exact top-k, and recall@k is reported. Both rankers
+    are decimal-deterministic, so the metric table itself — not just
+    the rankings — replays in SQL: a routing drift, a tie-break slip,
+    or an intersection bug shows up as a hash flip, not a plausible
+    wrong number. At scale the truth leg runs on a fixed probe PANEL
+    (here 5 probes), which is how recall is audited in production —
+    the corpus-sized cost is the panel's brute force, paid per audit,
+    never per query."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.brute_force_topk(e, probes, k=5, probe_id_col="query_id")
+    approx = similarity.ivf_topk_exact(
+        e, probes, k=5, nprobe=2, probe_id_col="query_id"
+    )
+    hits = truth.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("__hit").alias("n_hits"),
+        F.round(F.count("__hit") / F.lit(5.0), 4).alias("recall_at_k"),
+    )
+
+
 def _planted_probe_mirrors(e):
     """Probe vectors (vec_id < 5) re-inserted verbatim at +200000 — the
     recall-gate corpus for the approximate top-k variants."""
