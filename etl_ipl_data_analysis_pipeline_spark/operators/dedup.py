@@ -877,7 +877,11 @@ def semantic_dedup(
     it becomes untenable). Never default it at scale. Past ~10^4
     derived centroids the k×dim broadcast itself is the ceiling; there
     the shape is hierarchical — cluster to √n coarse cells first, then
-    run this operator per coarse cell.
+    run this operator per coarse cell — which is exactly what
+    ``assign="hierarchical"`` does: k1 = ceil(sqrt(k)) coarse Arrow
+    cells, then a per-coarse-cell LOCAL spherical fit via applyInPandas
+    with its own governed k2, emitting composite (coarse, sub) cells.
+    The centroid state any single node holds shrinks to ~sqrt(k) x dim.
     """
     from .similarity import (
         _as_double_array,
@@ -973,6 +977,66 @@ def semantic_dedup(
                         + F.lit(1)
                     ).alias("cell"),
                 )
+    elif assign == "hierarchical":
+        # The > ~10^4-centroid regime (n_unique > ~10^7 under governed
+        # k), where the fast path's k x dim centroid broadcast becomes
+        # the ceiling: route through TWO levels. Level 1 clusters the
+        # reps to k1 = ceil(sqrt(k)) coarse cells (broadcast shrinks to
+        # sqrt(k) x dim); level 2 fits a LOCAL spherical k-means per
+        # coarse cell via applyInPandas — each group is ~n/k1 vectors,
+        # whole in one pandas frame, its own k2 governed by
+        # target_cell_size — and emits composite (coarse, sub) cells.
+        # Deterministic under any partitioning: groups arrive whole,
+        # rows are sorted by id, init is the first k2 sorted rows, and
+        # numpy arithmetic has no partition order. Identical vectors
+        # were already collapsed, so co-routing is inherited; cells only
+        # steer which candidates meet (the fast-path contract).
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        from .similarity import _cell_router, _normalize_rows, kmeans_centroids
+
+        k1 = max(1, math.isqrt(max(k - 1, 0)) + 1 if k > 1 else 1)
+        cn1 = kmeans_centroids(
+            rep_emb, k=k1, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        coarse = reps.select("__vid", "__vec").withColumn(
+            "__coarse", F.element_at(_cell_router(cn1, 1)("__vec"), 1)
+        )
+        _sub_lim = 1_000_000
+        _tcs, _iters = target_cell_size, iters
+
+        def _fit_assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            pdf = pdf.sort_values("__vid").reset_index(drop=True)
+            X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            n_local = len(pdf)
+            k2 = max(1, -(-n_local // _tcs))
+            assert k2 < _sub_lim - 1, "sub-cell count would overflow the key"
+            Xn = _normalize_rows(X)
+            C = Xn[:k2].copy()
+            sub = np.zeros(n_local, dtype=np.int64)
+            for _ in range(_iters):
+                Cn = _normalize_rows(C)
+                sub = np.argmax(Xn @ Cn.T, axis=1)
+                for j in range(k2):
+                    m = sub == j
+                    if m.any():
+                        C[j] = X[m].mean(axis=0)
+            coarse_id = int(pdf["__coarse"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "__vid": pdf["__vid"],
+                    "__vec": pdf["__vec"],
+                    "cell": coarse_id * _sub_lim + sub + 1,
+                }
+            )
+
+        members = coarse.groupBy("__coarse").applyInPandas(
+            _fit_assign, schema="__vid long, __vec array<double>, cell long"
+        )
+        members = members.localCheckpoint(eager=True)
     elif assign == "exact":
         cents = kmeans_exact(
             rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
@@ -995,7 +1059,9 @@ def semantic_dedup(
             .join(reps.select("__vid", "__vec"), "__vid")
         )
     else:
-        raise ValueError(f"assign must be 'exact' or 'fast', got {assign!r}")
+        raise ValueError(
+            f"assign must be 'fast', 'hierarchical' or 'exact', got {assign!r}"
+        )
     # Precompute each member's norm ONCE (n interpreted array folds) so the
     # quadratic pair stage evaluates only the dot — HOF lambdas run
     # interpreted with no CSE, and cosine_similarity's inline norms would

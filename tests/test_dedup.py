@@ -509,3 +509,35 @@ def test_semantic_dedup_fast_rebalance_preserves_contract(spark):
         ).collect()
     }
     assert survivors_off == survivors
+
+
+def test_semantic_dedup_hierarchical_keeps_contract(spark):
+    """assign='hierarchical' (two-level routing: coarse Arrow cells, then
+    per-coarse-cell LOCAL fits via applyInPandas — the >10^4-centroid
+    regime's shape) must keep the fast-path contract: exact copies die
+    via the collapse with recall 1, and at a threshold no distinct pair
+    reaches, every unique vector survives whatever the carved cells.
+    Partitioning independence: survivors identical at 1 and 13
+    partitions."""
+    import random
+
+    rnd = random.Random(19)
+    base = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    mirrors = [(500 + i, vec) for i, vec in base[:7]]
+    emb = spark.createDataFrame(base + mirrors, "vec_id long, embedding array<double>")
+    survivors = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb, iters=2, min_sim=0.999, assign="hierarchical",
+            target_cell_size=8,
+        ).collect()
+    }
+    assert survivors == {i for i, _ in base}
+    again = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb.repartition(13), iters=2, min_sim=0.999,
+            assign="hierarchical", target_cell_size=8,
+        ).collect()
+    }
+    assert again == survivors
