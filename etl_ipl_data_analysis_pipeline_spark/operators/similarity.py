@@ -1539,6 +1539,51 @@ def ivf_append_index_exact(
     )
 
 
+def ivf_search_many_exact(
+    spark,
+    paths: list[str],
+    probes: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+) -> DataFrame:
+    """Scatter-gather search over N independent persisted IVF indexes —
+    the multi-shard serving shape BETWEEN compactions (per-epoch indexes
+    each built under its OWN model, e.g. daily builds that have not been
+    folded yet): every shard is searched with its own centroids and
+    partition pruning (ivf_search_index_exact), the per-shard top-k
+    candidate lists union (N x k x probes rows — bounded by list length,
+    never corpus), and one global (sim DESC, vec_id) window re-ranks to
+    the fused top-k. Scores are the same 6dp exact cosine in every
+    shard, so cross-shard ranks compare directly — no per-shard score
+    calibration (the property that makes scatter-gather sound). An
+    exact planted copy scores 1.0 in whichever shard holds it and
+    survives any fusion — the recall-1 gate carries across shards.
+
+    Contract: shard id spaces disjoint (the ledger's job). Searching N
+    shards costs ~N x one-shard search; fold shards with appends +
+    ivf_compact_index on a cadence to get back to one."""
+    parts = [
+        ivf_search_index_exact(
+            spark, p, probes, k=k, nprobe=nprobe,
+            vec_col=vec_col, probe_id_col=probe_id_col,
+        )
+        for p in paths
+    ]
+    if not parts:
+        raise ValueError("ivf_search_many_exact needs at least one index")
+    u = parts[0]
+    for d in parts[1:]:
+        u = u.unionByName(d)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_compact_index(spark, path: str) -> None:
     """Compact a persisted IVF index's cell partitions after N delta
     appends — the file-count maintenance half of the daily-cadence

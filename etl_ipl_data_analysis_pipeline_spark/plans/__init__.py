@@ -95,13 +95,14 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
 # Round-9 rotation — NEVER-SAMPLED + CHANGED-THIS-ROUND + STALEST-FIRST:
-# (1) the 10 never-sampled queries: topk_ivf_appended_planted (VERDICT r8
+# (1) the 11 never-sampled queries: topk_ivf_appended_planted (VERDICT r8
 # item 2 — landed two commits before the r8 snapshot, judge-verified
-# locally but never in a driver window) plus round 9's nine new queries
+# locally but never in a driver window) plus round 9's ten new queries
 # (the fast hybrid pairing, the N-way BM25 compaction, the multi-delta
 # IVF append, the append+compact lifecycle under the full exact oracle,
 # the integer-aHash image near-dup and its WAV twin, the lib-free PNG
-# decode gate, the streamed aHash dedup, the exact-gated recall audit);
+# decode gate, the streamed aHash dedup, the exact-gated recall audit,
+# the scatter-gather shard search);
 # (2) the 4 queries whose code changed in round 9 and must re-green
 # (agg_stats on the one-scan histogram plan, dedup_semantic_planted with
 # assign='exact' pinned at the query after the operator default flip,
@@ -124,6 +125,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_png",  # NEW r9: zlib+numpy PNG decode, all filters
     "stream_image_neardup",  # NEW r9: streamed aHash dedup, same full oracle
     "ivf_recall_audit",  # NEW r9: recall@k metric table, exact-gated
+    "topk_ivf_sharded_planted",  # NEW r9: scatter-gather over per-epoch shards
     # -- changed in round 9: must re-green --
     "agg_stats",  # one-scan value-histogram profile rewrite
     "dedup_semantic_planted",  # operator default flipped; exact pinned here
@@ -166,7 +168,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "csv_roundtrip_customer",
     "curate_corpus",
     "dedup_cluster_keep_best",
-    "dedup_incremental_batch",
 )
 
 

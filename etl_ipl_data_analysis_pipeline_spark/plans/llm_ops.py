@@ -822,6 +822,52 @@ def topk_ivf_appended_compacted_exact(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "topk_ivf_sharded_planted",
+    oracle="""
+    SELECT vec_id AS query_id, vec_id + 200000 AS vec_id,
+           CAST(1.0 AS DOUBLE) AS sim
+    FROM embeddings WHERE vec_id < 3
+    """,
+    tags=("X3", "SNK1", "J10", "W4"),
+)
+def topk_ivf_sharded_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather over per-epoch shards under the deterministic
+    recall gate (similarity.ivf_search_many_exact): the corpus is split
+    into TWO independently-built indexes — each with its OWN centroid
+    model, the daily-builds-before-compaction shape — probe mirrors
+    planted in shard 2 only, and the fused global top-k must surface
+    every mirror at sim 1.0: the mirror routes within its own shard's
+    model, scores the same 6dp exact cosine as every other shard's
+    candidates, and no calibration step exists to lose it. A shard
+    skipped, a fusion window that ranks per shard instead of globally,
+    or score drift between shards breaks the gate."""
+    import shutil
+
+    from .pipeline_q import _scratch_dir
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mirrors = e.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 200000 + _planted_domain_guard("vec_id")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    shard1 = e.filter(F.col("vec_id") % 2 == 0)
+    shard2 = e.filter(F.col("vec_id") % 2 == 1).unionByName(mirrors)
+    paths = []
+    for i, shard in enumerate((shard1, shard2)):
+        p = _scratch_dir(sf_dir, f"ivf_shard_{i}")
+        shutil.rmtree(p, ignore_errors=True)
+        similarity.ivf_build_index_exact(shard, p)
+        paths.append(p)
+    out = similarity.ivf_search_many_exact(spark, paths, probes, k=5)
+    return out.filter(F.col("vec_id") - F.col("query_id") == 200000)
+
+
+@register(
     "topk_cosine_lsh",
     oracle=_lsh_exact_oracle(5, 8, 64, 42),
     tags=("X3", "J10", "W1"),
