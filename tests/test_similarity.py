@@ -821,3 +821,43 @@ class TestPQAppend:
         )
         assert b2 == a2 and b2
         assert len(_glob.glob(pq + "/codes/*.parquet")) == 1 < pre2
+
+    def test_scatter_gather_fuses_shards(self, spark, sf_dir, tmp_path):
+        """ivf_search_many_exact over one shard equals the direct search;
+        over two shards, candidates from BOTH shards fuse into one
+        globally-ranked top-k (a planted mirror in shard 2 tops it)."""
+        import pyspark.sql.functions as F
+
+        from etl_ipl_data_analysis_pipeline_spark.plans import load
+
+        e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        probes = e.filter("vec_id < 2").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        similarity.ivf_build_index_exact(e.filter("vec_id % 2 = 0"), p1)
+        similarity.ivf_build_index_exact(
+            e.filter("vec_id % 2 = 1").unionByName(
+                e.filter("vec_id < 2").select(
+                    (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+                )
+            ),
+            p2,
+        )
+        solo = sorted(
+            map(tuple, similarity.ivf_search_index_exact(spark, p1, probes, k=5).collect())
+        )
+        many1 = sorted(
+            map(tuple, similarity.ivf_search_many_exact(spark, [p1], probes, k=5).collect())
+        )
+        assert solo == many1
+        fused = similarity.ivf_search_many_exact(spark, [p1, p2], probes, k=5)
+        rows = {(r["query_id"], r["vec_id"]): r["sim"] for r in fused.collect()}
+        for q in range(2):
+            assert rows.get((q, q + 900000)) == 1.0  # shard-2 mirror fused in
+        shards = {v % 2 for (_, v) in rows if v < 900000}
+        assert shards == {0, 1}  # candidates from BOTH shards present
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            similarity.ivf_search_many_exact(spark, [], probes)
