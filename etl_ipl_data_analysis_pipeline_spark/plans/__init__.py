@@ -109,7 +109,9 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # topk_cosine after the norm hoist, topk_ivf_planted after ivf_topk
 # gained the iters knob);
 # (3) the ENTIRE freshest-evidence-is-round-3 cohort (30), then
-# round-4 cohort fill (12, alphabetical). Exactly 50.
+# round-4 cohort fill (5, alphabetical — each late-r9 query displaced
+# one r4 filler; the r4 cohort's remainder rotates in round 10).
+# Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history
 # (EVIDENCE.md) that justifies this ordering — regenerated this round,
 # latest verdict green for all 242 previously-sampled queries.
