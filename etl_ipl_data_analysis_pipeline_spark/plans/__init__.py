@@ -95,21 +95,21 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # first 50 names of that round's registry order). Order the registry
 # EXPLICITLY so the queries whose evidence is most valuable come first.
 # Round-9 rotation — NEVER-SAMPLED + CHANGED-THIS-ROUND + STALEST-FIRST:
-# (1) the 11 never-sampled queries: topk_ivf_appended_planted (VERDICT r8
+# (1) the 12 never-sampled queries: topk_ivf_appended_planted (VERDICT r8
 # item 2 — landed two commits before the r8 snapshot, judge-verified
-# locally but never in a driver window) plus round 9's ten new queries
+# locally but never in a driver window) plus round 9's eleven new queries
 # (the fast hybrid pairing, the N-way BM25 compaction, the multi-delta
 # IVF append, the append+compact lifecycle under the full exact oracle,
 # the integer-aHash image near-dup and its WAV twin, the lib-free PNG
-# decode gate, the streamed aHash dedup, the exact-gated recall audit,
-# the scatter-gather shard search);
+# decode gate, the streamed aHash dedup, the scatter-gather shard
+# search, and the exact-gated IVF + LSH recall audits);
 # (2) the 4 queries whose code changed in round 9 and must re-green
 # (agg_stats on the one-scan histogram plan, dedup_semantic_planted with
 # assign='exact' pinned at the query after the operator default flip,
 # topk_cosine after the norm hoist, topk_ivf_planted after ivf_topk
 # gained the iters knob);
 # (3) the ENTIRE freshest-evidence-is-round-3 cohort (30), then
-# round-4 cohort fill (5, alphabetical — each late-r9 query displaced
+# round-4 cohort fill (4, alphabetical — each late-r9 query displaced
 # one r4 filler; the r4 cohort's remainder rotates in round 10).
 # Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history
@@ -128,6 +128,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_image_neardup",  # NEW r9: streamed aHash dedup, same full oracle
     "ivf_recall_audit",  # NEW r9: recall@k metric table, exact-gated
     "topk_ivf_sharded_planted",  # NEW r9: scatter-gather over per-epoch shards
+    "lsh_recall_audit",  # NEW r9: recall@k for the LSH family
     # -- changed in round 9: must re-green --
     "agg_stats",  # one-scan value-histogram profile rewrite
     "dedup_semantic_planted",  # operator default flipped; exact pinned here
@@ -169,7 +170,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "cms_user_frequency",
     "csv_roundtrip_customer",
     "curate_corpus",
-    "dedup_cluster_keep_best",
 )
 
 

@@ -942,6 +942,95 @@ def _ivf_recall_oracle(k: int, nprobe: int) -> str:
     """
 
 
+def _lsh_recall_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
+    """Oracle of lsh_recall_audit: the seeded-hyperplane bucket CTEs
+    (same literals as _lsh_exact_oracle), the bucket-restricted top-k,
+    the brute-force truth, and the per-probe intersection."""
+    mat = similarity._plane_matrix(n_planes, dim, seed)
+    vals = ", ".join(
+        f"({i + 1}, {j}, {mat[i, j]!r})" for i in range(dim) for j in range(n_planes)
+    )
+    return f"""
+    WITH w(pos, plane, wt) AS (
+      SELECT * FROM (VALUES {vals})
+    ), ex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), dots AS (
+      SELECT vec_id, plane, sum(CAST(v * wt AS DECIMAL(38,12))) AS dot
+      FROM ex JOIN w USING (pos) GROUP BY 1, 2
+    ), bkt AS (
+      SELECT vec_id,
+             sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << plane
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY 1
+    ), lshk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.vec_id AS query_id, c.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY {_COS6_SQL} DESC, c.vec_id) AS rn
+        FROM bkt p
+        JOIN bkt c ON c.bucket = p.bucket AND c.vec_id != p.vec_id
+        JOIN embeddings pe ON pe.vec_id = p.vec_id
+        JOIN embeddings ce ON ce.vec_id = c.vec_id
+        WHERE p.vec_id < 5
+      ) WHERE rn <= {k}
+    ), bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT pe.vec_id AS query_id, ce.vec_id,
+               row_number() OVER (
+                   PARTITION BY pe.vec_id
+                   ORDER BY {_COS6_SQL} DESC, ce.vec_id) AS rn
+        FROM embeddings pe
+        JOIN embeddings ce ON ce.vec_id != pe.vec_id
+        WHERE pe.vec_id < 5
+      ) WHERE rn <= {k}
+    )
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(lshk.vec_id) AS BIGINT) AS n_hits,
+           round(count(lshk.vec_id) / {float(k)}, 4) AS recall_at_k
+    FROM bf LEFT JOIN lshk USING (query_id, vec_id)
+    GROUP BY 1
+    """
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=_lsh_recall_oracle(5, 8, 64, 42),
+    tags=("X3", "J10", "W4", "A4"),
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k for the hyperplane-LSH family — ivf_recall_audit's twin
+    for the second ANN index family: lsh_topk_exact's single-bucket
+    candidate set (8 planes — candidates must agree on every sign bit,
+    a deliberately harsh bucketing so recall dips well below 1) against
+    the brute-force truth panel, per probe, fully exact-gated because
+    both rankers are decimal-deterministic. Together the two audits
+    give a retrieval deployment its recall dashboard across index
+    families under one hash discipline."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = similarity.brute_force_topk(e, probes, k=5, probe_id_col="query_id")
+    approx = similarity.lsh_topk_exact(
+        e, probes, k=5, n_planes=8, probe_id_col="query_id"
+    )
+    hits = truth.select("query_id", "vec_id").join(
+        approx.select("query_id", "vec_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("__hit").alias("n_hits"),
+        F.round(F.count("__hit") / F.lit(5.0), 4).alias("recall_at_k"),
+    )
+
+
 @register(
     "ivf_recall_audit",
     oracle=_ivf_recall_oracle(5, 2),
