@@ -107,6 +107,8 @@ def write_parquet(
     path: str,
     mode: str = "overwrite",
     partition_by: Iterable[str] | None = None,
+    files_per_partition: int = 1,
+    max_records_per_file: int | None = None,
 ) -> None:
     """SNK1 (transformation_job.py:45) + partitioning for scale.
 
@@ -116,17 +118,52 @@ def write_parquet(
     directory receives ONE file per writing task-group rather than a
     sliver from every upstream task — tasks x partitions small files is
     the classic partitioned-write mistake at scale.
+
+    The repartition's flip side is SKEW: one task per distinct partition
+    value means a hot value (lang='en' at 90% of the corpus) serializes
+    into a single task writing one multi-GB file. Two knobs:
+    ``files_per_partition`` > 1 adds a deterministic row-content salt to
+    the repartition key, splitting every directory's write across that
+    many tasks/files (use for known-hot partition columns);
+    ``max_records_per_file`` caps file length via Spark's
+    ``maxRecordsPerFile`` so even a one-task directory rolls over into
+    bounded files (caps file SIZE but not task parallelism — pair with
+    the salt when the bottleneck is the task, not the file). Defaults
+    keep the balanced-input one-file-per-dir property.
     """
     if partition_by:
         cols = list(partition_by)
-        (
-            df.repartition(*[F.col(c) for c in cols])
-            .write.mode(mode)
-            .partitionBy(*cols)
-            .parquet(path)
-        )
+        keys = [F.col(c) for c in cols]
+        if files_per_partition > 1:
+            # content-hash salt (not rand/partition-id): deterministic
+            # across retries, so a re-run of a failed stage lands rows in
+            # the same output task
+            keys.append(
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.lit(files_per_partition),
+                )
+            )
+            # explicit partition count: the caller asked for the split,
+            # so pin it — a bare repartition(cols) lets AQE coalesce the
+            # salted sub-partitions back together whenever they look
+            # small, exactly the hot-value serialization being avoided
+            n = max(
+                files_per_partition * 8,
+                int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+            )
+            rep = df.repartition(n, *keys)
+        else:
+            rep = df.repartition(*keys)
+        writer = rep.write.mode(mode)
+        if max_records_per_file is not None:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(*cols).parquet(path)
         return
-    df.write.mode(mode).parquet(path)
+    writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
 
 
 def write_bucketed(
@@ -420,3 +457,202 @@ def compact_parquet(
     out = df.coalesce(n_target) if n_target < n_parts else df.repartition(n_target)
     out.write.mode("overwrite").parquet(dest_dir)
     return n_before, _count_parquet_files(dest_dir)
+
+
+def _compact_manifest_path(path: str) -> str:
+    return path.rstrip("/") + ".__compact_manifest__"
+
+
+def _compact_staging_path(path: str) -> str:
+    return path.rstrip("/") + ".__compact__"
+
+
+def _list_data_files(spark: SparkSession, path: str):
+    """Recursively list a table's parquet data files as
+    (relative_dir, absolute_path, bytes) via the Hadoop FS API —
+    any scheme, committer metadata (_SUCCESS, ...) excluded."""
+    fs, root, jvm = _fs_and_path(spark, path)
+    root_uri = fs.makeQualified(root).toString().rstrip("/")
+    out = []
+    it = fs.listFiles(root, True)  # recursive RemoteIterator
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        full = p.toString()
+        rel = full[len(root_uri) :].lstrip("/")
+        rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        out.append((rel_dir, full, int(st.getLen())))
+    return out
+
+
+def _finish_compaction(spark: SparkSession, path: str) -> None:
+    """Commit phase of :func:`compact_table`, idempotent so crash
+    recovery can simply re-run it: move every staged file into its
+    table directory (skip the already-moved), then delete the
+    manifest-listed originals (skip the already-deleted), then clear
+    manifest + staging. At no instant is any row ONLY in a deleted
+    file: staged copies move in before their sources are removed, so
+    the transient state is duplication (repaired here), never loss."""
+    import json
+
+    fs, root, jvm = _fs_and_path(spark, path)
+    mpath = jvm.org.apache.hadoop.fs.Path(_compact_manifest_path(path))
+    staging = _compact_staging_path(path)
+    # read the (one-line JSON) manifest through the DataFrame text
+    # source — same FS abstraction as everything else, no raw-stream
+    # juggling over py4j
+    manifest = json.loads(
+        "".join(
+            r[0]
+            for r in spark.read.text(_compact_manifest_path(path)).collect()
+        )
+    )
+    for rel in manifest["staged"]:
+        src = jvm.org.apache.hadoop.fs.Path(staging + "/" + rel)
+        dst = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + rel)
+        if not fs.exists(src):
+            continue  # moved by a previous (crashed) commit attempt
+        parent = dst.getParent()
+        if not fs.exists(parent):
+            fs.mkdirs(parent)
+        if not fs.rename(src, dst):
+            raise IOError(f"compaction commit: rename {src} -> {dst} failed")
+    for full in manifest["delete"]:
+        fp = jvm.org.apache.hadoop.fs.Path(full)
+        if fs.exists(fp):
+            fs.delete(fp, False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    fs.delete(mpath, False)
+
+
+def recover_compaction(spark: SparkSession, path: str) -> bool:
+    """Repair a :func:`compact_table` interrupted at any point. The
+    manifest is the commit point (renamed into place atomically):
+    absent ⇒ the table was never touched — discard any staging
+    leftovers; present ⇒ the staged files are complete — re-run the
+    idempotent commit. Returns True iff a repair ran. Call before
+    reading a table a compactor may have died on (the recover_swapped
+    discipline)."""
+    fs, root, jvm = _fs_and_path(spark, path)
+    mpath = jvm.org.apache.hadoop.fs.Path(_compact_manifest_path(path))
+    staging = jvm.org.apache.hadoop.fs.Path(_compact_staging_path(path))
+    tmp = jvm.org.apache.hadoop.fs.Path(_compact_manifest_path(path) + ".tmp")
+    if fs.exists(mpath):
+        _finish_compaction(spark, path)
+        return True
+    repaired = False
+    for leftover in (staging, tmp):
+        if fs.exists(leftover):
+            fs.delete(leftover, True)
+            repaired = True
+    return repaired
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    small_ratio: float = 0.5,
+) -> dict:
+    """In-place incremental small-file compaction (the OPTIMIZE shape)
+    for a parquet table, partitioned or not: every table directory's
+    files SMALLER than ``small_ratio * target_file_mb`` are read once,
+    rewritten as ~``target_file_mb`` files, and swapped in under a
+    manifest commit; files already at scan size are NEVER touched. Cost
+    therefore scales with the accumulated small-file (delta) bytes, not
+    the table — the property that lets a daily pipeline afford running
+    this after every append batch (the per-family index compactions,
+    ivf_compact_index / bm25_merge_many, are this operator specialized
+    to their own layouts).
+
+    Crash safety (:func:`recover_compaction` is the read-side repair):
+    the compacted replacement is fully written to a staging dir FIRST,
+    then a manifest naming (staged files to move in, original files to
+    delete) is renamed into place — the atomic commit point — and only
+    then do files move. A crash before the manifest leaves the table
+    byte-identical; after it, the idempotent commit replays. The
+    transient mid-commit state is row duplication, never loss, and
+    single-writer discipline is assumed (same contract as
+    swap_directory).
+
+    Rewrites preserve the partition layout: staged files are written
+    with the same ``partitionBy`` the directory structure encodes, one
+    output task per directory capped by ``maxRecordsPerFile`` sized
+    from the measured small-file bytes-per-row.
+
+    Returns {files_before, files_after, dirs_compacted,
+    bytes_rewritten}."""
+    import json
+
+    recover_compaction(spark, path)
+    files = _list_data_files(spark, path)
+    files_before = len(files)
+    threshold = int(small_ratio * target_file_mb * 1024 * 1024)
+    by_dir: dict[str, list[tuple[str, int]]] = {}
+    for rel_dir, full, size in files:
+        if size < threshold:
+            by_dir.setdefault(rel_dir, []).append((full, size))
+    work = {d: fl for d, fl in by_dir.items() if len(fl) >= 2}
+    if not work:
+        return {
+            "files_before": files_before,
+            "files_after": files_before,
+            "dirs_compacted": 0,
+            "bytes_rewritten": 0,
+        }
+    small_paths = [full for fl in work.values() for full, _ in fl]
+    small_bytes = sum(size for fl in work.values() for _, size in fl)
+    # partition columns are encoded in the directory names (k=v/...)
+    part_cols = [
+        seg.split("=", 1)[0]
+        for seg in next(iter(work)).split("/")
+        if "=" in seg
+    ]
+    staging = _compact_staging_path(path)
+    fs, root, jvm = _fs_and_path(spark, path)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+    base_uri = fs.makeQualified(root).toString()
+    df = (
+        spark.read.option("basePath", base_uri).parquet(*small_paths)
+        if part_cols
+        else spark.read.parquet(*small_paths)
+    )
+    n_rows = df.count()  # one job over the DELTA bytes only
+    rows_per_file = max(
+        1, int(target_file_mb * 1024 * 1024 * n_rows / max(1, small_bytes))
+    )
+    if part_cols:
+        write_parquet(
+            df,
+            staging,
+            partition_by=part_cols,
+            max_records_per_file=rows_per_file,
+        )
+    else:
+        # unpartitioned: the small-file read yields ~1 task per input
+        # file, so bin to the byte-derived target count
+        n_target = max(1, -(-small_bytes // (target_file_mb * 1024 * 1024)))
+        df.repartition(n_target).write.mode("overwrite").option(
+            "maxRecordsPerFile", rows_per_file
+        ).parquet(staging)
+    staged = [
+        (rel_dir + "/" if rel_dir else "") + full.rsplit("/", 1)[1]
+        for rel_dir, full, _ in _list_data_files(spark, staging)
+    ]
+    manifest = {"staged": staged, "delete": small_paths}
+    mtmp = jvm.org.apache.hadoop.fs.Path(_compact_manifest_path(path) + ".tmp")
+    out = fs.create(mtmp, True)
+    out.write(bytearray(json.dumps(manifest).encode()))
+    out.close()
+    if not fs.rename(mtmp, jvm.org.apache.hadoop.fs.Path(_compact_manifest_path(path))):
+        raise IOError("compaction manifest rename failed; table untouched")
+    _finish_compaction(spark, path)
+    return {
+        "files_before": files_before,
+        "files_after": len(_list_data_files(spark, path)),
+        "dirs_compacted": len(work),
+        "bytes_rewritten": small_bytes,
+    }

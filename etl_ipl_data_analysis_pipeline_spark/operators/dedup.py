@@ -882,6 +882,19 @@ def semantic_dedup(
     cells, then a per-coarse-cell LOCAL spherical fit via applyInPandas
     with its own governed k2, emitting composite (coarse, sub) cells.
     The centroid state any single node holds shrinks to ~sqrt(k) x dim.
+    ``rebalance_factor`` guards BOTH engines' skew: on ``fast`` it
+    second-level-splits oversized final cells before the pair join; on
+    ``hierarchical`` it reroutes coarse cells past rebalance_factor x
+    n/k1 through the Arrow matmul router so no single executor ever
+    materializes a dominant cluster as one pandas frame.
+
+    .. versionchanged:: round 9
+       ``assign`` DEFAULTS to ``"fast"`` (was ``"exact"``). Exact-copy
+       recall is unchanged (the collapse handles it, recall 1 either
+       way), but near-duplicate survivor sets can differ from r8
+       outputs because cells are carved differently; pipelines that
+       relied on the SQL-replayable routing must pin
+       ``assign="exact"`` explicitly (the oracle query does).
     """
     from .similarity import (
         _as_double_array,
@@ -1007,6 +1020,59 @@ def semantic_dedup(
         )
         _sub_lim = 1_000_000
         _tcs, _iters = target_cell_size, iters
+        big: list[int] = []
+        big_assigned = None
+        if rebalance_factor:
+            # Skew guard on the LEVEL-1 routing itself: applyInPandas
+            # materializes each coarse cell as ONE pandas frame on one
+            # executor, so a dominant semantic cluster (exactly the skew
+            # the fast path's rebalance exists for) would put
+            # ~cell_size x dim doubles in one process. Probe per-cell
+            # counts (<= k1 rows, the k-row-collect shape, off a
+            # checkpoint shared with both downstream branches) and route
+            # every coarse cell past rebalance_factor x the expected
+            # size n/k1 through the Arrow matmul router instead: one
+            # GLOBAL sub-fit over the oversized mass (no per-group local
+            # models, nothing whole on one node), keyed with the same
+            # composite (coarse, sub) cell ids — the fast-path rebalance
+            # applied one level up.
+            coarse = coarse.localCheckpoint(eager=True)
+            counts = coarse.groupBy("__coarse").count().collect()
+            n_total = sum(r["count"] for r in counts)
+            cap = rebalance_factor * max(1, -(-n_total // k1))
+            big = sorted(r["__coarse"] for r in counts if r["count"] > cap)
+            if big:
+                n_big = sum(
+                    r["count"] for r in counts if r["__coarse"] in set(big)
+                )
+                k2g = max(2, -(-n_big // target_cell_size))
+                assert k2g < _sub_lim - 1, (
+                    f"hierarchical rebalance k2={k2g} would overflow the "
+                    "composite cell key; raise target_cell_size"
+                )
+                big_rows = coarse.filter(F.col("__coarse").isin(big))
+                cn2 = kmeans_centroids(
+                    big_rows.select(
+                        F.col("__vid").alias(id_col),
+                        F.col("__vec").alias(vec_col),
+                    ),
+                    k=k2g,
+                    iters=iters,
+                    id_col=id_col,
+                    vec_col=vec_col,
+                )
+                big_assigned = big_rows.select(
+                    "__vid",
+                    "__vec",
+                    (
+                        F.col("__coarse").cast("bigint") * F.lit(_sub_lim)
+                        + F.element_at(_cell_router(cn2, 1)("__vec"), 1).cast(
+                            "bigint"
+                        )
+                        + F.lit(1)
+                    ).alias("cell"),
+                )
+                coarse = coarse.filter(~F.col("__coarse").isin(big))
 
         def _fit_assign(pdf: "pd.DataFrame") -> "pd.DataFrame":
             pdf = pdf.sort_values("__vid").reset_index(drop=True)
@@ -1036,6 +1102,8 @@ def semantic_dedup(
         members = coarse.groupBy("__coarse").applyInPandas(
             _fit_assign, schema="__vid long, __vec array<double>, cell long"
         )
+        if big_assigned is not None:
+            members = members.unionByName(big_assigned)
         members = members.localCheckpoint(eager=True)
     elif assign == "exact":
         cents = kmeans_exact(

@@ -108,7 +108,7 @@ def _decode_png_pixels(content: bytes):
     buf = bytes(content)
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, width = 8, None
+    pos, width, height, ch = 8, None, None, None
     idat = b""
     while pos + 8 <= len(buf):
         length, ctype = struct.unpack_from(">I4s", buf, pos)
@@ -128,6 +128,12 @@ def _decode_png_pixels(content: bytes):
                 raise NotImplementedError("interlaced PNG not supported")
             ch = {0: 1, 2: 3, 6: 4}[color]
         elif ctype == b"IDAT":
+            # spec: IHDR is the first chunk; a payload carrying pixel
+            # data before the header is malformed — reject explicitly
+            # rather than decode with a later header's geometry (and so
+            # direct callers get ValueError, never a NameError on ch)
+            if width is None:
+                raise ValueError("PNG IDAT before IHDR")
             idat += data
         elif ctype == b"IEND":
             break

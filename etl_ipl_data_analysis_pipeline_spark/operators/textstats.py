@@ -1203,10 +1203,10 @@ def bm25_merge_many(
 
     Contract: the corpora's ``doc_id`` sets must be pairwise disjoint
     (re-ingesting a doc would double-count its postings; dedup upstream
-    is the ledger's job, exactly as for minhash_sig_index)."""
+    is the ledger's job, exactly as for minhash_sig_index), and every
+    input must have been BUILT with the same num_buckets (the merged
+    index inherits the inputs' term_bucket values verbatim)."""
     import pyspark.sql.functions as F
-
-    from ..functions import portable_hash64
 
     if len(paths) < 2:
         raise ValueError("bm25_merge_many needs at least two indexes")
@@ -1230,16 +1230,18 @@ def bm25_merge_many(
         .partitionBy("term_bucket")
         .parquet(out + "/postings")
     )
+    # carry each term's BUILD-TIME bucket through the re-aggregation
+    # (every input bucketed a term identically — same portable hash,
+    # same build num_buckets, which is part of the disjoint-corpora
+    # contract) instead of recomputing from this call's num_buckets: a
+    # caller passing a different num_buckets here would otherwise write
+    # dfreq under one bucketing and postings (unioned as-is) under
+    # another, and later bucket-pruned searches would silently miss
+    # terms. num_buckets now only sizes the write repartition.
     dfreq = (
         _union("dfreq")
-        .groupBy("term")
+        .groupBy("term", "term_bucket")
         .agg(F.sum("__df").alias("__df"))
-        .withColumn(
-            "term_bucket",
-            F.pmod(portable_hash64(F.col("term")), F.lit(num_buckets)).cast(
-                "int"
-            ),
-        )
     )
     (
         dfreq.repartition(num_buckets, "term_bucket")

@@ -792,3 +792,53 @@ def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         stable_sum("o_totalprice", 2).alias("sum_price"),
     )
+
+
+@register(
+    "compact_table_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)                       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT)    AS sum_ids,
+           min(doc_id)                    AS min_id,
+           max(doc_id)                    AS max_id
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("SNK1", "SNK3", "L3", "A4"),
+)
+def compact_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General in-place table compaction (io.compact_table — the OPTIMIZE
+    gap: per-family index compaction existed, plain pipeline tables had
+    no small-file governance): documents is written lang-partitioned
+    with DELIBERATE slivers (12 upstream tasks x langs, the
+    tasks-x-partitions mistake compaction exists to repair), compacted
+    in place under the manifest commit, and read back through a second
+    compaction pass that must be a NO-OP (idempotence: one scan-sized
+    file per directory has nothing left to merge). The hash gate proves
+    the rewrite moved every row exactly once — counts, value sums, id
+    sums and extrema per partition all survive — and the file-count
+    asserts pin the layout contract (slivers collapse to one file per
+    lang dir; cost scaled with the small-file bytes, which here are the
+    whole table because every file was a sliver)."""
+    from ..io import compact_table
+
+    path = _scratch_dir(sf_dir, "compact_docs")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    n_langs = d.select("lang").distinct().count()
+    d.repartition(12).write.mode("overwrite").partitionBy("lang").parquet(path)
+    stats = compact_table(spark, path, target_file_mb=128)
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["files_after"] == n_langs, stats
+    again = compact_table(spark, path, target_file_mb=128)
+    assert again["dirs_compacted"] == 0, again
+    assert again["files_after"] == stats["files_after"], (stats, again)
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

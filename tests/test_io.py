@@ -6,6 +6,7 @@ import os
 import zipfile
 
 import pytest
+import pyspark.sql.functions as F
 
 from etl_ipl_data_analysis_pipeline_spark import io as tio
 
@@ -260,3 +261,138 @@ def test_swap_directory_rejects_foreign_tmp_name(spark, tmp_path):
     with _pytest.raises(ValueError, match="staging_path"):
         swap_directory(spark, path + ".staging", path)
     assert staging_path(path) == path + ".__tmp__"
+
+
+def _table_rows(spark, path):
+    return sorted(
+        (r["k"], r["grp"]) for r in spark.read.parquet(path).collect()
+    )
+
+
+def _mk_partitioned(spark, path, n=120, slivers=10):
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.concat(F.lit("g"), (F.col("id") % 3)).alias("grp")
+    )
+    df.repartition(slivers).write.mode("overwrite").partitionBy("grp").parquet(path)
+    return sorted((r["k"], r["grp"]) for r in df.collect())
+
+
+def test_compact_table_partitioned_merges_slivers(spark, tmp_path):
+    """slivers (tasks x partitions) collapse to one file per partition
+    dir; rows identical; second pass is a no-op (idempotent OPTIMIZE)."""
+    path = str(tmp_path / "tbl")
+    want = _mk_partitioned(spark, path)
+    before = len(tio._list_data_files(spark, path))
+    assert before > 3  # the sliver mistake actually happened
+    stats = tio.compact_table(spark, path, target_file_mb=64)
+    assert stats["files_before"] == before
+    assert stats["files_after"] == 3  # one per grp dir
+    assert stats["dirs_compacted"] == 3
+    assert _table_rows(spark, path) == want
+    again = tio.compact_table(spark, path, target_file_mb=64)
+    assert again["dirs_compacted"] == 0
+    assert again["files_after"] == 3
+    assert _table_rows(spark, path) == want
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "flat")
+    df = spark.range(200).select(F.col("id").alias("k"), F.lit("x").alias("grp"))
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    want = sorted((r["k"], r["grp"]) for r in df.collect())
+    stats = tio.compact_table(spark, path, target_file_mb=64)
+    assert stats["files_before"] == 8 and stats["files_after"] == 1
+    assert _table_rows(spark, path) == want
+
+
+def test_compact_table_leaves_scan_sized_files_alone(spark, tmp_path):
+    """files >= small_ratio x target never rewritten: with a threshold
+    below any real file size the pass is a no-op and bytes_rewritten=0."""
+    path = str(tmp_path / "bigf")
+    _mk_partitioned(spark, path)
+    before = tio._list_data_files(spark, path)
+    # every parquet file here is > ~400 bytes; threshold ~100 bytes
+    stats = tio.compact_table(
+        spark, path, target_file_mb=1, small_ratio=0.0001
+    )
+    assert stats["dirs_compacted"] == 0 and stats["bytes_rewritten"] == 0
+    assert sorted(f for _, f, _ in tio._list_data_files(spark, path)) == sorted(
+        f for _, f, _ in before
+    )
+
+
+def test_compact_table_crash_recovery(spark, tmp_path, monkeypatch):
+    """crash at the commit point (manifest renamed, nothing moved):
+    the table still reads byte-identically, and recover_compaction
+    replays the idempotent commit to the compacted layout."""
+    path = str(tmp_path / "crash")
+    want = _mk_partitioned(spark, path)
+
+    calls = {"n": 0}
+    real = tio._finish_compaction
+
+    def boom(sp, p):
+        calls["n"] += 1
+        raise IOError("injected crash at commit")
+
+    monkeypatch.setattr(tio, "_finish_compaction", boom)
+    with pytest.raises(IOError, match="injected"):
+        tio.compact_table(spark, path, target_file_mb=64)
+    assert calls["n"] == 1
+    # manifest exists, staged files unmoved, originals intact => readable
+    assert tio.path_exists(spark, tio._compact_manifest_path(path))
+    assert _table_rows(spark, path) == want
+    monkeypatch.setattr(tio, "_finish_compaction", real)
+    assert tio.recover_compaction(spark, path) is True
+    assert not tio.path_exists(spark, tio._compact_manifest_path(path))
+    assert not tio.path_exists(spark, tio._compact_staging_path(path))
+    assert len(tio._list_data_files(spark, path)) == 3
+    assert _table_rows(spark, path) == want
+
+
+def test_compact_table_precommit_leftovers_discarded(spark, tmp_path):
+    """a staging dir WITHOUT a manifest is a pre-commit crash: recovery
+    must discard it and leave the table untouched."""
+    path = str(tmp_path / "precommit")
+    want = _mk_partitioned(spark, path)
+    staging = tio._compact_staging_path(path)
+    spark.range(5).write.mode("overwrite").parquet(staging)
+    assert tio.recover_compaction(spark, path) is True
+    assert not tio.path_exists(spark, staging)
+    assert _table_rows(spark, path) == want
+    assert tio.recover_compaction(spark, path) is False
+
+
+def test_write_parquet_skew_knobs(spark, tmp_path):
+    """files_per_partition salts a hot partition value across N tasks/
+    files; max_records_per_file bounds file length; defaults keep the
+    one-file-per-dir property; rows survive every mode."""
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 270, "hot").otherwise("cold").alias("grp"),
+    )
+    want = sorted((r["k"], r["grp"]) for r in df.collect())
+
+    p1 = str(tmp_path / "default")
+    tio.write_parquet(df, p1, partition_by=["grp"])
+    per_dir = {}
+    for rel, _, _ in tio._list_data_files(spark, p1):
+        per_dir[rel] = per_dir.get(rel, 0) + 1
+    assert set(per_dir.values()) == {1}  # balanced default: one file/dir
+    assert sorted((r["k"], r["grp"]) for r in spark.read.parquet(p1).collect()) == want
+
+    p2 = str(tmp_path / "salted")
+    tio.write_parquet(df, p2, partition_by=["grp"], files_per_partition=4)
+    hot_files = sum(
+        1 for rel, _, _ in tio._list_data_files(spark, p2) if rel == "grp=hot"
+    )
+    assert 2 <= hot_files <= 4  # hot value split across up to 4 tasks
+    assert sorted((r["k"], r["grp"]) for r in spark.read.parquet(p2).collect()) == want
+
+    p3 = str(tmp_path / "capped")
+    tio.write_parquet(df, p3, partition_by=["grp"], max_records_per_file=100)
+    hot_files3 = sum(
+        1 for rel, _, _ in tio._list_data_files(spark, p3) if rel == "grp=hot"
+    )
+    assert hot_files3 == 3  # 270 rows / 100-cap => 3 rolled files
+    assert sorted((r["k"], r["grp"]) for r in spark.read.parquet(p3).collect()) == want
