@@ -87,6 +87,12 @@ HEADLINE = [
     # Arrow IVF dense leg under the planted gate (hybrid_rrf_topk keeps
     # the full exact oracle; this line tracks the throughput path)
     "hybrid_rrf_fast",
+    # round-10: the table-maintenance family (sliver write -> in-place
+    # manifest-committed compaction -> read-back) and the streaming
+    # vector-dedup leg (self-pair + persisted-signature-index probe per
+    # micro-batch) — both new plan shapes the r1-r9 set didn't track
+    "compact_table_roundtrip",
+    "stream_embedding_neardup",
 ]
 
 

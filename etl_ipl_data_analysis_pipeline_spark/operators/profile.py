@@ -52,6 +52,7 @@ def grouped_value_count_quantiles(
     qs: list[float],
     round_digits: int | None = 6,
     pre_counted_col: str | None = None,
+    extra_partition_aggs: dict[str, "F.Column"] | None = None,
 ) -> DataFrame:
     """EXACT per-group linear-interpolated quantiles (same type-7 /
     quantile_cont definition as :func:`grouped_exact_quantiles`) for
@@ -81,8 +82,23 @@ def grouped_value_count_quantiles(
     already IS the (group, value, count) histogram — the caller computes
     it once and shares it between this and its own aggregates.
 
-    Returns (group_col, q, n, quantile), NULLs excluded, one row per
-    (group, q)."""
+    ``extra_partition_aggs``: {name: aggregate-expression} over the
+    histogram columns (``__v`` the value as double, ``__c`` the count),
+    each evaluated per group THROUGH THE SAME per-group window the
+    quantile machinery already pays for and returned as one extra
+    column. This is how a caller gets moments + quantiles as ONE
+    pipeline — histogram exchange, one window stage, one final
+    aggregate — instead of a second aggregate branch plus a join (the
+    r10 agg_stats fusion: the two-branch form re-analyzed and
+    re-codegen'd a twice-as-large plan every call for identical
+    values). Exactness is the caller's job: reconstruct integer values
+    with ``F.col("__v").cast("bigint")`` (domain-bounded values are
+    exactly representable as doubles, so the round trip is exact) and
+    cast to DECIMAL before multiplying where double sums could pass
+    2^53.
+
+    Returns (group_col, q, n, quantile, *extra_names), NULLs excluded,
+    one row per (group, q)."""
     from pyspark.sql import Window
 
     if not qs:
@@ -114,12 +130,22 @@ def grouped_value_count_quantiles(
     # they never shift a non-null value's position
     cum = F.sum(ccond).over(wg.orderBy("__v"))
     ntot = F.sum(ccond).over(wg)
+    extras = extra_partition_aggs or {}
     pos = counted.select(
-        "__g", "__v", cum.alias("__cum"), ntot.alias("__n")
+        "__g",
+        "__v",
+        cum.alias("__cum"),
+        ntot.alias("__n"),
+        *[expr.over(wg).alias(name) for name, expr in extras.items()],
     )
-    qdf = df.sparkSession.createDataFrame([(float(q),) for q in qs], "q double")
+    # quantile targets as an EXPLODED LITERAL ARRAY, not a
+    # createDataFrame + broadcast crossJoin: the values are plan-time
+    # literals, so materializing a 1-row relation through py4j (~0.3s
+    # of driver time per call) and a BroadcastNestedLoopJoin stage buys
+    # nothing — explode fans the same qs out inside the running stage
+    qarr = F.array(*[F.lit(float(q)).cast("double") for q in qs])
     h = (F.col("__n") - F.lit(1)).cast("double") * F.col("q")
-    tgt = pos.crossJoin(F.broadcast(qdf)).select(
+    tgt = pos.select("*", F.explode(qarr).alias("q")).select(
         "__g",
         "__v",
         "__cum",
@@ -127,9 +153,11 @@ def grouped_value_count_quantiles(
         "q",
         (F.floor(h).cast("bigint") + 1).alias("__lo"),
         (h - F.floor(h)).alias("__frac"),
+        *extras.keys(),
     )
     # the pos-th order statistic is the first value whose cumulative
-    # count reaches pos: min(v | cum >= pos)
+    # count reaches pos: min(v | cum >= pos); extras are constant per
+    # group (window aggregates), so max() just carries them through
     merged = tgt.groupBy("__g", "q").agg(
         F.max("__n").alias("__n"),
         F.max("__frac").alias("__frac"),
@@ -140,6 +168,7 @@ def grouped_value_count_quantiles(
                 F.col("__v"),
             )
         ).alias("__vhi"),
+        *[F.max(name).alias(name) for name in extras],
     )
     # a group whose values are ALL null has __n null: exclude it (the
     # NULLs-excluded contract); this filter sits on an aggregate output,
@@ -154,6 +183,7 @@ def grouped_value_count_quantiles(
         "q",
         F.col("__n").cast("bigint").alias("n"),
         quant.alias("quantile"),
+        *extras.keys(),
     )
 
 

@@ -445,24 +445,12 @@ def embedding_near_dup_pairs(
     is decidable inside the join stage, before the cosine): one cosine
     per pair, no pair-dedup exchange at all — the same
     multiplied-candidate elimination as the minhash/simhash operators."""
-    from ..functions import dot, norm
+    from ..functions import dot
 
-    bucket_udf = multi_table_buckets_udf(n_planes, n_tables, dim, seed)
-    # Norms are computed ONCE per vector before the self-join (one extra
-    # double per side) instead of once per candidate pair: cosine =
-    # dot/(norm_a*norm_b) then needs a single interpreted HOF traversal
-    # per pair, not three. Same expression on the same values, so the
-    # result is bit-identical to the per-pair form.
-    c = df.select(
-        F.col(id_col).alias("__id"),
-        _as_double_array(F.col(vec_col)).alias("__vec"),
+    c = embedding_sig_index(
+        df, n_planes, n_tables, dim, id_col, vec_col, seed
     ).select(
-        "__id",
-        "__vec",
-        norm(F.col("__vec")).alias("__norm"),
-        bucket_udf("__vec").alias("__bkts"),
-    ).select(
-        "__id", "__vec", "__norm", "__bkts",
+        F.col(id_col).alias("__id"), "__vec", "__norm", "__bkts",
         F.posexplode("__bkts").alias("tbl", "bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
@@ -483,6 +471,104 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
+            F.round(sim, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= min_sim)
+    )
+
+
+def embedding_sig_index(
+    df: DataFrame,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-vector hyperplane-LSH STATE, one row per id: (id, __vec,
+    __norm, __bkts) — the vector as doubles, its norm computed once,
+    and the n_tables bucket ids. This is the embedding twin of
+    dedup.minhash_sig_index: PERSIST it (O(corpus) rows, unexploded)
+    and later batches pair against it via
+    :func:`embedding_incremental_pairs` without re-bucketing old
+    vectors. Norms are hoisted here so every downstream cosine is one
+    interpreted HOF traversal (the hoist-hof-folds discipline), and the
+    same relation feeds :func:`embedding_near_dup_pairs`' self-join —
+    stream state and batch pipeline share one signature definition by
+    construction."""
+    from ..functions import norm
+
+    bucket_udf = multi_table_buckets_udf(n_planes, n_tables, dim, seed)
+    return df.select(
+        F.col(id_col),
+        _as_double_array(F.col(vec_col)).alias("__vec"),
+    ).select(
+        id_col,
+        "__vec",
+        norm(F.col("__vec")).alias("__norm"),
+        bucket_udf("__vec").alias("__bkts"),
+    )
+
+
+def embedding_incremental_pairs(
+    new_df: DataFrame,
+    index: DataFrame,
+    min_sim: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """NEW-vs-INDEXED embedding near-dup pairs: bucket only the incoming
+    batch (the index rows carry their build-time __bkts verbatim), join
+    on (table, bucket), decide each pair in its FIRST agreeing table
+    (both sides hold the full bucket arrays, so the zip_with/
+    array_position predicate from the batch self-join dedups candidate
+    multiplicity inside the join stage — no pair-dedup exchange), then
+    one exact cosine per surviving pair. Returns (new_id, old_id, sim)
+    with sim >= min_sim. Same hyperplanes, same first-agree rule and
+    the same float associations as :func:`embedding_near_dup_pairs`, so
+    intra-batch pairs + these cross-batch pairs accumulate to EXACTLY
+    the single-shot batch pair set whatever the batch boundaries — the
+    batch-boundary-independence contract the minhash stream established
+    (dedup.minhash_incremental_pairs), applied to vectors. Per batch:
+    O(batch) bucketing + a join sized by the batch's true collisions,
+    never O(history) re-hashing. Contract: new ids are disjoint from
+    indexed ids (the ledger's dedup job, as for minhash)."""
+    from ..functions import dot
+
+    new_sigs = embedding_sig_index(
+        new_df, n_planes, n_tables, dim, id_col, vec_col, seed
+    )
+    a = new_sigs.select(
+        F.col(id_col).alias("__id"), "__vec", "__norm", "__bkts",
+        F.posexplode("__bkts").alias("tbl", "bucket"),
+    ).alias("a")
+    b = index.select(
+        F.col(id_col).alias("__id"), "__vec", "__norm", "__bkts",
+        F.posexplode("__bkts").alias("tbl", "bucket"),
+    ).alias("b")
+    first_agree = F.array_position(
+        F.zip_with(F.col("a.__bkts"), F.col("b.__bkts"), lambda x, y: x == y),
+        True,
+    )
+    sim = dot(F.col("a.__vec"), F.col("b.__vec")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .filter(F.col("a.tbl") == first_agree - 1)
+        .select(
+            F.col("a.__id").alias("new_id"),
+            F.col("b.__id").alias("old_id"),
             F.round(sim, 6).alias("sim"),
         )
         .filter(F.col("sim") >= min_sim)

@@ -922,3 +922,69 @@ def _register_stream_image_neardup():
 
 
 _register_stream_image_neardup()
+
+
+def _register_stream_embedding_neardup():
+    @register(
+        "stream_embedding_neardup",
+        oracle="""
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+               CAST(1.0 AS DOUBLE) AS sim
+        FROM embeddings WHERE vec_id % 10 = 0
+        """,
+        tags=("L6", "X2", "J10", "U3"),
+    )
+    def stream_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING embedding near-dup under the planted recall gate —
+        the vector leg of the dedup-stream family (text: stream_dedup_*,
+        media: stream_image_neardup, now semantic embeddings): vectors
+        arrive in micro-batches, every 10th is re-planted in-batch under
+        id+100000 (mirror co-derived with its original's row, so each
+        id lives in exactly one batch), each batch is self-paired AND
+        probed against the persisted hyperplane-bucket signature index
+        (streaming/sketch_stream.run_embedding_pair_stream; old vectors
+        never re-bucketed), and the accumulated pair table must be the
+        planted set at sim 1.0 exactly — identical vectors share every
+        table's bucket, so recall is 1 whatever the seeds, while the
+        fixture's natural pairs (max cosine ~0.6) can't cross 0.9. Same
+        construction, same oracle and same first-agree pipeline as the
+        batch query dedup_embedding_pairs_planted; the stream≡batch
+        identity across real batch boundaries is pytest-gated
+        (tests/test_streaming.py)."""
+        import shutil
+
+        from ..streaming import incremental, sketch_stream
+        from . import ensure_read_confs, table_path
+        from .llm_ops import _planted_domain_guard
+        from .pipeline_q import _scratch_dir
+
+        ensure_read_confs(spark)
+        path = table_path(sf_dir, "embeddings")
+        schema = spark.read.parquet(path).schema
+        emb = incremental._stream_reader(spark, path, "parquet", schema)
+        pairs_state = _scratch_dir(sf_dir, "emb_pair_stream_state")
+        index_state = _scratch_dir(sf_dir, "emb_pair_stream_index")
+        for p in (pairs_state, pairs_state + "__checkpoint", index_state):
+            shutil.rmtree(p, ignore_errors=True)
+
+        def prep(batch: DataFrame) -> DataFrame:
+            planted = batch.filter(F.col("vec_id") % 10 == 0).withColumn(
+                "vec_id",
+                F.col("vec_id")
+                + F.lit(100000)
+                + _planted_domain_guard("vec_id"),
+            )
+            return batch.select("vec_id", "embedding").unionByName(
+                planted.select("vec_id", "embedding")
+            )
+
+        return sketch_stream.run_embedding_pair_stream(
+            emb.select("vec_id", "embedding"),
+            prep,
+            pairs_state,
+            index_state,
+            min_sim=0.9,
+        ).orderBy("id_a", "id_b")
+
+
+_register_stream_embedding_neardup()

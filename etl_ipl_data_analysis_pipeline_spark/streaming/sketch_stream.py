@@ -476,3 +476,103 @@ def run_fingerprint_pair_stream(
     if recover_swapped(spark, pairs_path):
         return spark.read.parquet(pairs_path)
     return spark.createDataFrame([], "id_a bigint, id_b bigint, hamming int")
+
+
+def run_embedding_pair_stream(
+    stream_df: DataFrame,
+    prep_fn,
+    pairs_path: str,
+    index_path: str,
+    min_sim: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming EMBEDDING near-dup detection — the vector twin of
+    run_minhash_pair_stream, completing the dedup-stream family (text
+    minhash, media fingerprint, now semantic vectors): per micro-batch,
+    ``prep_fn`` turns the raw batch into an (id, vector) relation, the
+    batch is (1) self-paired (similarity.embedding_near_dup_pairs —
+    intra-batch duplicates), (2) probed against the persisted
+    hyperplane-bucket signature index (similarity.
+    embedding_incremental_pairs — cross-batch duplicates; old vectors
+    are never re-bucketed, their build-time bucket arrays ride the
+    index), and (3) both pair sets fold into the persisted pair table
+    while the batch's signatures (similarity.embedding_sig_index) merge
+    into the index. Every corpus pair is intra- or cross-batch exactly
+    once, and both legs share one signature definition and one
+    first-agreeing-table rule, so the accumulated pair table is
+    IDENTICAL to the single-shot batch LSH pair set whatever the
+    micro-batch boundaries — which is what lets a planted-duplicate
+    gate (recall 1 for exact copies, by theory, whatever the seeds)
+    hold for the STREAM exactly as it does for the batch operator.
+
+    Replay safety mirrors the minhash stream: buckets, norms and
+    cosines are pure functions of the vectors, pairs normalize to
+    (least, greatest), and both merges dedup by key — a re-delivered
+    batch re-derives rows the distinct absorbs. Per batch: O(batch)
+    bucketing (one Arrow matmul pass) + joins sized by the batch's true
+    collisions + O(state) key-dedup merges; never O(history)
+    re-hashing."""
+    import pyspark.sql.functions as F
+
+    from ..operators import similarity as _sim
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        vecs = prep_fn(batch).select(id_col, vec_col)
+        intra = _sim.embedding_near_dup_pairs(
+            vecs, min_sim, n_planes, n_tables, dim, id_col, vec_col, seed
+        )
+        have_index = recover_swapped(sess, index_path)
+        if have_index:
+            index = sess.read.parquet(index_path)
+            cross = (
+                _sim.embedding_incremental_pairs(
+                    vecs, index, min_sim, n_planes, n_tables, dim,
+                    id_col, vec_col, seed,
+                )
+                .select(
+                    F.least("new_id", "old_id").alias("id_a"),
+                    F.greatest("new_id", "old_id").alias("id_b"),
+                    "sim",
+                )
+            )
+            new_pairs = intra.unionByName(cross)
+        else:
+            index = None
+            new_pairs = intra
+        if recover_swapped(sess, pairs_path):
+            cur = sess.read.parquet(pairs_path)
+            merged_pairs = cur.unionByName(new_pairs).dropDuplicates(
+                ["id_a", "id_b"]
+            )
+        else:
+            merged_pairs = new_pairs
+        _swap_write(merged_pairs, pairs_path)
+        sigs = _sim.embedding_sig_index(
+            vecs, n_planes, n_tables, dim, id_col, vec_col, seed
+        )
+        merged_idx = (
+            index.unionByName(sigs).dropDuplicates([id_col])
+            if have_index
+            else sigs
+        )
+        _swap_write(merged_idx, index_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", pairs_path.rstrip("/") + "__checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    if recover_swapped(spark, pairs_path):
+        return spark.read.parquet(pairs_path)
+    return spark.createDataFrame([], "id_a bigint, id_b bigint, sim double")

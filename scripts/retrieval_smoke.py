@@ -125,6 +125,36 @@ def main() -> int:
         t0 = time.time()
         similarity.pq_append_index(spark, pq_idx, delta_vecs)
         out["pq_append_delta"] = round(time.time() - t0, 2)
+
+        # r10 (VERDICT r9 item 7): scatter-gather fusion cost vs shard
+        # count. 16 per-epoch shards (each its own exact model over a
+        # 1/16 slice — the unfolded daily-build shape), searched with
+        # the same 3-probe batch at 2 / 8 / 16 shards: search+fusion
+        # should grow ~linearly in shards x k (each shard contributes
+        # one pruned scan and k candidate rows per probe; the global
+        # re-rank window sees shards x k x probes rows — never corpus).
+        n_shards = 16
+        shard_paths = []
+        t0 = time.time()
+        for s in range(n_shards):
+            sp = os.path.join(scratch, f"ivf_shard_{s}")
+            similarity.ivf_build_index_exact(
+                embs.filter(F.col("vec_id") % n_shards == s),
+                sp,
+                n_centroids=4,
+            )
+            shard_paths.append(sp)
+        out["ivf_shard_build_16_total"] = round(time.time() - t0, 2)
+        probes = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for n_sh in (2, 8, 16):
+            t0 = time.time()
+            n = similarity.ivf_search_many_exact(
+                spark, shard_paths[:n_sh], probes, k=5, nprobe=2
+            ).count()
+            out[f"ivf_scatter_{n_sh}shards"] = round(time.time() - t0, 2)
+            out[f"ivf_scatter_{n_sh}shards_rows"] = n
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     print(json.dumps(out))

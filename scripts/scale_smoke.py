@@ -412,6 +412,84 @@ def main() -> int:
     finally:
         shutil.rmtree(zdir, ignore_errors=True)
 
+    # r10 (VERDICT r9 item 2): partition-value SKEW on the partitioned
+    # write path. The replicated docs get a 90%-'en' lang column — the
+    # hot-partition shape that the plain repartition(partition_cols)
+    # write serializes into ONE task. Record the default one-file-per-dir
+    # write next to the salted (files_per_partition=8) and the
+    # maxRecordsPerFile-capped variants: the salted write must beat the
+    # default on a hot value (8 tasks share the 90% partition) while
+    # balanced inputs keep the one-file-per-dir property.
+    from etl_ipl_data_analysis_pipeline_spark import io as gio
+
+    skew_docs = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.col("doc_id") % 10 < 9, "en")
+        .otherwise(F.concat(F.lit("l"), (F.col("doc_id") % 7).cast("string")))
+        .alias("lang"),
+    )
+    wdir = tempfile.mkdtemp(prefix="skew_write_smoke_")
+    try:
+        for tag, kw in (
+            ("skew_write_default", {}),
+            ("skew_write_salted", {"files_per_partition": 8}),
+            ("skew_write_capped", {"max_records_per_file": n_base * factor // 16}),
+        ):
+            print(f"scale_smoke[{factor}x]: {tag} ...", file=sys.stderr, flush=True)
+            t0 = time.time()
+            gio.write_parquet(
+                skew_docs, f"{wdir}/{tag}", partition_by=["lang"], **kw
+            )
+            timings[tag] = round(time.time() - t0, 2)
+            timings[tag + "_hot_files"] = sum(
+                1
+                for rel, _, _ in gio._list_data_files(spark, f"{wdir}/{tag}")
+                if rel == "lang=en"
+            )
+            print(
+                f"scale_smoke[{factor}x]: {tag} {timings[tag]}s "
+                f"(hot files={timings[tag + '_hot_files']})",
+                file=sys.stderr, flush=True,
+            )
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
+    # r10 (VERDICT r9 item 4): compact_table cost must scale with the
+    # DELTA (small-file) bytes, not the table. Same sliver delta (the
+    # base corpus written as 32 sliver files per dir) appended to a
+    # 1x-sized table vs the factor-sized table: compaction reads and
+    # rewrites only the slivers, so the two timings must be ~equal even
+    # though the tables differ by `factor` in size.
+    cdir = tempfile.mkdtemp(prefix="compact_smoke_")
+    try:
+        for tag, big in (("compact_delta_1x", base), ("compact_delta_fx", docs)):
+            tbl = f"{cdir}/{tag}"
+            big.select("doc_id", "text").write.mode("overwrite").parquet(tbl)
+            # initial compaction consolidates the table to ~target-sized
+            # files (>= the small threshold, so they are never touched
+            # again) — this pass IS table-sized and is recorded separately
+            t0 = time.time()
+            gio.compact_table(spark, tbl, target_file_mb=4)
+            timings[tag + "_initial"] = round(time.time() - t0, 2)
+            # the delta: 1x of docs appended as 32 deliberate slivers
+            base.select(
+                (F.col("doc_id") + F.lit(900_000_000)).alias("doc_id"), "text"
+            ).repartition(32).write.mode("append").parquet(tbl)
+            print(f"scale_smoke[{factor}x]: {tag} ...", file=sys.stderr, flush=True)
+            t0 = time.time()
+            st = gio.compact_table(spark, tbl, target_file_mb=4)
+            timings[tag] = round(time.time() - t0, 2)
+            timings[tag + "_bytes_rewritten"] = st["bytes_rewritten"]
+            print(
+                f"scale_smoke[{factor}x]: {tag} {timings[tag]}s "
+                f"({st['files_before']}->{st['files_after']} files, "
+                f"{st['bytes_rewritten']}B rewritten)",
+                file=sys.stderr, flush=True,
+            )
+    finally:
+        shutil.rmtree(cdir, ignore_errors=True)
+
     # round-6: triangle census at scale — replicas shift BOTH endpoints,
     # so the graph is factor disjoint copies: edges/wedges/triangles must
     # come out exactly factor x the base (proves the degree-oriented

@@ -480,3 +480,41 @@ class TestGroupedValueCountQuantiles:
         df = spark.createDataFrame([("a", 1)], "g string, v int")
         with _pt.raises(ValueError):
             grouped_value_count_quantiles(df, "g", "v", [])
+
+
+def test_value_count_quantiles_extra_partition_aggs(spark):
+    """extra_partition_aggs must equal a separate groupBy over the same
+    histogram — including groups with NULL values in the mix — while the
+    quantile itself is unchanged by the extras."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators.profile import (
+        grouped_value_count_quantiles,
+    )
+
+    rows = [("a", 1), ("a", 1), ("a", 3), ("a", None), ("b", 7), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    hist = df.groupBy("g", "v").agg(F.count(F.lit(1)).alias("__c"))
+    got = {
+        r["g"]: (r["n"], r["quantile"], r["__nall"], r["__s1"], r["__mn"], r["__mx"])
+        for r in grouped_value_count_quantiles(
+            hist, "g", "v", [0.5], pre_counted_col="__c",
+            extra_partition_aggs={
+                "__nall": F.sum("__c"),
+                "__s1": F.sum(F.col("__c") * F.col("__v").cast("bigint")),
+                "__mn": F.min(F.col("__v").cast("bigint")),
+                "__mx": F.max(F.col("__v").cast("bigint")),
+            },
+        ).collect()
+    }
+    # a: values 1,1,3 (+1 null) -> med 1.0, nall 4, s1 5; b: 7 (+1 null)
+    assert got["a"] == (3, 1.0, 4, 5, 1, 3)
+    assert got["b"] == (1, 7.0, 2, 7, 7, 7)
+    # without extras: same quantiles, same schema as before
+    plain = {
+        (r["g"], r["q"]): (r["n"], r["quantile"])
+        for r in grouped_value_count_quantiles(
+            hist, "g", "v", [0.5], pre_counted_col="__c"
+        ).collect()
+    }
+    assert plain[("a", 0.5)] == (3, 1.0) and plain[("b", 0.5)] == (1, 7.0)

@@ -644,3 +644,72 @@ def test_fingerprint_pair_stream_equals_batch_and_survives_replay(spark, tmp_pat
         stream(), fp_fn, pairs_state, index_state, max_hamming=0, bits=16
     )
     assert rows_of(again) == want_rows
+
+
+def test_embedding_pair_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """Vector dedup-stream contract (the minhash test's embedding twin):
+    3 file-grain micro-batches carrying near-identical vector pairs both
+    INSIDE batches and ACROSS batches must accumulate exactly the
+    single-shot batch LSH pair set — the two legs share one signature
+    definition and one first-agree rule, so the identity is structural,
+    not statistical. Then a full re-delivery with the index already
+    merged (checkpoint wiped, states kept) must leave the pair table
+    unchanged: the cross probe re-finds intra pairs and self-pairs,
+    absorbed by (least, greatest) normalization + self-filter +
+    key-dedup."""
+    import random
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import similarity
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    rnd = random.Random(7)
+    rows = []
+    for i in range(24):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        rows.append((i, v))
+        # i and 100+i are near-dups (tiny perturbation); interleaving by
+        # (id % 3) puts some pairs within one file and some across files
+        rows.append((100 + i, [x + 0.001 for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "emb_src")
+    for i in range(3):
+        df.filter((F.col("vec_id") % 3) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    kw = dict(min_sim=0.99, n_planes=6, n_tables=4, dim=16)
+    pairs_state = str(tmp_path / "emb_pairs")
+    index_state = str(tmp_path / "emb_index")
+    got = sketch_stream.run_embedding_pair_stream(
+        stream(), lambda b: b, pairs_state, index_state, **kw
+    )
+    want = similarity.embedding_near_dup_pairs(
+        df, kw["min_sim"], kw["n_planes"], kw["n_tables"], kw["dim"]
+    )
+    as_rows = lambda d: sorted(
+        (r["id_a"], r["id_b"], r["sim"]) for r in d.collect()
+    )
+    got_rows = as_rows(got)
+    assert got_rows == as_rows(want)
+    # the construction really planted pairs, and some spanned batches
+    assert len(got_rows) >= 24
+    spans = sum(1 for a, b, _ in got_rows if (a % 3) != (b % 3))
+    assert spans > 0
+
+    # replay worst case: checkpoint wiped, pair+index state kept
+    shutil.rmtree(pairs_state + "__checkpoint")
+    again = sketch_stream.run_embedding_pair_stream(
+        stream(), lambda b: b, pairs_state, index_state, **kw
+    )
+    assert as_rows(again) == got_rows
