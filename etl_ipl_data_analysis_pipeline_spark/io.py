@@ -556,6 +556,7 @@ def compact_table(
     path: str,
     target_file_mb: int = 128,
     small_ratio: float = 0.5,
+    sort_by: "Iterable[str] | None" = None,
 ) -> dict:
     """In-place incremental small-file compaction (the OPTIMIZE shape)
     for a parquet table, partitioned or not: every table directory's
@@ -582,6 +583,14 @@ def compact_table(
     with the same ``partitionBy`` the directory structure encodes, one
     output task per directory capped by ``maxRecordsPerFile`` sized
     from the measured small-file bytes-per-row.
+
+    ``sort_by``: sort rows on these columns WITHIN each rewrite task
+    before writing (sortWithinPartitions — no extra shuffle), so the
+    merged files carry tight parquet footer min/max ranges on those
+    columns. A clustered table (zorder_write's per-file bounds, a
+    time-ordered ledger) loses its clustering if slivers are
+    bin-packed unsorted; with sort_by the compaction preserves the
+    skip-index property the layout paid for.
 
     Returns {files_before, files_after, dirs_compacted,
     bytes_rewritten}."""
@@ -625,17 +634,23 @@ def compact_table(
         1, int(target_file_mb * 1024 * 1024 * n_rows / max(1, small_bytes))
     )
     if part_cols:
-        write_parquet(
-            df,
-            staging,
-            partition_by=part_cols,
-            max_records_per_file=rows_per_file,
+        rep = df.repartition(*[F.col(c) for c in part_cols])
+        if sort_by:
+            rep = rep.sortWithinPartitions(*sort_by)
+        (
+            rep.write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_file)
+            .partitionBy(*part_cols)
+            .parquet(staging)
         )
     else:
         # unpartitioned: the small-file read yields ~1 task per input
         # file, so bin to the byte-derived target count
         n_target = max(1, -(-small_bytes // (target_file_mb * 1024 * 1024)))
-        df.repartition(n_target).write.mode("overwrite").option(
+        rep = df.repartition(n_target)
+        if sort_by:
+            rep = rep.sortWithinPartitions(*sort_by)
+        rep.write.mode("overwrite").option(
             "maxRecordsPerFile", rows_per_file
         ).parquet(staging)
     staged = [

@@ -5109,3 +5109,93 @@ def dim_covariance_jl16(spark: SparkSession, sf_dir: str) -> DataFrame:
     d=256 vs d=64, SCALE_SMOKE r7)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return similarity.embedding_dim_covariance_jl(e, jl_k=16)
+
+
+def _pq_recall_oracle(topk: int = 5, n_probes: int = 3) -> str:
+    """Oracle of pq_recall_audit: the full PQ CTE chain exposed as the
+    ``pqtop`` CTE (cte_only), a brute-force EXACT-L2 truth panel over
+    the same pool (DECIMAL(38,12) summed squared diffs — ADC
+    approximates L2, so L2 is the honest truth metric, unlike the
+    cosine panels of the IVF/LSH audits), intersected per probe. Both
+    rankers are decimal-deterministic with (dist, vec_id) tie-breaks,
+    so the recall table itself replays exactly."""
+    pq = _pq_oracle(topk=topk, n_probes=n_probes, cte_only=True)
+    return f"""
+    WITH {pq}, bfex AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings WHERE len(embedding) = 64
+    ), bfd AS (
+      SELECT p.vec_id AS query_id, c.vec_id,
+             sum(CAST((p.v - c.v) * (p.v - c.v) AS DECIMAL(38,12))) AS dist
+      FROM bfex p
+      JOIN bfex c ON c.pos = p.pos AND c.vec_id != p.vec_id
+      WHERE p.vec_id < {n_probes}
+      GROUP BY 1, 2
+    ), bf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+        FROM bfd
+      ) WHERE rn <= {topk}
+    )
+    SELECT bf.query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(count(pq.vec_id) AS BIGINT) AS n_hits,
+           round(count(pq.vec_id) / {float(topk)}, 4) AS recall_at_k
+    FROM bf LEFT JOIN (SELECT query_id, vec_id FROM pqtop) pq
+           USING (query_id, vec_id)
+    GROUP BY 1
+    """
+
+
+@register(
+    "pq_recall_audit",
+    oracle=_pq_recall_oracle(5, 3),
+    tags=("X3", "J10", "W4", "A4"),
+)
+def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall@k under the exact gate — the third leg of the ANN
+    recall dashboard (ivf_recall_audit, lsh_recall_audit, now the
+    compressed-domain family): per probe, the ADC top-k from 4x8
+    decimal-exact codebooks is compared against the brute-force EXACT
+    L2 top-k (ADC approximates L2; a cosine panel would conflate metric
+    mismatch with quantization loss). The truth leg's squared distances
+    are DECIMAL(38,12) sums of per-element products — partitioning-
+    independent and replayed verbatim by the oracle — so a codebook
+    drift or tie-break slip flips the hash, not just a plausible
+    number. Same fixed-probe-PANEL scale shape as the other audits:
+    the corpus-sized brute force is paid per audit, never per query."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = similarity.pq_topk_exact(e, probes, k=5)
+    pex = probes.select(
+        "query_id", F.posexplode("embedding").alias("pos", "pv")
+    )
+    cex = e.select("vec_id", F.posexplode("embedding").alias("pos", "cv"))
+    term = F.col("pv") - F.col("cv")
+    dists = (
+        pex.join(cex, "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    truth = (
+        dists.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    hits = truth.join(
+        approx.select("query_id", "vec_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("__hit").alias("n_hits"),
+        F.round(F.count("__hit") / F.lit(5.0), 4).alias("recall_at_k"),
+    )

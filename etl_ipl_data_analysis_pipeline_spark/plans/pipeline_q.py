@@ -842,3 +842,48 @@ def compact_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+@register(
+    "parquet_skewed_write_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*)                     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(doc_id) AS BIGINT)  AS sum_ids
+    FROM documents
+    WHERE lang = (SELECT lang FROM documents GROUP BY lang
+                  ORDER BY count(*) DESC, lang LIMIT 1)
+    GROUP BY lang
+    """,
+    tags=("SNK1", "SRC5", "A4"),
+)
+def parquet_skewed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKEW-hardened partitioned write under the hash gate (VERDICT
+    r9 item 2 / ADVICE medium): documents written lang-partitioned with
+    ``files_per_partition=4`` — the deterministic content-hash salt that
+    keeps a hot partition value from serializing into one task — then
+    read back through a partition-pruning filter on the hottest lang and
+    aggregated. The file-count assert pins that the salt actually split
+    the hot directory (the knob's whole point); the hash gate proves the
+    salted routing moved every row exactly once. Partition pruning still
+    holds: the filter is on the partition column, so the scan reads one
+    directory whatever the file count inside it."""
+    from ..io import _list_data_files, write_parquet
+
+    path = _scratch_dir(sf_dir, "skewed_docs")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    hot = d.groupBy("lang").count().orderBy(F.desc("count"), "lang").first()["lang"]
+    write_parquet(d, path, partition_by=["lang"], files_per_partition=4)
+    hot_files = sum(
+        1
+        for rel, _, _ in _list_data_files(spark, path)
+        if rel == f"lang={hot}"
+    )
+    assert hot_files > 1, f"salt did not split the hot partition ({hot_files})"
+    back = spark.read.parquet(path).filter(F.col("lang") == hot)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

@@ -396,3 +396,36 @@ def test_write_parquet_skew_knobs(spark, tmp_path):
     )
     assert hot_files3 == 3  # 270 rows / 100-cap => 3 rolled files
     assert sorted((r["k"], r["grp"]) for r in spark.read.parquet(p3).collect()) == want
+
+
+def test_compact_table_sort_by_preserves_footer_ranges(spark, tmp_path):
+    """sort_by compaction writes files whose parquet footer min/max on
+    the sort column are tight (disjoint-ish ranges), where unsorted
+    bin-packing interleaves the whole domain into every file."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "sorted_tbl")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"), F.lit("x").alias("grp")
+    )
+    # 8 slivers, each carrying the FULL k domain (round-robin)
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    stats = tio.compact_table(
+        spark, path, target_file_mb=1, small_ratio=0.5, sort_by=["k"]
+    )
+    assert stats["dirs_compacted"] == 1
+    files = [f for _, f, _ in tio._list_data_files(spark, path)]
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f.replace("file:", ""))
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    # every row survived
+    assert spark.read.parquet(path).count() == 4000
+    if len(spans) > 1:
+        # sorted compaction: per-file spans must not all cover the full
+        # domain; total overlap is bounded (files partition the sort key)
+        spans.sort()
+        for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+            assert hi1 <= lo2  # disjoint consecutive ranges
