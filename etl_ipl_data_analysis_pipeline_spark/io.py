@@ -592,6 +592,13 @@ def compact_table(
     bin-packed unsorted; with sort_by the compaction preserves the
     skip-index property the layout paid for.
 
+    Driver-side cost: the file listing, manifest, and commit loop are
+    O(small files) FS calls on the driver (the data move itself is the
+    cluster's). Compaction run on a cadence bounds that count — the
+    point of the operator — but a table left to accumulate 10^6
+    slivers pays one long first commit; run it before the backlog gets
+    there.
+
     Returns {files_before, files_after, dirs_compacted,
     bytes_rewritten}."""
     import json
