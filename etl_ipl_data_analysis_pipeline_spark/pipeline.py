@@ -132,9 +132,18 @@ def run_ingest(
     json_schema=None,
     on_drift: str = "warn",
     quarantine_dir: str | None = None,
+    compact_after: bool = False,
+    compact_target_mb: int = 128,
 ) -> RunResult:
     """One pipeline run. ``source`` is a zip path or http(s) URL; JSON
     members land in ``landing_dir``, flattened rows append to ``out_dir``.
+
+    ``compact_after``: run :func:`io.compact_table` on ``out_dir`` after
+    the append — the maintenance step that keeps a daily append-mode
+    table from accumulating one sliver per run per partition (cost
+    scales with the accumulated small-file bytes, so running it every
+    ingest is affordable by construction; crash mid-compaction is
+    repaired by the recover pass the next run performs).
 
     Drift gate: the flattened schema is compared against the newest
     snapshot in ``schema_registry_path``; ``on_drift='block'`` raises
@@ -321,6 +330,12 @@ def run_ingest(
     write_parquet(flat, out_dir, mode="append")
     if cached_raw is not None:
         cached_raw.unpersist()  # executor memory back; batch is re-readable
+    if compact_after:
+        from .io import compact_table
+
+        # recover-then-compact is inside compact_table: a previous run's
+        # torn commit replays before this run's bin-packing plan is made
+        compact_table(spark, out_dir, target_file_mb=compact_target_mb)
 
     # 6. ledger update (L2/L3): new keys ingested, then marked through
     # crawled/transformed (this runner performs both stages).

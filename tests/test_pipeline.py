@@ -193,3 +193,22 @@ def test_short_bounded_listing_falls_back_to_unbounded(spark, tmp_path, pipe_arg
     r = run_ingest(spark, z, **pipe_args, json_schema="id long, v string")
     assert (r.processed_files, r.rows_written, r.skipped) == (1, 1, False)
     assert spark.read.parquet(pipe_args["out_dir"]).count() == 1
+
+
+def test_compact_after_bounds_small_files(spark, tmp_path, pipe_args):
+    """compact_after keeps the append-mode out_dir from accumulating one
+    sliver per run: after 3 ingests with compaction the table holds one
+    scan-sized file, rows identical to the uncompacted accumulation."""
+    from etl_ipl_data_analysis_pipeline_spark import io as gio
+
+    for i in range(3):
+        z = make_zip(tmp_path, f"c{i}.zip", {
+            f"f{i}.json": [{"id": 10 * i + j, "v": f"x{i}"} for j in range(4)],
+        })
+        run_ingest(spark, z, compact_after=True, **pipe_args)
+    files = gio._list_data_files(spark, pipe_args["out_dir"])
+    assert len(files) == 1, files
+    got = sorted(
+        r["id"] for r in spark.read.parquet(pipe_args["out_dir"]).collect()
+    )
+    assert got == sorted(10 * i + j for i in range(3) for j in range(4))
