@@ -29,7 +29,9 @@ def main() -> int:
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .appName("scale-smoke")
         .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # 48g floor: the f100 SHUFFLE_HASH edit-distance join dies at 24g
+        # with cannotAcquireMemoryToBuildLongHashedRelation (r10 rerun)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
