@@ -988,3 +988,77 @@ def _register_stream_embedding_neardup():
 
 
 _register_stream_embedding_neardup()
+
+
+def _register_stream_embedding_survivors():
+    @register(
+        "stream_embedding_survivors",
+        oracle="SELECT vec_id FROM embeddings",
+        tags=("L6", "X2", "J2", "J10", "U3"),
+    )
+    def stream_embedding_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The streaming-fed FULL vector-dedup capstone (the
+        stream_dedup_survivors_cc construction applied to embeddings):
+        the micro-batch pair stream (run_embedding_pair_stream — intra-
+        plus cross-batch pairs, old vectors never re-bucketed) feeds
+        connected components and keep-min-per-component — the vector
+        corpus a multimodal crawl pipeline would actually retain after
+        streaming ingest. Under the planted construction every
+        component is exactly {original, mirror}, so the surviving set
+        is precisely the original corpus — recall 1 by theory whatever
+        the seeds — and the oracle is the embeddings relation itself.
+        CC runs on the pair STATE (tiny vs corpus); the loser set
+        anti-joins back — no window over the corpus anywhere."""
+        import shutil
+
+        from ..operators import dedup as _dedup
+        from ..streaming import incremental, sketch_stream
+        from . import ensure_read_confs, table_path
+        from .llm_ops import _planted_domain_guard
+        from .pipeline_q import _scratch_dir
+
+        ensure_read_confs(spark)
+        path = table_path(sf_dir, "embeddings")
+        schema = spark.read.parquet(path).schema
+        emb = incremental._stream_reader(spark, path, "parquet", schema)
+        pairs_state = _scratch_dir(sf_dir, "emb_surv_stream_state")
+        index_state = _scratch_dir(sf_dir, "emb_surv_stream_index")
+        for p in (pairs_state, pairs_state + "__checkpoint", index_state):
+            shutil.rmtree(p, ignore_errors=True)
+
+        def prep(batch: DataFrame) -> DataFrame:
+            planted = batch.filter(F.col("vec_id") % 10 == 0).withColumn(
+                "vec_id",
+                F.col("vec_id")
+                + F.lit(100000)
+                + _planted_domain_guard("vec_id"),
+            )
+            return batch.select("vec_id", "embedding").unionByName(
+                planted.select("vec_id", "embedding")
+            )
+
+        pairs = sketch_stream.run_embedding_pair_stream(
+            emb.select("vec_id", "embedding"),
+            prep,
+            pairs_state,
+            index_state,
+            min_sim=0.9,
+        )
+        comp = _dedup.connected_components(pairs.select("id_a", "id_b"))
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("vec_id")
+        )
+        e = load(spark, sf_dir, "embeddings")
+        corpus = e.select("vec_id").unionByName(
+            e.filter(F.col("vec_id") % 10 == 0).select(
+                (
+                    F.col("vec_id")
+                    + F.lit(100000)
+                    + _planted_domain_guard("vec_id")
+                ).alias("vec_id")
+            )
+        )
+        return corpus.join(losers, "vec_id", "left_anti").orderBy("vec_id")
+
+
+_register_stream_embedding_survivors()
