@@ -429,3 +429,47 @@ def test_compact_table_sort_by_preserves_footer_ranges(spark, tmp_path):
         spans.sort()
         for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
             assert hi1 <= lo2  # disjoint consecutive ranges
+
+
+def test_compact_table_midmove_crash_recovery(spark, tmp_path):
+    """crash DURING the commit's move loop (manifest present, some staged
+    files moved, none of the originals deleted yet): recovery must finish
+    idempotently — already-moved files skipped, remaining moves and all
+    deletes applied — with rows identical and no duplicates."""
+    import json
+
+    path = str(tmp_path / "midmove")
+    want = _mk_partitioned(spark, path)
+
+    # plan a compaction by hand up to the commit point: stage + manifest
+    files = tio._list_data_files(spark, path)
+    smalls = [full for _, full, _ in files]
+    staging = tio._compact_staging_path(path)
+    df = spark.read.option("basePath", path).parquet(*smalls)
+    df.repartition(F.col("grp")).write.mode("overwrite").partitionBy(
+        "grp"
+    ).parquet(staging)
+    staged = [
+        (rel + "/" if rel else "") + full.rsplit("/", 1)[1]
+        for rel, full, _ in tio._list_data_files(spark, staging)
+    ]
+    manifest = {"staged": staged, "delete": smalls}
+    mpath = tio._compact_manifest_path(path)
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh)
+
+    # simulate a crash mid-move: move the FIRST staged file in by hand
+    jvm = spark._jvm
+    fs, _, _ = tio._fs_and_path(spark, path)
+    first = staged[0]
+    src = jvm.org.apache.hadoop.fs.Path(staging + "/" + first)
+    dst = jvm.org.apache.hadoop.fs.Path(path + "/" + first)
+    assert fs.rename(src, dst)
+    # mid-commit state: duplication (moved file + originals), never loss
+    assert sorted(set(_table_rows(spark, path))) == want
+
+    assert tio.recover_compaction(spark, path) is True
+    assert not tio.path_exists(spark, mpath)
+    assert not tio.path_exists(spark, staging)
+    assert _table_rows(spark, path) == want  # exact multiset, no dups
+    assert len(tio._list_data_files(spark, path)) == 3
