@@ -137,10 +137,25 @@ def write_parquet(
         if files_per_partition > 1:
             # content-hash salt (not rand/partition-id): deterministic
             # across retries, so a re-run of a failed stage lands rows in
-            # the same output task
+            # the same output task. Map-typed columns are excluded (hash
+            # expressions reject MapType since Spark 3.0 — the salt must
+            # not make a write crash that succeeds without it). Known
+            # limit: rows that are EXACT duplicates share a salt value by
+            # construction; a hot partition made of one duplicated row
+            # stays one task — dedup upstream, or don't content-salt.
+            hashable = [
+                f.name
+                for f in df.schema.fields
+                if "map<" not in f.dataType.simpleString()
+            ]
+            if not hashable:
+                raise ValueError(
+                    "files_per_partition needs at least one non-map "
+                    "column to derive the deterministic salt from"
+                )
             keys.append(
                 F.pmod(
-                    F.xxhash64(*[F.col(c) for c in df.columns]),
+                    F.xxhash64(*[F.col(c) for c in hashable]),
                     F.lit(files_per_partition),
                 )
             )
@@ -470,7 +485,12 @@ def _compact_staging_path(path: str) -> str:
 def _list_data_files(spark: SparkSession, path: str):
     """Recursively list a table's parquet data files as
     (relative_dir, absolute_path, bytes) via the Hadoop FS API —
-    any scheme, committer metadata (_SUCCESS, ...) excluded."""
+    any scheme. Committer metadata is excluded the way Spark's own
+    InMemoryFileIndex excludes it: a hidden ('_'/'.'-prefixed) name
+    ANYWHERE on the relative path hides the file — a crashed append's
+    uncommitted task outputs under ``_temporary/`` must never be
+    treated as table data (compacting them in would resurrect rows the
+    reader itself would not return)."""
     fs, root, jvm = _fs_and_path(spark, path)
     root_uri = fs.makeQualified(root).toString().rstrip("/")
     out = []
@@ -478,11 +498,13 @@ def _list_data_files(spark: SparkSession, path: str):
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        name = p.getName()
-        if not name.endswith(".parquet") or name.startswith(("_", ".")):
-            continue
         full = p.toString()
         rel = full[len(root_uri) :].lstrip("/")
+        segs = rel.split("/")
+        if not segs[-1].endswith(".parquet"):
+            continue
+        if any(s.startswith(("_", ".")) for s in segs):
+            continue
         rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
         out.append((rel_dir, full, int(st.getLen())))
     return out
@@ -631,11 +653,24 @@ def compact_table(
     fs, root, jvm = _fs_and_path(spark, path)
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     base_uri = fs.makeQualified(root).toString()
-    df = (
-        spark.read.option("basePath", base_uri).parquet(*small_paths)
-        if part_cols
-        else spark.read.parquet(*small_paths)
-    )
+    # partition values must round-trip VERBATIM: type inference would
+    # parse a string dir value that looks numeric (k=00123) as int and
+    # re-render it (k=123), silently splitting one logical partition
+    # into two directories. Read them as strings — integer/date values
+    # Spark itself wrote re-render identically, and the directory NAME
+    # is the ground truth here, not the parsed type.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    infer_was = spark.conf.get(infer_key, "true")
+    try:
+        if part_cols:
+            spark.conf.set(infer_key, "false")
+        df = (
+            spark.read.option("basePath", base_uri).parquet(*small_paths)
+            if part_cols
+            else spark.read.parquet(*small_paths)
+        )
+    finally:
+        spark.conf.set(infer_key, infer_was)
     n_rows = df.count()  # one job over the DELTA bytes only
     rows_per_file = max(
         1, int(target_file_mb * 1024 * 1024 * n_rows / max(1, small_bytes))
@@ -652,11 +687,18 @@ def compact_table(
         )
     else:
         # unpartitioned: the small-file read yields ~1 task per input
-        # file, so bin to the byte-derived target count
+        # file, so bin to the byte-derived target count. With sort_by
+        # the bins must be RANGE partitions — a round-robin repartition
+        # gives every task a uniform sample of the key domain, so each
+        # sorted file would still span the whole domain and the footer
+        # min/max property would be lost the moment the delta needs
+        # more than one file.
         n_target = max(1, -(-small_bytes // (target_file_mb * 1024 * 1024)))
-        rep = df.repartition(n_target)
         if sort_by:
+            rep = df.repartitionByRange(n_target, *sort_by)
             rep = rep.sortWithinPartitions(*sort_by)
+        else:
+            rep = df.repartition(n_target)
         rep.write.mode("overwrite").option(
             "maxRecordsPerFile", rows_per_file
         ).parquet(staging)

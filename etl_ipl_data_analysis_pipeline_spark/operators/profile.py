@@ -131,6 +131,16 @@ def grouped_value_count_quantiles(
     cum = F.sum(ccond).over(wg.orderBy("__v"))
     ntot = F.sum(ccond).over(wg)
     extras = extra_partition_aggs or {}
+    reserved = {"q", "n", "quantile", group_col,
+                "__g", "__v", "__c", "__cum", "__n", "__lo", "__frac",
+                "__vlo", "__vhi"}
+    bad = sorted(set(extras) & reserved)
+    if bad:
+        raise ValueError(
+            f"extra_partition_aggs names collide with the helper's own "
+            f"columns: {bad} (reserved: q, n, quantile, the group column, "
+            f"and the __-prefixed internals)"
+        )
     pos = counted.select(
         "__g",
         "__v",

@@ -13,6 +13,20 @@ from ..functions import stable_sum
 from . import load, register
 
 
+def _wipe_stream_state(*paths: str) -> None:
+    """rm -rf each state path AND its crash-swap leftovers. A previous
+    run killed inside _swap_write can leave a COMPLETE stale copy at
+    <path>.__tmp__ (staged, newer) or <path>.__old__ (set aside);
+    recover_swapped would then PROMOTE it inside this run's first
+    micro-batch and contaminate a deliberately-fresh accumulation with
+    the dead run's state. Fresh-start queries must clear all three."""
+    import shutil
+
+    for p in paths:
+        for suffix in ("", ".__tmp__", ".__old__"):
+            shutil.rmtree(p + suffix, ignore_errors=True)
+
+
 @register(
     "window_tumbling",
     oracle="""
@@ -380,8 +394,7 @@ def stream_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline_q import _scratch_dir
 
     state = _scratch_dir(sf_dir, "kmv_stream_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     ev = incremental.read_events_stream(spark, sf_dir).select(
         "event_type", "user_id"
     )
@@ -444,8 +457,7 @@ def stream_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = base.select(F.explode(_contiguous_grams("__t", 3)).alias("gram"))
 
     state = _scratch_dir(sf_dir, "ngram_stream_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     final_state = sketch_stream.run_count_stream(grams, state, keys=["gram"])
     return final_state.filter(F.col("n_occurrences") >= 3)
 
@@ -490,8 +502,7 @@ def stream_bloom_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = incremental._stream_reader(spark, path, "parquet", schema)
 
     state = _scratch_dir(sf_dir, "bloom_stream_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     final_state = sketch_stream.run_bloom_stream(
         orders.select("o_custkey"), state, "o_custkey", num_bits=4096, num_hashes=3
     )
@@ -578,8 +589,7 @@ def stream_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     state = _scratch_dir(sf_dir, "source_drift_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     counts = sketch_stream.run_count_stream(terms, state, keys=["source", "term"])
     return chi_square_from_counts(counts, "source", "term", "n_occurrences", 5)
 
@@ -646,8 +656,7 @@ def stream_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tgt",
     )
     state = _scratch_dir(sf_dir, "dsir_stream_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     return sketch_stream.run_count_stream(occ, state, keys=["b", "tgt"])
 
 
@@ -691,8 +700,7 @@ def stream_minhash_sig_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     docs = incremental._stream_reader(spark, path, "parquet", schema)
     state = _scratch_dir(sf_dir, "mh_sig_index_stream_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     index = sketch_stream.run_sig_index_stream(
         docs.select("doc_id", "text"), state, hash_family="md5"
     )
@@ -738,8 +746,7 @@ def stream_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = incremental._stream_reader(spark, path, "parquet", schema)
     pairs_state = _scratch_dir(sf_dir, "mh_pair_stream_state")
     index_state = _scratch_dir(sf_dir, "mh_pair_stream_index")
-    for p in (pairs_state, pairs_state + "__checkpoint", index_state):
-        shutil.rmtree(p, ignore_errors=True)
+    _wipe_stream_state(pairs_state, pairs_state + "__checkpoint", index_state)
     return sketch_stream.run_minhash_pair_stream(
         docs.select("doc_id", "text"),
         pairs_state,
@@ -794,8 +801,7 @@ def stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", binx.alias("bin")
     )
     state = _scratch_dir(sf_dir, "value_hist_stream_state")
-    for suffix in ("", "__checkpoint"):
-        shutil.rmtree(state + suffix, ignore_errors=True)
+    _wipe_stream_state(state, state + "__checkpoint")
     return sketch_stream.run_count_stream(
         occ, state, keys=["event_type", "bin"], count_col="n"
     )
@@ -848,8 +854,7 @@ def stream_dedup_survivors_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = incremental._stream_reader(spark, path, "parquet", schema)
     pairs_state = _scratch_dir(sf_dir, "mh_surv_stream_state")
     index_state = _scratch_dir(sf_dir, "mh_surv_stream_index")
-    for p in (pairs_state, pairs_state + "__checkpoint", index_state):
-        shutil.rmtree(p, ignore_errors=True)
+    _wipe_stream_state(pairs_state, pairs_state + "__checkpoint", index_state)
     pairs = sketch_stream.run_minhash_pair_stream(
         docs.select("doc_id", "text"),
         pairs_state,
@@ -904,8 +909,7 @@ def _register_stream_image_neardup():
         docs = incremental._stream_reader(spark, path, "parquet", schema)
         pairs_state = _scratch_dir(sf_dir, "img_pair_stream_state")
         index_state = _scratch_dir(sf_dir, "img_pair_stream_index")
-        for p in (pairs_state, pairs_state + "__checkpoint", index_state):
-            shutil.rmtree(p, ignore_errors=True)
+        _wipe_stream_state(pairs_state, pairs_state + "__checkpoint", index_state)
 
         def fp_fn(batch: DataFrame) -> DataFrame:
             media = _synth_ppm_media(batch.filter(F.col("doc_id") < 40))
@@ -964,8 +968,7 @@ def _register_stream_embedding_neardup():
         emb = incremental._stream_reader(spark, path, "parquet", schema)
         pairs_state = _scratch_dir(sf_dir, "emb_pair_stream_state")
         index_state = _scratch_dir(sf_dir, "emb_pair_stream_index")
-        for p in (pairs_state, pairs_state + "__checkpoint", index_state):
-            shutil.rmtree(p, ignore_errors=True)
+        _wipe_stream_state(pairs_state, pairs_state + "__checkpoint", index_state)
 
         def prep(batch: DataFrame) -> DataFrame:
             planted = batch.filter(F.col("vec_id") % 10 == 0).withColumn(
@@ -1023,8 +1026,7 @@ def _register_stream_embedding_survivors():
         emb = incremental._stream_reader(spark, path, "parquet", schema)
         pairs_state = _scratch_dir(sf_dir, "emb_surv_stream_state")
         index_state = _scratch_dir(sf_dir, "emb_surv_stream_index")
-        for p in (pairs_state, pairs_state + "__checkpoint", index_state):
-            shutil.rmtree(p, ignore_errors=True)
+        _wipe_stream_state(pairs_state, pairs_state + "__checkpoint", index_state)
 
         def prep(batch: DataFrame) -> DataFrame:
             planted = batch.filter(F.col("vec_id") % 10 == 0).withColumn(

@@ -473,3 +473,91 @@ def test_compact_table_midmove_crash_recovery(spark, tmp_path):
     assert not tio.path_exists(spark, staging)
     assert _table_rows(spark, path) == want  # exact multiset, no dups
     assert len(tio._list_data_files(spark, path)) == 3
+
+
+def test_list_data_files_ignores_hidden_ancestors(spark, tmp_path):
+    """uncommitted task outputs under _temporary/ (a crashed append's
+    leftovers) must be invisible to compaction — Spark's reader would
+    never return their rows, so compacting them in resurrects data."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "crashed")
+    _mk_partitioned(spark, path)
+    before = {f for _, f, _ in tio._list_data_files(spark, path)}
+    # simulate FileOutputCommitter leftovers: a real parquet file under
+    # a _temporary ancestor
+    some_file = next(iter(before)).replace("file:", "")
+    tmpdir = os.path.join(path, "_temporary", "0", "task_000")
+    os.makedirs(tmpdir)
+    shutil.copy(some_file, os.path.join(tmpdir, "part-junk.parquet"))
+    after = {f for _, f, _ in tio._list_data_files(spark, path)}
+    assert after == before  # the hidden-ancestor file never appears
+    stats = tio.compact_table(spark, path, target_file_mb=64)
+    assert stats["files_after"] == 3
+    # the junk file is untouched where the committer left it
+    assert os.path.exists(os.path.join(tmpdir, "part-junk.parquet"))
+
+
+def test_compact_table_preserves_stringy_partition_values(spark, tmp_path):
+    """numeric-LOOKING string partition values (k=00123) must round-trip
+    verbatim through compaction — inference would re-render them as
+    k=123 and split one logical partition into two directories."""
+    path = str(tmp_path / "stringy")
+    df = spark.createDataFrame(
+        [(i, "00123" if i < 40 else "7e4") for i in range(60)],
+        "k long, grp string",
+    )
+    df.repartition(6).write.mode("overwrite").partitionBy("grp").parquet(path)
+    want_dirs = {rel for rel, _, _ in tio._list_data_files(spark, path)}
+    assert want_dirs == {"grp=00123", "grp=7e4"}
+    tio.compact_table(spark, path, target_file_mb=64)
+    got_dirs = {rel for rel, _, _ in tio._list_data_files(spark, path)}
+    assert got_dirs == {"grp=00123", "grp=7e4"}
+    got = sorted(
+        (r["k"], r["grp"])
+        for r in spark.read.schema("k long, grp string").parquet(path).collect()
+    )
+    assert got == sorted((i, "00123" if i < 40 else "7e4") for i in range(60))
+
+
+def test_compact_table_sorted_multifile_ranges(spark, tmp_path):
+    """unpartitioned sort_by compaction with MORE THAN ONE output file:
+    range repartitioning must give disjoint per-file key spans (a
+    round-robin bin would make every file span the whole domain)."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ranged")
+    # ~3MB of data so n_target = ceil(bytes/1MB) >= 2
+    df = spark.range(120_000).select(
+        F.col("id").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    df.repartition(10).write.mode("overwrite").parquet(path)
+    stats = tio.compact_table(
+        spark, path, target_file_mb=1, small_ratio=0.9, sort_by=["k"]
+    )
+    files = [f for _, f, _ in tio._list_data_files(spark, path)]
+    assert len(files) >= 2, stats
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f.replace("file:", ""))
+        lo = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    for (l1, h1), (l2, _) in zip(spans, spans[1:]):
+        assert h1 <= l2, spans
+    assert spark.read.parquet(path).count() == 120_000
+
+
+def test_write_parquet_salt_skips_map_columns(spark, tmp_path):
+    """a MapType column must not crash the salted write (hash expressions
+    reject maps) — the salt derives from the hashable columns only."""
+    df = spark.createDataFrame(
+        [(i, "hot", {"a": i}) for i in range(50)],
+        "k long, grp string, m map<string,long>",
+    )
+    p = str(tmp_path / "mapped")
+    tio.write_parquet(df, p, partition_by=["grp"], files_per_partition=3)
+    assert spark.read.parquet(p).count() == 50
