@@ -98,18 +98,19 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # (VERDICT r9 directive 1: 81 queries were last driver-sampled at round
 # <= 5, predating the portable-hash (r7) and write-distribution (r9)
 # refactors — rotate the window onto the oldest-evidence cohort):
-# (1) the 5 never-sampled round-10 queries (the in-place incremental
+# (1) the 6 never-sampled round-10 queries (the in-place incremental
 # table compaction under its manifest commit, the streaming embedding
 # near-dup leg that completes the dedup-stream family plus its
 # survivors capstone, the PQ recall audit that completes the ANN
-# recall dashboard, and the salted hot-partition write gate);
+# recall dashboard, the salted hot-partition write gate, and the
+# lib-free baseline-JPEG decode gate);
 # (2) the 3 queries whose code changed in round 10 and must re-green
 # (agg_stats on the FUSED moments-through-the-quantile-window plan,
 # bm25_compacted_nway after the merge's term_bucket carry-through,
 # dedup_embedding_pairs_planted after embedding_near_dup_pairs was
 # refactored onto the shared embedding_sig_index relation);
 # (3) the ENTIRE freshest-evidence-is-round-4 cohort (40, alphabetical),
-# then round-5 cohort fill (2, alphabetical — the r5/r6 remainder
+# then round-5 cohort fill (1, alphabetical — the r5/r6 remainder
 # rotates in rounds 11-12). Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history
 # (EVIDENCE.md) that justifies this ordering — regenerated at round-10
@@ -122,6 +123,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "pq_recall_audit",  # NEW r10: ADC vs exact-L2 truth panel, exact-gated
     "parquet_skewed_write_roundtrip",  # NEW r10: salted hot-partition write
     "stream_embedding_survivors",  # NEW r10: streamed vector-dedup capstone
+    "multimodal_decode_jpeg",  # NEW r10: from-scratch Huffman+IDCT, exact gate
     # -- changed in round 10: must re-green --
     "agg_stats",  # moments fused into the quantile window pipeline
     "bm25_compacted_nway",  # merge carries build-time term_bucket through
@@ -169,7 +171,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "variant_props_agg",
     # -- freshest evidence is round 5 (alphabetical fill) --
     "attributed_purchases_outer",
-    "cohort_retention_matrix",
 )
 
 

@@ -4,6 +4,7 @@ decode, frame-sampling fan-out, real-decode stub contract."""
 import pytest
 
 from etl_ipl_data_analysis_pipeline_spark.operators import multimodal
+from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
 
 
 @pytest.fixture(scope="module")
@@ -54,10 +55,10 @@ def test_extract_features_fake_deterministic(media):
 
 
 def test_compressed_decode_is_declared_stub(media):
-    """Only COMPRESSED codecs are env-gated now; PPM/BMP/WAV decode
-    natively (TestRealDecode)."""
-    with pytest.raises(NotImplementedError, match="PIL"):
-        multimodal.decode_image(b"\x89PNG")
+    """Only VIDEO/GIF codecs are env-gated now; PPM/BMP/PNG/baseline-
+    JPEG/WAV decode natively (TestRealDecode, TestJpegCodec)."""
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 def test_sample_frames_fanout(media):
@@ -138,11 +139,14 @@ class TestRealDecode:
         assert feat[0] == pytest.approx(np.abs(samples / 32768.0).mean())
 
     def test_entropy_coded_formats_still_raise(self):
-        # PNG decodes natively as of r9 (zlib is stdlib); jpeg remains
-        # env-gated, and a garbage PNG raises (-> NULL row in the UDF)
+        # PNG decodes natively as of r9, baseline JPEG as of r10; video/
+        # gif remain env-gated, and GARBAGE payloads of the decodable
+        # formats raise (-> NULL row in the UDF), never mis-decode
         from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
 
         with pytest.raises(NotImplementedError):
+            mm.decode_image(b"GIF89a" + b"\x00" * 64)
+        with pytest.raises(Exception):
             mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
         with pytest.raises(Exception):
             mm.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
@@ -369,3 +373,144 @@ class TestPngDecode:
             )
             with _pt.raises(NotImplementedError):
                 mm._decode_png_pixels(png)
+
+
+class TestJpegCodec:
+    """Lib-free baseline JPEG: encoder + decoder round-trips, reference
+    IDCT agreement, entropy-stream edge cases, honest unsupported
+    variants."""
+
+    @staticmethod
+    def _ref_idct(B):
+        import numpy as np
+
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * B[u][v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out[x, y] = s / 4
+        return out
+
+    @staticmethod
+    def _const_blocks(vals):
+        blocks = []
+        for v in vals:
+            b = [[0] * 8 for _ in range(8)]
+            b[0][0] = 8 * (v - 128)
+            blocks.append(b)
+        return blocks
+
+    def test_constant_blocks_roundtrip_exactly(self):
+        import numpy as np
+
+        vals = [0, 7, 48, 102, 128, 200, 255]
+        # 7 blocks: 7x1 grid
+        content = mm.jpeg_encode_gray(self._const_blocks(vals), 7, 1)
+        w, h, px = mm._decode_jpeg_pixels(content)
+        assert (w, h, px.shape) == (56, 8, (8, 56, 1))
+        for i, v in enumerate(vals):
+            assert np.array_equal(
+                px[:, i * 8 : (i + 1) * 8, 0], np.full((8, 8), v)
+            ), (i, v)
+
+    def test_general_ac_blocks_match_reference_idct(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        for trial in range(4):
+            coef = rng.randint(-60, 60, size=(8, 8))
+            want = np.clip(
+                np.round(self._ref_idct(coef) + 128), 0, 255
+            ).astype(np.int64)
+            content = mm.jpeg_encode_gray([coef.tolist()], 1, 1)
+            _, _, px = mm._decode_jpeg_pixels(content)
+            assert np.array_equal(px[:, :, 0], want), trial
+
+    def test_zrl_and_eob_paths(self):
+        import numpy as np
+
+        # a lone coefficient deep in the zigzag forces ZRL runs; the
+        # all-zero tail forces EOB
+        coef = np.zeros((8, 8), np.int64)
+        nat = mm._JPEG_ZZ[52]
+        coef[nat // 8][nat % 8] = -9
+        want = np.clip(np.round(self._ref_idct(coef) + 128), 0, 255).astype(
+            np.int64
+        )
+        content = mm.jpeg_encode_gray([coef.tolist()], 1, 1)
+        _, _, px = mm._decode_jpeg_pixels(content)
+        assert np.array_equal(px[:, :, 0], want)
+
+    def test_byte_stuffing_exercised_and_survives(self):
+        import numpy as np
+
+        # search a deterministic seed whose entropy stream contains a
+        # stuffed 0xFF00 — proving the writer stuffs and the reader
+        # destuffs on a payload where it actually matters
+        rng = np.random.RandomState(0)
+        for _ in range(200):
+            coef = rng.randint(-70, 70, size=(8, 8))
+            content = mm.jpeg_encode_gray([coef.tolist()], 1, 1)
+            scan = content[content.index(b"\xff\xda") : -2]
+            if b"\xff\x00" in scan:
+                want = np.clip(
+                    np.round(self._ref_idct(coef) + 128), 0, 255
+                ).astype(np.int64)
+                _, _, px = mm._decode_jpeg_pixels(content)
+                assert np.array_equal(px[:, :, 0], want)
+                return
+        raise AssertionError("no stuffed byte found in 200 trials")
+
+    def test_multiblock_dc_prediction_chain(self):
+        import numpy as np
+
+        # descending then ascending values exercise negative DC diffs
+        vals = [200, 10, 250, 3, 128, 90]
+        content = mm.jpeg_encode_gray(self._const_blocks(vals), 3, 2)
+        _, _, px = mm._decode_jpeg_pixels(content)
+        for i, v in enumerate(vals):
+            by, bx = divmod(i, 3)
+            assert np.array_equal(
+                px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0],
+                np.full((8, 8), v),
+            )
+
+    def test_unsupported_variants_raise(self):
+        import struct
+
+        content = bytearray(mm.jpeg_encode_gray(self._const_blocks([50]), 1, 1))
+        # flip SOF0 -> SOF2 (progressive)
+        i = content.index(b"\xff\xc0")
+        content[i + 1] = 0xC2
+        with pytest.raises(NotImplementedError, match="progressive"):
+            mm._decode_jpeg_pixels(bytes(content))
+        # subsampled chroma: rewrite sampling byte
+        content[i + 1] = 0xC0
+        sof_len = struct.unpack_from(">H", content, i + 2)[0]
+        content[i + 4 + 7] = 0x22  # hv byte of component 0: h=2, v=2
+        with pytest.raises(NotImplementedError, match="4:4:4"):
+            mm._decode_jpeg_pixels(bytes(content))
+        with pytest.raises(ValueError, match="not a JPEG"):
+            mm._decode_jpeg_pixels(b"\x89PNG")
+
+    def test_image_ahash_rides_jpeg(self, spark):
+        """a JPEG payload flows through the integer perceptual-hash
+        pipeline: identical content -> identical ahash."""
+        vals = [60, 61, 190, 200, 32, 77]
+        content = mm.jpeg_encode_gray(self._const_blocks(vals), 3, 2)
+        df = spark.createDataFrame(
+            [(1, "a.jpg", "jpeg", len(content), bytearray(content)),
+             (2, "b.jpg", "jpeg", len(content), bytearray(content))],
+            mm.MEDIA_SCHEMA,
+        )
+        out = {r["media_id"]: r["ahash"] for r in mm.image_ahash(df, bits=16).collect()}
+        assert out[1] == out[2]
