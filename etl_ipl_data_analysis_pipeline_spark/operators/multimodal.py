@@ -468,7 +468,27 @@ def _fake_decode(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
-def extract_features(media: DataFrame, fake: bool = False, dim: int = 8) -> DataFrame:
+def _fake_decode_md5(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
+    """Portable twin of :func:`_fake_decode`: same (width, height, feature)
+    derivation but seeded by md5 over the UPPERCASE HEX of the first 64
+    payload bytes instead of crc32, because DuckDB 1.0 ships ``md5(VARCHAR)``
+    and ``hex(BLOB)`` but no crc32 — the seed is therefore reproducible in
+    ANSI SQL (``('0x' || substr(md5(substr(hex(payload),1,128)),1,8))::BIGINT``)
+    and the whole fake-decode feature pipeline gets a full DuckDB oracle
+    instead of a rows-only check. Same md5-portable-hash family as the
+    seeded minhash/LSH pipelines (F7)."""
+    import hashlib
+
+    hx = bytes(content[:64]).hex().upper()
+    h = int(hashlib.md5(hx.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+    width, height = 16 + h % 1024, 16 + (h >> 10) % 1024
+    feat = [((h >> (i % 24)) & 0xFF) / 255.0 for i in range(dim)]
+    return width, height, feat
+
+
+def extract_features(
+    media: DataFrame, fake: bool = False, dim: int = 8, portable: bool = False
+) -> DataFrame:
     """Decode + featurize media rows via Arrow-batched mapInPandas.
 
     The UDF processes whole Arrow batches (not rows); decode failures yield
@@ -477,7 +497,10 @@ def extract_features(media: DataFrame, fake: bool = False, dim: int = 8) -> Data
     """
     import pandas as pd
 
-    decoder = _fake_decode if fake else decode_image
+    if fake:
+        decoder = _fake_decode_md5 if portable else _fake_decode
+    else:
+        decoder = decode_image
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

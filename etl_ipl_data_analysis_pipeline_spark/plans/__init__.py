@@ -109,9 +109,14 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # bm25_compacted_nway after the merge's term_bucket carry-through,
 # dedup_embedding_pairs_planted after embedding_near_dup_pairs was
 # refactored onto the shared embedding_sig_index relation);
-# (3) the ENTIRE freshest-evidence-is-round-4 cohort (40, alphabetical),
-# then round-5 cohort fill (1, alphabetical — the r5/r6 remainder
-# rotates in rounds 11-12). Exactly 50.
+# (3) the freshest-evidence-is-round-4 cohort (39 of 40, alphabetical —
+# variant_props_agg and the r5 fill rotate in rounds 11-12, displaced
+# by the two multimodal upgrades below). Exactly 50.
+# Late-r10 addition to section (2): multimodal_features and
+# multimodal_frames moved from rows-only to FULL DuckDB oracles (the
+# fake decode is now the md5-portable twin; the frame fan-out has a
+# generate_series SQL twin) — changed code + changed contract, so both
+# must re-green under the stronger check.
 # scripts/evidence_map.py regenerates the per-query history
 # (EVIDENCE.md) that justifies this ordering — regenerated at round-10
 # start (latest verdict green for all 254 then-registered queries) and
@@ -128,6 +133,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "agg_stats",  # moments fused into the quantile window pipeline
     "bm25_compacted_nway",  # merge carries build-time term_bucket through
     "dedup_embedding_pairs_planted",  # refactored onto embedding_sig_index
+    "multimodal_features",  # UPGRADED r10: md5-portable fake => FULL oracle
+    "multimodal_frames",  # UPGRADED r10: generate_series twin => FULL oracle
     # -- freshest evidence is round 4 (whole cohort, alphabetical) --
     "dedup_cluster_keep_best",
     "dedup_incremental_batch",
@@ -168,9 +175,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "synthetic_source_scan",
     "try_funcs",
     "union_schema_evolution",
-    "variant_props_agg",
-    # -- freshest evidence is round 5 (alphabetical fill) --
-    "attributed_purchases_outer",
 )
 
 

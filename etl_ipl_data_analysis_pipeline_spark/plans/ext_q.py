@@ -59,36 +59,106 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.join(ids, "path").select("doc_id", "format", "n_bytes")
 
 
-@register("multimodal_features", oracle=None, tags=("X5", "U4"))
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'riff' ELSE 'unknown' END AS format,
+             hex(unhex(CASE doc_id % 4 WHEN 0 THEN '89504E470D0A1A0A'
+                                       WHEN 1 THEN 'FFD8FFE0'
+                                       WHEN 2 THEN '52494646'
+                                       ELSE '00010203' END)
+                 || encode(text)) AS hx,
+             octet_length(encode(text))
+                 + CASE doc_id % 4 WHEN 0 THEN 8 ELSE 4 END AS n_bytes
+      FROM documents),
+    h AS (
+      SELECT doc_id, format, n_bytes,
+             (('0x' || substr(md5(substr(hx, 1, 128)), 1, 8))::BIGINT
+                 & 2147483647) AS h
+      FROM m)
+    SELECT doc_id, format, n_bytes,
+           (16 + h % 1024)::INT AS width,
+           (16 + (h >> 10) % 1024)::INT AS height,
+           array_to_string(
+             list_transform(generate_series(0, 7),
+                            i -> ((h >> (i % 24)) & 255)::VARCHAR),
+             ',') AS feat_u8
+    FROM h
+    """,
+    tags=("X5", "U4"),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 decode path: Arrow-batched mapInPandas with the deterministic
-    fake decoder (real decode is an environment-gated stub). Rows-only —
-    crc32-derived features have no SQL twin; determinism is covered by
-    tests/test_multimodal.py. The feature vector is serialized via to_json
-    because the driver's canonicalizer cannot hash raw array cells."""
-    media = multimodal.attach_metadata(_media_from_documents(spark, sf_dir).drop("doc_id"))
+    fake decoder (real decode covers the lib-free formats; entropy codecs
+    absent from the container stay env-gated). r10: the fake is the
+    PORTABLE md5-seeded twin (multimodal._fake_decode_md5), so the whole
+    pipeline — binary construction, Arrow batching, decode, featurize —
+    is reproduced in ANSI SQL and this query is now FULLY oracled (it was
+    rows-only while the seed was crc32, which DuckDB lacks). Features are
+    emitted as the exact u8 lattice points (feature[i]*255 is integral by
+    construction) serialized to csv, because the driver's canonicalizer
+    cannot hash raw float-array cells."""
+    media = _media_from_documents(spark, sf_dir)
+    tagged = multimodal.attach_metadata(media.drop("doc_id"))
+    feats = multimodal.extract_features(tagged, fake=True, dim=8, portable=True)
+    ids = media.select(
+        F.xxhash64("path").alias("media_id"), F.col("doc_id")
+    )
     return (
-        multimodal.extract_features(media, fake=True, dim=8)
+        feats.join(ids, "media_id")
         .select(
-            "media_id",
+            "doc_id",
             "format",
             "n_bytes",
             "width",
             "height",
-            F.to_json(F.col("feature")).alias("feature_json"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature", lambda x: F.round(x * 255).cast("int").cast("string")
+                ),
+            ).alias("feat_u8"),
         )
-        .orderBy("media_id")
+        .orderBy("doc_id")
     )
 
 
-@register("multimodal_frames", oracle=None, tags=("X5", "U4"))
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             octet_length(encode(text))
+                 + CASE doc_id % 4 WHEN 0 THEN 8 ELSE 4 END AS plen
+      FROM documents),
+    f AS (
+      SELECT doc_id, plen,
+             unnest(generate_series(
+                 0, least(greatest(plen // 256, 1), 8) - 1)) AS frame_idx
+      FROM m)
+    SELECT doc_id, frame_idx::INT AS frame_idx,
+           least(64, plen - frame_idx * 64)::INT AS frame_bytes
+    FROM f
+    """,
+    tags=("X5", "U4"),
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 frame-sampling plumbing: per-media fan-out to frame rows."""
-    media = multimodal.attach_metadata(_media_from_documents(spark, sf_dir).drop("doc_id"))
+    """X5 frame-sampling plumbing: per-media fan-out to frame rows via
+    mapInPandas. r10: fully oracled — the fake sampler is a pure function
+    of payload length (n = max(1, len // (every_n·64)) frames capped at 8,
+    each a 64-byte slice), which DuckDB reproduces with a
+    generate_series fan-out over the reconstructed payload length."""
+    media = _media_from_documents(spark, sf_dir)
+    tagged = multimodal.attach_metadata(media.drop("doc_id"))
+    ids = media.select(F.xxhash64("path").alias("media_id"), F.col("doc_id"))
     return (
-        multimodal.sample_frames(media, every_n=4)
-        .select("media_id", "frame_idx", F.octet_length("frame").alias("frame_bytes"))
-        .orderBy("media_id", "frame_idx")
+        multimodal.sample_frames(tagged, every_n=4)
+        .join(ids, "media_id")
+        .select("doc_id", "frame_idx", F.octet_length("frame").alias("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
     )
 
 

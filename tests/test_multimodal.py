@@ -54,6 +54,28 @@ def test_extract_features_fake_deterministic(media):
     assert a == b  # stable across partitionings (crc32, not salted hash)
 
 
+def test_extract_features_portable_md5_seed(media):
+    """The portable fake (multimodal_features' oracle twin) must derive its
+    seed exactly as the DuckDB SQL does: md5 over the UPPERCASE HEX of the
+    first 64 payload bytes, first 8 hex digits as an int, masked to 31 bits."""
+    import hashlib
+
+    payload = b"\x89PNG\r\n\x1a\n" + b"hello world" * 10
+    w, h, feat = multimodal._fake_decode_md5(payload, dim=8)
+    seed = int(
+        hashlib.md5(payload[:64].hex().upper().encode()).hexdigest()[:8], 16
+    ) & 0x7FFFFFFF
+    assert (w, h) == (16 + seed % 1024, 16 + (seed >> 10) % 1024)
+    assert feat == [((seed >> (i % 24)) & 0xFF) / 255.0 for i in range(8)]
+
+    out = multimodal.extract_features(media, fake=True, portable=True).collect()
+    again = multimodal.extract_features(
+        media.repartition(3), fake=True, portable=True
+    ).collect()
+    key = lambda rows: sorted((r["media_id"], tuple(r["feature"])) for r in rows)
+    assert key(out) == key(again)
+
+
 def test_compressed_decode_is_declared_stub(media):
     """Only VIDEO/GIF codecs are env-gated now; PPM/BMP/PNG/baseline-
     JPEG/WAV decode natively (TestRealDecode, TestJpegCodec)."""
