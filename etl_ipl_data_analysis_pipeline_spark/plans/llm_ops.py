@@ -5286,3 +5286,171 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("checksum"),
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 19 AS INT) AS width,
+             CAST(1 + doc_id % 8 AS INT) AS height,
+             substr(repeat(md5(CAST(doc_id AS VARCHAR)), 16), 1,
+                    (2 + doc_id % 19) * (1 + doc_id % 8)) AS px
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id AS media_id, width, height,
+           CAST(3 * list_sum(list_transform(
+             range(1, width * height + 1),
+             i -> ascii(substr(px, CAST(i AS INT), 1))
+           )) AS BIGINT) AS checksum
+    FROM media
+    """,
+    tags=("X5", "U4", "F7"),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch GIF decoder (LZW + 89a container walk) under the
+    exact cross-engine gate — the LZW twin of the PNG/JPEG gates, so
+    every natively-decodable image format now carries one. Pixels are
+    the md5-hex character values of the id (grayscale palette
+    pal[i]=(i,i,i), so the RGB byte sum is exactly 3x the index sum the
+    oracle computes from the same md5); dimensions vary with doc_id up
+    to 20x8 = 160 px, which pushes the LZW table past 256 entries on
+    the larger ids — the variable code-width growth path runs inside
+    the gate, not just in unit tests. A bit-packing slip, a premature
+    width bump, or a palette mis-index all flip the hash. The
+    encoder/decoder pair round-trips bit-exactly incl. the 4096-entry
+    CLEAR regime (tests/test_multimodal.py TestGifCodec)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def _synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "path": [], "format": [], "n_bytes": [], "content": []}
+            pal = [(i, i, i) for i in range(128)]
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 19, 1 + did % 8
+                px = (hashlib.md5(str(did).encode()).hexdigest() * 16)[: w * h]
+                grid = [
+                    [ord(c) for c in px[y * w : (y + 1) * w]] for y in range(h)
+                ]
+                content = mm.gif_encode([grid], pal, w, h)
+                out["media_id"].append(did)
+                out["path"].append("synthetic.gif")
+                out["format"].append("gif")
+                out["n_bytes"].append(len(content))
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id").mapInPandas(
+        _synth,
+        schema="media_id bigint, path string, format string, n_bytes bigint, content binary",
+    )
+    feats = mm.extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(
+            F.element_at("feature", 1)
+            * (F.col("width") * F.col("height") * 3).cast("double")
+            * F.lit(255.0)
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 9 AS INT) AS width,
+             CAST(1 + doc_id % 5 AS INT) AS height,
+             CAST(2 + doc_id % 3 AS INT) AS nf
+      FROM documents WHERE doc_id < 30
+    ),
+    sampled AS (
+      SELECT doc_id, width, height,
+             CAST(2 * unnest(generate_series(0, (nf - 1) // 2)) AS INT)
+                 AS frame_idx
+      FROM media
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(width * height * 3 AS BIGINT) AS frame_bytes,
+           CAST(3 * list_sum(list_transform(
+             range(1, width * height + 1),
+             i -> ascii(substr(
+               repeat(md5(CAST(doc_id * 1000 + frame_idx AS VARCHAR)), 16),
+               CAST(i AS INT), 1))
+           )) AS BIGINT) AS checksum
+    FROM sampled
+    """,
+    tags=("X5", "U4", "F7"),
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling under the exact gate: animated GIFs (2-4
+    full-canvas frames, disposal=1, per-frame GCE) are synthesized from
+    per-(id, frame) md5 pixels, sample_frames(fake=False, every_n=2)
+    extracts every other COMPOSED canvas frame through the production
+    mapInPandas path, and each sampled frame's byte length AND byte sum
+    — computed Spark-side from the emitted frame binary itself via a
+    hex-walk aggregate, not from the decoder's internals — must match
+    the oracle's SQL over the raw pre-compression indices. This closes
+    the 'frame extraction is fake-only' residual for the one animated
+    format that decodes lib-free; real video still needs ffmpeg and
+    stays env-gated (sample_frames' fake path covers its plumbing)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+
+    def _synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "path": [], "format": [], "n_bytes": [], "content": []}
+            pal = [(i, i, i) for i in range(128)]
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 9, 1 + did % 5
+                nf = 2 + did % 3
+                frames = []
+                for f in range(nf):
+                    px = (hashlib.md5(str(did * 1000 + f).encode()).hexdigest() * 16)[
+                        : w * h
+                    ]
+                    frames.append(
+                        [[ord(c) for c in px[y * w : (y + 1) * w]] for y in range(h)]
+                    )
+                content = mm.gif_encode(frames, pal, w, h)
+                out["media_id"].append(did)
+                out["path"].append("synthetic_anim.gif")
+                out["format"].append("gif")
+                out["n_bytes"].append(len(content))
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id").mapInPandas(
+        _synth,
+        schema="media_id bigint, path string, format string, n_bytes bigint, content binary",
+    )
+    frames = mm.sample_frames(media, every_n=2, fake=False)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+        F.expr(
+            "aggregate(sequence(1, octet_length(frame)), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + CAST(conv(substr(hex(frame), 2*i-1, 2), 16, 10) "
+            "AS BIGINT))"
+        ).alias("checksum"),
+    )

@@ -77,10 +77,11 @@ def test_extract_features_portable_md5_seed(media):
 
 
 def test_compressed_decode_is_declared_stub(media):
-    """Only VIDEO/GIF codecs are env-gated now; PPM/BMP/PNG/baseline-
-    JPEG/WAV decode natively (TestRealDecode, TestJpegCodec)."""
+    """Only VIDEO codecs are env-gated now; PPM/BMP/PNG/baseline-JPEG/
+    GIF/WAV decode natively (TestRealDecode, TestJpegCodec,
+    TestGifCodec)."""
     with pytest.raises(NotImplementedError, match="ffmpeg"):
-        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
+        multimodal.decode_image(b"RIFF\x24\x00\x00\x00AVI LIST" + b"\x00" * 16)
 
 
 def test_sample_frames_fanout(media):
@@ -161,12 +162,13 @@ class TestRealDecode:
         assert feat[0] == pytest.approx(np.abs(samples / 32768.0).mean())
 
     def test_entropy_coded_formats_still_raise(self):
-        # PNG decodes natively as of r9, baseline JPEG as of r10; video/
-        # gif remain env-gated, and GARBAGE payloads of the decodable
-        # formats raise (-> NULL row in the UDF), never mis-decode
+        # PNG decodes natively as of r9, baseline JPEG and GIF as of
+        # r10; only video remains env-gated, and GARBAGE payloads of
+        # the decodable formats raise (-> NULL row in the UDF), never
+        # mis-decode
         from etl_ipl_data_analysis_pipeline_spark.operators import multimodal as mm
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(Exception):
             mm.decode_image(b"GIF89a" + b"\x00" * 64)
         with pytest.raises(Exception):
             mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
@@ -536,3 +538,114 @@ class TestJpegCodec:
         )
         out = {r["media_id"]: r["ahash"] for r in mm.image_ahash(df, bits=16).collect()}
         assert out[1] == out[2]
+
+
+class TestGifCodec:
+    """From-scratch GIF LZW + container (r10): round-trips, composition
+    semantics, and honest failure modes."""
+
+    def _pal(self):
+        return [(i, i, i) for i in range(128)]
+
+    def test_lzw_roundtrip_all_regimes(self):
+        import random
+
+        rng = random.Random(7)
+        for mcs, n in [(2, 1), (2, 10), (7, 500), (2, 20000)]:
+            idx = [rng.randrange(1 << mcs) for _ in range(n)]
+            enc = multimodal._lzw_encode(idx, mcs)
+            assert multimodal._lzw_decode(enc, mcs) == idx, (mcs, n)
+        # 20000 symbols over a 4-symbol alphabet crosses the 4096-entry
+        # table and exercises the CLEAR/reset regime; 500 over 128
+        # exercises width growth past 8 bits without a reset.
+
+    def test_lzw_runs_compress(self):
+        idx = [5] * 4096
+        enc = multimodal._lzw_encode(idx, 7)
+        assert len(enc) < 300  # runs must actually compress
+        assert multimodal._lzw_decode(enc, 7) == idx
+
+    def test_container_roundtrip_and_decode_image(self):
+        import hashlib
+
+        w, h = 9, 4
+        px = (hashlib.md5(b"x").hexdigest() * 4)[: w * h]
+        grid = [[ord(c) for c in px[y * w : (y + 1) * w]] for y in range(h)]
+        payload = multimodal.gif_encode([grid], self._pal(), w, h)
+        W, H, frames = multimodal._decode_gif_frames(payload)
+        assert (W, H, len(frames)) == (w, h, 1)
+        assert frames[0].tolist() == [[[v] * 3 for v in row] for row in grid]
+        dw, dh, feat = multimodal.decode_image(payload)
+        assert (dw, dh) == (w, h)
+        assert round(feat[0] * w * h * 3 * 255) == 3 * sum(map(ord, px))
+
+    def test_animated_composition_disposal_and_transparency(self):
+        import struct
+
+        import numpy as np
+
+        pal = self._pal()
+        base = [[10, 20], [30, 40]]
+        over = [[50, 50], [50, 50]]
+        payload = multimodal.gif_encode([base, over], pal, 2, 2)
+        _, _, frames = multimodal._decode_gif_frames(payload)
+        assert frames[1].tolist() == [[[50] * 3] * 2] * 2
+        # hand-build frame 2 with a transparency flag: transparent index
+        # 50 must KEEP the composed canvas (all 50s) from frame 1
+        gce = struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0x05, 4, 50, 0)
+        img = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        lzw = multimodal._lzw_encode([50, 99, 50, 99], 7)
+        extra = gce + img + bytes([7, len(lzw)]) + lzw + b"\x00"
+        patched = payload[:-1] + extra + b"\x3b"
+        _, _, frames3 = multimodal._decode_gif_frames(patched)
+        assert frames3[2].tolist() == [
+            [[50] * 3, [99] * 3],
+            [[50] * 3, [99] * 3],
+        ]
+
+    def test_interlaced_and_truncated_raise(self):
+        import struct
+
+        w, h = 3, 2
+        payload = multimodal.gif_encode([[[1] * w] * h], self._pal(), w, h)
+        # flip the interlace bit in the image descriptor's packed byte;
+        # the descriptor sits right after header(6) + LSD(7) + the
+        # 128-entry global palette (byte 0x2c also APPEARS in the
+        # palette, so no searching)
+        pos = 13 + 3 * 128
+        assert payload[pos] == 0x2C
+        patched = bytearray(payload)
+        patched[pos + 9] |= 0x40
+        with pytest.raises(NotImplementedError, match="interlaced"):
+            multimodal._decode_gif_frames(bytes(patched))
+        with pytest.raises(ValueError):
+            multimodal._decode_gif_frames(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0) + b"\x3b")
+
+    def test_sample_frames_real_gif(self, spark):
+        import pandas as pd
+
+        pal = self._pal()
+        frames = [[[10 + f] * 4] * 3 for f in range(5)]  # 5 frames, 4x3
+        payload = multimodal.gif_encode(frames, pal, 4, 3)
+        media = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [1, 2],
+                    "content": [payload, b"RIFFxxxxAVI not-a-gif"],
+                }
+            ),
+            schema="media_id long, content binary",
+        )
+        out = multimodal.sample_frames(media, every_n=2, fake=False).collect()
+        got = {(r["media_id"], r["frame_idx"]): r["frame"] for r in out}
+        # undecodable payload yields no rows; GIF yields original indices 0/2/4
+        assert set(got) == {(1, 0), (1, 2), (1, 4)}
+        for fi in (0, 2, 4):
+            assert got[(1, fi)] == bytes([10 + fi] * 3) * 12
+
+    def test_raw_samples_gif_rides_ahash(self):
+        grid = [[3, 5, 7], [9, 11, 13]]
+        payload = multimodal.gif_encode([grid], self._pal(), 3, 2)
+        w, h, samples = multimodal._raw_samples(payload)
+        assert (w, h) == (3, 2)
+        assert samples.sum() == 3 * (3 + 5 + 7 + 9 + 11 + 13)
