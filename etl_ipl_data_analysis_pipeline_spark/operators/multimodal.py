@@ -6,11 +6,12 @@ The decode step is REAL for lib-free formats — binary PPM and
 uncompressed 24-bit BMP parse with numpy, WAV PCM via the stdlib
 ``wave`` module, PNG via stdlib zlib + a numpy unfilter (r9),
 BASELINE JPEG via a from-scratch Huffman + IDCT decoder (r10, see
-``_decode_jpeg_pixels``), and GIF via a from-scratch LZW + 89a
-container walk (r10, see ``_decode_gif_frames`` — including REAL
-animated-frame extraction in ``sample_frames``) — and STUBBED only
-for video, whose codecs (ffmpeg) are genuinely absent from this
-container. The
+``_decode_jpeg_pixels``), GIF via a from-scratch LZW + 89a
+container walk (r10, see ``_decode_gif_frames``), and uncompressed
+BI_RGB AVI via a RIFF chunk walk (r10, ``_decode_avi_frames``) —
+with REAL animated-frame extraction for both in ``sample_frames`` —
+and STUBBED only for compressed video, whose codecs (ffmpeg) are
+genuinely absent from this container. The
 Spark-side plumbing — schema, batching, partition sizing, UDF
 signatures — is identical on both paths and also tested with
 deterministic fake decoders.
@@ -99,10 +100,13 @@ def decode_image(content: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     if head == b"GIF8":
         w, h, frames = _decode_gif_frames(content)
         return w, h, _pool_feature(frames[0].astype("float64") / 255.0, dim)
+    if head == b"RIFF" and bytes(content[8:12]) == b"AVI ":
+        w, h, frames = _decode_avi_frames(content)
+        return w, h, _pool_feature(frames[0].astype("float64") / 255.0, dim)
     raise NotImplementedError(
-        "video decode requires ffmpeg — not available in this "
-        "environment; PPM/BMP/PNG/baseline-JPEG/GIF/WAV decode "
-        "natively, other formats use extract_features(df, fake=True)"
+        "compressed-video decode requires ffmpeg — not available in this "
+        "environment; PPM/BMP/PNG/baseline-JPEG/GIF/WAV/uncompressed-AVI "
+        "decode natively, other formats use extract_features(df, fake=True)"
     )
 
 
@@ -326,6 +330,9 @@ def _raw_samples(content: bytes):
     if head == b"GIF8":
         w, h, frames = _decode_gif_frames(buf)
         return w, h, frames[0].reshape(-1).astype(np.int64)
+    if head == b"RIFF" and bytes(buf[8:12]) == b"AVI ":
+        w, h, frames = _decode_avi_frames(buf)
+        return w, h, frames[0].reshape(-1).astype(np.int64)
     if head == b"RIFF" and bytes(buf[8:12]) == b"WAVE":
         import io
         import wave
@@ -544,10 +551,12 @@ def extract_features(
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> DataFrame:
     """Frame-sampling plumbing for animated payloads: fan each media row out
     to frame rows (media_id, frame_idx, frame binary). ``fake=False`` is
-    REAL for GIF (r10): every ``every_n``-th COMPOSED canvas frame —
-    disposal/transparency honored by _decode_gif_frames — is emitted as
-    raw RGB bytes with its ORIGINAL frame index; payloads that don't
-    decode (real video needs ffmpeg, absent here) yield no frame rows
+    REAL for GIF and uncompressed AVI (r10): every ``every_n``-th
+    COMPOSED canvas frame — disposal/transparency honored by
+    _decode_gif_frames; raw BI_RGB DIBs by _decode_avi_frames — is
+    emitted as raw RGB bytes with its ORIGINAL frame index; payloads
+    that don't decode (compressed video needs ffmpeg, absent here)
+    yield no frame rows
     rather than failing the task, mirroring extract_features' null
     stance on a corrupt-member crawl. The fake path emits byte-slices so
     downstream shape stays testable format-independently."""
@@ -560,7 +569,11 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = True) -> Dat
                 rows = {"media_id": [], "frame_idx": [], "frame": []}
                 for mid, content in zip(pdf["media_id"], pdf["content"]):
                     try:
-                        _w, _h, frames = _decode_gif_frames(content)
+                        head = bytes(content[:4])
+                        if head == b"RIFF" and bytes(content[8:12]) == b"AVI ":
+                            _w, _h, frames = _decode_avi_frames(content)
+                        else:
+                            _w, _h, frames = _decode_gif_frames(content)
                     except Exception:
                         continue
                     for i in range(0, len(frames), every_n):
@@ -1165,3 +1178,113 @@ def gif_encode(frames, palette, width: int, height: int, delays=None) -> bytes:
         out.append(0)
     out.append(0x3B)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI (r10): uncompressed-DIB video. The container is a plain RIFF chunk
+# walk (public AVI/RIFF spec) and BI_RGB frames are raw bottom-up BGR
+# rows — no codec exists to need ffmpeg for. Compressed streams
+# (biCompression != 0: cinepak/h264/...) genuinely need one and raise.
+# This closes the "video is env-gated" line for the uncompressed case:
+# every container this engine claims is decoded from scratch.
+# ---------------------------------------------------------------------------
+
+
+def _decode_avi_frames(content: bytes):
+    """Decode an uncompressed AVI payload to (width, height, [frames]),
+    each frame a top-down (h, w, 3) uint8 RGB array. Walks RIFF LISTs
+    for hdrl (avih geometry) and strf (BITMAPINFOHEADER — must be
+    24-bit BI_RGB), then collects '..db' movi chunks; '..dc'
+    (compressed) frames raise NotImplementedError naming the codec
+    gap. Word-aligned chunk padding per the RIFF spec."""
+    import struct
+
+    import numpy as np
+
+    buf = bytes(content)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    width = height = None
+    bitcount, compression = None, None
+    frames_raw = []
+
+    def walk(start, end):
+        nonlocal width, height, bitcount, compression
+        pos = start
+        while pos + 8 <= end:
+            cid, sz = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+            body = pos + 8
+            if cid == b"LIST":
+                walk(body + 4, body + sz)  # skip the 4-byte list type
+            elif cid == b"avih":
+                width, height = struct.unpack_from("<II", buf, body + 32)
+            elif cid == b"strf" and bitcount is None:
+                _bisz, _w, _h, _planes, bitcount, compression = struct.unpack_from(
+                    "<IiiHHI", buf, body
+                )
+            elif cid[2:4] == b"db":
+                frames_raw.append(buf[body : body + sz])
+            elif cid[2:4] == b"dc":
+                raise NotImplementedError(
+                    "compressed AVI streams need a codec (ffmpeg) — only "
+                    "uncompressed BI_RGB AVI decodes natively"
+                )
+            pos = body + sz + (sz & 1)  # RIFF chunks are word-aligned
+
+    walk(12, len(buf))
+    if width is None or not frames_raw:
+        raise ValueError("AVI missing avih header or frame data")
+    if compression not in (None, 0) or (bitcount is not None and bitcount != 24):
+        raise NotImplementedError(
+            "compressed AVI streams need a codec (ffmpeg) — only "
+            "uncompressed 24-bit BI_RGB AVI decodes natively"
+        )
+    stride = (width * 3 + 3) & ~3
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * height:
+            raise ValueError("AVI frame data truncated")
+        rows = np.frombuffer(raw, np.uint8, count=stride * height).reshape(
+            height, stride
+        )[:, : width * 3]
+        # DIB rows are bottom-up BGR; flip both to the shared RGB contract
+        frames.append(rows.reshape(height, width, 3)[::-1, :, ::-1].copy())
+    return width, height, frames
+
+
+def avi_encode(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Synthesize a minimal uncompressed AVI (RIFF/hdrl/strl/movi, 24-bit
+    BI_RGB '00db' frames, bottom-up BGR, stride padded to 4). Exists for
+    the decode gates and tests; round-trips bit-exactly with
+    _decode_avi_frames (test-pinned)."""
+    import struct
+
+    import numpy as np
+
+    stride = (width * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I",
+        1000000 // fps, stride * height * fps, 0, 0,
+        len(frames), 0, 1, stride * height, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames), stride * height, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, stride * height, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for fr in frames:
+        arr = np.asarray(fr, np.uint8).reshape(height, width, 3)
+        dib = np.zeros((height, stride), np.uint8)
+        dib[:, : width * 3] = arr[::-1, :, ::-1].reshape(height, width * 3)
+        movi_body += chunk(b"00db", dib.tobytes())
+    riff_body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

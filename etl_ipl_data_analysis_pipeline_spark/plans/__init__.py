@@ -109,10 +109,11 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # bm25_compacted_nway after the merge's term_bucket carry-through,
 # dedup_embedding_pairs_planted after embedding_near_dup_pairs was
 # refactored onto the shared embedding_sig_index relation);
-# (3) the freshest-evidence-is-round-4 cohort (37 of 40, alphabetical —
-# try_funcs, union_schema_evolution, variant_props_agg and the r5 fill
-# rotate in rounds 11-12, displaced by the two multimodal oracle
-# upgrades and the two GIF gates below). Exactly 50.
+# (3) the freshest-evidence-is-round-4 cohort (35 of 40, alphabetical —
+# stream_cdc_latest_value, synthetic_source_scan, try_funcs,
+# union_schema_evolution, variant_props_agg and the r5 fill rotate in
+# rounds 11-12, displaced by the two multimodal oracle upgrades and
+# the four GIF/AVI gates below). Exactly 50.
 # Late-r10 addition to section (2): multimodal_features and
 # multimodal_frames moved from rows-only to FULL DuckDB oracles (the
 # fake decode is now the md5-portable twin; the frame fan-out has a
@@ -132,6 +133,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_decode_jpeg",  # NEW r10: from-scratch Huffman+IDCT, exact gate
     "multimodal_decode_gif",  # NEW r10: from-scratch LZW + 89a walk, exact gate
     "multimodal_gif_frames",  # NEW r10: REAL animated-frame sampling, exact gate
+    "multimodal_decode_avi",  # NEW r10: uncompressed-video RIFF walk, exact gate
+    "multimodal_avi_frames",  # NEW r10: REAL video-frame sampling, exact gate
     # -- changed in round 10: must re-green --
     "agg_stats",  # moments fused into the quantile window pipeline
     "bm25_compacted_nway",  # merge carries build-time term_bucket through
@@ -174,8 +177,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_exact_k_per_lang",
     "scd2_user_value",
     "split_group_disjoint_source",
-    "stream_cdc_latest_value",
-    "synthetic_source_scan",
 )
 
 

@@ -5454,3 +5454,176 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT))"
         ).alias("checksum"),
     )
+
+
+@register(
+    "multimodal_decode_avi",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 7 AS INT) AS width,
+             CAST(1 + doc_id % 4 AS INT) AS height,
+             substr(repeat(md5(CAST(doc_id AS VARCHAR)), 16), 1,
+                    (2 + doc_id % 7) * (1 + doc_id % 4) * 3) AS px
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id AS media_id, width, height,
+           CAST(list_sum(list_transform(
+             range(1, width * height * 3 + 1),
+             i -> ascii(substr(px, CAST(i AS INT), 1))
+           )) AS BIGINT) AS checksum
+    FROM media
+    """,
+    tags=("X5", "U4", "F7"),
+)
+def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO under the exact cross-engine gate: uncompressed BI_RGB AVI
+    is a RIFF chunk walk plus raw bottom-up BGR DIB rows — no codec
+    exists to need ffmpeg for — so the engine decodes it from scratch
+    (_decode_avi_frames) and the same md5-pixel checksum gate the image
+    formats carry applies to a video container (first frame; the byte
+    SUM is invariant to the BGR/row-flip normalization, whose
+    exactness is pinned per-pixel by TestAviCodec). Compressed streams
+    ('..dc' chunks / biCompression != 0) raise honestly — that half
+    genuinely needs a codec. Widths 2-8 exercise the 4-byte DIB stride
+    padding (w*3 % 4 != 0 for most ids)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def _synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "path": [], "format": [], "n_bytes": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 7, 1 + did % 4
+                px = (hashlib.md5(str(did).encode()).hexdigest() * 16)[: w * h * 3]
+                frame = [
+                    [
+                        [ord(px[(y * w + x) * 3 + c]) for c in range(3)]
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                content = mm.avi_encode([frame], w, h)
+                out["media_id"].append(did)
+                out["path"].append("synthetic.avi")
+                out["format"].append("riff")
+                out["n_bytes"].append(len(content))
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id").mapInPandas(
+        _synth,
+        schema="media_id bigint, path string, format string, n_bytes bigint, content binary",
+    )
+    feats = mm.extract_features(media, fake=False)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(
+            F.element_at("feature", 1)
+            * (F.col("width") * F.col("height") * 3).cast("double")
+            * F.lit(255.0)
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_avi_frames",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CAST(2 + doc_id % 5 AS INT) AS width,
+             CAST(1 + doc_id % 3 AS INT) AS height,
+             CAST(2 + doc_id % 3 AS INT) AS nf
+      FROM documents WHERE doc_id < 30
+    ),
+    sampled AS (
+      SELECT doc_id, width, height,
+             CAST(2 * unnest(generate_series(0, (nf - 1) // 2)) AS INT)
+                 AS frame_idx
+      FROM media
+    )
+    SELECT doc_id AS media_id, frame_idx,
+           CAST(width * height * 3 AS BIGINT) AS frame_bytes,
+           CAST(list_sum(list_transform(
+             range(1, width * height * 3 + 1),
+             i -> ascii(substr(
+               repeat(md5(CAST(doc_id * 1000 + frame_idx AS VARCHAR)), 16),
+               CAST(i AS INT), 1))
+           )) AS BIGINT) AS checksum
+    FROM sampled
+    """,
+    tags=("X5", "U4", "F7"),
+)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling under the exact gate: multi-frame
+    uncompressed AVIs (2-4 raw DIB frames from per-(id, frame) md5
+    pixels) go through sample_frames(fake=False, every_n=2) — the same
+    production mapInPandas path as the GIF twin — and each sampled
+    frame's byte length AND byte sum are recomputed Spark-side from the
+    emitted frame binary via the hex-walk aggregate, vs the oracle's
+    SQL over the raw pre-encode channel values. Together with
+    multimodal_gif_frames this puts BOTH native animated formats'
+    frame extraction under full driver oracles; compressed video stays
+    env-gated and rides the fake plumbing."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators import multimodal as mm
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+
+    def _synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "path": [], "format": [], "n_bytes": [], "content": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 2 + did % 5, 1 + did % 3
+                nf = 2 + did % 3
+                frames = []
+                for f in range(nf):
+                    px = (
+                        hashlib.md5(str(did * 1000 + f).encode()).hexdigest() * 16
+                    )[: w * h * 3]
+                    frames.append(
+                        [
+                            [
+                                [ord(px[(y * w + x) * 3 + c]) for c in range(3)]
+                                for x in range(w)
+                            ]
+                            for y in range(h)
+                        ]
+                    )
+                content = mm.avi_encode(frames, w, h)
+                out["media_id"].append(did)
+                out["path"].append("synthetic_multi.avi")
+                out["format"].append("riff")
+                out["n_bytes"].append(len(content))
+                out["content"].append(content)
+            yield pd.DataFrame(out)
+
+    media = d.select("doc_id").mapInPandas(
+        _synth,
+        schema="media_id bigint, path string, format string, n_bytes bigint, content binary",
+    )
+    frames = mm.sample_frames(media, every_n=2, fake=False)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").cast("bigint").alias("frame_bytes"),
+        F.expr(
+            "aggregate(sequence(1, octet_length(frame)), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + CAST(conv(substr(hex(frame), 2*i-1, 2), 16, 10) "
+            "AS BIGINT))"
+        ).alias("checksum"),
+    )

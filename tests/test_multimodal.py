@@ -77,11 +77,11 @@ def test_extract_features_portable_md5_seed(media):
 
 
 def test_compressed_decode_is_declared_stub(media):
-    """Only VIDEO codecs are env-gated now; PPM/BMP/PNG/baseline-JPEG/
-    GIF/WAV decode natively (TestRealDecode, TestJpegCodec,
-    TestGifCodec)."""
+    """Only COMPRESSED-video codecs are env-gated now; PPM/BMP/PNG/
+    baseline-JPEG/GIF/WAV/uncompressed-AVI decode natively
+    (TestRealDecode, TestJpegCodec, TestGifCodec, TestAviCodec)."""
     with pytest.raises(NotImplementedError, match="ffmpeg"):
-        multimodal.decode_image(b"RIFF\x24\x00\x00\x00AVI LIST" + b"\x00" * 16)
+        multimodal.decode_image(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16)
 
 
 def test_sample_frames_fanout(media):
@@ -649,3 +649,78 @@ class TestGifCodec:
         w, h, samples = multimodal._raw_samples(payload)
         assert (w, h) == (3, 2)
         assert samples.sum() == 3 * (3 + 5 + 7 + 9 + 11 + 13)
+
+
+class TestAviCodec:
+    """Uncompressed-AVI RIFF walk (r10): exact round-trips incl. the
+    BGR/bottom-up normalization and DIB stride padding, honest raises
+    for compressed streams."""
+
+    def _frames(self, w, h, n):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        return [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+    def test_roundtrip_exact_pixels_with_stride_padding(self):
+        # w=5 -> 15-byte rows padded to 16: the stride path must not
+        # leak pad bytes into pixels
+        frames = self._frames(5, 3, 2)
+        payload = multimodal.avi_encode(frames, 5, 3)
+        w, h, out = multimodal._decode_avi_frames(payload)
+        assert (w, h, len(out)) == (5, 3, 2)
+        for a, b in zip(frames, out):
+            assert (a == b).all()
+
+    def test_decode_image_first_frame_and_raw_samples(self):
+        import numpy as np
+
+        frames = self._frames(4, 2, 3)
+        payload = multimodal.avi_encode(frames, 4, 2)
+        w, h, feat = multimodal.decode_image(payload, dim=4)
+        assert (w, h) == (4, 2)
+        assert feat[0] == pytest.approx(frames[0].astype("float64").mean() / 255.0)
+        rw, rh, samples = multimodal._raw_samples(payload)
+        assert (rw, rh) == (4, 2)
+        assert samples.sum() == int(frames[0].astype(np.int64).sum())
+
+    def test_compressed_stream_raises(self):
+        import struct
+
+        payload = bytearray(multimodal.avi_encode(self._frames(2, 2, 1), 2, 2))
+        # flip biCompression in strf from BI_RGB(0) to something else
+        pos = payload.index(b"strf") + 8 + 16
+        payload[pos] = 1
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal._decode_avi_frames(bytes(payload))
+        # and a '00dc' (compressed) movi chunk raises on sight
+        payload2 = bytearray(multimodal.avi_encode(self._frames(2, 2, 1), 2, 2))
+        payload2[payload2.index(b"00db") + 2 : payload2.index(b"00db") + 4] = b"dc"
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal._decode_avi_frames(bytes(payload2))
+
+    def test_truncated_and_not_avi_raise(self):
+        frames = self._frames(3, 2, 1)
+        payload = multimodal.avi_encode(frames, 3, 2)
+        with pytest.raises(ValueError):
+            multimodal._decode_avi_frames(payload[: len(payload) - 10])
+        with pytest.raises(ValueError):
+            multimodal._decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+    def test_sample_frames_mixed_gif_avi(self, spark):
+        import pandas as pd
+
+        avi = multimodal.avi_encode(self._frames(3, 2, 4), 3, 2)
+        gif = multimodal.gif_encode(
+            [[[1, 2], [3, 4]], [[5, 6], [7, 8]], [[9, 10], [11, 12]]],
+            [(i, i, i) for i in range(16)],
+            2,
+            2,
+        )
+        media = spark.createDataFrame(
+            pd.DataFrame({"media_id": [1, 2], "content": [avi, gif]}),
+            schema="media_id long, content binary",
+        )
+        out = multimodal.sample_frames(media, every_n=2, fake=False).collect()
+        got = sorted((r["media_id"], r["frame_idx"]) for r in out)
+        assert got == [(1, 0), (1, 2), (2, 0), (2, 2)]
