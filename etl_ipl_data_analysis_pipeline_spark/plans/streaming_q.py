@@ -1064,3 +1064,48 @@ def _register_stream_embedding_survivors():
 
 
 _register_stream_embedding_survivors()
+
+
+def _register_stream_bm25_index():
+    from .llm_ops import _BM25_BATCH_ORACLE, _BM25_BATCH_QUERIES
+
+    @register(
+        "stream_bm25_index",
+        oracle=_BM25_BATCH_ORACLE,
+        tags=("L6", "X4", "SNK1", "L3"),
+    )
+    def stream_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """STREAMING BM25 index maintenance under the batch oracle — the
+        lexical leg of the index-upkeep stream family (minhash sigs,
+        embedding sigs, now the inverted index): documents arrive as a
+        file-source stream, each micro-batch builds a batch-id-keyed
+        DELTA index (overwrite ⇒ re-delivered batches rewrite the same
+        integers, exactly-once by idempotence), bm25_merge_many folds
+        the deltas once at the end, and the THREE probe queries are
+        served from the folded index. Everything persisted is an exact
+        integer, so the streamed lifecycle must rank value-identically
+        to bm25_batch_queries' fresh single-batch build — the SAME
+        oracle that gates bm25_persisted_batch/bm25_compacted_nway now
+        gates ingest-time maintenance; multi-batch boundaries and
+        replay are pytest-forced (tests/test_streaming.py)."""
+        from ..operators import textstats as ts
+        from ..streaming import incremental, sketch_stream
+        from . import ensure_read_confs, table_path
+        from .pipeline_q import _scratch_dir
+
+        ensure_read_confs(spark)
+        path = table_path(sf_dir, "documents")
+        schema = spark.read.parquet(path).schema
+        docs = incremental._stream_reader(spark, path, "parquet", schema)
+        base = _scratch_dir(sf_dir, "bm25_stream_index")
+        _wipe_stream_state(base, base + "__checkpoint")
+
+        idx = sketch_stream.run_bm25_index_stream(
+            docs.select("doc_id", "text"), lambda b: b, base
+        )
+        rows = [(q, t) for q, terms in _BM25_BATCH_QUERIES for t in terms]
+        queries = spark.createDataFrame(rows, "query_id int, term string")
+        return ts.bm25_search_index(spark, idx, queries, k=5)
+
+
+_register_stream_bm25_index()

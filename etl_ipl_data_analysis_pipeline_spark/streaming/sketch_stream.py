@@ -576,3 +576,69 @@ def run_embedding_pair_stream(
     if recover_swapped(spark, pairs_path):
         return spark.read.parquet(pairs_path)
     return spark.createDataFrame([], "id_a bigint, id_b bigint, sim double")
+
+
+def run_bm25_index_stream(
+    stream_df: DataFrame,
+    prep_fn,
+    index_base: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> str:
+    """Streaming BM25 index maintenance — the LEXICAL leg of the
+    index-upkeep family (minhash sig index, embedding sig index, now the
+    inverted index): each micro-batch of documents is built into its own
+    small DELTA index (textstats.bm25_build_index — the one
+    tokens-sized shuffle paid per batch, on the batch only), and after
+    the stream drains every delta is folded ONCE by
+    textstats.bm25_merge_many into ``index_base/current`` — postings
+    union, dfreq/stats sums, no text ever re-tokenized, cost scaling
+    with the sum of delta sizes, never the corpus. Returns the
+    servable index path (bm25_search_index-compatible).
+
+    Exactly-once without markers: the delta path is KEYED BY BATCH ID
+    (``delta_<id>``) and written with mode=overwrite, so a re-delivered
+    batch rewrites the same delta with the same integers — idempotent by
+    construction, the simplest member of the family's replay-safety
+    toolkit (dedup-by-key merges, associative sketches, batch-id
+    markers). The disjoint-doc_id contract of bm25_merge_many carries
+    over: upstream dedup (the ledger) must route each doc into exactly
+    one batch, exactly as for minhash_sig_index appends.
+
+    Because everything persisted is an exact integer, searching the
+    folded index is value-identical to one built from the concatenated
+    corpus in a single batch — the stream≡batch identity holds whatever
+    the micro-batch boundaries (pytest-forced 1-doc batches + replay)
+    and the full streaming lifecycle sits under the SAME batch oracle
+    as bm25_persisted_batch/bm25_compacted_nway."""
+    from ..operators import textstats as ts
+
+    base = index_base.rstrip("/")
+    deltas: dict[int, str] = {}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        docs = prep_fn(batch).select(id_col, text_col)
+        if docs.limit(1).count() == 0:
+            return
+        path = f"{base}/delta_{int(batch_id):08d}"
+        ts.bm25_build_index(
+            docs, path, id_col=id_col, text_col=text_col, num_buckets=num_buckets
+        )
+        deltas[int(batch_id)] = path
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "__checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    if not deltas:
+        raise ValueError("bm25 index stream saw no documents")
+    paths = [deltas[b] for b in sorted(deltas)]
+    if len(paths) == 1:
+        return paths[0]
+    out = base + "/current"
+    ts.bm25_merge_many(stream_df.sparkSession, paths, out, num_buckets=num_buckets)
+    return out

@@ -713,3 +713,59 @@ def test_embedding_pair_stream_equals_batch_and_survives_replay(spark, tmp_path)
         stream(), lambda b: b, pairs_state, index_state, **kw
     )
     assert as_rows(again) == got_rows
+
+
+def test_bm25_index_stream_equals_batch_and_survives_replay(spark, tmp_path):
+    """Streaming index maintenance contract: 3 file-grain micro-batches
+    build 3 delta indexes, the fold serves rankings value-identical to
+    a single-shot build over the whole corpus; a FULL re-delivery with
+    the deltas already on disk (checkpoint wiped) must overwrite each
+    batch-id-keyed delta with the same integers and leave the search
+    unchanged — exactly-once by idempotence, no markers needed."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats as ts
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    words = ["spark", "index", "stream", "merge", "delta", "query",
+             "token", "score", "rank", "fold"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(1 + i % 7)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "bm25s_src")
+    for i in range(3):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    queries = spark.createDataFrame(
+        [(0, "spark"), (0, "delta"), (1, "rank"), (1, "token"), (1, "fold")],
+        "query_id int, term string",
+    )
+    base = str(tmp_path / "bm25s_idx")
+    idx = sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
+    assert idx.endswith("/current")  # 3 deltas actually folded
+
+    full = str(tmp_path / "bm25s_full")
+    ts.bm25_build_index(df, full)
+    rows_of = lambda d: sorted(map(tuple, d.collect()))
+    want = rows_of(ts.bm25_search_index(spark, full, queries, k=5))
+    assert rows_of(ts.bm25_search_index(spark, idx, queries, k=5)) == want
+    assert len(want) > 0
+
+    # replay: wipe only the checkpoint; deltas get rewritten in place
+    shutil.rmtree(base + "__checkpoint")
+    idx2 = sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
+    assert rows_of(ts.bm25_search_index(spark, idx2, queries, k=5)) == want
