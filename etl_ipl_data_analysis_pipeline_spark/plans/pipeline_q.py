@@ -887,3 +887,87 @@ def parquet_skewed_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version, count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2, count(*),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2),
+           min(o_orderkey), max(o_orderkey)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 3, count(*),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2),
+           min(o_orderkey), max(o_orderkey)
+    FROM orders WHERE o_orderkey % 3 = 2
+    UNION ALL
+    SELECT 4, count(*),
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2),
+           min(o_orderkey), max(o_orderkey)
+    FROM orders WHERE o_orderkey % 3 = 2
+    """,
+    tags=("SNK3", "L3", "SNK1", "SE4"),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned snapshot tables under the hash gate (snapshots.py — the
+    Delta/Iceberg-shaped layer): orders arrives as three commits —
+    append (keys ≡0 mod 3), append (≡1; the manifest references v1's
+    files VERBATIM, nothing rewritten — asserted), overwrite (≡2; old
+    files retained for time travel) — then snapshot_compact folds the
+    latest into v4 ('replace': same rows, ≤ files). Each version is
+    read AS OF and aggregated; the union must equal the oracle's four
+    literal-filtered aggregates over orders, which proves (a) the
+    manifest rename really is the commit point (readers see exactly the
+    committed file list), (b) append lineage shares files instead of
+    copying, (c) overwrite isolates versions, and (d) compaction
+    preserves rows while old versions keep reading the originals.
+    Expiry's ref-count + crash-orphan reclamation are pytest-gated
+    (tests/test_snapshots.py) — they destroy files, so they can't run
+    inside a lazy query."""
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_orders")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = sn.snapshot_commit(o.filter(F.col("o_orderkey") % 3 == 0), base, "append")
+    v2 = sn.snapshot_commit(o.filter(F.col("o_orderkey") % 3 == 1), base, "append")
+    v3 = sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 3 == 2), base, "overwrite"
+    )
+    v4 = sn.snapshot_compact(spark, base)
+    assert (v1, v2, v3, v4) == (1, 2, 3, 4)
+    m1 = sn._read_manifest(spark, base, 1)
+    m2 = sn._read_manifest(spark, base, 2)
+    m3 = sn._read_manifest(spark, base, 3)
+    m4 = sn._read_manifest(spark, base, 4)
+    assert set(m1["files"]) <= set(m2["files"])  # append shares, never copies
+    assert not set(m3["files"]) & set(m2["files"])  # overwrite isolates
+    assert len(m4["files"]) <= len(m3["files"]) and m4["op"] == "replace"
+
+    parts = []
+    for v in (1, 2, 3, 4):
+        parts.append(
+            sn.snapshot_read(spark, base, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                stable_sum("o_totalprice", 2).alias("sum_price"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

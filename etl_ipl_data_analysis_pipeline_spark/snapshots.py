@@ -1,0 +1,233 @@
+"""Versioned snapshot tables: atomic commits, time travel, ref-counted
+expiry — the Delta/Iceberg-shaped layer the daily 100 TB pipeline needs
+on plain parquet (SURVEY §2 SNK3/L3; the reference's S3 folder moves,
+etl_glue_job.py:18-43, subsumed with actual transactional semantics).
+
+Layout (single writer, many readers):
+
+    table/data/v<version>-<i>.parquet   immutable data files
+    table/_snapshots/v<version>.json    manifest: the COMPLETE live file
+                                        list for that version + schema
+    table/_commit_<version>/            hidden staging (crash debris)
+
+The manifest rename is the ONLY commit point. A reader lists manifests,
+picks the max (or an as-of version), and reads exactly the listed
+files — so an interrupted commit is invisible (its data files are
+unreferenced orphans, reclaimed by ``snapshot_expire``), appends are
+O(delta) (a new manifest references the parent's files verbatim, no
+data rewritten), and compaction is just another version whose manifest
+lists the rewritten files while older versions keep reading the
+originals. Nothing is ever modified in place; expiry deletes only
+files unreferenced by every RETAINED manifest.
+
+Scale: the manifest is one JSON line per version holding relative file
+paths — for a 100 TB table at 1 GB files that's ~10⁵ names per
+manifest, driver-trivial; the data plane is untouched parquet, so
+scans keep pushdown/pruning. Cross-version file SHARING (append,
+expire ref-count) is what bounds churn: a year of daily appends
+rewrites nothing.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import _fs_and_path
+
+
+def _snap_dir(path: str) -> str:
+    return path.rstrip("/") + "/_snapshots"
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{_snap_dir(path)}/v{version:08d}.json"
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, ascending (empty list: no table yet)."""
+    fs, root, jvm = _fs_and_path(spark, _snap_dir(path))
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    return json.loads(
+        "".join(
+            r[0] for r in spark.read.text(_manifest_path(path, version)).collect()
+        )
+    )
+
+
+def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new table version; returns the version number.
+
+    ``append`` references the parent manifest's files verbatim plus the
+    new ones (no data rewritten — O(delta)); ``overwrite`` references
+    only the new files (the old ones stay on disk for time travel until
+    expired). Protocol: write the batch into a hidden staging dir, move
+    the parquet files to immutable ``data/v<N>-<i>`` names, then rename
+    the manifest into place — the single atomic commit point. A crash
+    anywhere before it leaves prior versions byte-identical and only
+    unreferenced debris behind (reclaimed by snapshot_expire)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown snapshot mode {mode!r}")
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    fs, root, jvm = _fs_and_path(spark, base)
+    versions = snapshot_versions(spark, base)
+    version = (versions[-1] if versions else 0) + 1
+    staging = f"{base}/_commit_{version:08d}"
+    df.write.mode("overwrite").parquet(staging)
+    spath = jvm.org.apache.hadoop.fs.Path(staging)
+    staged = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(spath)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    )
+    data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
+    if not fs.exists(data_dir):
+        fs.mkdirs(data_dir)
+    new_files = []
+    for i, name in enumerate(staged):
+        rel = f"data/v{version:08d}-{i:05d}.parquet"
+        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{name}")
+        dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+        if not fs.rename(src, dst):
+            raise IOError(f"snapshot commit: rename {src} -> {dst} failed")
+        new_files.append(rel)
+    fs.delete(spath, True)
+    files = list(new_files)
+    if mode == "append" and versions:
+        files = _read_manifest(spark, base, versions[-1])["files"] + files
+    manifest = {
+        "version": version,
+        "op": mode,
+        "files": files,
+        "schema": df.schema.json(),
+    }
+    sdir = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
+    if not fs.exists(sdir):
+        fs.mkdirs(sdir)
+    tmp = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version) + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(manifest).encode()))
+    out.close()
+    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
+    if not fs.rename(tmp, final):
+        raise IOError(f"snapshot commit: manifest rename failed for v{version}")
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a table AS OF ``version`` (default: latest committed). Only
+    manifest-listed files are scanned — concurrent commit staging,
+    orphans from crashed commits, and newer versions' files are all
+    invisible. An empty version reconstructs its schema from the
+    manifest so downstream plans still resolve."""
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {base}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    manifest = _read_manifest(spark, base, version)
+    if not manifest["files"]:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[f"{base}/{rel}" for rel in manifest["files"]])
+
+
+def snapshot_compact(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Rewrite the LATEST version's files into ~target_mb files as a NEW
+    version (op 'replace' — same rows, fewer files). Older versions
+    keep reading the original files; nothing is deleted here, so a
+    reader pinned to any version is never broken — expiry is the only
+    destructive step and it honors retention."""
+    base = path.rstrip("/")
+    cur = snapshot_read(spark, base)
+    total = sum(
+        f[2]
+        for f in _live_files(spark, base, [snapshot_versions(spark, base)[-1]])
+    )
+    n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
+    version = snapshot_commit(cur.coalesce(n_target), base, mode="overwrite")
+    # relabel the op for lineage clarity (manifest content is ours)
+    fs, _, jvm = _fs_and_path(spark, base)
+    m = _read_manifest(spark, base, version)
+    m["op"] = "replace"
+    tmp = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version) + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(m).encode()))
+    out.close()
+    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
+    fs.delete(final, False)
+    if not fs.rename(tmp, final):
+        raise IOError("snapshot compact: manifest relabel failed")
+    return version
+
+
+def _live_files(spark: SparkSession, path: str, versions: list[int]):
+    """(rel, full, bytes) for every file referenced by the given
+    versions' manifests (deduped)."""
+    base = path.rstrip("/")
+    fs, _, jvm = _fs_and_path(spark, base)
+    rels = set()
+    for v in versions:
+        rels.update(_read_manifest(spark, base, v)["files"])
+    out = []
+    for rel in sorted(rels):
+        p = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+        out.append((rel, f"{base}/{rel}", int(fs.getFileStatus(p).getLen())))
+    return out
+
+
+def snapshot_expire(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> tuple[int, int]:
+    """Drop all but the newest ``keep_last`` versions and delete every
+    data file not referenced by a RETAINED manifest — including orphans
+    from crashed commits (their manifest never landed, so nothing
+    references them). Returns (versions_removed, files_removed). Files
+    SHARED with a retained version survive: the ref-count is the set
+    union of retained manifests, which is what makes append lineages
+    cheap to expire."""
+    base = path.rstrip("/")
+    fs, _, jvm = _fs_and_path(spark, base)
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        return (0, 0)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    drop = [v for v in versions if v not in keep]
+    retained = {rel for (rel, _, _) in _live_files(spark, base, keep)}
+    data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
+    removed_files = 0
+    if fs.exists(data_dir):
+        for st in fs.listStatus(data_dir):
+            rel = "data/" + st.getPath().getName()
+            if rel not in retained:
+                fs.delete(st.getPath(), False)
+                removed_files += 1
+    for v in drop:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(base, v)), False)
+    # crashed-commit staging debris is also safe to clear now
+    broot = jvm.org.apache.hadoop.fs.Path(base)
+    for st in fs.listStatus(broot):
+        if st.getPath().getName().startswith("_commit_"):
+            fs.delete(st.getPath(), True)
+    return (len(drop), removed_files)

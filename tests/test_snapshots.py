@@ -1,0 +1,99 @@
+"""Versioned snapshot tables (snapshots.py): commit atomicity, time
+travel, compaction lineage, ref-counted expiry, crash-orphan hygiene."""
+
+import os
+
+import pytest
+
+from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+
+
+def _keys(spark, base, version=None):
+    return sorted(r.k for r in sn.snapshot_read(spark, base, version).collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    a = spark.range(0, 10).withColumnRenamed("id", "k")
+    b = spark.range(10, 15).withColumnRenamed("id", "k")
+    c = spark.range(100, 103).withColumnRenamed("id", "k")
+    assert sn.snapshot_commit(a, base, "append") == 1
+    assert sn.snapshot_commit(b, base, "append") == 2
+    assert sn.snapshot_commit(c, base, "overwrite") == 3
+    return base
+
+
+def test_time_travel_and_overwrite_isolation(spark, table):
+    assert _keys(spark, table, 1) == list(range(10))
+    assert _keys(spark, table, 2) == list(range(15))
+    assert _keys(spark, table, 3) == [100, 101, 102]
+    assert _keys(spark, table) == [100, 101, 102]  # latest
+    with pytest.raises(ValueError, match="not in"):
+        sn.snapshot_read(spark, table, 99)
+
+
+def test_append_shares_files_verbatim(spark, table):
+    m1 = sn._read_manifest(spark, table, 1)
+    m2 = sn._read_manifest(spark, table, 2)
+    assert set(m1["files"]) < set(m2["files"])  # nothing rewritten on append
+    m3 = sn._read_manifest(spark, table, 3)
+    assert not set(m3["files"]) & set(m2["files"])  # overwrite references none
+
+
+def test_crash_orphans_are_invisible_then_reclaimed(spark, table):
+    # simulate a commit that died after moving data files but before the
+    # manifest rename: debris in data/ and a staging dir
+    os.makedirs(table + "/_commit_00000099", exist_ok=True)
+    orphan = table + "/data/v00000099-00000.parquet"
+    with open(orphan, "wb") as f:
+        f.write(b"not parquet")
+    # readers never see it (manifest-listed files only)
+    assert _keys(spark, table) == [100, 101, 102]
+    assert sn.snapshot_versions(spark, table) == [1, 2, 3]
+    # expire reclaims it: unreferenced by every retained manifest
+    dropped, removed = sn.snapshot_expire(spark, table, keep_last=3)
+    assert dropped == 0 and removed >= 1
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(table + "/_commit_00000099")
+    assert _keys(spark, table, 1) == list(range(10))  # retained all read fine
+
+
+def test_expire_refcounts_shared_files(spark, table):
+    # keep v2+v3: v1's files are SHARED with v2 and must survive
+    m1_files = set(sn._read_manifest(spark, table, 1)["files"])
+    dropped, _ = sn.snapshot_expire(spark, table, keep_last=2)
+    assert dropped == 1
+    assert sn.snapshot_versions(spark, table) == [2, 3]
+    for rel in m1_files:
+        assert os.path.exists(table + "/" + rel)  # shared => retained
+    assert _keys(spark, table, 2) == list(range(15))
+    with pytest.raises(ValueError):
+        sn.snapshot_read(spark, table, 1)
+
+
+def test_compact_preserves_rows_and_old_versions(spark, table):
+    v4 = sn.snapshot_compact(spark, table, target_mb=128)
+    assert v4 == 4
+    m3, m4 = (sn._read_manifest(spark, table, v) for v in (3, 4))
+    assert len(m4["files"]) <= len(m3["files"]) and m4["op"] == "replace"
+    assert _keys(spark, table, 4) == [100, 101, 102]
+    assert _keys(spark, table, 3) == [100, 101, 102]  # originals untouched
+    assert _keys(spark, table, 1) == list(range(10))
+
+
+def test_empty_overwrite_keeps_schema(spark, table):
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    v = sn.snapshot_commit(empty, table, "overwrite")
+    out = sn.snapshot_read(spark, table, v)
+    assert out.columns == ["k"] and out.count() == 0
+    # and the table is still time-travelable past the empty version
+    assert _keys(spark, table, 2) == list(range(15))
+
+
+def test_bad_mode_and_missing_table_raise(spark, tmp_path):
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="unknown snapshot mode"):
+        sn.snapshot_commit(df, str(tmp_path / "x"), "merge")
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        sn.snapshot_read(spark, str(tmp_path / "y"))
