@@ -98,21 +98,21 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # (VERDICT r9 directive 1: 81 queries were last driver-sampled at round
 # <= 5, predating the portable-hash (r7) and write-distribution (r9)
 # refactors — rotate the window onto the oldest-evidence cohort):
-# (1) the 12 never-sampled round-10 queries (the in-place incremental
+# (1) the 13 never-sampled round-10 queries (the in-place incremental
 # table compaction under its manifest commit, the streaming embedding
 # near-dup leg that completes the dedup-stream family plus its
 # survivors capstone, the PQ recall audit that completes the ANN
 # recall dashboard, the salted hot-partition write gate, the lib-free
 # baseline-JPEG decode gate, the four GIF/AVI decode + real-frame
 # gates, the streamed BM25 index, and the snapshot time-travel
-# layer);
+# layer with its version-per-batch streaming ingest);
 # (2) the 3 queries whose code changed in round 10 and must re-green
 # (agg_stats on the FUSED moments-through-the-quantile-window plan,
 # bm25_compacted_nway after the merge's term_bucket carry-through,
 # dedup_embedding_pairs_planted after embedding_near_dup_pairs was
 # refactored onto the shared embedding_sig_index relation);
-# (3) the freshest-evidence-is-round-4 cohort (33 of 40, alphabetical —
-# scd2_user_value (judge-re-verified in r9),
+# (3) the freshest-evidence-is-round-4 cohort (32 of 40, alphabetical —
+# sample_exact_k_per_lang, scd2_user_value (judge-re-verified in r9),
 # split_group_disjoint_source, stream_cdc_latest_value,
 # synthetic_source_scan, try_funcs, union_schema_evolution,
 # variant_props_agg and the r5 fill rotate in rounds 11-12, displaced
@@ -141,6 +141,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_avi_frames",  # NEW r10: REAL video-frame sampling, exact gate
     "stream_bm25_index",  # NEW r10: streamed inverted-index upkeep, batch oracle
     "snapshot_time_travel",  # NEW r10: versioned commits + as-of reads, exact gate
+    "stream_snapshot_ingest",  # NEW r10: version-per-batch ingest, exact gate
     # -- changed in round 10: must re-green --
     "agg_stats",  # moments fused into the quantile window pipeline
     "bm25_compacted_nway",  # merge carries build-time term_bucket through
@@ -180,7 +181,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "regex_funcs",
     "resample_linear_interp",
     "rolling_active_users_7d",
-    "sample_exact_k_per_lang",
 )
 
 

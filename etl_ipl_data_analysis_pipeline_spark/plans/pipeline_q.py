@@ -971,3 +971,53 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "stream_snapshot_ingest",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    """,
+    tags=("L6", "SNK3", "L3", "SNK1"),
+)
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the versioned snapshot table (the two
+    round-10 pieces composed): orders arrives as a file-source stream,
+    each micro-batch commits as one table version whose manifest also
+    carries the batch id — the exactly-once replay marker and the data
+    commit share ONE atomic rename, no side-state. The final table read
+    must equal the batch aggregate over orders REGARDLESS of micro-batch
+    boundaries (appends are O(batch) and reference parent files
+    verbatim); per-version as-of reads and replay idempotence are
+    pytest-forced with 1-file batches (tests/test_snapshots.py)."""
+    import shutil
+
+    from ..functions import stable_sum
+    from ..streaming import incremental
+    from ..streaming.snapshot_ingest import run_snapshot_ingest_stream
+    from . import ensure_read_confs, table_path
+
+    ensure_read_confs(spark)
+    src = table_path(sf_dir, "orders")
+    schema = spark.read.parquet(src).schema
+    stream = incremental._stream_reader(spark, src, "parquet", schema)
+    base = _scratch_dir(sf_dir, "stream_snapshot_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(base + "__checkpoint", ignore_errors=True)
+
+    committed = run_snapshot_ingest_stream(
+        stream.select("o_orderkey", "o_totalprice"), base
+    )
+    assert committed >= 1
+    from .. import snapshots as sn
+
+    return sn.snapshot_read(spark, base).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

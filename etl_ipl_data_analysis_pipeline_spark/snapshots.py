@@ -66,7 +66,23 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     )
 
 
-def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
+def snapshot_latest_batch_id(spark: SparkSession, path: str) -> int | None:
+    """The ``batch_id`` recorded by the latest committed version, or None
+    (no table, or the head wasn't committed by a stream). Streaming
+    ingest uses it to skip re-delivered micro-batches — the
+    run_count_stream marker pattern fused into the manifest itself, so
+    the exactly-once marker and the data commit share ONE atomic
+    rename."""
+    for v in reversed(snapshot_versions(spark, path)):
+        bid = _read_manifest(spark, path, v).get("batch_id")
+        if bid is not None:
+            return bid
+    return None
+
+
+def snapshot_commit(
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
     ``append`` references the parent manifest's files verbatim plus the
@@ -76,7 +92,9 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
     the parquet files to immutable ``data/v<N>-<i>`` names, then rename
     the manifest into place — the single atomic commit point. A crash
     anywhere before it leaves prior versions byte-identical and only
-    unreferenced debris behind (reclaimed by snapshot_expire)."""
+    unreferenced debris behind (reclaimed by snapshot_expire).
+    ``batch_id`` (streaming ingest) rides the manifest, making the
+    exactly-once replay marker part of the same atomic commit."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
     spark = df.sparkSession
@@ -113,6 +131,8 @@ def snapshot_commit(df: DataFrame, path: str, mode: str = "append") -> int:
         "files": files,
         "schema": df.schema.json(),
     }
+    if batch_id is not None:
+        manifest["batch_id"] = int(batch_id)
     sdir = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
     if not fs.exists(sdir):
         fs.mkdirs(sdir)

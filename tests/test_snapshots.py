@@ -97,3 +97,54 @@ def test_bad_mode_and_missing_table_raise(spark, tmp_path):
         sn.snapshot_commit(df, str(tmp_path / "x"), "merge")
     with pytest.raises(ValueError, match="no committed snapshot"):
         sn.snapshot_read(spark, str(tmp_path / "y"))
+
+
+def test_stream_ingest_versions_asof_and_replay(spark, tmp_path):
+    """Streaming snapshot ingest: 3 forced 1-file micro-batches commit 3
+    versions; 'the table as of batch k' equals the union of the first
+    k files; a full re-delivery (checkpoint wiped, table kept) is
+    skipped by the manifest-borne batch-id marker — zero new versions,
+    data unchanged."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming.snapshot_ingest import (
+        run_snapshot_ingest_stream,
+    )
+
+    df = spark.range(0, 30).withColumnRenamed("id", "k")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        df.filter((F.col("k") % 3) == i).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    n = run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt)
+    assert n == 3
+    versions = sn.snapshot_versions(spark, table)
+    assert versions == [1, 2, 3]
+    sizes = [sn.snapshot_read(spark, table, v).count() for v in versions]
+    assert sizes == [10, 20, 30]  # as-of batch k = first k files
+    all_keys = _keys(spark, table)
+    assert all_keys == list(range(30))
+
+    # full re-delivery: wipe the checkpoint only; batch ids restart at 0,
+    # every one is <= the recorded marker, so nothing commits
+    import shutil
+
+    shutil.rmtree(ckpt)
+    n2 = run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt)
+    assert n2 == 0
+    assert sn.snapshot_versions(spark, table) == [1, 2, 3]
+    assert _keys(spark, table) == all_keys
+
+    # a maintenance compact between runs must not break the marker scan
+    sn.snapshot_compact(spark, table)
+    assert sn.snapshot_latest_batch_id(spark, table) == 2
