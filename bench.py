@@ -93,6 +93,14 @@ HEADLINE = [
     # micro-batch) — both new plan shapes the r1-r9 set didn't track
     "compact_table_roundtrip",
     "stream_embedding_neardup",
+    # late round-10: the snapshot-table lifecycle (3 commits + compact +
+    # 4 as-of reads) and streamed inverted-index maintenance (delta
+    # builds + N-way fold + pruned search) — the two new maintenance
+    # plan families; plus the from-scratch GIF decode, tracking the
+    # Arrow mapInPandas codec path's throughput
+    "snapshot_time_travel",
+    "stream_bm25_index",
+    "multimodal_decode_gif",
 ]
 
 

@@ -123,13 +123,16 @@ def snapshot_commit(
         new_files.append(rel)
     fs.delete(spath, True)
     files = list(new_files)
+    schema = df.schema
     if mode == "append" and versions:
-        files = _read_manifest(spark, base, versions[-1])["files"] + files
+        parent = _read_manifest(spark, base, versions[-1])
+        files = parent["files"] + files
+        schema = _merge_schemas(parent["schema"], schema)
     manifest = {
         "version": version,
         "op": mode,
         "files": files,
-        "schema": df.schema.json(),
+        "schema": schema.json(),
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
@@ -146,14 +149,41 @@ def snapshot_commit(
     return version
 
 
+def _merge_schemas(parent_json: str, child):
+    """Additive schema evolution for append commits: the version's schema
+    is the parent's fields plus any NEW child fields (order: parent
+    first). A same-name field with a different type raises — silent
+    coercion is how a 100 TB table rots."""
+    from pyspark.sql.types import StructType
+
+    parent = StructType.fromJson(json.loads(parent_json))
+    by_name = {f.name: f for f in parent.fields}
+    merged = list(parent.fields)
+    for f in child.fields:
+        if f.name not in by_name:
+            merged.append(f)
+        elif by_name[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"snapshot append changes type of {f.name!r}: "
+                f"{by_name[f.name].dataType} -> {f.dataType}"
+            )
+    return StructType(merged)
+
+
 def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read a table AS OF ``version`` (default: latest committed). Only
     manifest-listed files are scanned — concurrent commit staging,
     orphans from crashed commits, and newer versions' files are all
-    invisible. An empty version reconstructs its schema from the
-    manifest so downstream plans still resolve."""
+    invisible — and the scan is pinned to the MANIFEST's schema, so (a)
+    an as-of read always yields that version's columns regardless of
+    what later files carry, and (b) additive schema evolution works:
+    files older than a column read it as NULL, no mergeSchema
+    footer-sniff over every file needed. An empty version reconstructs
+    its schema the same way so downstream plans still resolve."""
+    from pyspark.sql.types import StructType
+
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     if not versions:
@@ -163,12 +193,12 @@ def snapshot_read(
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
     manifest = _read_manifest(spark, base, version)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not manifest["files"]:
-        from pyspark.sql.types import StructType
-
-        schema = StructType.fromJson(json.loads(manifest["schema"]))
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[f"{base}/{rel}" for rel in manifest["files"]])
+    return spark.read.schema(schema).parquet(
+        *[f"{base}/{rel}" for rel in manifest["files"]]
+    )
 
 
 def snapshot_compact(

@@ -148,3 +148,27 @@ def test_stream_ingest_versions_asof_and_replay(spark, tmp_path):
     # a maintenance compact between runs must not break the marker scan
     sn.snapshot_compact(spark, table)
     assert sn.snapshot_latest_batch_id(spark, table) == 2
+
+
+def test_additive_schema_evolution(spark, table):
+    """Appending a batch that carries a NEW column evolves the table:
+    the merged schema serves old rows as NULL in the new column, the
+    as-of read of an older version keeps the old column set, and a
+    same-name type change is refused."""
+    import pyspark.sql.functions as F
+
+    evolved = (
+        spark.range(200, 203)
+        .withColumnRenamed("id", "k")
+        .withColumn("tag", F.concat(F.lit("t"), F.col("k").cast("string")))
+    )
+    v = sn.snapshot_commit(evolved, table, "append")
+    out = sn.snapshot_read(spark, table, v)
+    assert out.columns == ["k", "tag"]
+    rows = {r.k: r.tag for r in out.collect()}
+    assert rows[200] == "t200" and rows[100] is None  # old rows NULL
+    assert sn.snapshot_read(spark, table, 3).columns == ["k"]  # as-of stable
+
+    bad = spark.range(1).select(F.col("id").cast("string").alias("k"))
+    with pytest.raises(ValueError, match="changes type"):
+        sn.snapshot_commit(bad, table, "append")
