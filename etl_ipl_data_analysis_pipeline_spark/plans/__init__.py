@@ -98,7 +98,7 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # (VERDICT r9 directive 1: 81 queries were last driver-sampled at round
 # <= 5, predating the portable-hash (r7) and write-distribution (r9)
 # refactors — rotate the window onto the oldest-evidence cohort):
-# (1) the 13 never-sampled round-10 queries (the in-place incremental
+# (1) the 14 never-sampled round-10 queries (the in-place incremental
 # table compaction under its manifest commit, the streaming embedding
 # near-dup leg that completes the dedup-stream family plus its
 # survivors capstone, the PQ recall audit that completes the ANN
@@ -111,8 +111,9 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # bm25_compacted_nway after the merge's term_bucket carry-through,
 # dedup_embedding_pairs_planted after embedding_near_dup_pairs was
 # refactored onto the shared embedding_sig_index relation);
-# (3) the freshest-evidence-is-round-4 cohort (32 of 40, alphabetical —
-# sample_exact_k_per_lang, scd2_user_value (judge-re-verified in r9),
+# (3) the freshest-evidence-is-round-4 cohort (31 of 40, alphabetical —
+# rolling_active_users_7d, sample_exact_k_per_lang,
+# scd2_user_value (judge-re-verified in r9),
 # split_group_disjoint_source, stream_cdc_latest_value,
 # synthetic_source_scan, try_funcs, union_schema_evolution,
 # variant_props_agg and the r5 fill rotate in rounds 11-12, displaced
@@ -142,6 +143,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "stream_bm25_index",  # NEW r10: streamed inverted-index upkeep, batch oracle
     "snapshot_time_travel",  # NEW r10: versioned commits + as-of reads, exact gate
     "stream_snapshot_ingest",  # NEW r10: version-per-batch ingest, exact gate
+    "snapshot_merge_upsert",  # NEW r10: file-granular COW MERGE+DELETE, exact gate
     # -- changed in round 10: must re-green --
     "agg_stats",  # moments fused into the quantile window pipeline
     "bm25_compacted_nway",  # merge carries build-time term_bucket through
@@ -180,7 +182,6 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "quality_weighted_sample",
     "regex_funcs",
     "resample_linear_interp",
-    "rolling_active_users_7d",
 )
 
 

@@ -1021,3 +1021,72 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "snapshot_merge_upsert",
+    oracle="""
+    WITH bound AS (SELECT max(o_orderkey) // 8 AS b FROM orders),
+    upserted AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey <= (SELECT b FROM bound))
+      UNION ALL
+      SELECT o_orderkey, o_totalprice * 2 FROM orders
+      WHERE o_orderkey % 7 = 0 AND o_orderkey <= (SELECT b FROM bound)
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice FROM orders
+      WHERE o_orderkey % 11 = 0
+    ),
+    final AS (SELECT * FROM upserted WHERE k % 13 <> 0)
+    SELECT CAST(k % 5 AS INT) AS grp, count(*) AS n_rows,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(k) AS min_key, max(k) AS max_key
+    FROM final GROUP BY 1
+    """,
+    tags=("SNK3", "L3", "SE1", "A4"),
+)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE + DELETE on the snapshot table with FILE-GRANULAR
+    copy-on-write, under one hash oracle: orders lands range-clustered
+    on the key (8 files), a merge batch updates the keys ≡0 mod 7 in
+    the FIRST key range (doubled price) and inserts mirrors at
+    key+10M, then a delete drops keys ≡0 mod 13. Because the update
+    keys live in one range, the merge must leave most files referenced
+    VERBATIM (asserted inline — rewrite cost scales with touched files,
+    never the table; the inserts touch nothing, they only add files),
+    and time travel across all three versions stays intact. The oracle
+    replays upsert-then-delete relationally over orders."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_merge_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sn.snapshot_commit(o.repartitionByRange(8, "o_orderkey"), base, "append")
+    bound = o.agg(F.max("o_orderkey")).collect()[0][0] // 8
+    updated = (
+        o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= bound))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    inserted = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    v2 = sn.snapshot_merge(updated.unionByName(inserted), base, ["o_orderkey"])
+    m1, m2 = sn._read_manifest(spark, base, 1), sn._read_manifest(spark, base, v2)
+    shared = set(m1["files"]) & set(m2["files"])
+    assert len(shared) >= 6, (len(m1["files"]), len(shared))  # COW, not rewrite
+    v3 = sn.snapshot_delete(spark, base, F.col("o_orderkey") % 13 == 0)
+    assert sn.snapshot_read(spark, base, 1).count() == o.count()  # time travel
+    return (
+        sn.snapshot_read(spark, base, v3)
+        .groupBy((F.col("o_orderkey") % 5).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("o_totalprice", 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -99,9 +99,28 @@ def snapshot_commit(
         raise ValueError(f"unknown snapshot mode {mode!r}")
     spark = df.sparkSession
     base = path.rstrip("/")
-    fs, root, jvm = _fs_and_path(spark, base)
     versions = snapshot_versions(spark, base)
     version = (versions[-1] if versions else 0) + 1
+    new_files = _stage_files(df, base, version)
+    files = list(new_files)
+    schema = df.schema
+    if mode == "append" and versions:
+        parent = _read_manifest(spark, base, versions[-1])
+        files = parent["files"] + files
+        schema = _merge_schemas(parent["schema"], schema)
+    _commit_manifest(
+        spark, base, version, op=mode, files=files, schema=schema, batch_id=batch_id
+    )
+    return version
+
+
+def _stage_files(df: DataFrame, base: str, version: int) -> list[str]:
+    """Write ``df`` into hidden staging and move the parquet files to
+    immutable ``data/v<version>-<i>`` names; returns the relative
+    paths. Pure data-plane: nothing is visible to readers until a
+    manifest referencing these names lands."""
+    spark = df.sparkSession
+    fs, _, jvm = _fs_and_path(spark, base)
     staging = f"{base}/_commit_{version:08d}"
     df.write.mode("overwrite").parquet(staging)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
@@ -122,15 +141,24 @@ def snapshot_commit(
             raise IOError(f"snapshot commit: rename {src} -> {dst} failed")
         new_files.append(rel)
     fs.delete(spath, True)
-    files = list(new_files)
-    schema = df.schema
-    if mode == "append" and versions:
-        parent = _read_manifest(spark, base, versions[-1])
-        files = parent["files"] + files
-        schema = _merge_schemas(parent["schema"], schema)
+    return new_files
+
+
+def _commit_manifest(
+    spark: SparkSession,
+    base: str,
+    version: int,
+    op: str,
+    files: list[str],
+    schema,
+    batch_id: int | None = None,
+) -> None:
+    """Write + atomically rename the version manifest — the commit point
+    shared by every snapshot operation."""
+    fs, _, jvm = _fs_and_path(spark, base)
     manifest = {
         "version": version,
-        "op": mode,
+        "op": op,
         "files": files,
         "schema": schema.json(),
     }
@@ -146,7 +174,6 @@ def snapshot_commit(
     final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
     if not fs.rename(tmp, final):
         raise IOError(f"snapshot commit: manifest rename failed for v{version}")
-    return version
 
 
 def _merge_schemas(parent_json: str, child):
@@ -210,25 +237,15 @@ def snapshot_compact(
     reader pinned to any version is never broken — expiry is the only
     destructive step and it honors retention."""
     base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
     cur = snapshot_read(spark, base)
-    total = sum(
-        f[2]
-        for f in _live_files(spark, base, [snapshot_versions(spark, base)[-1]])
-    )
+    total = sum(f[2] for f in _live_files(spark, base, [versions[-1]]))
     n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
-    version = snapshot_commit(cur.coalesce(n_target), base, mode="overwrite")
-    # relabel the op for lineage clarity (manifest content is ours)
-    fs, _, jvm = _fs_and_path(spark, base)
-    m = _read_manifest(spark, base, version)
-    m["op"] = "replace"
-    tmp = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version) + ".tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(m).encode()))
-    out.close()
-    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
-    fs.delete(final, False)
-    if not fs.rename(tmp, final):
-        raise IOError("snapshot compact: manifest relabel failed")
+    version = versions[-1] + 1
+    files = _stage_files(cur.coalesce(n_target), base, version)
+    _commit_manifest(
+        spark, base, version, op="replace", files=files, schema=cur.schema
+    )
     return version
 
 
@@ -281,3 +298,159 @@ def snapshot_expire(
         if st.getPath().getName().startswith("_commit_"):
             fs.delete(st.getPath(), True)
     return (len(drop), removed_files)
+
+
+def _touched_files(
+    cur_with_file: DataFrame, base: str, files: list[str], probe: DataFrame | None,
+    condition=None, key_cols: list[str] | None = None,
+) -> list[str]:
+    """Relative paths of the files that contain at least one row matched
+    by ``probe`` (semi-join on key_cols) or ``condition`` — the
+    copy-on-write granularity. Matching is by the scan's qualified
+    input_file_name mapped back to manifest-relative names."""
+    import pyspark.sql.functions as F
+
+    spark = cur_with_file.sparkSession
+    fs, _, jvm = _fs_and_path(spark, base)
+    # Hadoop renders local URIs as file:/x while input_file_name yields
+    # file:///x — compare by the scheme-independent path component
+    qualified = {
+        _uri_path(
+            fs.makeQualified(jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")).toString()
+        ): rel
+        for rel in files
+    }
+    hit = cur_with_file
+    if condition is not None:
+        hit = hit.filter(condition)
+    if probe is not None:
+        hit = hit.join(F.broadcast(probe), key_cols, "left_semi")
+    uris = [r["__file"] for r in hit.select("__file").distinct().collect()]
+    return sorted(qualified[_uri_path(u)] for u in uris)
+
+
+def _uri_path(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
+
+
+def _scan_uris_for(
+    cur_with_file: DataFrame, base: str, rels: list[str]
+) -> list[str]:
+    """The ``input_file_name()`` strings of the given manifest-relative
+    files, in the exact form THIS scan produces (URI rendering differs
+    between Hadoop's Path and Spark's scan), so an isin() filter
+    matches. One distinct-collect over the scan's file names — bounded
+    by the version's file count, never its rows."""
+    spark = cur_with_file.sparkSession
+    fs, _, jvm = _fs_and_path(spark, base)
+    wanted = {
+        _uri_path(
+            fs.makeQualified(jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")).toString()
+        )
+        for rel in rels
+    }
+    all_uris = [
+        r["__file"] for r in cur_with_file.select("__file").distinct().collect()
+    ]
+    return [u for u in all_uris if _uri_path(u) in wanted]
+
+
+def snapshot_merge(
+    updates: DataFrame, path: str, key_cols: list[str], batch_id: int | None = None
+) -> int:
+    """MERGE (upsert) into a snapshot table with FILE-GRANULAR
+    copy-on-write: only the files that actually contain a matched key
+    are rewritten (their unmatched rows carried over, matched rows
+    replaced by ``updates``); every untouched file is referenced
+    verbatim by the new manifest, and rows of ``updates`` whose key
+    exists nowhere are appended. Rewrite cost scales with the TOUCHED
+    FILES, never the table — on a key-clustered layout (Z-order, ingest
+    partitioning) a point-update batch touches a handful of files out
+    of ~10⁵. Schema evolution follows the append rule (additive merge,
+    type changes refused); time travel is untouched — the rewritten
+    files are NEW names, old versions keep reading the originals."""
+    import pyspark.sql.functions as F
+
+    spark = updates.sparkSession
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {base}")
+    manifest = _read_manifest(spark, base, versions[-1])
+    schema = _merge_schemas(manifest["schema"], updates.schema)
+    from pyspark.sql.types import StructType
+
+    cur_schema = StructType.fromJson(json.loads(manifest["schema"]))
+    cur = spark.read.schema(cur_schema).parquet(
+        *[f"{base}/{rel}" for rel in manifest["files"]]
+    ).withColumn("__file", F.input_file_name())
+    keys = updates.select(*key_cols).distinct()
+    touched = _touched_files(
+        cur, base, manifest["files"], keys, key_cols=key_cols
+    )
+    untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
+    version = versions[-1] + 1
+    # align both sides to the merged schema (absent columns -> NULL)
+    def _align(df):
+        cols = [
+            F.col(f.name) if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols)
+
+    qualified = _scan_uris_for(cur, base, touched)
+    # kept = touched files' rows whose key is NOT updated; every row of
+    # ``updates`` lands in the rewrite (matched keys replace their old
+    # row — which kept excludes — and unmatched keys are plain inserts),
+    # so no classification of updates is needed and the only broadcast
+    # is the small update-key relation
+    kept = (
+        cur.filter(F.col("__file").isin(list(qualified)))
+        .join(F.broadcast(keys), key_cols, "left_anti")
+        .drop("__file")
+    )
+    rewrite = _align(kept).unionByName(_align(updates))
+    new_files = _stage_files(rewrite, base, version)
+    _commit_manifest(
+        spark, base, version, op="merge",
+        files=untouched + new_files, schema=schema, batch_id=batch_id,
+    )
+    return version
+
+
+def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
+    """DELETE rows matching ``condition`` with the same file-granular
+    copy-on-write as snapshot_merge: files with no matching row are
+    referenced verbatim; files with one are rewritten minus the matched
+    rows. Old versions still read the originals (deletes are logical
+    until snapshot_expire reclaims unreferenced files)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {base}")
+    manifest = _read_manifest(spark, base, versions[-1])
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    cur = spark.read.schema(schema).parquet(
+        *[f"{base}/{rel}" for rel in manifest["files"]]
+    ).withColumn("__file", F.input_file_name())
+    touched = _touched_files(cur, base, manifest["files"], None, condition=condition)
+    untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
+    version = versions[-1] + 1
+    qualified = _scan_uris_for(cur, base, touched)
+    survivors = (
+        cur.filter(F.col("__file").isin(list(qualified)))
+        .filter(~condition)
+        .drop("__file")
+    )
+    new_files = _stage_files(survivors, base, version) if touched else []
+    _commit_manifest(
+        spark, base, version, op="delete",
+        files=untouched + new_files, schema=schema,
+    )
+    return version

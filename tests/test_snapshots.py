@@ -172,3 +172,66 @@ def test_additive_schema_evolution(spark, table):
     bad = spark.range(1).select(F.col("id").cast("string").alias("k"))
     with pytest.raises(ValueError, match="changes type"):
         sn.snapshot_commit(bad, table, "append")
+
+
+def test_merge_cow_rewrites_only_touched_files(spark, tmp_path):
+    """File-granular MERGE: with keys clustered by repartitionByRange,
+    an update batch touching one key range rewrites ONLY the files
+    holding it — every other file is referenced verbatim by the new
+    manifest — and the merged rows are exact (update replaces, insert
+    appends). Old versions still read the pre-merge originals."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 10)
+        .repartitionByRange(8, "k")
+    )
+    sn.snapshot_commit(df, base, "append")
+    m1 = sn._read_manifest(spark, base, 1)
+    assert len(m1["files"]) == 8
+
+    updates = spark.createDataFrame(
+        [(5, -5), (7, -7), (2000, -1)], "k long, v long"
+    )
+    v2 = sn.snapshot_merge(updates, base, ["k"])
+    m2 = sn._read_manifest(spark, base, v2)
+    shared = set(m1["files"]) & set(m2["files"])
+    assert len(shared) == 7  # keys 5 and 7 live in ONE range file
+    assert m2["op"] == "merge"
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert len(rows) == 1001
+    assert rows[5] == -5 and rows[7] == -7 and rows[2000] == -1
+    assert rows[6] == 60  # same-file neighbor carried over
+    old = {r.k: r.v for r in sn.snapshot_read(spark, base, 1).collect()}
+    assert old[5] == 50 and 2000 not in old
+
+
+def test_delete_cow_and_merge_schema_evolution(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 100)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k"))
+        .repartitionByRange(4, "k")
+    )
+    sn.snapshot_commit(df, base, "append")
+    v2 = sn.snapshot_delete(spark, base, F.col("k").between(10, 19))
+    m1, m2 = sn._read_manifest(spark, base, 1), sn._read_manifest(spark, base, 2)
+    assert len(set(m1["files"]) & set(m2["files"])) == 3  # one file touched
+    assert m2["op"] == "delete"
+    keys = _keys(spark, base)
+    assert keys == [k for k in range(100) if not 10 <= k <= 19]
+    assert _keys(spark, base, 1) == list(range(100))  # time travel intact
+
+    # merge that evolves the schema: update carries a new column
+    upd = spark.createDataFrame([(3, 33, "x")], "k long, v long, tag string")
+    v3 = sn.snapshot_merge(upd, base, ["k"])
+    out = sn.snapshot_read(spark, base, v3)
+    assert out.columns == ["k", "v", "tag"]
+    rows = {r.k: (r.v, r.tag) for r in out.collect()}
+    assert rows[3] == (33, "x") and rows[4] == (4, None)
