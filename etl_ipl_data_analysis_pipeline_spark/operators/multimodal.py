@@ -973,12 +973,24 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
     (cap 12 bits / 4096 entries — beyond that the stream must CLEAR)."""
     clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
     base = [(i,) for i in range(clear)] + [(), ()]
-    acc = int.from_bytes(bytes(data), "little")
-    nbits, pos = len(data) * 8, 0
+    data = bytes(data)
+    n, ipos, acc, accbits = len(data), 0, 0, 0
     table, width, prev, out = list(base), min_code_size + 1, None, []
-    while pos + width <= nbits:
-        code = (acc >> pos) & ((1 << width) - 1)
-        pos += width
+    while True:
+        # rolling bit-buffer (the mirror of _lzw_encode's emit): a whole-
+        # stream bignum would make each code extraction copy the
+        # remaining bits — O(n^2) on real multi-100KB GIF streams
+        while accbits < width:
+            if ipos >= n:
+                break
+            acc |= data[ipos] << accbits
+            ipos += 1
+            accbits += 8
+        if accbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        accbits -= width
         if code == eoi:
             break
         if code == clear:
@@ -1206,10 +1218,11 @@ def _decode_avi_frames(content: bytes):
         raise ValueError("not an AVI payload")
     width = height = None
     bitcount, compression = None, None
+    in_video_stream = False
     frames_raw = []
 
     def walk(start, end):
-        nonlocal width, height, bitcount, compression
+        nonlocal width, height, bitcount, compression, in_video_stream
         pos = start
         while pos + 8 <= end:
             cid, sz = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
@@ -1218,7 +1231,13 @@ def _decode_avi_frames(content: bytes):
                 walk(body + 4, body + sz)  # skip the 4-byte list type
             elif cid == b"avih":
                 width, height = struct.unpack_from("<II", buf, body + 32)
-            elif cid == b"strf" and bitcount is None:
+            elif cid == b"strh":
+                # a strf's layout depends on its stream's fccType: only
+                # the one following a 'vids' strh is a BITMAPINFOHEADER
+                # (an audio-first AVI would otherwise have its
+                # WAVEFORMATEX bytes misread as geometry)
+                in_video_stream = buf[body : body + 4] == b"vids"
+            elif cid == b"strf" and in_video_stream and bitcount is None:
                 _bisz, _w, _h, _planes, bitcount, compression = struct.unpack_from(
                     "<IiiHHI", buf, body
                 )

@@ -59,11 +59,18 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
-    return json.loads(
-        "".join(
-            r[0] for r in spark.read.text(_manifest_path(path, version)).collect()
-        )
-    )
+    """Read a (one-line JSON) manifest DRIVER-SIDE through the Hadoop FS
+    stream — a manifest is a few KB, and launching a spark.read.text
+    job per read would dominate small streaming micro-batches (the
+    ingest path reads manifests every batch)."""
+    fs, p, jvm = _fs_and_path(spark, _manifest_path(path, version))
+    stream = fs.open(p)
+    try:
+        # commons-io ships with Hadoop; py4j maps byte[] to Python bytes
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
 
 
 def snapshot_latest_batch_id(spark: SparkSession, path: str) -> int | None:
@@ -235,7 +242,9 @@ def snapshot_compact(
     version (op 'replace' — same rows, fewer files). Older versions
     keep reading the original files; nothing is deleted here, so a
     reader pinned to any version is never broken — expiry is the only
-    destructive step and it honors retention."""
+    destructive step and it honors retention. The streaming batch-id
+    marker carries forward, so a compact (then expiry) between stream
+    runs never re-opens the exactly-once window."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     cur = snapshot_read(spark, base)
@@ -244,7 +253,8 @@ def snapshot_compact(
     version = versions[-1] + 1
     files = _stage_files(cur.coalesce(n_target), base, version)
     _commit_manifest(
-        spark, base, version, op="replace", files=files, schema=cur.schema
+        spark, base, version, op="replace", files=files, schema=cur.schema,
+        batch_id=snapshot_latest_batch_id(spark, base),
     )
     return version
 
@@ -281,7 +291,13 @@ def snapshot_expire(
         return (0, 0)
     keep = versions[-keep_last:] if keep_last > 0 else []
     drop = [v for v in versions if v not in keep]
-    retained = {rel for (rel, _, _) in _live_files(spark, base, keep)}
+    # set union of retained manifests' file lists — pure manifest
+    # arithmetic, no per-file stat RPCs (at ~10^5 files per manifest a
+    # getFileStatus-per-file pass would be minutes of metadata latency
+    # on an object store for data this function never uses)
+    retained: set[str] = set()
+    for v in keep:
+        retained.update(_read_manifest(spark, base, v)["files"])
     data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
     removed_files = 0
     if fs.exists(data_dir):
@@ -335,28 +351,6 @@ def _uri_path(uri: str) -> str:
     return unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
 
 
-def _scan_uris_for(
-    cur_with_file: DataFrame, base: str, rels: list[str]
-) -> list[str]:
-    """The ``input_file_name()`` strings of the given manifest-relative
-    files, in the exact form THIS scan produces (URI rendering differs
-    between Hadoop's Path and Spark's scan), so an isin() filter
-    matches. One distinct-collect over the scan's file names — bounded
-    by the version's file count, never its rows."""
-    spark = cur_with_file.sparkSession
-    fs, _, jvm = _fs_and_path(spark, base)
-    wanted = {
-        _uri_path(
-            fs.makeQualified(jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")).toString()
-        )
-        for rel in rels
-    }
-    all_uris = [
-        r["__file"] for r in cur_with_file.select("__file").distinct().collect()
-    ]
-    return [u for u in all_uris if _uri_path(u) in wanted]
-
-
 def snapshot_merge(
     updates: DataFrame, path: str, key_cols: list[str], batch_id: int | None = None
 ) -> int:
@@ -365,33 +359,46 @@ def snapshot_merge(
     are rewritten (their unmatched rows carried over, matched rows
     replaced by ``updates``); every untouched file is referenced
     verbatim by the new manifest, and rows of ``updates`` whose key
-    exists nowhere are appended. Rewrite cost scales with the TOUCHED
-    FILES, never the table — on a key-clustered layout (Z-order, ingest
-    partitioning) a point-update batch touches a handful of files out
-    of ~10⁵. Schema evolution follows the append rule (additive merge,
-    type changes refused); time travel is untouched — the rewritten
-    files are NEW names, old versions keep reading the originals."""
+    exists nowhere are appended. The REWRITE reads only the touched
+    files (a direct parquet read of those paths); the one full-table
+    pass is the locate probe, a semi-join against the broadcast update
+    keys — per-file key-range stats in the manifest are the documented
+    upgrade path to prune that too. Schema evolution follows the append
+    rule (additive merge, type changes refused); time travel is
+    untouched — the rewritten files are NEW names, old versions keep
+    reading the originals. ``updates`` must be key-unique (enforced):
+    MERGE with multiple source matches is ambiguous, so it raises
+    rather than silently writing duplicate keys. The parent's streaming
+    batch-id marker is carried forward so maintenance never breaks
+    exactly-once ingest."""
     import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
 
     spark = updates.sparkSession
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     if not versions:
         raise ValueError(f"no committed snapshot at {base}")
+    keys = updates.select(*key_cols).distinct()
+    n_updates = updates.count()
+    if keys.count() != n_updates:
+        raise ValueError(
+            "snapshot_merge: updates carry duplicate keys on "
+            f"{key_cols} — multiple source matches per key are ambiguous; "
+            "dedup upstream with a defined precedence"
+        )
     manifest = _read_manifest(spark, base, versions[-1])
     schema = _merge_schemas(manifest["schema"], updates.schema)
-    from pyspark.sql.types import StructType
-
     cur_schema = StructType.fromJson(json.loads(manifest["schema"]))
     cur = spark.read.schema(cur_schema).parquet(
         *[f"{base}/{rel}" for rel in manifest["files"]]
     ).withColumn("__file", F.input_file_name())
-    keys = updates.select(*key_cols).distinct()
     touched = _touched_files(
         cur, base, manifest["files"], keys, key_cols=key_cols
     )
     untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
     version = versions[-1] + 1
+
     # align both sides to the merged schema (absent columns -> NULL)
     def _align(df):
         cols = [
@@ -401,22 +408,26 @@ def snapshot_merge(
         ]
         return df.select(*cols)
 
-    qualified = _scan_uris_for(cur, base, touched)
-    # kept = touched files' rows whose key is NOT updated; every row of
+    # kept = touched files' rows whose key is NOT updated, read DIRECTLY
+    # from the touched paths (never a rescan of the table); every row of
     # ``updates`` lands in the rewrite (matched keys replace their old
-    # row — which kept excludes — and unmatched keys are plain inserts),
-    # so no classification of updates is needed and the only broadcast
-    # is the small update-key relation
-    kept = (
-        cur.filter(F.col("__file").isin(list(qualified)))
-        .join(F.broadcast(keys), key_cols, "left_anti")
-        .drop("__file")
-    )
-    rewrite = _align(kept).unionByName(_align(updates))
+    # row — which kept excludes — and unmatched keys are plain inserts)
+    if touched:
+        kept = spark.read.schema(cur_schema).parquet(
+            *[f"{base}/{rel}" for rel in touched]
+        ).join(F.broadcast(keys), key_cols, "left_anti")
+        rewrite = _align(kept).unionByName(_align(updates))
+    else:
+        rewrite = _align(updates)
     new_files = _stage_files(rewrite, base, version)
     _commit_manifest(
         spark, base, version, op="merge",
-        files=untouched + new_files, schema=schema, batch_id=batch_id,
+        files=untouched + new_files, schema=schema,
+        batch_id=(
+            batch_id
+            if batch_id is not None
+            else snapshot_latest_batch_id(spark, base)
+        ),
     )
     return version
 
@@ -425,8 +436,12 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     """DELETE rows matching ``condition`` with the same file-granular
     copy-on-write as snapshot_merge: files with no matching row are
     referenced verbatim; files with one are rewritten minus the matched
-    rows. Old versions still read the originals (deletes are logical
-    until snapshot_expire reclaims unreferenced files)."""
+    rows, reading ONLY those files. Three-valued logic is handled the
+    way SQL DELETE does: a NULL-evaluating condition does NOT delete
+    the row (survivors keep condition IS NOT TRUE, mirroring the locate
+    probe's condition IS TRUE). Old versions still read the originals
+    (deletes are logical until snapshot_expire reclaims unreferenced
+    files); the streaming batch-id marker carries forward."""
     import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
 
@@ -442,15 +457,16 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     touched = _touched_files(cur, base, manifest["files"], None, condition=condition)
     untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
     version = versions[-1] + 1
-    qualified = _scan_uris_for(cur, base, touched)
-    survivors = (
-        cur.filter(F.col("__file").isin(list(qualified)))
-        .filter(~condition)
-        .drop("__file")
-    )
-    new_files = _stage_files(survivors, base, version) if touched else []
+    if touched:
+        survivors = spark.read.schema(schema).parquet(
+            *[f"{base}/{rel}" for rel in touched]
+        ).filter(~F.coalesce(condition, F.lit(False)))
+        new_files = _stage_files(survivors, base, version)
+    else:
+        new_files = []
     _commit_manifest(
         spark, base, version, op="delete",
         files=untouched + new_files, schema=schema,
+        batch_id=snapshot_latest_batch_id(spark, base),
     )
     return version

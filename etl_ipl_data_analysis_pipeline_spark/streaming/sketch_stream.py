@@ -606,26 +606,34 @@ def run_bm25_index_stream(
     over: upstream dedup (the ledger) must route each doc into exactly
     one batch, exactly as for minhash_sig_index appends.
 
+    The fold enumerates ``delta_*`` ON DISK, not just this run's
+    batches: a checkpointed RESUME (earlier batches committed by a
+    previous run, only the tail re-processed) must fold the whole
+    lineage, and a restart that finds no new input must still serve
+    the previously-built deltas rather than fail.
+
     Because everything persisted is an exact integer, searching the
     folded index is value-identical to one built from the concatenated
     corpus in a single batch — the stream≡batch identity holds whatever
     the micro-batch boundaries (pytest-forced 1-doc batches + replay)
     and the full streaming lifecycle sits under the SAME batch oracle
     as bm25_persisted_batch/bm25_compacted_nway."""
+    from ..io import _fs_and_path
     from ..operators import textstats as ts
 
     base = index_base.rstrip("/")
-    deltas: dict[int, str] = {}
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         docs = prep_fn(batch).select(id_col, text_col)
         if docs.limit(1).count() == 0:
             return
-        path = f"{base}/delta_{int(batch_id):08d}"
         ts.bm25_build_index(
-            docs, path, id_col=id_col, text_col=text_col, num_buckets=num_buckets
+            docs,
+            f"{base}/delta_{int(batch_id):08d}",
+            id_col=id_col,
+            text_col=text_col,
+            num_buckets=num_buckets,
         )
-        deltas[int(batch_id)] = path
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)
@@ -634,11 +642,17 @@ def run_bm25_index_stream(
         .start()
     )
     q.awaitTermination()
-    if not deltas:
+    spark = stream_df.sparkSession
+    fs, root, jvm = _fs_and_path(spark, base)
+    paths = sorted(
+        f"{base}/{st.getPath().getName()}"
+        for st in (fs.listStatus(root) if fs.exists(root) else [])
+        if st.isDirectory() and st.getPath().getName().startswith("delta_")
+    )
+    if not paths:
         raise ValueError("bm25 index stream saw no documents")
-    paths = [deltas[b] for b in sorted(deltas)]
     if len(paths) == 1:
         return paths[0]
     out = base + "/current"
-    ts.bm25_merge_many(stream_df.sparkSession, paths, out, num_buckets=num_buckets)
+    ts.bm25_merge_many(spark, paths, out, num_buckets=num_buckets)
     return out

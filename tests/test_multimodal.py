@@ -724,3 +724,55 @@ class TestAviCodec:
         out = multimodal.sample_frames(media, every_n=2, fake=False).collect()
         got = sorted((r["media_id"], r["frame_idx"]) for r in out)
         assert got == [(1, 0), (1, 2), (2, 0), (2, 2)]
+
+
+def test_avi_audio_first_stream_still_decodes():
+    """A legal RIFF layout lists the audio strl BEFORE the video strl;
+    the audio strf (WAVEFORMATEX) must not be misread as geometry —
+    only the strf following a 'vids' strh is a BITMAPINFOHEADER."""
+    import struct
+
+    import numpy as np
+
+    frames = [np.full((2, 3, 3), 9, np.uint8)]
+    payload = multimodal.avi_encode(frames, 3, 2)
+    # splice an audio strl LIST ahead of the existing (video) strl
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    wave_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    audio_strl = lst(
+        b"strl",
+        chunk(b"strh", b"auds" + b"\x00" * 52) + chunk(b"strf", wave_fmt),
+    )
+    pos = payload.index(b"LIST", 12)  # hdrl LIST
+    # insert the audio strl right after avih inside hdrl: rebuild hdrl
+    hdrl_size = struct.unpack_from("<I", payload, pos + 4)[0]
+    hdrl_body = payload[pos + 8 : pos + 8 + hdrl_size]
+    assert hdrl_body[:4] == b"hdrl"
+    avih_end = 4 + 8 + struct.unpack_from("<I", hdrl_body, 8)[0]
+    new_hdrl_body = hdrl_body[:avih_end] + audio_strl + hdrl_body[avih_end:]
+    new_hdrl = chunk(b"LIST", new_hdrl_body)
+    patched = bytearray(payload[:pos] + new_hdrl + payload[pos + 8 + hdrl_size :])
+    struct.pack_into("<I", patched, 4, len(patched) - 8)  # fix RIFF size
+    w, h, out = multimodal._decode_avi_frames(bytes(patched))
+    assert (w, h, len(out)) == (3, 2, 1)
+    assert (out[0] == 9).all()
+
+
+def test_lzw_large_stream_decodes_fast():
+    """The decoder's rolling bit-buffer must handle a real-sized stream
+    (tens of KB compressed) in well under a second — the whole-stream
+    bignum it replaced was quadratic."""
+    import random
+    import time
+
+    rng = random.Random(11)
+    idx = [rng.randrange(128) for _ in range(200_000)]
+    enc = multimodal._lzw_encode(idx, 7)
+    t0 = time.monotonic()
+    assert multimodal._lzw_decode(enc, 7) == idx
+    assert time.monotonic() - t0 < 5.0

@@ -235,3 +235,67 @@ def test_delete_cow_and_merge_schema_evolution(spark, tmp_path):
     assert out.columns == ["k", "v", "tag"]
     rows = {r.k: (r.v, r.tag) for r in out.collect()}
     assert rows[3] == (33, "x") and rows[4] == (4, None)
+
+
+def test_delete_null_condition_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics under three-valued logic: a row where the
+    condition evaluates to NULL is NOT deleted — regardless of whether
+    it shares a file with matched rows."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "spam"), (2, None), (3, "ok")], "k long, status string"
+    ).coalesce(1)  # one file: the NULL row co-locates with a matched row
+    sn.snapshot_commit(df, base, "append")
+    sn.snapshot_delete(spark, base, F.col("status") == "spam")
+    assert _keys(spark, base) == [2, 3]  # NULL survives, spam goes
+
+
+def test_merge_duplicate_update_keys_raise(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(
+        spark.createDataFrame([(1, 10)], "k long, v long"), base, "append"
+    )
+    dup = spark.createDataFrame([(1, 11), (1, 12)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sn.snapshot_merge(dup, base, ["k"])
+
+
+def test_batch_marker_survives_compact_and_expire(spark, tmp_path):
+    """The exactly-once marker must outlive maintenance: after a compact
+    (op 'replace') and an expiry that drops every stream-written
+    manifest, the retained head still carries the max batch id, so a
+    checkpoint-rebuilt re-delivery commits nothing."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming.snapshot_ingest import (
+        run_snapshot_ingest_stream,
+    )
+
+    df = spark.range(0, 30).withColumnRenamed("id", "k")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        df.filter((F.col("k") % 3) == i).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    assert run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt) == 3
+    sn.snapshot_compact(spark, table)
+    sn.snapshot_expire(spark, table, keep_last=1)
+    assert sn.snapshot_versions(spark, table) == [4]
+    assert sn.snapshot_latest_batch_id(spark, table) == 2  # carried forward
+
+    import shutil
+
+    shutil.rmtree(ckpt)
+    assert run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt) == 0
+    assert _keys(spark, table) == list(range(30))

@@ -769,3 +769,54 @@ def test_bm25_index_stream_equals_batch_and_survives_replay(spark, tmp_path):
     shutil.rmtree(base + "__checkpoint")
     idx2 = sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
     assert rows_of(ts.bm25_search_index(spark, idx2, queries, k=5)) == want
+
+
+def test_bm25_index_stream_checkpointed_resume_folds_all_deltas(spark, tmp_path):
+    """A checkpointed RESUME must fold the WHOLE delta lineage, not just
+    this run's batches: run over 2 files, add a 3rd, re-run with the
+    SAME checkpoint (only batch 2 processes) — the served index equals
+    a full rebuild over all 30 docs. A further restart with nothing new
+    serves the existing fold instead of raising."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.operators import textstats as ts
+    from etl_ipl_data_analysis_pipeline_spark.streaming import sketch_stream
+
+    words = ["spark", "index", "stream", "merge", "delta", "query"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(1 + i % 5)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    for i in range(2):
+        df.filter((F.col("doc_id") % 3) == i).coalesce(1).write.parquet(
+            f"{src}/f{i}"
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    base = str(tmp_path / "idx")
+    sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
+    # late-arriving third file; SAME checkpoint -> only batch 2 processes
+    df.filter((F.col("doc_id") % 3) == 2).coalesce(1).write.parquet(f"{src}/f2")
+    idx = sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
+
+    queries = spark.createDataFrame(
+        [(0, "spark"), (0, "delta"), (1, "merge")], "query_id int, term string"
+    )
+    full = str(tmp_path / "full")
+    ts.bm25_build_index(df, full)
+    rows_of = lambda d: sorted(map(tuple, d.collect()))
+    want = rows_of(ts.bm25_search_index(spark, full, queries, k=5))
+    assert rows_of(ts.bm25_search_index(spark, idx, queries, k=5)) == want
+
+    # restart with no new input: serves the lineage, never raises
+    idx2 = sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
+    assert rows_of(ts.bm25_search_index(spark, idx2, queries, k=5)) == want
