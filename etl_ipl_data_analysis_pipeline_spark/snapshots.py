@@ -111,12 +111,15 @@ def snapshot_commit(
     new_files = _stage_files(df, base, version)
     files = list(new_files)
     schema = df.schema
+    stats = _file_stats(base, new_files)
     if mode == "append" and versions:
         parent = _read_manifest(spark, base, versions[-1])
         files = parent["files"] + files
         schema = _merge_schemas(parent["schema"], schema)
+        stats = {**(parent.get("stats") or {}), **stats}
     _commit_manifest(
-        spark, base, version, op=mode, files=files, schema=schema, batch_id=batch_id
+        spark, base, version, op=mode, files=files, schema=schema,
+        batch_id=batch_id, stats=stats,
     )
     return version
 
@@ -159,6 +162,7 @@ def _commit_manifest(
     files: list[str],
     schema,
     batch_id: int | None = None,
+    stats: dict | None = None,
 ) -> None:
     """Write + atomically rename the version manifest — the commit point
     shared by every snapshot operation."""
@@ -171,6 +175,8 @@ def _commit_manifest(
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
+    if stats:
+        manifest["stats"] = stats
     sdir = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
     if not fs.exists(sdir):
         fs.mkdirs(sdir)
@@ -181,6 +187,94 @@ def _commit_manifest(
     final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
     if not fs.rename(tmp, final):
         raise IOError(f"snapshot commit: manifest rename failed for v{version}")
+
+
+def _file_stats(base: str, rels: list[str]) -> dict:
+    """Per-file column min/max from the parquet FOOTERS of newly staged
+    files (driver-side, one footer read per NEW file — never the data
+    pages, never old files: parents' stats ride their manifests
+    forward). The Iceberg-shaped pruning metadata that lets
+    snapshot_merge's locate probe skip files whose key range can't
+    intersect the update batch. Best-effort: only int/float/str columns
+    with real min/max land; anything else (or a non-local scheme where
+    pyarrow can't open the path) is simply absent, and absence means
+    "can't prune" — always conservative."""
+    out: dict = {}
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+    except Exception:
+        return out
+    for rel in rels:
+        local = _uri_path(f"{base}/{rel}")
+        if not os.path.exists(local):
+            continue
+        try:
+            md = pq.ParquetFile(local).metadata
+        except Exception:
+            continue
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            row = md.row_group(rg)
+            for ci in range(row.num_columns):
+                col = row.column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    cols[name] = None
+                    continue
+                mn, mx = st.min, st.max
+                if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                    cols[name] = None
+                    continue
+                cur = cols.get(name)
+                if name in cols and cur is None:
+                    continue
+                cols[name] = (
+                    [mn, mx]
+                    if cur is None
+                    else [min(cur[0], mn), max(cur[1], mx)]
+                )
+        kept = {k: v for k, v in cols.items() if v is not None}
+        if kept:
+            out[rel] = kept
+    return out
+
+
+def _prune_by_key_stats(
+    manifest: dict, key_cols: list[str], keys: DataFrame, n_updates: int
+) -> list[str]:
+    """Candidate files for a merge probe: those whose manifest key-range
+    could intersect the (sorted, broadcastable) update key set. Files
+    without stats for the key column are always candidates — pruning is
+    strictly conservative — and any type surprise falls back to
+    all-files."""
+    files = manifest["files"]
+    stats = manifest.get("stats") or {}
+    if len(key_cols) != 1 or n_updates > 100_000 or not stats:
+        return files
+    kc = key_cols[0]
+    try:
+        import bisect
+
+        kvals = sorted(
+            r[0] for r in keys.collect() if r[0] is not None
+        )
+        if not kvals:
+            return files
+
+        def overlaps(rng) -> bool:
+            i = bisect.bisect_left(kvals, rng[0])
+            return i < len(kvals) and kvals[i] <= rng[1]
+
+        return [
+            rel
+            for rel in files
+            if kc not in stats.get(rel, {}) or overlaps(stats[rel][kc])
+        ]
+    except TypeError:
+        return files
 
 
 def _merge_schemas(parent_json: str, child):
@@ -255,6 +349,7 @@ def snapshot_compact(
     _commit_manifest(
         spark, base, version, op="replace", files=files, schema=cur.schema,
         batch_id=snapshot_latest_batch_id(spark, base),
+        stats=_file_stats(base, files),
     )
     return version
 
@@ -360,10 +455,13 @@ def snapshot_merge(
     replaced by ``updates``); every untouched file is referenced
     verbatim by the new manifest, and rows of ``updates`` whose key
     exists nowhere are appended. The REWRITE reads only the touched
-    files (a direct parquet read of those paths); the one full-table
-    pass is the locate probe, a semi-join against the broadcast update
-    keys — per-file key-range stats in the manifest are the documented
-    upgrade path to prune that too. Schema evolution follows the append
+    files (a direct parquet read of those paths); the locate probe is a
+    semi-join against the broadcast update keys over the CANDIDATE
+    files only — candidates pruned by the per-file key-range stats the
+    manifests carry (captured from parquet footers at commit time), so
+    a point-update batch on a key-clustered table probes a handful of
+    files, never the table. Files lacking stats stay candidates:
+    pruning is strictly conservative. Schema evolution follows the append
     rule (additive merge, type changes refused); time travel is
     untouched — the rewritten files are NEW names, old versions keep
     reading the originals. ``updates`` must be key-unique (enforced):
@@ -390,12 +488,17 @@ def snapshot_merge(
     manifest = _read_manifest(spark, base, versions[-1])
     schema = _merge_schemas(manifest["schema"], updates.schema)
     cur_schema = StructType.fromJson(json.loads(manifest["schema"]))
-    cur = spark.read.schema(cur_schema).parquet(
-        *[f"{base}/{rel}" for rel in manifest["files"]]
-    ).withColumn("__file", F.input_file_name())
-    touched = _touched_files(
-        cur, base, manifest["files"], keys, key_cols=key_cols
-    )
+    # key-range pruning: the locate probe scans only the files whose
+    # manifest min/max could hold an update key — on a key-clustered
+    # table a point-update batch probes a handful of files, not 10^5
+    candidates = _prune_by_key_stats(manifest, key_cols, keys, n_updates)
+    if candidates:
+        cur = spark.read.schema(cur_schema).parquet(
+            *[f"{base}/{rel}" for rel in candidates]
+        ).withColumn("__file", F.input_file_name())
+        touched = _touched_files(cur, base, candidates, keys, key_cols=key_cols)
+    else:
+        touched = []
     untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
     version = versions[-1] + 1
 
@@ -420,6 +523,11 @@ def snapshot_merge(
     else:
         rewrite = _align(updates)
     new_files = _stage_files(rewrite, base, version)
+    old_stats = manifest.get("stats") or {}
+    stats = {
+        **{rel: old_stats[rel] for rel in untouched if rel in old_stats},
+        **_file_stats(base, new_files),
+    }
     _commit_manifest(
         spark, base, version, op="merge",
         files=untouched + new_files, schema=schema,
@@ -428,6 +536,7 @@ def snapshot_merge(
             if batch_id is not None
             else snapshot_latest_batch_id(spark, base)
         ),
+        stats=stats,
     )
     return version
 
@@ -464,9 +573,15 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
         new_files = _stage_files(survivors, base, version)
     else:
         new_files = []
+    old_stats = manifest.get("stats") or {}
+    stats = {
+        **{rel: old_stats[rel] for rel in untouched if rel in old_stats},
+        **_file_stats(base, new_files),
+    }
     _commit_manifest(
         spark, base, version, op="delete",
         files=untouched + new_files, schema=schema,
         batch_id=snapshot_latest_batch_id(spark, base),
+        stats=stats,
     )
     return version

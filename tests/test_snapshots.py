@@ -299,3 +299,42 @@ def test_batch_marker_survives_compact_and_expire(spark, tmp_path):
     shutil.rmtree(ckpt)
     assert run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt) == 0
     assert _keys(spark, table) == list(range(30))
+
+
+def test_manifest_key_stats_prune_merge_probe(spark, tmp_path):
+    """Commits capture per-file column min/max from the parquet footers;
+    a point-update merge probes only the files whose key range can
+    intersect the update batch (strictly conservative: files without
+    stats stay candidates), and pruning changes nothing about the
+    result."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 800)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k"))
+        .repartitionByRange(8, "k")
+    )
+    sn.snapshot_commit(df, base, "append")
+    m = sn._read_manifest(spark, base, 1)
+    assert "stats" in m and len(m["stats"]) == 8
+    for rng in (st["k"] for st in m["stats"].values()):
+        assert rng[0] <= rng[1]
+
+    updates = spark.createDataFrame([(5, -5)], "k long, v long")
+    keys = updates.select("k").distinct()
+    cands = sn._prune_by_key_stats(m, ["k"], keys, 1)
+    assert len(cands) == 1  # exactly the one range file holding k=5
+
+    v2 = sn.snapshot_merge(updates, base, ["k"])
+    m2 = sn._read_manifest(spark, base, v2)
+    assert len(set(m["files"]) & set(m2["files"])) == 7
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert rows[5] == -5 and rows[6] == 6 and len(rows) == 800
+    # stats carried for untouched files + captured for the rewrite
+    assert len(m2.get("stats", {})) == len(m2["files"])
+
+    # a file with no stats must remain a candidate (conservative)
+    m_no = {"files": m["files"], "stats": {}}
+    assert sn._prune_by_key_stats(m_no, ["k"], keys, 1) == m["files"]
