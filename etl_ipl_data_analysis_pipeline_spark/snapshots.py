@@ -75,11 +75,13 @@ def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
 
 def snapshot_latest_batch_id(spark: SparkSession, path: str) -> int | None:
     """The ``batch_id`` recorded by the latest committed version, or None
-    (no table, or the head wasn't committed by a stream). Streaming
-    ingest uses it to skip re-delivered micro-batches — the
-    run_count_stream marker pattern fused into the manifest itself, so
-    the exactly-once marker and the data commit share ONE atomic
-    rename."""
+    (no table, or no stream ever wrote it). Streaming ingest uses it to
+    skip re-delivered micro-batches — the run_count_stream marker
+    pattern fused into the manifest itself, so the exactly-once marker
+    and the data commit share ONE atomic rename. Every commit
+    (including maintenance) inherits the parent's marker, so the HEAD
+    manifest answers in one read; the backward walk only remains for
+    tables written before markers propagated."""
     for v in reversed(snapshot_versions(spark, path)):
         bid = _read_manifest(spark, path, v).get("batch_id")
         if bid is not None:
@@ -108,15 +110,21 @@ def snapshot_commit(
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     version = (versions[-1] if versions else 0) + 1
+    parent = _read_manifest(spark, base, versions[-1]) if versions else None
     new_files = _stage_files(df, base, version)
     files = list(new_files)
     schema = df.schema
     stats = _file_stats(base, new_files)
-    if mode == "append" and versions:
-        parent = _read_manifest(spark, base, versions[-1])
+    if mode == "append" and parent:
         files = parent["files"] + files
         schema = _merge_schemas(parent["schema"], schema)
         stats = {**(parent.get("stats") or {}), **stats}
+    if batch_id is None and parent:
+        # EVERY commit inherits the streaming marker, so the head
+        # manifest always carries it and snapshot_latest_batch_id never
+        # has to walk the lineage (a walk would read one manifest per
+        # version — measurable on every streaming micro-batch)
+        batch_id = parent.get("batch_id")
     _commit_manifest(
         spark, base, version, op=mode, files=files, schema=schema,
         batch_id=batch_id, stats=stats,
@@ -341,6 +349,7 @@ def snapshot_compact(
     runs never re-opens the exactly-once window."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
+    head = _read_manifest(spark, base, versions[-1])
     cur = snapshot_read(spark, base)
     total = sum(f[2] for f in _live_files(spark, base, [versions[-1]]))
     n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
@@ -348,7 +357,7 @@ def snapshot_compact(
     files = _stage_files(cur.coalesce(n_target), base, version)
     _commit_manifest(
         spark, base, version, op="replace", files=files, schema=cur.schema,
-        batch_id=snapshot_latest_batch_id(spark, base),
+        batch_id=head.get("batch_id"),
         stats=_file_stats(base, files),
     )
     return version
@@ -531,11 +540,7 @@ def snapshot_merge(
     _commit_manifest(
         spark, base, version, op="merge",
         files=untouched + new_files, schema=schema,
-        batch_id=(
-            batch_id
-            if batch_id is not None
-            else snapshot_latest_batch_id(spark, base)
-        ),
+        batch_id=batch_id if batch_id is not None else manifest.get("batch_id"),
         stats=stats,
     )
     return version
@@ -581,7 +586,7 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     _commit_manifest(
         spark, base, version, op="delete",
         files=untouched + new_files, schema=schema,
-        batch_id=snapshot_latest_batch_id(spark, base),
+        batch_id=manifest.get("batch_id"),
         stats=stats,
     )
     return version

@@ -64,6 +64,35 @@ def main() -> int:
     out["full_rewrite_at_16x"] = round(time.monotonic() - t0, 2)
     out["rows_at_16x"] = sn.snapshot_read(spark, base).count()
 
+    # --- 2b: point-merge flatness ----------------------------------------
+    # every appended delta's files carry tight k-ranges in the manifest
+    # stats, so a 100-key update confined to one delta's range must cost
+    # ~the same whether the table holds 4 or 16 deltas (probe + rewrite
+    # touch candidate files only, never the table)
+    upd = (
+        spark.range(0, 100)
+        .select(
+            (F.col("id") * 9973 % n_delta).alias("k"),
+        )
+        .withColumn("v", F.lit(-1).cast("long"))
+        .dropDuplicates(["k"])
+    )
+    t0 = time.monotonic()
+    sn.snapshot_merge(upd, base, ["k"])
+    out["merge_100keys_at_16x"] = round(time.monotonic() - t0, 2)
+    small = root + "/tbl_small"
+    for i in range(4):
+        delta = (
+            spark.range(i * n_delta, (i + 1) * n_delta)
+            .withColumnRenamed("id", "k")
+            .withColumn("v", (F.col("k") * 7919) % 104729)
+            .repartition(4)
+        )
+        sn.snapshot_commit(delta, small, "append")
+    t0 = time.monotonic()
+    sn.snapshot_merge(upd, small, ["k"])
+    out["merge_100keys_at_4x"] = round(time.monotonic() - t0, 2)
+
     # --- 3: expiry cost --------------------------------------------------
     # append lineage: the newest manifest references EVERY file, so
     # expiring old versions must delete nothing (shared-file ref-count)
