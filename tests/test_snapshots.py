@@ -338,3 +338,27 @@ def test_manifest_key_stats_prune_merge_probe(spark, tmp_path):
     # a file with no stats must remain a candidate (conservative)
     m_no = {"files": m["files"], "stats": {}}
     assert sn._prune_by_key_stats(m_no, ["k"], keys, 1) == m["files"]
+
+
+def test_concurrent_commit_loser_aborts_cleanly(spark, table):
+    """Optimistic concurrency for free: the manifest rename refuses an
+    existing destination, so of two writers racing to the same version
+    number exactly one commits and the loser raises WITHOUT touching
+    table state — its staged data files are unreferenced orphans for
+    expiry. (Single-writer is still the operating contract; this pins
+    the failure mode when it's violated.)"""
+    import pyspark.sql.functions as F
+
+    from pyspark.sql.types import StructType
+
+    head = sn.snapshot_versions(spark, table)[-1]
+    df = spark.range(500, 505).withColumnRenamed("id", "k")
+    # a racing writer targeting the same next version: stage its files,
+    # then watch its manifest commit lose the rename race
+    version = head + 1
+    files = sn._stage_files(df, table, version)
+    sn._commit_manifest(spark, table, version, "append", files, df.schema)
+    with pytest.raises(IOError, match="manifest rename failed"):
+        sn._commit_manifest(spark, table, version, "append", files, df.schema)
+    # the winner's view is intact and the loser changed nothing
+    assert sn.snapshot_versions(spark, table)[-1] == version
