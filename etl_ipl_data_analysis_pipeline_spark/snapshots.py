@@ -136,10 +136,19 @@ def _stage_files(df: DataFrame, base: str, version: int) -> list[str]:
     """Write ``df`` into hidden staging and move the parquet files to
     immutable ``data/v<version>-<i>`` names; returns the relative
     paths. Pure data-plane: nothing is visible to readers until a
-    manifest referencing these names lands."""
+    manifest referencing these names lands.
+
+    The staging dir is unique per ATTEMPT (uuid suffix), so a retry
+    after a crashed attempt never collides with its own debris; a dst
+    name left by a crashed attempt at the SAME (still uncommitted)
+    version is replaced — safe under the single-writer contract,
+    because a name can only be referenced once its version's manifest
+    exists, and then the next attempt targets version+1."""
+    import uuid
+
     spark = df.sparkSession
     fs, _, jvm = _fs_and_path(spark, base)
-    staging = f"{base}/_commit_{version:08d}"
+    staging = f"{base}/_commit_{version:08d}_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(staging)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
     staged = sorted(
@@ -155,6 +164,8 @@ def _stage_files(df: DataFrame, base: str, version: int) -> list[str]:
         rel = f"data/v{version:08d}-{i:05d}.parquet"
         src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{name}")
         dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+        if fs.exists(dst):
+            fs.delete(dst, False)  # crashed prior attempt's orphan
         if not fs.rename(src, dst):
             raise IOError(f"snapshot commit: rename {src} -> {dst} failed")
         new_files.append(rel)
@@ -236,6 +247,18 @@ def _file_stats(base: str, rels: list[str]) -> dict:
                 if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
                     cols[name] = None
                     continue
+                # NaN poisons interval logic (every comparison False, so
+                # overlaps() would PRUNE a file that can match — silent
+                # corruption); long strings would bloat the one-line
+                # manifest that every commit rewrites and every
+                # micro-batch parses (a string prefix is not a valid
+                # upper bound, so truncation is not an option — drop)
+                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    cols[name] = None
+                    continue
+                if isinstance(mn, str) and (len(mn) > 64 or len(mx) > 64):
+                    cols[name] = None
+                    continue
                 cur = cols.get(name)
                 if name in cols and cur is None:
                     continue
@@ -270,6 +293,11 @@ def _prune_by_key_stats(
             r[0] for r in keys.collect() if r[0] is not None
         )
         if not kvals:
+            return files
+        # a NaN update key defeats interval reasoning (NaN compares
+        # False with everything, yet Spark's join treats NaN = NaN as a
+        # match) — prune nothing rather than prune wrong
+        if any(isinstance(v, float) and v != v for v in kvals):
             return files
 
         def overlaps(rng) -> bool:
@@ -357,7 +385,11 @@ def snapshot_compact(
     files = _stage_files(cur.coalesce(n_target), base, version)
     _commit_manifest(
         spark, base, version, op="replace", files=files, schema=cur.schema,
-        batch_id=head.get("batch_id"),
+        batch_id=(
+            head.get("batch_id")
+            if head.get("batch_id") is not None
+            else snapshot_latest_batch_id(spark, base)
+        ),
         stats=_file_stats(base, files),
     )
     return version
@@ -486,6 +518,9 @@ def snapshot_merge(
     versions = snapshot_versions(spark, base)
     if not versions:
         raise ValueError(f"no committed snapshot at {base}")
+    # one evaluation of the updates plan: everything downstream (counts,
+    # key collect, probe and rewrite joins) reads the checkpointed blocks
+    updates = updates.localCheckpoint(eager=True)
     keys = updates.select(*key_cols).distinct()
     n_updates = updates.count()
     if keys.count() != n_updates:
@@ -508,7 +543,8 @@ def snapshot_merge(
         touched = _touched_files(cur, base, candidates, keys, key_cols=key_cols)
     else:
         touched = []
-    untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
+    touched_set = set(touched)
+    untouched = [rel for rel in manifest["files"] if rel not in touched_set]
     version = versions[-1] + 1
 
     # align both sides to the merged schema (absent columns -> NULL)
@@ -540,7 +576,17 @@ def snapshot_merge(
     _commit_manifest(
         spark, base, version, op="merge",
         files=untouched + new_files, schema=schema,
-        batch_id=batch_id if batch_id is not None else manifest.get("batch_id"),
+        batch_id=(
+            batch_id
+            if batch_id is not None
+            else (
+                manifest.get("batch_id")
+                if manifest.get("batch_id") is not None
+                # legacy tables (written before markers propagated) may
+                # carry the marker only on an older manifest — walk once
+                else snapshot_latest_batch_id(spark, base)
+            )
+        ),
         stats=stats,
     )
     return version
@@ -569,7 +615,8 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
         *[f"{base}/{rel}" for rel in manifest["files"]]
     ).withColumn("__file", F.input_file_name())
     touched = _touched_files(cur, base, manifest["files"], None, condition=condition)
-    untouched = [rel for rel in manifest["files"] if rel not in set(touched)]
+    touched_set = set(touched)
+    untouched = [rel for rel in manifest["files"] if rel not in touched_set]
     version = versions[-1] + 1
     if touched:
         survivors = spark.read.schema(schema).parquet(
@@ -586,7 +633,11 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     _commit_manifest(
         spark, base, version, op="delete",
         files=untouched + new_files, schema=schema,
-        batch_id=manifest.get("batch_id"),
+        batch_id=(
+            manifest.get("batch_id")
+            if manifest.get("batch_id") is not None
+            else snapshot_latest_batch_id(spark, base)
+        ),
         stats=stats,
     )
     return version

@@ -341,16 +341,14 @@ def test_manifest_key_stats_prune_merge_probe(spark, tmp_path):
 
 
 def test_concurrent_commit_loser_aborts_cleanly(spark, table):
-    """Optimistic concurrency for free: the manifest rename refuses an
-    existing destination, so of two writers racing to the same version
-    number exactly one commits and the loser raises WITHOUT touching
-    table state — its staged data files are unreferenced orphans for
-    expiry. (Single-writer is still the operating contract; this pins
-    the failure mode when it's violated.)"""
-    import pyspark.sql.functions as F
-
-    from pyspark.sql.types import StructType
-
+    """The manifest rename arbitrates the MANIFEST level: a second
+    attempt at an already-committed version number raises and the
+    committed state is untouched. Single-writer remains the operating
+    contract — two writers racing through the full commit path can
+    still collide on the data/v<N>-<i> names before either manifest
+    lands, so the rename guard bounds damage (at most one manifest per
+    version, losers abort), it does not make concurrent writes safe.
+    This test pins the manifest-level arbitration."""
     head = sn.snapshot_versions(spark, table)[-1]
     df = spark.range(500, 505).withColumnRenamed("id", "k")
     # a racing writer targeting the same next version: stage its files,
