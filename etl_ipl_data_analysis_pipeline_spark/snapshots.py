@@ -3,12 +3,14 @@ expiry — the Delta/Iceberg-shaped layer the daily 100 TB pipeline needs
 on plain parquet (SURVEY §2 SNK3/L3; the reference's S3 folder moves,
 etl_glue_job.py:18-43, subsumed with actual transactional semantics).
 
-Layout (single writer, many readers):
+Layout (optimistic writers, many readers):
 
-    table/data/v<version>-<i>.parquet   immutable data files
+    table/data/v<N>-<attempt>-<i>.parquet   immutable data files
+                                        (optionally under Hive-style
+                                        ``col=value`` partition dirs)
     table/_snapshots/v<version>.json    manifest: the COMPLETE live file
                                         list for that version + schema
-    table/_commit_<version>/            hidden staging (crash debris)
+    table/_commit_<version>_<attempt>/  hidden staging (crash debris)
 
 The manifest rename is the ONLY commit point. A reader lists manifests,
 picks the max (or an as-of version), and reads exactly the listed
@@ -19,6 +21,16 @@ data rewritten), and compaction is just another version whose manifest
 lists the rewritten files while older versions keep reading the
 originals. Nothing is ever modified in place; expiry deletes only
 files unreferenced by every RETAINED manifest.
+
+Concurrency: data file names are ATTEMPT-unique (the ``v<N>`` prefix
+records the attempt's target version, nothing parses it), so two
+racing writers never collide on the data plane; the manifest rename
+arbitrates. ``snapshot_commit`` retries a lost race optimistically —
+re-read the new head, re-point the parent, restage ONLY the manifest
+(the data files are already immutable) — so concurrent APPENDS both
+land. Rewriting ops (merge/delete/compact) do not retry: their file
+lists are derived from the head they read, so a lost race raises
+``SnapshotConflict`` and the caller re-runs against the new head.
 
 Scale: the manifest is one JSON line per version holding relative file
 paths — for a 100 TB table at 1 GB files that's ~10⁵ names per
@@ -35,6 +47,18 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 
 from .io import _fs_and_path
+
+# Above this many update keys the merge probe/anti joins stop hinting
+# broadcast: a multi-million-row key set would blow the broadcast limit
+# and fail the job, while a shuffle join merely costs one exchange.
+_BROADCAST_KEYS_MAX = 1_000_000
+
+
+class SnapshotConflict(IOError):
+    """A commit lost the manifest-rename race: the target version was
+    committed by another writer between head read and rename. Appends
+    recover automatically (snapshot_commit retries against the new
+    head); rewriting ops surface this to the caller."""
 
 
 def _snap_dir(path: str) -> str:
@@ -90,7 +114,12 @@ def snapshot_latest_batch_id(spark: SparkSession, path: str) -> int | None:
 
 
 def snapshot_commit(
-    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+    partition_by: list[str] | None = None,
+    max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
 
@@ -98,12 +127,28 @@ def snapshot_commit(
     new ones (no data rewritten — O(delta)); ``overwrite`` references
     only the new files (the old ones stay on disk for time travel until
     expired). Protocol: write the batch into a hidden staging dir, move
-    the parquet files to immutable ``data/v<N>-<i>`` names, then rename
-    the manifest into place — the single atomic commit point. A crash
-    anywhere before it leaves prior versions byte-identical and only
-    unreferenced debris behind (reclaimed by snapshot_expire).
-    ``batch_id`` (streaming ingest) rides the manifest, making the
-    exactly-once replay marker part of the same atomic commit."""
+    the parquet files to immutable attempt-unique ``data/...`` names,
+    then rename the manifest into place — the single atomic commit
+    point. A crash anywhere before it leaves prior versions
+    byte-identical and only unreferenced debris behind (reclaimed by
+    snapshot_expire). ``batch_id`` (streaming ingest) rides the
+    manifest, making the exactly-once replay marker part of the same
+    atomic commit.
+
+    ``partition_by`` lays data files out under Hive-style ``col=value``
+    directories so a filtered as-of read keeps DIRECTORY pruning (see
+    snapshot_read's ``prune``) — the layout is fixed at table creation;
+    appends inherit it and a mismatching explicit value raises.
+
+    Concurrency (optimistic): if the manifest rename loses a race, the
+    data files — already immutable under attempt-unique names — stay
+    put; only the head is re-read, the parent re-pointed, and the
+    manifest restaged at the next version number, up to ``max_retries``
+    times before ``SnapshotConflict`` propagates. Two racing appenders
+    therefore BOTH land (versions n+1 and n+2, the second referencing
+    the first's files verbatim). Note for streaming: the exactly-once
+    batch-id skip check happens BEFORE commit, so concurrent writers to
+    one table still need a single stream owner."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown snapshot mode {mode!r}")
     spark = df.sparkSession
@@ -111,61 +156,114 @@ def snapshot_commit(
     versions = snapshot_versions(spark, base)
     version = (versions[-1] if versions else 0) + 1
     parent = _read_manifest(spark, base, versions[-1]) if versions else None
-    new_files = _stage_files(df, base, version)
-    files = list(new_files)
-    schema = df.schema
-    stats = _file_stats(base, new_files)
-    if mode == "append" and parent:
-        files = parent["files"] + files
-        schema = _merge_schemas(parent["schema"], schema)
-        stats = {**(parent.get("stats") or {}), **stats}
-    if batch_id is None and parent:
-        # EVERY commit inherits the streaming marker, so the head
-        # manifest always carries it and snapshot_latest_batch_id never
-        # has to walk the lineage (a walk would read one manifest per
-        # version — measurable on every streaming micro-batch)
-        batch_id = parent.get("batch_id")
-    _commit_manifest(
-        spark, base, version, op=mode, files=files, schema=schema,
-        batch_id=batch_id, stats=stats,
-    )
-    return version
+    if partition_by is not None:
+        partition_by = list(partition_by)
+    if mode == "append" and parent is not None:
+        ppart = parent.get("partition_by") or []
+        if partition_by is None:
+            partition_by = ppart or None
+        elif partition_by != ppart:
+            raise ValueError(
+                f"snapshot append partition_by={partition_by} does not match "
+                f"the table layout {ppart} — the layout is fixed at creation "
+                "(overwrite to change it)"
+            )
+    new_files = _stage_files(df, base, version, partition_by)
+    new_stats = _file_stats(base, new_files)
+    for attempt in range(max_retries + 1):
+        if parent is not None and mode == "append" and (
+            parent.get("partition_by") or []
+        ) != (partition_by or []):
+            raise SnapshotConflict(
+                "snapshot commit: table layout changed concurrently "
+                f"(staged {partition_by or []}, head has "
+                f"{parent.get('partition_by') or []})"
+            )
+        files = list(new_files)
+        schema = df.schema
+        stats = dict(new_stats)
+        bid = batch_id
+        if mode == "append" and parent:
+            files = parent["files"] + files
+            schema = _merge_schemas(parent["schema"], schema)
+            stats = {**(parent.get("stats") or {}), **stats}
+        if bid is None and parent:
+            # EVERY commit inherits the streaming marker, so the head
+            # manifest always carries it and snapshot_latest_batch_id never
+            # has to walk the lineage (a walk would read one manifest per
+            # version — measurable on every streaming micro-batch)
+            bid = parent.get("batch_id")
+        try:
+            _commit_manifest(
+                spark, base, version, op=mode, files=files, schema=schema,
+                batch_id=bid, stats=stats, partition_by=partition_by,
+            )
+            return version
+        except SnapshotConflict:
+            if attempt >= max_retries:
+                raise
+            versions = snapshot_versions(spark, base)
+            version = (versions[-1] if versions else 0) + 1
+            parent = (
+                _read_manifest(spark, base, versions[-1]) if versions else None
+            )
+    raise AssertionError("unreachable")
 
 
-def _stage_files(df: DataFrame, base: str, version: int) -> list[str]:
+def _stage_files(
+    df: DataFrame, base: str, version: int, partition_by: list[str] | None = None
+) -> list[str]:
     """Write ``df`` into hidden staging and move the parquet files to
-    immutable ``data/v<version>-<i>`` names; returns the relative
-    paths. Pure data-plane: nothing is visible to readers until a
-    manifest referencing these names lands.
+    immutable, ATTEMPT-unique ``data/[col=val/]v<N>-<attempt>-<i>``
+    names (``v<N>`` records the attempt's target version — informative
+    only, nothing parses it); returns the relative paths. Pure
+    data-plane: nothing is visible to readers until a manifest
+    referencing these names lands, and because every attempt's names
+    carry a fresh uuid token, neither crashed prior attempts nor
+    concurrent writers can ever collide on a destination name.
 
-    The staging dir is unique per ATTEMPT (uuid suffix), so a retry
-    after a crashed attempt never collides with its own debris; a dst
-    name left by a crashed attempt at the SAME (still uncommitted)
-    version is replaced — safe under the single-writer contract,
-    because a name can only be referenced once its version's manifest
-    exists, and then the next attempt targets version+1."""
+    With ``partition_by`` the staging write is Hive-partitioned and the
+    ``col=value`` directory structure is preserved under ``data/`` so
+    scans keep directory pruning."""
     import uuid
 
     spark = df.sparkSession
     fs, _, jvm = _fs_and_path(spark, base)
-    staging = f"{base}/_commit_{version:08d}_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(staging)
+    token = uuid.uuid4().hex[:8]
+    staging = f"{base}/_commit_{version:08d}_{token}"
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
     spath = jvm.org.apache.hadoop.fs.Path(staging)
-    staged = sorted(
-        st.getPath().getName()
-        for st in fs.listStatus(spath)
-        if st.isFile() and st.getPath().getName().endswith(".parquet")
-    )
-    data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
-    if not fs.exists(data_dir):
-        fs.mkdirs(data_dir)
+    # recursive walk: partitioned staging nests files under col=val dirs
+    staged = []  # (relative-subdir, name)
+    it = fs.listFiles(spath, True)
+    prefix = len(fs.makeQualified(spath).toString().rstrip("/")) + 1
+    while it.hasNext():
+        st = it.next()
+        full = st.getPath().toString()
+        name = st.getPath().getName()
+        if not name.endswith(".parquet"):
+            continue
+        rel_in_staging = full[prefix:]
+        subdir = rel_in_staging[: -len(name)].strip("/")
+        staged.append((subdir, name))
+    staged.sort()
     new_files = []
-    for i, name in enumerate(staged):
-        rel = f"data/v{version:08d}-{i:05d}.parquet"
-        src = jvm.org.apache.hadoop.fs.Path(f"{staging}/{name}")
+    made_dirs: set[str] = set()
+    for i, (subdir, name) in enumerate(staged):
+        dest_dir = f"data/{subdir}".rstrip("/")
+        if dest_dir not in made_dirs:
+            dd = jvm.org.apache.hadoop.fs.Path(f"{base}/{dest_dir}")
+            if not fs.exists(dd):
+                fs.mkdirs(dd)
+            made_dirs.add(dest_dir)
+        rel = f"{dest_dir}/v{version:08d}-{token}-{i:05d}.parquet"
+        src = jvm.org.apache.hadoop.fs.Path(
+            f"{staging}/{subdir}/{name}" if subdir else f"{staging}/{name}"
+        )
         dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
-        if fs.exists(dst):
-            fs.delete(dst, False)  # crashed prior attempt's orphan
         if not fs.rename(src, dst):
             raise IOError(f"snapshot commit: rename {src} -> {dst} failed")
         new_files.append(rel)
@@ -182,9 +280,13 @@ def _commit_manifest(
     schema,
     batch_id: int | None = None,
     stats: dict | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Write + atomically rename the version manifest — the commit point
-    shared by every snapshot operation."""
+    shared by every snapshot operation. A rename that fails because the
+    destination already exists raises ``SnapshotConflict`` (another
+    writer committed this version first); any other rename failure is a
+    plain IOError."""
     fs, _, jvm = _fs_and_path(spark, base)
     manifest = {
         "version": version,
@@ -196,15 +298,34 @@ def _commit_manifest(
         manifest["batch_id"] = int(batch_id)
     if stats:
         manifest["stats"] = stats
+    if partition_by:
+        manifest["partition_by"] = list(partition_by)
     sdir = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
     if not fs.exists(sdir):
         fs.mkdirs(sdir)
-    tmp = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version) + ".tmp")
+    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
+    if fs.exists(final):
+        raise SnapshotConflict(
+            f"snapshot commit: manifest rename failed for v{version} "
+            "(already committed by a concurrent writer)"
+        )
+    # tmp name is attempt-unique: two racing writers must not clobber
+    # each other's staged manifest before the rename arbitrates
+    import uuid
+
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        _manifest_path(base, version) + f".tmp-{uuid.uuid4().hex[:8]}"
+    )
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(manifest).encode()))
     out.close()
-    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
     if not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        if fs.exists(final):
+            raise SnapshotConflict(
+                f"snapshot commit: manifest rename failed for v{version} "
+                "(already committed by a concurrent writer)"
+            )
         raise IOError(f"snapshot commit: manifest rename failed for v{version}")
 
 
@@ -293,7 +414,9 @@ def _prune_by_key_stats(
             r[0] for r in keys.collect() if r[0] is not None
         )
         if not kvals:
-            return files
+            # every update key is NULL, and NULL never equi-joins —
+            # no file can contain a match, so there are no candidates
+            return []
         # a NaN update key defeats interval reasoning (NaN compares
         # False with everything, yet Spark's join treats NaN = NaN as a
         # match) — prune nothing rather than prune wrong
@@ -311,6 +434,95 @@ def _prune_by_key_stats(
         ]
     except TypeError:
         return files
+
+
+def _partition_value(rel: str, col: str, schema_json: dict):
+    """Parse a Hive-style ``col=value`` component out of a manifest
+    relative path and coerce it to the manifest schema's type for that
+    column. Returns None when the component is absent, is the Hive
+    null sentinel, or refuses coercion — all of which read as "can't
+    prune this file"."""
+    from urllib.parse import unquote
+
+    needle = f"{col}="
+    raw = None
+    for seg in rel.split("/")[:-1]:
+        if seg.startswith(needle):
+            raw = unquote(seg[len(needle):])
+            break
+    if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    ftype = next(
+        (f["type"] for f in schema_json.get("fields", []) if f["name"] == col),
+        None,
+    )
+    try:
+        if ftype in ("byte", "short", "integer", "long"):
+            return int(raw)
+        if ftype in ("float", "double") or (
+            isinstance(ftype, str) and ftype.startswith("decimal")
+        ):
+            return float(raw)
+    except ValueError:
+        return None
+    return raw
+
+
+def _prune_files_by_range(manifest: dict, col: str, lo, hi) -> list[str]:
+    """Manifest-level file skip for a range predicate ``lo <= col <= hi``
+    (either bound may be None = unbounded): drop files whose recorded
+    interval — the partition-directory value for partition columns,
+    else the per-file footer min/max the manifest carries — is provably
+    disjoint from [lo, hi]. Strictly conservative: no stats, a NaN
+    bound, the Hive null-partition sentinel, or a cross-type comparison
+    all keep the file. This is the read-side twin of the merge probe's
+    ``_prune_by_key_stats``."""
+    stats = manifest.get("stats") or {}
+    part_cols = manifest.get("partition_by") or []
+    schema_json = json.loads(manifest["schema"])
+    keep = []
+    for rel in manifest["files"]:
+        rng = None
+        if col in part_cols:
+            v = _partition_value(rel, col, schema_json)
+            if v is not None:
+                rng = (v, v)
+        if rng is None:
+            rng = (stats.get(rel) or {}).get(col)
+        if rng is None:
+            keep.append(rel)
+            continue
+        try:
+            # NaN comparisons are all False, so a NaN endpoint can never
+            # satisfy a "provably disjoint" test — conservative for free
+            if lo is not None and rng[1] < lo:
+                continue
+            if hi is not None and rng[0] > hi:
+                continue
+        except TypeError:
+            keep.append(rel)
+            continue
+        keep.append(rel)
+    return keep
+
+
+def _read_data(
+    spark: SparkSession, base: str, manifest: dict, rels: list[str], schema=None
+) -> DataFrame:
+    """Scan exactly ``rels`` pinned to ``schema`` (default: the
+    manifest's). Partitioned tables read with basePath=data/ so the
+    Hive ``col=value`` directories materialize the partition columns
+    the data files deliberately omit."""
+    from pyspark.sql.types import StructType
+
+    if schema is None:
+        schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not rels:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema)
+    if manifest.get("partition_by"):
+        reader = reader.option("basePath", base + "/data")
+    return reader.parquet(*[f"{base}/{rel}" for rel in rels])
 
 
 def _merge_schemas(parent_json: str, child):
@@ -335,7 +547,10 @@ def _merge_schemas(parent_json: str, child):
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: tuple | None = None,
 ) -> DataFrame:
     """Read a table AS OF ``version`` (default: latest committed). Only
     manifest-listed files are scanned — concurrent commit staging,
@@ -345,9 +560,17 @@ def snapshot_read(
     what later files carry, and (b) additive schema evolution works:
     files older than a column read it as NULL, no mergeSchema
     footer-sniff over every file needed. An empty version reconstructs
-    its schema the same way so downstream plans still resolve."""
-    from pyspark.sql.types import StructType
+    its schema the same way so downstream plans still resolve.
 
+    ``prune=(col, lo, hi)`` (either bound may be None) drops manifest
+    files whose recorded interval for ``col`` — partition-directory
+    value, else footer min/max stats — can't intersect [lo, hi], BEFORE
+    Spark ever sees them: at 10^5 files the win is not row-group skip
+    (parquet does that per file anyway) but never scheduling tasks for
+    pruned-out files at all. Strictly an IO optimization with
+    conservative semantics (no stats → kept): the surviving files'
+    FULL rows are returned, so the caller still applies the actual
+    predicate — which Spark then pushes into the remaining scans."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     if not versions:
@@ -357,12 +580,11 @@ def snapshot_read(
     if version not in versions:
         raise ValueError(f"version {version} not in {versions}")
     manifest = _read_manifest(spark, base, version)
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[f"{base}/{rel}" for rel in manifest["files"]]
-    )
+    rels = manifest["files"]
+    if prune is not None:
+        col, lo, hi = prune
+        rels = _prune_files_by_range(manifest, col, lo, hi)
+    return _read_data(spark, base, manifest, rels)
 
 
 def snapshot_compact(
@@ -382,7 +604,8 @@ def snapshot_compact(
     total = sum(f[2] for f in _live_files(spark, base, [versions[-1]]))
     n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
     version = versions[-1] + 1
-    files = _stage_files(cur.coalesce(n_target), base, version)
+    part = head.get("partition_by")
+    files = _stage_files(cur.coalesce(n_target), base, version, part)
     _commit_manifest(
         spark, base, version, op="replace", files=files, schema=cur.schema,
         batch_id=(
@@ -391,6 +614,7 @@ def snapshot_compact(
             else snapshot_latest_batch_id(spark, base)
         ),
         stats=_file_stats(base, files),
+        partition_by=part,
     )
     return version
 
@@ -411,7 +635,10 @@ def _live_files(spark: SparkSession, path: str, versions: list[int]):
 
 
 def snapshot_expire(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    staging_grace_s: float = 600.0,
 ) -> tuple[int, int]:
     """Drop all but the newest ``keep_last`` versions and delete every
     data file not referenced by a RETAINED manifest — including orphans
@@ -419,7 +646,20 @@ def snapshot_expire(
     references them). Returns (versions_removed, files_removed). Files
     SHARED with a retained version survive: the ref-count is the set
     union of retained manifests, which is what makes append lineages
-    cheap to expire."""
+    cheap to expire.
+
+    **Expire is a WRITER, not read-only maintenance**: it deletes data
+    files and staging directories, so it participates in the table's
+    write coordination like any commit. Against a commit that is IN
+    FLIGHT (files moved into data/ but the manifest not yet renamed),
+    the unreferenced-file sweep would delete the winner's data out from
+    under it — ``staging_grace_s`` bounds that window by skipping
+    staging dirs AND unreferenced data files younger than the grace
+    period (default 10 min, far beyond a manifest restage). Pass 0 only
+    when no commit can be in flight (tests, a quiesced table, or the
+    single stream owner calling between its own batches)."""
+    import time
+
     base = path.rstrip("/")
     fs, _, jvm = _fs_and_path(spark, base)
     versions = snapshot_versions(spark, base)
@@ -430,36 +670,51 @@ def snapshot_expire(
     # set union of retained manifests' file lists — pure manifest
     # arithmetic, no per-file stat RPCs (at ~10^5 files per manifest a
     # getFileStatus-per-file pass would be minutes of metadata latency
-    # on an object store for data this function never uses)
+    # on an object store for data this function never uses); the
+    # modification times used for the grace check ride the SAME
+    # listStatus entries the sweep already walks
     retained: set[str] = set()
     for v in keep:
         retained.update(_read_manifest(spark, base, v)["files"])
+    cutoff_ms = (time.time() - staging_grace_s) * 1000.0
     data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
     removed_files = 0
     if fs.exists(data_dir):
-        for st in fs.listStatus(data_dir):
-            rel = "data/" + st.getPath().getName()
-            if rel not in retained:
-                fs.delete(st.getPath(), False)
-                removed_files += 1
+        qual = fs.makeQualified(data_dir).toString().rstrip("/")
+        stack = [data_dir]
+        while stack:
+            d = stack.pop()
+            for st in fs.listStatus(d):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                    continue
+                full = st.getPath().toString()
+                rel = "data/" + full[len(qual) + 1:]
+                if rel not in retained and st.getModificationTime() < cutoff_ms:
+                    fs.delete(st.getPath(), False)
+                    removed_files += 1
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(base, v)), False)
-    # crashed-commit staging debris is also safe to clear now
+    # crashed-commit staging debris (past the grace window) too
     broot = jvm.org.apache.hadoop.fs.Path(base)
     for st in fs.listStatus(broot):
-        if st.getPath().getName().startswith("_commit_"):
+        if st.getPath().getName().startswith("_commit_") and (
+            st.getModificationTime() < cutoff_ms
+        ):
             fs.delete(st.getPath(), True)
     return (len(drop), removed_files)
 
 
 def _touched_files(
     cur_with_file: DataFrame, base: str, files: list[str], probe: DataFrame | None,
-    condition=None, key_cols: list[str] | None = None,
+    condition=None, key_cols: list[str] | None = None, broadcast: bool = True,
 ) -> list[str]:
     """Relative paths of the files that contain at least one row matched
     by ``probe`` (semi-join on key_cols) or ``condition`` — the
     copy-on-write granularity. Matching is by the scan's qualified
-    input_file_name mapped back to manifest-relative names."""
+    input_file_name mapped back to manifest-relative names.
+    ``broadcast=False`` drops the broadcast hint for probe sets too big
+    to ship to every executor (the semi-join then shuffles)."""
     import pyspark.sql.functions as F
 
     spark = cur_with_file.sparkSession
@@ -476,7 +731,9 @@ def _touched_files(
     if condition is not None:
         hit = hit.filter(condition)
     if probe is not None:
-        hit = hit.join(F.broadcast(probe), key_cols, "left_semi")
+        hit = hit.join(
+            F.broadcast(probe) if broadcast else probe, key_cols, "left_semi"
+        )
     uris = [r["__file"] for r in hit.select("__file").distinct().collect()]
     return sorted(qualified[_uri_path(u)] for u in uris)
 
@@ -523,12 +780,22 @@ def snapshot_merge(
     updates = updates.localCheckpoint(eager=True)
     keys = updates.select(*key_cols).distinct()
     n_updates = updates.count()
+    if n_updates == 0:
+        # a no-op merge commits nothing: the head version is returned
+        # unchanged (an explicit batch_id marker, if any, is NOT
+        # recorded — streaming callers skip empty batches upstream)
+        return versions[-1]
     if keys.count() != n_updates:
         raise ValueError(
             "snapshot_merge: updates carry duplicate keys on "
             f"{key_cols} — multiple source matches per key are ambiguous; "
             "dedup upstream with a defined precedence"
         )
+    # a bounded key set ships to every executor; past the threshold the
+    # probe/anti joins fall back to shuffles instead of failing the job
+    # on the broadcast size limit
+    bcast = n_updates <= _BROADCAST_KEYS_MAX
+    bkeys = F.broadcast(keys) if bcast else keys
     manifest = _read_manifest(spark, base, versions[-1])
     schema = _merge_schemas(manifest["schema"], updates.schema)
     cur_schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -537,10 +804,12 @@ def snapshot_merge(
     # table a point-update batch probes a handful of files, not 10^5
     candidates = _prune_by_key_stats(manifest, key_cols, keys, n_updates)
     if candidates:
-        cur = spark.read.schema(cur_schema).parquet(
-            *[f"{base}/{rel}" for rel in candidates]
+        cur = _read_data(
+            spark, base, manifest, candidates, schema=cur_schema
         ).withColumn("__file", F.input_file_name())
-        touched = _touched_files(cur, base, candidates, keys, key_cols=key_cols)
+        touched = _touched_files(
+            cur, base, candidates, keys, key_cols=key_cols, broadcast=bcast
+        )
     else:
         touched = []
     touched_set = set(touched)
@@ -561,13 +830,14 @@ def snapshot_merge(
     # ``updates`` lands in the rewrite (matched keys replace their old
     # row — which kept excludes — and unmatched keys are plain inserts)
     if touched:
-        kept = spark.read.schema(cur_schema).parquet(
-            *[f"{base}/{rel}" for rel in touched]
-        ).join(F.broadcast(keys), key_cols, "left_anti")
+        kept = _read_data(
+            spark, base, manifest, touched, schema=cur_schema
+        ).join(bkeys, key_cols, "left_anti")
         rewrite = _align(kept).unionByName(_align(updates))
     else:
         rewrite = _align(updates)
-    new_files = _stage_files(rewrite, base, version)
+    part = manifest.get("partition_by")
+    new_files = _stage_files(rewrite, base, version, part)
     old_stats = manifest.get("stats") or {}
     stats = {
         **{rel: old_stats[rel] for rel in untouched if rel in old_stats},
@@ -575,7 +845,7 @@ def snapshot_merge(
     }
     _commit_manifest(
         spark, base, version, op="merge",
-        files=untouched + new_files, schema=schema,
+        files=untouched + new_files, schema=schema, partition_by=part,
         batch_id=(
             batch_id
             if batch_id is not None
@@ -611,18 +881,19 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
         raise ValueError(f"no committed snapshot at {base}")
     manifest = _read_manifest(spark, base, versions[-1])
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    cur = spark.read.schema(schema).parquet(
-        *[f"{base}/{rel}" for rel in manifest["files"]]
+    cur = _read_data(
+        spark, base, manifest, manifest["files"], schema=schema
     ).withColumn("__file", F.input_file_name())
     touched = _touched_files(cur, base, manifest["files"], None, condition=condition)
     touched_set = set(touched)
     untouched = [rel for rel in manifest["files"] if rel not in touched_set]
     version = versions[-1] + 1
+    part = manifest.get("partition_by")
     if touched:
-        survivors = spark.read.schema(schema).parquet(
-            *[f"{base}/{rel}" for rel in touched]
+        survivors = _read_data(
+            spark, base, manifest, touched, schema=schema
         ).filter(~F.coalesce(condition, F.lit(False)))
-        new_files = _stage_files(survivors, base, version)
+        new_files = _stage_files(survivors, base, version, part)
     else:
         new_files = []
     old_stats = manifest.get("stats") or {}
@@ -632,7 +903,7 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     }
     _commit_manifest(
         spark, base, version, op="delete",
-        files=untouched + new_files, schema=schema,
+        files=untouched + new_files, schema=schema, partition_by=part,
         batch_id=(
             manifest.get("batch_id")
             if manifest.get("batch_id") is not None

@@ -25,11 +25,25 @@ def run_snapshot_ingest_stream(
     table_path: str,
     prep_fn=None,
     checkpoint: str | None = None,
+    compact_every: int | None = None,
+    expire_retain: int | None = None,
+    target_mb: int = 128,
 ) -> int:
     """Drain ``stream_df`` (Trigger.AvailableNow) committing one snapshot
     version per non-empty micro-batch; returns the number of versions
     committed by THIS run. Appends are O(batch): the new manifest
-    references the parent's files verbatim."""
+    references the parent's files verbatim.
+
+    Without maintenance, a long-lived ingest accumulates one version +
+    one file set per micro-batch forever. ``compact_every=N`` folds the
+    table into ~target_mb files (one extra 'replace' version) after
+    every N data commits, and ``expire_retain=K`` then drops all but
+    the newest K versions and their unreferenced files. Both reuse the
+    snapshot commit machinery, so history stays readable until expiry
+    and the exactly-once batch-id marker carries through (pinned in
+    tests). Expire runs with grace 0: the stream is the table's single
+    owner and runs maintenance between its OWN batches, so no foreign
+    commit can be in flight."""
     committed = 0
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -43,6 +57,12 @@ def run_snapshot_ingest_stream(
             return
         sn.snapshot_commit(out, table_path, mode="append", batch_id=int(batch_id))
         committed += 1
+        if compact_every and committed % compact_every == 0:
+            sn.snapshot_compact(spark, table_path, target_mb=target_mb)
+            if expire_retain:
+                sn.snapshot_expire(
+                    spark, table_path, keep_last=expire_retain, staging_grace_s=0
+                )
 
     q = (
         stream_df.writeStream.foreachBatch(apply_batch)

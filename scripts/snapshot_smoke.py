@@ -9,6 +9,14 @@ Claims measured (recorded into SCALE_SMOKE_r10.json):
 3. expiry scales with FILE COUNT (manifest set arithmetic + deletes),
    not bytes.
 4. bm25_merge_many fold cost ~linear in the number/size of deltas.
+
+Round 11 additions:
+5. snapshot_read manifest-stats pruning: a range-filtered as-of read
+   schedules tasks for ONLY the overlapping files (file counts +
+   timing vs the unpruned scan at 16x).
+6. streaming ingest maintenance (compact_every/expire_retain): 20
+   micro-batches end with a BOUNDED live file set and version history,
+   data intact — the unbounded-accumulation gap closed.
 """
 
 from __future__ import annotations
@@ -93,11 +101,34 @@ def main() -> int:
     sn.snapshot_merge(upd, small, ["k"])
     out["merge_100keys_at_4x"] = round(time.monotonic() - t0, 2)
 
+    # --- 5: read-side manifest-stats pruning (r11) ------------------------
+    # the 16 deltas carry disjoint 1M-wide k ranges, 4 files each; a
+    # range-filtered as-of read confined to one delta must schedule ~4
+    # file tasks, not 64+ — measured against the same filter unpruned
+    lo, hi = 3 * n_delta + 1000, 3 * n_delta + 101_000
+    full_read = sn.snapshot_read(spark, base)
+    out["pruned_read_files_full"] = len(full_read.inputFiles())
+    t0 = time.monotonic()
+    full_sum = (
+        full_read.filter(F.col("k").between(lo, hi)).agg(F.sum("v")).collect()[0][0]
+    )
+    out["pruned_read_unpruned_secs"] = round(time.monotonic() - t0, 2)
+    pruned_read = sn.snapshot_read(spark, base, prune=("k", lo, hi))
+    out["pruned_read_files_pruned"] = len(pruned_read.inputFiles())
+    t0 = time.monotonic()
+    pruned_sum = (
+        pruned_read.filter(F.col("k").between(lo, hi)).agg(F.sum("v")).collect()[0][0]
+    )
+    out["pruned_read_pruned_secs"] = round(time.monotonic() - t0, 2)
+    assert pruned_sum == full_sum, (pruned_sum, full_sum)
+
     # --- 3: expiry cost --------------------------------------------------
     # append lineage: the newest manifest references EVERY file, so
     # expiring old versions must delete nothing (shared-file ref-count)
     t0 = time.monotonic()
-    dropped, removed = sn.snapshot_expire(spark, base, keep_last=2)
+    # grace 0 throughout: the smoke is the only writer and wants the
+    # reclamation measured now, not after the in-flight-commit window
+    dropped, removed = sn.snapshot_expire(spark, base, keep_last=2, staging_grace_s=0)
     out["expire_append_versions_dropped"] = dropped
     out["expire_append_files_removed"] = removed  # 0 by construction
     out["expire_append_secs"] = round(time.monotonic() - t0, 2)
@@ -112,7 +143,7 @@ def main() -> int:
         "overwrite",
     )
     t0 = time.monotonic()
-    dropped, removed = sn.snapshot_expire(spark, base, keep_last=1)
+    dropped, removed = sn.snapshot_expire(spark, base, keep_last=1, staging_grace_s=0)
     out["expire_overwrite_versions_dropped"] = dropped
     out["expire_overwrite_files_removed"] = removed
     out["expire_overwrite_secs"] = round(time.monotonic() - t0, 2)
@@ -143,6 +174,47 @@ def main() -> int:
         t0 = time.monotonic()
         ts.bm25_merge_many(spark, paths, f"{root}/bm25_fold_{n_deltas}", num_buckets=16)
         out[f"bm25_fold_{n_deltas}_deltas"] = round(time.monotonic() - t0, 2)
+
+    # --- 6: streaming ingest maintenance bounds files (r11) ---------------
+    src = root + "/stream_src"
+    n_batches = 20
+    rows = spark.range(0, 2_000_000).withColumnRenamed("id", "k")
+    for i in range(n_batches):
+        rows.filter(F.col("k") % n_batches == i).coalesce(1).write.parquet(
+            f"{src}/f{i:02d}"
+        )
+    from etl_ipl_data_analysis_pipeline_spark.streaming.snapshot_ingest import (
+        run_snapshot_ingest_stream,
+    )
+
+    stream = (
+        spark.readStream.schema(rows.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    tbl = root + "/stream_tbl"
+    t0 = time.monotonic()
+    n_committed = run_snapshot_ingest_stream(
+        stream, tbl, checkpoint=root + "/stream_ckpt",
+        compact_every=5, expire_retain=2,
+    )
+    out["stream_maint_secs"] = round(time.monotonic() - t0, 2)
+    out["stream_maint_batches"] = n_committed
+    versions = sn.snapshot_versions(spark, tbl)
+    out["stream_maint_versions_retained"] = len(versions)
+    out["stream_maint_live_files"] = len(
+        sn._read_manifest(spark, tbl, versions[-1])["files"]
+    )
+    out["stream_maint_disk_files"] = sum(
+        1
+        for dirpath, _, names in os.walk(tbl + "/data")
+        for n in names
+        if n.endswith(".parquet")
+    )
+    out["stream_maint_rows"] = sn.snapshot_read(spark, tbl).count()
+    assert out["stream_maint_rows"] == 2_000_000
+    assert out["stream_maint_disk_files"] <= 12, out["stream_maint_disk_files"]
 
     print(json.dumps({"metric": "snapshot_smoke", "timings": out}))
     return 0

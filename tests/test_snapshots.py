@@ -52,7 +52,8 @@ def test_crash_orphans_are_invisible_then_reclaimed(spark, table):
     assert _keys(spark, table) == [100, 101, 102]
     assert sn.snapshot_versions(spark, table) == [1, 2, 3]
     # expire reclaims it: unreferenced by every retained manifest
-    dropped, removed = sn.snapshot_expire(spark, table, keep_last=3)
+    # (grace 0: the debris is seconds old, and no commit is in flight)
+    dropped, removed = sn.snapshot_expire(spark, table, keep_last=3, staging_grace_s=0)
     assert dropped == 0 and removed >= 1
     assert not os.path.exists(orphan)
     assert not os.path.exists(table + "/_commit_00000099")
@@ -360,3 +361,240 @@ def test_concurrent_commit_loser_aborts_cleanly(spark, table):
         sn._commit_manifest(spark, table, version, "append", files, df.schema)
     # the winner's view is intact and the loser changed nothing
     assert sn.snapshot_versions(spark, table)[-1] == version
+
+
+def test_optimistic_concurrent_appends_both_commit(spark, table, monkeypatch):
+    """Two racing appenders BOTH land (VERDICT r10 directive 3): writer B
+    commits between writer A's head read and manifest rename, so A's
+    first rename loses; A then re-reads the head, re-points the parent
+    (B's manifest), and commits at the next version — no data restaged.
+    The table ends at n+2 with BOTH deltas readable and expiry correct."""
+    head = sn.snapshot_versions(spark, table)[-1]
+    b_df = spark.range(300, 305).withColumnRenamed("id", "k")
+    a_df = spark.range(400, 402).withColumnRenamed("id", "k")
+    assert sn.snapshot_commit(b_df, table, "append") == head + 1  # B wins
+
+    # A raced: it read the head BEFORE B committed. Simulate by feeding
+    # A a stale version list on its first read only.
+    real_versions = sn.snapshot_versions
+    calls = {"n": 0}
+
+    def stale_once(spark_, path_):
+        calls["n"] += 1
+        out = real_versions(spark_, path_)
+        return out[:-1] if calls["n"] == 1 else out
+
+    monkeypatch.setattr(sn, "snapshot_versions", stale_once)
+    v = sn.snapshot_commit(a_df, table, "append")
+    assert v == head + 2  # retried onto the new head
+    keys = _keys(spark, table)
+    assert keys == [100, 101, 102, 300, 301, 302, 303, 304, 400, 401]
+    # B's intermediate version is intact (A's retry referenced it verbatim)
+    assert _keys(spark, table, head + 1) == [100, 101, 102, 300, 301, 302, 303, 304]
+    # expiry after the race: retained head still reads everything
+    dropped, _ = sn.snapshot_expire(spark, table, keep_last=1, staging_grace_s=0)
+    assert dropped == head + 1
+    assert _keys(spark, table) == keys
+
+
+def test_commit_conflict_exhausts_retries(spark, table, monkeypatch):
+    """When every retry keeps losing (pathological contention), the
+    SnapshotConflict surfaces after max_retries instead of spinning."""
+    real = sn._commit_manifest
+
+    def always_lose(*a, **kw):
+        raise sn.SnapshotConflict("manifest rename failed (simulated)")
+
+    monkeypatch.setattr(sn, "_commit_manifest", always_lose)
+    df = spark.range(1).withColumnRenamed("id", "k")
+    with pytest.raises(sn.SnapshotConflict):
+        sn.snapshot_commit(df, table, "append", max_retries=2)
+    monkeypatch.setattr(sn, "_commit_manifest", real)
+
+
+def test_snapshot_read_prunes_by_manifest_stats(spark, tmp_path):
+    """prune=(col, lo, hi) drops manifest files whose footer min/max
+    can't intersect the range BEFORE Spark schedules tasks for them;
+    files without stats stay; results equal the unpruned filtered read."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 800)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+        .repartitionByRange(8, "k")
+    )
+    sn.snapshot_commit(df, base, "append")
+    m = sn._read_manifest(spark, base, 1)
+    assert len(m["files"]) == 8
+
+    pruned = sn.snapshot_read(spark, base, prune=("k", 100, 199))
+    assert len(pruned.inputFiles()) < 8  # fewer files even reach the scan
+    got = sorted(r.k for r in pruned.filter(F.col("k").between(100, 199)).collect())
+    assert got == list(range(100, 200))
+
+    # open-ended bounds
+    lo_only = sn.snapshot_read(spark, base, prune=("k", 700, None))
+    assert len(lo_only.inputFiles()) < 8
+    assert {r.k for r in lo_only.filter(F.col("k") >= 700).collect()} == set(
+        range(700, 800)
+    )
+
+    # a column with no stats anywhere: nothing pruned (conservative)
+    m_no = dict(m)
+    m_no["stats"] = {}
+    assert sn._prune_files_by_range(m_no, "k", 0, 1) == m["files"]
+    # cross-type bounds: conservative keep, not a crash
+    assert sn._prune_files_by_range(m, "k", "a", "b") == m["files"]
+
+
+def test_partitioned_snapshot_roundtrip_and_pruned_read(spark, tmp_path):
+    """partition_by lays data under Hive col=value dirs; reads restore
+    the partition column via basePath, appends inherit the layout, a
+    pruned as-of read scans ONLY the matching directory, and merge /
+    delete / compact keep working on the partitioned layout."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], i * 10) for i in range(90)],
+        "k long, lang string, v long",
+    )
+    sn.snapshot_commit(df, base, "append", partition_by=["lang"])
+    m1 = sn._read_manifest(spark, base, 1)
+    assert m1["partition_by"] == ["lang"]
+    assert all("/lang=" in rel or rel.startswith("data/lang=") for rel in m1["files"])
+
+    out = sn.snapshot_read(spark, base)
+    assert set(out.columns) == {"k", "lang", "v"}
+    assert out.count() == 90
+    assert out.filter(F.col("lang") == "en").count() == 30
+
+    # pruned read: only the lang=en directory's files reach the scan
+    pr = sn.snapshot_read(spark, base, prune=("lang", "en", "en"))
+    assert all("lang=en" in f for f in pr.inputFiles())
+    assert sorted(r.k for r in pr.collect()) == [i for i in range(90) if i % 3 == 0]
+
+    # append inherits the layout; a mismatching explicit layout raises
+    extra = spark.createDataFrame([(1000, "en", 1)], "k long, lang string, v long")
+    v2 = sn.snapshot_commit(extra, base, "append")
+    assert sn._read_manifest(spark, base, v2)["partition_by"] == ["lang"]
+    with pytest.raises(ValueError, match="partition_by"):
+        sn.snapshot_commit(extra, base, "append", partition_by=["v"])
+
+    # merge, delete, compact on the partitioned layout
+    upd = spark.createDataFrame([(0, "en", -1), (2000, "de", -2)],
+                                "k long, lang string, v long")
+    v3 = sn.snapshot_merge(upd, base, ["k"])
+    rows = {r.k: (r.lang, r.v) for r in sn.snapshot_read(spark, base, v3).collect()}
+    assert rows[0] == ("en", -1) and rows[2000] == ("de", -2) and len(rows) == 92
+    v4 = sn.snapshot_delete(spark, base, F.col("lang") == "fr")
+    assert sn.snapshot_read(spark, base, v4).filter(F.col("lang") == "fr").count() == 0
+    v5 = sn.snapshot_compact(spark, base)
+    m5 = sn._read_manifest(spark, base, v5)
+    assert m5["partition_by"] == ["lang"]
+    assert sn.snapshot_read(spark, base, v5).count() == 62  # 92 - 30 fr
+    # as-of past versions still read the pre-maintenance layout
+    assert sn.snapshot_read(spark, base, 1).count() == 90
+
+
+def test_merge_empty_updates_is_noop(spark, tmp_path):
+    """An empty update batch commits NOTHING: no new version, no probe
+    scan of the table (ADVICE r10: empty kvals used to probe-scan the
+    whole table and commit a no-op version)."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(
+        spark.createDataFrame([(1, 10)], "k long, v long"), base, "append"
+    )
+    empty = spark.createDataFrame([], "k long, v long")
+    assert sn.snapshot_merge(empty, base, ["k"]) == 1
+    assert sn.snapshot_versions(spark, base) == [1]
+    # all-NULL keys: no candidates either (NULL never equi-joins)
+    m = sn._read_manifest(spark, base, 1)
+    nulls = spark.createDataFrame([(None, 5)], "k long, v long")
+    assert sn._prune_by_key_stats(m, ["k"], nulls.select("k"), 1) == []
+
+
+def test_merge_large_update_set_skips_broadcast(spark, tmp_path, monkeypatch):
+    """Past _BROADCAST_KEYS_MAX the probe/anti joins drop the broadcast
+    hint (a too-big key set would fail the job on the broadcast limit);
+    the merge result is identical either way."""
+    monkeypatch.setattr(sn, "_BROADCAST_KEYS_MAX", 2)
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(i, i) for i in range(20)], "k long, v long")
+    sn.snapshot_commit(df.repartitionByRange(2, "k"), base, "append")
+    upd = spark.createDataFrame([(i, -i) for i in range(0, 20, 5)], "k long, v long")
+    v2 = sn.snapshot_merge(upd, base, ["k"])  # 4 keys > threshold 2
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base, v2).collect()}
+    assert rows[5] == -5 and rows[6] == 6 and len(rows) == 20
+
+
+def test_expire_grace_protects_young_unreferenced_files(spark, table):
+    """With the default grace, an in-flight commit's just-moved data
+    files and staging dir survive expiry; with grace 0 they are swept.
+    This is the ADVICE r10 expire-races-a-commit fix."""
+    import os
+
+    os.makedirs(table + "/_commit_00000077_deadbeef", exist_ok=True)
+    orphan = table + "/data/v00000077-deadbeef-00000.parquet"
+    with open(orphan, "wb") as f:
+        f.write(b"in-flight commit's staged file")
+    _, removed = sn.snapshot_expire(spark, table, keep_last=3)  # default grace
+    assert os.path.exists(orphan)
+    assert os.path.exists(table + "/_commit_00000077_deadbeef")
+    _, removed = sn.snapshot_expire(spark, table, keep_last=3, staging_grace_s=0)
+    assert not os.path.exists(orphan)
+    assert not os.path.exists(table + "/_commit_00000077_deadbeef")
+
+
+def test_stream_ingest_with_maintenance_bounds_files(spark, tmp_path):
+    """compact_every/expire_retain keep a long-lived ingest's file and
+    version counts BOUNDED (VERDICT r10 directive 5): 20 one-file
+    micro-batches with compact_every=5, expire_retain=2 must end with
+    far fewer than 20 data files and versions, identical data, and the
+    exactly-once marker intact (a checkpoint-wiped replay commits 0)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark.streaming.snapshot_ingest import (
+        run_snapshot_ingest_stream,
+    )
+
+    n_batches = 20
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    src = str(tmp_path / "src")
+    for i in range(n_batches):
+        df.filter((F.col("k") % n_batches) == i).coalesce(1).write.parquet(
+            f"{src}/f{i:02d}"
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    n = run_snapshot_ingest_stream(
+        stream(), table, checkpoint=ckpt, compact_every=5, expire_retain=2
+    )
+    assert n == n_batches
+    assert _keys(spark, table) == list(range(200))
+    versions = sn.snapshot_versions(spark, table)
+    assert len(versions) <= 7  # 2 retained at last expiry + <=5 since
+    live = sn._read_manifest(spark, table, versions[-1])["files"]
+    assert len(live) <= 6  # 1 compacted + <=5 singleton appends
+    on_disk = [
+        p for p in (tmp_path / "tbl" / "data").iterdir() if p.suffix == ".parquet"
+    ]
+    assert len(on_disk) <= 12  # unreferenced originals actually reclaimed
+    assert sn.snapshot_latest_batch_id(spark, table) == n_batches - 1
+
+    shutil.rmtree(ckpt)
+    assert run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt) == 0
+    assert _keys(spark, table) == list(range(200))
