@@ -1090,3 +1090,118 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "snapshot_pruned_read",
+    oracle="""
+    WITH b AS (
+      SELECT max(o_orderkey) // 8 AS lo, max(o_orderkey) // 4 AS hi FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders, b WHERE o_orderkey BETWEEN b.lo AND b.hi
+    """,
+    tags=("SNK3", "L3", "P6", "A4"),
+)
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats FILE pruning on the as-of read (VERDICT r10
+    directive 2): orders lands key-range-clustered (8 files, each
+    file's o_orderkey min/max captured from its parquet footer into the
+    manifest at commit time), then a range-filtered read is served
+    through ``snapshot_read(prune=(col, lo, hi))`` — files whose
+    recorded interval can't intersect [lo, hi] are dropped BEFORE Spark
+    ever schedules tasks for them, the same conservative interval logic
+    the merge probe has used since r10, now on the read side. The
+    inline asserts pin that (a) the scan's inputFiles really shrank and
+    (b) pruning changed nothing about the answer (the post-prune filter
+    re-applies the exact predicate; the oracle computes it relationally
+    over orders). At 10^5 files this is the difference between
+    scheduling ~4 tasks and scheduling all of them — parquet row-group
+    skipping never sees the pruned-out files at all."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_pruned_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sn.snapshot_commit(o.repartitionByRange(8, "o_orderkey"), base, "append")
+    mx = o.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = mx // 8, mx // 4
+    m = sn._read_manifest(spark, base, 1)
+    assert len(m.get("stats", {})) == len(m["files"])  # footer stats captured
+    pruned = sn.snapshot_read(spark, base, prune=("o_orderkey", lo, hi))
+    n_scanned = len(pruned.inputFiles())
+    assert 0 < n_scanned < len(m["files"]), (n_scanned, len(m["files"]))
+    return pruned.filter(F.col("o_orderkey").between(lo, hi)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "snapshot_partitioned_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey % 2 AS INT) AS parity, count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderpriority = '4-NOT SPECIFIED'
+    GROUP BY 1
+    """,
+    tags=("SNK3", "L3", "SNK1", "P6", "A4"),
+)
+def snapshot_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED snapshot tables (VERDICT r10 directive 4): orders
+    commits in two appends laid out under Hive ``o_orderpriority=...``
+    directories (the second append INHERITS the layout — no explicit
+    partition_by), and the filtered as-of read goes through
+    ``prune=(partition_col, v, v)`` so only the matching directory's
+    files are scheduled — directory pruning that r10's flat layout
+    couldn't give a time-travel read. The partition value deliberately
+    contains a space ('4-NOT SPECIFIED') to pin the Hive path
+    escape/unescape round-trip. Asserts: every scanned file lives under
+    the one value directory, fewer files than the table holds, and the
+    basePath read restores the partition column the data files omit
+    (the group-by-parity output proves BOTH appends landed inside the
+    directory). The oracle replays the filter relationally."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_part_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    target = "4-NOT SPECIFIED"
+    sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 2 == 0),
+        base,
+        "append",
+        partition_by=["o_orderpriority"],
+    )
+    v2 = sn.snapshot_commit(o.filter(F.col("o_orderkey") % 2 == 1), base, "append")
+    m = sn._read_manifest(spark, base, v2)
+    assert m["partition_by"] == ["o_orderpriority"]
+    pr = sn.snapshot_read(spark, base, prune=("o_orderpriority", target, target))
+    scanned = pr.inputFiles()
+    assert 0 < len(scanned) < len(m["files"])
+    assert all("o_orderpriority=4-NOT" in f for f in scanned), scanned[:3]
+    return (
+        pr.filter(F.col("o_orderpriority") == target)
+        .groupBy((F.col("o_orderkey") % 2).cast("int").alias("parity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("o_totalprice", 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

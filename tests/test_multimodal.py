@@ -776,3 +776,47 @@ def test_lzw_large_stream_decodes_fast():
     t0 = time.monotonic()
     assert multimodal._lzw_decode(enc, 7) == idx
     assert time.monotonic() - t0 < 5.0
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """The LUT bit reader's restart path (r11 rewrite): the same
+    coefficient blocks encoded WITH a DRI/RSTn cadence must decode to
+    pixels IDENTICAL to the marker-free stream — byte realignment and
+    DC-predictor reset both land on the destuffed-segment walk now."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    blocks = []
+    for _ in range(16):  # 4x4 MCUs, restart every 3 -> uneven tail
+        b = np.zeros((8, 8), np.int64)
+        b[0, 0] = int(rng.randint(-120, 120))
+        b[0, 1] = int(rng.randint(-20, 20))
+        b[3, 2] = int(rng.randint(-9, 9))
+        blocks.append(b.tolist())
+    plain = multimodal.jpeg_encode_gray(blocks, 4, 4)
+    rst = multimodal.jpeg_encode_gray(blocks, 4, 4, restart_every=3)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst  # DRI + RST0 present
+    w1, h1, px1 = multimodal._decode_jpeg_pixels(plain)
+    w2, h2, px2 = multimodal._decode_jpeg_pixels(rst)
+    assert (w1, h1) == (w2, h2) == (32, 32)
+    assert np.array_equal(px1, px2)
+
+
+def test_gif_frame_filter_matches_full_decode():
+    """frame_filter keeps only selected composed frames (None elsewhere)
+    and the kept arrays are bit-identical to the full decode — the
+    disposal chain still runs through every image."""
+    import numpy as np
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [[[(x + y + f) % 4 for x in range(16)] for y in range(16)]
+              for f in range(7)]
+    gif = multimodal.gif_encode(frames, pal, 16, 16)
+    _, _, full = multimodal._decode_gif_frames(gif)
+    _, _, lazy = multimodal._decode_gif_frames(gif, frame_filter=lambda i: i % 3 == 0)
+    assert len(full) == len(lazy) == 7
+    for i in range(7):
+        if i % 3 == 0:
+            assert np.array_equal(lazy[i], full[i])
+        else:
+            assert lazy[i] is None
