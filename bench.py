@@ -101,6 +101,11 @@ HEADLINE = [
     "snapshot_time_travel",
     "stream_bm25_index",
     "multimodal_decode_gif",
+    # round-11: the two new snapshot read paths — manifest-stats file
+    # pruning on a range-filtered as-of read, and the Hive-partitioned
+    # snapshot lifecycle (2 partitioned commits + directory-pruned read)
+    "snapshot_pruned_read",
+    "snapshot_partitioned_roundtrip",
 ]
 
 

@@ -1109,3 +1109,50 @@ def _register_stream_bm25_index():
 
 
 _register_stream_bm25_index()
+
+
+@register(
+    "stream_snapshot_cdc",
+    oracle="""
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("L6", "L2", "L3", "SNK3", "W2"),
+)
+def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply INTO the versioned snapshot table (r11 — streaming/cdc.
+    run_snapshot_cdc_stream): the event stream folds into a
+    latest-row-per-user table where each micro-batch lands as ONE
+    file-granular copy-on-write MERGE version whose manifest carries
+    the batch id (exactly-once marker and upsert share one atomic
+    rename). Winners are resolved against the table's current rows for
+    the incoming keys, so out-of-order delivery ACROSS batches cannot
+    regress a key — the final state equals the relational arg-max the
+    oracle computes, regardless of micro-batch boundaries (1-file
+    batching, cross-batch staleness, time travel and replay idempotence
+    are pytest-forced in tests/test_streaming.py). vs the swap-file CDC
+    (stream_cdc_latest_value): per-batch cost is O(touched files) via
+    the manifests' key-range stats, not a whole-state rewrite, and
+    every batch's state stays time-travelable."""
+    import shutil
+
+    from ..streaming import cdc, incremental
+    from .pipeline_q import _scratch_dir
+
+    base = _scratch_dir(sf_dir, "snapshot_cdc_events")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(base + "__checkpoint", ignore_errors=True)
+    out = cdc.run_snapshot_cdc_stream(
+        incremental.read_events_stream(spark, sf_dir),
+        base,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return out.select("user_id", "event_type", "ts", "value")

@@ -84,3 +84,81 @@ def run_cdc_apply(
     )
     q.awaitTermination()
     return spark.read.parquet(state_path)
+
+
+def run_snapshot_cdc_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+    expire_retain: int | None = None,
+) -> DataFrame:
+    """CDC-apply INTO a versioned snapshot table: each micro-batch
+    reduces to its arg-max per key, resolves winners against the rows
+    the table currently holds for those keys, and lands as ONE
+    file-granular copy-on-write MERGE version — the batch id rides the
+    merge's manifest, so the exactly-once replay marker and the upsert
+    share one atomic rename (the run_snapshot_ingest_stream pattern,
+    composed with snapshot_merge).
+
+    vs ``run_cdc_apply``: per-batch cost is O(touched files) instead of
+    a whole-state rewrite (the merge probe is pruned by the manifests'
+    per-file key-range stats), and every batch's state is TIME-TRAVELABLE
+    (as-of version k = state after batch k; retention via maintenance).
+    Out-of-order delivery ACROSS batches cannot regress a key: the
+    winners relation arg-maxes ``current rows for the incoming keys
+    UNION the batch arg-max`` over the same total order, so a stale
+    batch re-asserts the existing row rather than overwriting it —
+    micro-batch-boundary independence is pinned in tests against the
+    one-shot arg-max. ``compact_every``/``expire_retain`` bound file and
+    version counts exactly as in run_snapshot_ingest_stream.
+
+    Returns the final table state."""
+    from .. import snapshots as sn
+
+    spark = stream_df.sparkSession
+    committed = 0
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        nonlocal committed
+        sess = batch.sparkSession
+        last = sn.snapshot_latest_batch_id(sess, table_path)
+        if last is not None and int(batch_id) <= last:
+            return  # re-delivered batch: its merge already committed
+        incoming = latest_per_key(batch, keys, order_cols)
+        if incoming.limit(1).count() == 0:
+            return
+        if sn.snapshot_versions(sess, table_path):
+            current = sn.snapshot_read(sess, table_path)
+            existing = current.join(
+                incoming.select(*keys).distinct(), keys, "left_semi"
+            )
+            winners = latest_per_key(
+                existing.unionByName(incoming), keys, order_cols
+            )
+            sn.snapshot_merge(winners, table_path, keys, batch_id=int(batch_id))
+        else:
+            sn.snapshot_commit(
+                incoming, table_path, "append", batch_id=int(batch_id)
+            )
+        committed += 1
+        if compact_every and committed % compact_every == 0:
+            sn.snapshot_compact(sess, table_path)
+            if expire_retain:
+                sn.snapshot_expire(
+                    sess, table_path, keep_last=expire_retain, staging_grace_s=0
+                )
+
+    q = (
+        stream_df.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or table_path.rstrip("/") + "__checkpoint",
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return sn.snapshot_read(spark, table_path)

@@ -820,3 +820,73 @@ def test_bm25_index_stream_checkpointed_resume_folds_all_deltas(spark, tmp_path)
     # restart with no new input: serves the lineage, never raises
     idx2 = sketch_stream.run_bm25_index_stream(stream(), lambda b: b, base)
     assert rows_of(ts.bm25_search_index(spark, idx2, queries, k=5)) == want
+
+
+def test_snapshot_cdc_stream_merge_boundaries_and_replay(spark, tmp_path):
+    """CDC-apply into the snapshot table (r11): 1-file micro-batches of
+    OUT-OF-ORDER events must converge to the one-shot arg-max (a stale
+    batch cannot regress a key), each batch is one time-travelable MERGE
+    version, and a checkpoint-wiped replay commits nothing — the batch
+    id rides the merge's manifest."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+    from etl_ipl_data_analysis_pipeline_spark.streaming import cdc
+
+    rows = [
+        # file 0
+        (0, 1, 50, "late-winner", 1.0),   # user 1's TRUE winner, arrives FIRST
+        (1, 2, 10, "a", 2.0),
+        # file 1 (older ts for user 1 — must NOT regress the state)
+        (2, 1, 20, "stale", 3.0),
+        (3, 2, 30, "b", 4.0),             # user 2's winner
+        # file 2
+        (4, 3, 15, "c", 5.0),
+        (5, 2, 30, "tie", 6.0),           # same ts as event 3: event_id wins
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, e, v) for (i, u, t, e, v) in rows],
+        "event_id long, user_id long, ts long, event_type string, value double",
+    )
+    src = str(tmp_path / "src")
+    for k in range(3):
+        df.filter((F.col("event_id") >= 2 * k) & (F.col("event_id") < 2 * k + 2)) \
+            .coalesce(1).write.parquet(f"{src}/f{k}")
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = cdc.run_snapshot_cdc_stream(
+        stream(), table, ["user_id"], ["ts", "event_id"], checkpoint=ckpt
+    )
+    got = {r["user_id"]: (r["ts"], r["event_id"]) for r in out.collect()}
+    want = {
+        r["user_id"]: (r["ts"], r["event_id"])
+        for r in cdc.latest_per_key(df, ["user_id"], ["ts", "event_id"]).collect()
+    }
+    assert got == want
+    assert got[1] == (50, 0)  # the stale second batch did not regress user 1
+    assert got[2] == (30, 5)  # tie broken by event_id across batches
+
+    # one version per non-empty batch; as-of k = state after batch k
+    versions = sn.snapshot_versions(spark, table)
+    assert versions == [1, 2, 3]
+    v1 = {r["user_id"]: r["ts"] for r in sn.snapshot_read(spark, table, 1).collect()}
+    assert v1 == {1: 50, 2: 10}
+
+    # replay with a wiped checkpoint: marker skips everything
+    shutil.rmtree(ckpt)
+    out2 = cdc.run_snapshot_cdc_stream(
+        stream(), table, ["user_id"], ["ts", "event_id"], checkpoint=ckpt
+    )
+    assert sn.snapshot_versions(spark, table) == [1, 2, 3]
+    assert {r["user_id"]: (r["ts"], r["event_id"]) for r in out2.collect()} == want
