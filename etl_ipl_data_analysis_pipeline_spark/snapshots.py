@@ -119,6 +119,8 @@ def snapshot_commit(
     mode: str = "append",
     batch_id: int | None = None,
     partition_by: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
     max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
@@ -139,6 +141,16 @@ def snapshot_commit(
     directories so a filtered as-of read keeps DIRECTORY pruning (see
     snapshot_read's ``prune``) — the layout is fixed at table creation;
     appends inherit it and a mismatching explicit value raises.
+
+    ``cluster_by`` range-partitions + sorts the batch on the given
+    columns before staging, so each data file covers a TIGHT interval
+    of the cluster key and the footer min/max stats the manifest
+    captures actually prune (both the merge probe and snapshot_read's
+    ``prune``). ``cluster_files`` pins the range-partition count (AQE
+    would otherwise coalesce a small batch into one file; at scale,
+    pick table_bytes / target_file_size). Per-commit physical layout
+    only — nothing is recorded in the manifest, and different commits
+    may cluster differently.
 
     Concurrency (optimistic): if the manifest rename loses a race, the
     data files — already immutable under attempt-unique names — stay
@@ -168,6 +180,11 @@ def snapshot_commit(
                 f"the table layout {ppart} — the layout is fixed at creation "
                 "(overwrite to change it)"
             )
+    if cluster_by:
+        parts = [cluster_files] if cluster_files else []
+        df = df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
     new_files = _stage_files(df, base, version, partition_by)
     new_stats = _file_stats(base, new_files)
     for attempt in range(max_retries + 1):
@@ -468,7 +485,9 @@ def _partition_value(rel: str, col: str, schema_json: dict):
     return raw
 
 
-def _prune_files_by_range(manifest: dict, col: str, lo, hi) -> list[str]:
+def _prune_files_by_range(
+    manifest: dict, col: str, lo, hi, rels: list[str] | None = None
+) -> list[str]:
     """Manifest-level file skip for a range predicate ``lo <= col <= hi``
     (either bound may be None = unbounded): drop files whose recorded
     interval — the partition-directory value for partition columns,
@@ -476,12 +495,13 @@ def _prune_files_by_range(manifest: dict, col: str, lo, hi) -> list[str]:
     disjoint from [lo, hi]. Strictly conservative: no stats, a NaN
     bound, the Hive null-partition sentinel, or a cross-type comparison
     all keep the file. This is the read-side twin of the merge probe's
-    ``_prune_by_key_stats``."""
+    ``_prune_by_key_stats``. ``rels`` narrows the candidate list so
+    predicates compose (conjunction)."""
     stats = manifest.get("stats") or {}
     part_cols = manifest.get("partition_by") or []
     schema_json = json.loads(manifest["schema"])
     keep = []
-    for rel in manifest["files"]:
+    for rel in (manifest["files"] if rels is None else rels):
         rng = None
         if col in part_cols:
             v = _partition_value(rel, col, schema_json)
@@ -567,10 +587,13 @@ def snapshot_read(
     value, else footer min/max stats — can't intersect [lo, hi], BEFORE
     Spark ever sees them: at 10^5 files the win is not row-group skip
     (parquet does that per file anyway) but never scheduling tasks for
-    pruned-out files at all. Strictly an IO optimization with
-    conservative semantics (no stats → kept): the surviving files'
-    FULL rows are returned, so the caller still applies the actual
-    predicate — which Spark then pushes into the remaining scans."""
+    pruned-out files at all. A LIST of such triples prunes on their
+    conjunction (e.g. partition column + cluster key together).
+    Strictly an IO optimization with conservative semantics (no stats →
+    kept): the surviving files' FULL rows are returned, so the caller
+    still applies the actual predicate — which Spark then pushes into
+    the remaining scans. Pair with ``snapshot_commit(cluster_by=...)``
+    to make the footer intervals tight enough to bite."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     if not versions:
@@ -582,8 +605,9 @@ def snapshot_read(
     manifest = _read_manifest(spark, base, version)
     rels = manifest["files"]
     if prune is not None:
-        col, lo, hi = prune
-        rels = _prune_files_by_range(manifest, col, lo, hi)
+        preds = [prune] if isinstance(prune, tuple) else list(prune)
+        for col, lo, hi in preds:
+            rels = _prune_files_by_range(manifest, col, lo, hi, rels)
     return _read_data(spark, base, manifest, rels)
 
 

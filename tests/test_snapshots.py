@@ -598,3 +598,43 @@ def test_stream_ingest_with_maintenance_bounds_files(spark, tmp_path):
     shutil.rmtree(ckpt)
     assert run_snapshot_ingest_stream(stream(), table, checkpoint=ckpt) == 0
     assert _keys(spark, table) == list(range(200))
+
+
+def test_cluster_by_and_conjunctive_prune(spark, tmp_path):
+    """cluster_by gives each data file a tight key interval, so footer
+    stats actually prune; a list-valued prune applies the conjunction
+    (partition dir AND cluster key)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, ["en", "fr"][i % 2], i % 1000) for i in range(4000)],
+        "k long, lang string, bucket long",
+    )
+    sn.snapshot_commit(
+        df, base, "append", partition_by=["lang"], cluster_by=["k"],
+        cluster_files=8,
+    )
+    m = sn._read_manifest(spark, base, 1)
+    n_all = len(m["files"])
+    assert n_all > 4  # range-partitioned into several files per lang dir
+
+    # conjunction: one lang dir AND one narrow k interval
+    pr = sn.snapshot_read(
+        spark, base, prune=[("lang", "en", "en"), ("k", 100, 120)]
+    )
+    scanned = pr.inputFiles()
+    assert 0 < len(scanned) < n_all
+    assert all("lang=en" in f for f in scanned)
+    got = sorted(
+        r.k
+        for r in pr.filter(
+            (F.col("lang") == "en") & F.col("k").between(100, 120)
+        ).collect()
+    )
+    assert got == [k for k in range(100, 121) if k % 2 == 0]
+
+    # the same narrow read WITHOUT cluster_by stats would keep all files
+    # in the lang dir; with clustering it must keep strictly fewer
+    dir_only = sn.snapshot_read(spark, base, prune=("lang", "en", "en"))
+    assert len(scanned) < len(dir_only.inputFiles())
