@@ -131,7 +131,18 @@ def run_snapshot_cdc_stream(
         if incoming.limit(1).count() == 0:
             return
         if sn.snapshot_versions(sess, table_path):
-            current = sn.snapshot_read(sess, table_path)
+            # the winner-resolution read needs only rows whose key the
+            # batch touches: prune the scan by the incoming key range
+            # (manifest footer stats / partition dirs), so a clustered
+            # table reads a handful of files, not the state
+            prune = None
+            if len(keys) == 1:
+                r = incoming.agg(
+                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+                ).collect()[0]
+                if r["lo"] is not None:
+                    prune = (keys[0], r["lo"], r["hi"])
+            current = sn.snapshot_read(sess, table_path, prune=prune)
             existing = current.join(
                 incoming.select(*keys).distinct(), keys, "left_semi"
             )
