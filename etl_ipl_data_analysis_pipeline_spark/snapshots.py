@@ -719,13 +719,20 @@ def snapshot_expire(
                     removed_files += 1
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(base, v)), False)
-    # crashed-commit staging debris (past the grace window) too
+    # crashed-commit staging debris (past the grace window) too, and
+    # manifest .tmp-* orphans a crash between create and rename leaves
     broot = jvm.org.apache.hadoop.fs.Path(base)
     for st in fs.listStatus(broot):
         if st.getPath().getName().startswith("_commit_") and (
             st.getModificationTime() < cutoff_ms
         ):
             fs.delete(st.getPath(), True)
+    sroot = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
+    for st in fs.listStatus(sroot):
+        if ".json.tmp-" in st.getPath().getName() and (
+            st.getModificationTime() < cutoff_ms
+        ):
+            fs.delete(st.getPath(), False)
     return (len(drop), removed_files)
 
 

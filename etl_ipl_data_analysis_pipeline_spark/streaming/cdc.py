@@ -146,8 +146,13 @@ def run_snapshot_cdc_stream(
             existing = current.join(
                 incoming.select(*keys).distinct(), keys, "left_semi"
             )
+            # allowMissingColumns: a schema-evolved table keeps its extra
+            # columns (incoming rows fill NULL), and a widening batch
+            # evolves the table through the merge's additive rule
             winners = latest_per_key(
-                existing.unionByName(incoming), keys, order_cols
+                existing.unionByName(incoming, allowMissingColumns=True),
+                keys,
+                order_cols,
             )
             sn.snapshot_merge(winners, table_path, keys, batch_id=int(batch_id))
         else:
