@@ -418,21 +418,25 @@ def _prune_by_key_stats(
     could intersect the (sorted, broadcastable) update key set. Files
     without stats for the key column are always candidates — pruning is
     strictly conservative — and any type surprise falls back to
-    all-files."""
+    all-files. Composite keys prune on the LEADING column only: a file
+    whose col-1 range misses every update's col-1 value cannot hold a
+    full-key match (necessary-condition pruning, still conservative),
+    and a row whose leading column is NULL can never equi-join at all —
+    so the all-NULL shortcut holds for composite keys too."""
     files = manifest["files"]
     stats = manifest.get("stats") or {}
-    if len(key_cols) != 1 or n_updates > 100_000 or not stats:
+    if not key_cols or n_updates > 100_000 or not stats:
         return files
     kc = key_cols[0]
     try:
         import bisect
 
         kvals = sorted(
-            r[0] for r in keys.collect() if r[0] is not None
+            r[0] for r in keys.select(kc).collect() if r[0] is not None
         )
         if not kvals:
-            # every update key is NULL, and NULL never equi-joins —
-            # no file can contain a match, so there are no candidates
+            # every update key's leading column is NULL, and NULL never
+            # equi-joins — no file can contain a match
             return []
         # a NaN update key defeats interval reasoning (NaN compares
         # False with everything, yet Spark's join treats NaN = NaN as a

@@ -638,3 +638,27 @@ def test_cluster_by_and_conjunctive_prune(spark, tmp_path):
     # in the lang dir; with clustering it must keep strictly fewer
     dir_only = sn.snapshot_read(spark, base, prune=("lang", "en", "en"))
     assert len(scanned) < len(dir_only.inputFiles())
+
+
+def test_composite_key_merge_prunes_on_leading_column(spark, tmp_path):
+    """A composite-key merge prunes candidates on the LEADING key column
+    (necessary-condition pruning) instead of probing every file, and
+    the merged rows are exact."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(400)], "a long, b long, v long"
+    ).repartitionByRange(8, "a")
+    sn.snapshot_commit(df, base, "append")
+    m = sn._read_manifest(spark, base, 1)
+    upd = spark.createDataFrame([(5, 2, -1), (7, 1, -2)], "a long, b long, v long")
+    cands = sn._prune_by_key_stats(m, ["a", "b"], upd.select("a", "b"), 2)
+    assert len(cands) < len(m["files"])  # leading-column ranges pruned
+
+    v2 = sn.snapshot_merge(upd, base, ["a", "b"])
+    m2 = sn._read_manifest(spark, base, v2)
+    assert len(set(m["files"]) & set(m2["files"])) >= len(m["files"]) - 1
+    rows = {(r.a, r.b): r.v for r in sn.snapshot_read(spark, base, v2).collect()}
+    assert rows[(5, 2)] == -1 and rows[(7, 1)] == -2
+    assert rows[(6, 0)] == 60 and len(rows) == 400
