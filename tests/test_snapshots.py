@@ -662,3 +662,23 @@ def test_composite_key_merge_prunes_on_leading_column(spark, tmp_path):
     rows = {(r.a, r.b): r.v for r in sn.snapshot_read(spark, base, v2).collect()}
     assert rows[(5, 2)] == -1 and rows[(7, 1)] == -2
     assert rows[(6, 0)] == 60 and len(rows) == 400
+
+
+def test_threaded_concurrent_appends_both_land(spark, tmp_path):
+    """REAL thread-level race (not simulated staleness): two appenders
+    committing simultaneously both land — whoever loses the manifest
+    rename retries onto the winner's head. Data files are attempt-unique
+    so the data plane cannot collide."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(spark.range(1).withColumnRenamed("id", "k"), base, "append")
+
+    def commit(lo):
+        df = spark.range(lo, lo + 5).withColumnRenamed("id", "k")
+        return sn.snapshot_commit(df, base, "append")
+
+    with ThreadPoolExecutor(2) as ex:
+        vs = sorted(ex.map(commit, [100, 200]))
+    assert vs == [2, 3]
+    assert _keys(spark, base) == [0] + list(range(100, 105)) + list(range(200, 205))
