@@ -305,11 +305,16 @@ def _commit_manifest(
     writer committed this version first); any other rename failure is a
     plain IOError."""
     fs, _, jvm = _fs_and_path(spark, base)
+    import time
+
     manifest = {
         "version": version,
         "op": op,
         "files": files,
         "schema": schema.json(),
+        # wall-clock commit time: serves snapshot_history and the
+        # timestamp as-of read; never part of any oracle hash
+        "committed_at": time.time(),
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
@@ -570,11 +575,74 @@ def _merge_schemas(parent_json: str, child):
     return StructType(merged)
 
 
+def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per committed version (manifest-only —
+    never touches the data plane). ``committed_at`` is the writer's
+    wall clock at manifest staging; pre-r11 manifests lack it (NULL)."""
+    base = path.rstrip("/")
+    rows = []
+    for v in snapshot_versions(spark, base):
+        m = _read_manifest(spark, base, v)
+        rows.append(
+            (
+                v,
+                m.get("op"),
+                len(m["files"]),
+                m.get("batch_id"),
+                float(m["committed_at"]) if "committed_at" in m else None,
+                bool(m.get("partition_by")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, n_files int, batch_id long, "
+        "committed_at double, partitioned boolean",
+    )
+
+
+def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
+    """ROLLBACK as a NEW version: commit a manifest that references the
+    target version's files VERBATIM (op 'restore', zero data movement —
+    one manifest write). History stays intact: the bad versions remain
+    time-travelable until expiry, and the restore's references keep the
+    restored files alive through ref-counted expiry even after the
+    original manifest is dropped. The streaming batch-id marker carries
+    forward from the HEAD, not the restored version — replay protection
+    must stay monotone (a rollback of data must not re-open the
+    exactly-once window)."""
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    target = _read_manifest(spark, base, version)
+    head = _read_manifest(spark, base, versions[-1])
+    new_version = versions[-1] + 1
+    _commit_manifest(
+        spark,
+        base,
+        new_version,
+        op="restore",
+        files=target["files"],
+        schema=StructType.fromJson(json.loads(target["schema"])),
+        batch_id=(
+            head.get("batch_id")
+            if head.get("batch_id") is not None
+            else snapshot_latest_batch_id(spark, base)
+        ),
+        stats=target.get("stats"),
+        partition_by=target.get("partition_by"),
+    )
+    return new_version
+
+
 def snapshot_read(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     prune: tuple | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
     """Read a table AS OF ``version`` (default: latest committed). Only
     manifest-listed files are scanned — concurrent commit staging,
@@ -597,11 +665,30 @@ def snapshot_read(
     kept): the surviving files' FULL rows are returned, so the caller
     still applies the actual predicate — which Spark then pushes into
     the remaining scans. Pair with ``snapshot_commit(cluster_by=...)``
-    to make the footer intervals tight enough to bite."""
+    to make the footer intervals tight enough to bite.
+
+    ``as_of_ts`` (unix seconds; mutually exclusive with ``version``)
+    reads the newest version whose recorded ``committed_at`` is <= the
+    timestamp — versions lacking the field (pre-r11 manifests) are
+    treated as arbitrarily old, so they are eligible but never shadow a
+    stamped one."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     if not versions:
         raise ValueError(f"no committed snapshot at {base}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_ts, not both")
+        eligible = [
+            v
+            for v in versions
+            if _read_manifest(spark, base, v).get("committed_at", 0.0) <= as_of_ts
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no version committed at or before {as_of_ts} in {base}"
+            )
+        version = eligible[-1]
     if version is None:
         version = versions[-1]
     if version not in versions:

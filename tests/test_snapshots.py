@@ -682,3 +682,53 @@ def test_threaded_concurrent_appends_both_land(spark, tmp_path):
         vs = sorted(ex.map(commit, [100, 200]))
     assert vs == [2, 3]
     assert _keys(spark, base) == [0] + list(range(100, 105)) + list(range(200, 205))
+
+
+def test_history_restore_and_timestamp_asof(spark, table):
+    """snapshot_history lists every version manifest-only;
+    snapshot_restore rolls back as a NEW version referencing the target's
+    files verbatim (zero data movement, history intact, restored files
+    survive expiry through the restore's references); as_of_ts reads the
+    newest version committed at or before the timestamp."""
+    import time
+
+    hist = {r.version: r for r in sn.snapshot_history(spark, table).collect()}
+    assert sorted(hist) == [1, 2, 3]
+    assert hist[1].op == "append" and hist[3].op == "overwrite"
+    assert hist[2].n_files > hist[1].n_files
+    assert all(hist[v].committed_at is not None for v in hist)
+
+    # timestamp as-of: between v2 and v3 reads v2
+    t_mid = (hist[2].committed_at + hist[3].committed_at) / 2
+    assert sorted(
+        r.k for r in sn.snapshot_read(spark, table, as_of_ts=t_mid).collect()
+    ) == list(range(15))
+    assert sorted(
+        r.k for r in sn.snapshot_read(spark, table, as_of_ts=time.time()).collect()
+    ) == [100, 101, 102]
+    with pytest.raises(ValueError, match="at or before"):
+        sn.snapshot_read(spark, table, as_of_ts=hist[1].committed_at - 10)
+    with pytest.raises(ValueError, match="not both"):
+        sn.snapshot_read(spark, table, version=1, as_of_ts=t_mid)
+
+    # restore: rollback to v2 as version 4, nothing rewritten
+    v4 = sn.snapshot_restore(spark, table, 2)
+    assert v4 == 4
+    m2, m4 = sn._read_manifest(spark, table, 2), sn._read_manifest(spark, table, 4)
+    assert m4["files"] == m2["files"] and m4["op"] == "restore"
+    assert _keys(spark, table) == list(range(15))
+    assert _keys(spark, table, 3) == [100, 101, 102]  # bad version still readable
+
+    # expiry keeps the restored files alive via the restore's references
+    dropped, _ = sn.snapshot_expire(spark, table, keep_last=1, staging_grace_s=0)
+    assert dropped == 3
+    assert _keys(spark, table) == list(range(15))
+
+    # restore on a streamed table must not re-open the exactly-once
+    # window: the marker carries from the HEAD, not the restored version
+    marked = table + "_marked"
+    df = spark.range(3).withColumnRenamed("id", "k")
+    sn.snapshot_commit(df, marked, "append", batch_id=0)
+    sn.snapshot_commit(df, marked, "append", batch_id=7)
+    sn.snapshot_restore(spark, marked, 1)
+    assert sn.snapshot_latest_batch_id(spark, marked) == 7
