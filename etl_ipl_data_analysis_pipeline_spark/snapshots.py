@@ -121,6 +121,8 @@ def snapshot_commit(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    cluster_method: str = "range",
+    cluster_tiebreak: str | None = None,
     max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as a new table version; returns the version number.
@@ -150,7 +152,12 @@ def snapshot_commit(
     would otherwise coalesce a small batch into one file; at scale,
     pick table_bytes / target_file_size). Per-commit physical layout
     only — nothing is recorded in the manifest, and different commits
-    may cluster differently.
+    may cluster differently. ``cluster_method="zorder"`` interleaves
+    the (numeric) cluster columns' equal-frequency bucket ranks into a
+    Z-key instead of lexicographic ranges, so EVERY cluster column's
+    per-file min/max is bounded and the conjunctive read-side prune
+    bites on all of them — requires ``cluster_tiebreak``, a unique
+    non-null row key (zorder_ranks contract).
 
     Concurrency (optimistic): if the manifest rename loses a race, the
     data files — already immutable under attempt-unique names — stay
@@ -181,10 +188,31 @@ def snapshot_commit(
                 "(overwrite to change it)"
             )
     if cluster_by:
-        parts = [cluster_files] if cluster_files else []
-        df = df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
-            *cluster_by
-        )
+        if cluster_method == "zorder":
+            if cluster_tiebreak is None:
+                raise ValueError(
+                    "cluster_method='zorder' needs cluster_tiebreak "
+                    "(a unique non-null row key)"
+                )
+            from .operators.layout import interleave_bits, zorder_ranks
+
+            helper = [f"__r{i}" for i in range(len(cluster_by))]
+            keyed = zorder_ranks(
+                df, list(cluster_by), cluster_tiebreak
+            ).withColumn("__z", interleave_bits(helper))
+            parts = [cluster_files] if cluster_files else []
+            df = (
+                keyed.repartitionByRange(*parts, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z", *helper)
+            )
+        elif cluster_method == "range":
+            parts = [cluster_files] if cluster_files else []
+            df = df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        else:
+            raise ValueError(f"unknown cluster_method {cluster_method!r}")
     new_files = _stage_files(df, base, version, partition_by)
     new_stats = _file_stats(base, new_files)
     for attempt in range(max_retries + 1):

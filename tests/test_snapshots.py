@@ -732,3 +732,53 @@ def test_history_restore_and_timestamp_asof(spark, table):
     sn.snapshot_commit(df, marked, "append", batch_id=7)
     sn.snapshot_restore(spark, marked, 1)
     assert sn.snapshot_latest_batch_id(spark, marked) == 7
+
+
+def test_zorder_clustered_commit_prunes_both_dimensions(spark, tmp_path):
+    """cluster_method='zorder' interleaves both cluster columns into the
+    file layout, so a narrow range prune on EITHER dimension drops
+    files — lexicographic range clustering can only do that for the
+    leading column."""
+    import pyspark.sql.functions as F
+
+    base_z = str(tmp_path / "tbl_z")
+    base_r = str(tmp_path / "tbl_r")
+    df = spark.createDataFrame(
+        [(i, i % 64, (i * 37) % 64) for i in range(4096)],
+        "rid long, x long, y long",
+    )
+    sn.snapshot_commit(
+        df, base_z, "append",
+        cluster_by=["x", "y"], cluster_files=16,
+        cluster_method="zorder", cluster_tiebreak="rid",
+    )
+    sn.snapshot_commit(
+        df, base_r, "append", cluster_by=["x", "y"], cluster_files=16
+    )
+    mz = sn._read_manifest(spark, base_z, 1)
+    n_all = len(mz["files"])
+    assert n_all >= 8
+
+    for col in ("x", "y"):
+        pr = sn.snapshot_read(spark, base_z, prune=(col, 10, 13))
+        assert 0 < len(pr.inputFiles()) < n_all, col
+        got = sorted(
+            (r.rid) for r in pr.filter(F.col(col).between(10, 13)).collect()
+        )
+        want = sorted(
+            r.rid for r in df.filter(F.col(col).between(10, 13)).collect()
+        )
+        assert got == want, col
+
+    # the lexicographic layout cannot prune on the SECOND column
+    mr = sn._read_manifest(spark, base_r, 1)
+    pr_y = sn._prune_files_by_range(mr, "y", 10, 13)
+    pz_y = sn._prune_files_by_range(mz, "y", 10, 13)
+    assert len(pz_y) < len(pr_y)  # z-order strictly better on dim 2
+
+    with pytest.raises(ValueError, match="cluster_tiebreak"):
+        sn.snapshot_commit(df, base_z, "append", cluster_by=["x", "y"],
+                           cluster_method="zorder")
+    with pytest.raises(ValueError, match="unknown cluster_method"):
+        sn.snapshot_commit(df, base_z, "append", cluster_by=["x"],
+                           cluster_method="hilbert")
