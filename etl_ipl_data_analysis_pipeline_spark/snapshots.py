@@ -782,6 +782,7 @@ def snapshot_expire(
     path: str,
     keep_last: int = 2,
     staging_grace_s: float = 600.0,
+    dry_run: bool = False,
 ) -> tuple[int, int]:
     """Drop all but the newest ``keep_last`` versions and delete every
     data file not referenced by a RETAINED manifest — including orphans
@@ -800,7 +801,11 @@ def snapshot_expire(
     staging dirs AND unreferenced data files younger than the grace
     period (default 10 min, far beyond a manifest restage). Pass 0 only
     when no commit can be in flight (tests, a quiesced table, or the
-    single stream owner calling between its own batches)."""
+    single stream owner calling between its own batches).
+
+    ``dry_run=True`` computes and returns the same (versions_removed,
+    files_removed) counts but deletes NOTHING — the audit mode a
+    retention-policy change gets pointed at first."""
     import time
 
     base = path.rstrip("/")
@@ -834,8 +839,11 @@ def snapshot_expire(
                 full = st.getPath().toString()
                 rel = "data/" + full[len(qual) + 1:]
                 if rel not in retained and st.getModificationTime() < cutoff_ms:
-                    fs.delete(st.getPath(), False)
+                    if not dry_run:
+                        fs.delete(st.getPath(), False)
                     removed_files += 1
+    if dry_run:
+        return (len(drop), removed_files)
     for v in drop:
         fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(base, v)), False)
     # crashed-commit staging debris (past the grace window) too, and

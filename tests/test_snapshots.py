@@ -782,3 +782,25 @@ def test_zorder_clustered_commit_prunes_both_dimensions(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown cluster_method"):
         sn.snapshot_commit(df, base_z, "append", cluster_by=["x"],
                            cluster_method="hilbert")
+
+
+def test_expire_dry_run_deletes_nothing(spark, table):
+    """dry_run reports the same counts a real expiry would produce and
+    leaves every manifest and data file in place."""
+    import os
+
+    would_drop, would_remove = sn.snapshot_expire(
+        spark, table, keep_last=1, staging_grace_s=0, dry_run=True
+    )
+    assert would_drop == 2  # v1, v2 of 3
+    assert sn.snapshot_versions(spark, table) == [1, 2, 3]  # nothing dropped
+    all_files = {
+        rel for v in (1, 2, 3) for rel in sn._read_manifest(spark, table, v)["files"]
+    }
+    assert all(os.path.exists(table + "/" + rel) for rel in all_files)
+
+    dropped, removed = sn.snapshot_expire(
+        spark, table, keep_last=1, staging_grace_s=0
+    )
+    assert (dropped, removed) == (would_drop, would_remove)  # audit was exact
+    assert sn.snapshot_versions(spark, table) == [3]
