@@ -804,3 +804,47 @@ def test_expire_dry_run_deletes_nothing(spark, table):
     )
     assert (dropped, removed) == (would_drop, would_remove)  # audit was exact
     assert sn.snapshot_versions(spark, table) == [3]
+
+
+def test_append_after_restore_and_legacy_manifest_asof(spark, table):
+    """An append after a rollback builds on the RESTORED state (its
+    manifest references the restore's files plus the new ones), and a
+    pre-r11 manifest lacking committed_at stays eligible for as_of_ts
+    without ever shadowing a stamped one."""
+    import json
+    import time
+
+    v4 = sn.snapshot_restore(spark, table, 2)  # back to keys 0..14
+    extra = spark.range(500, 502).withColumnRenamed("id", "k")
+    v5 = sn.snapshot_commit(extra, table, "append")
+    assert v5 == v4 + 1
+    assert _keys(spark, table) == list(range(15)) + [500, 501]
+    m4 = sn._read_manifest(spark, table, v4)
+    m5 = sn._read_manifest(spark, table, v5)
+    assert set(m4["files"]) < set(m5["files"])  # restore's files shared
+
+    # strip committed_at from v1's manifest: a legacy (pre-r11) table
+    # (drop the Hadoop-local-FS .crc sidecar too — rewriting the file
+    # outside Hadoop would otherwise fail the checksum on next read)
+    p1 = table + "/_snapshots/v00000001.json"
+    m1 = json.load(open(p1))
+    del m1["committed_at"]
+    with open(p1, "w") as f:
+        json.dump(m1, f)
+    crc = table + "/_snapshots/.v00000001.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    hist = {r.version: r for r in sn.snapshot_history(spark, table).collect()}
+    assert hist[1].committed_at is None  # surfaced, not faked
+    # legacy versions read as arbitrarily old: an as_of_ts BEFORE every
+    # stamped commit resolves to the legacy version, not an error
+    t_old = min(
+        r.committed_at for r in hist.values() if r.committed_at is not None
+    ) - 1.0
+    assert sorted(
+        r.k for r in sn.snapshot_read(spark, table, as_of_ts=t_old).collect()
+    ) == list(range(10))  # v1's rows
+    # and "now" still reads the true head, never the legacy manifest
+    assert sorted(
+        r.k for r in sn.snapshot_read(spark, table, as_of_ts=time.time()).collect()
+    ) == list(range(15)) + [500, 501]
