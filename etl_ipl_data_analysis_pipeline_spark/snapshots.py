@@ -24,8 +24,11 @@ files unreferenced by every RETAINED manifest.
 
 Concurrency: data file names are ATTEMPT-unique (the ``v<N>`` prefix
 records the attempt's target version, nothing parses it), so two
-racing writers never collide on the data plane; the manifest rename
-arbitrates. ``snapshot_commit`` retries a lost race optimistically —
+racing writers never collide on the data plane; manifest publication
+arbitrates through a truly EXCLUSIVE primitive (an atomic hard-link on
+local filesystems — link(2) fails with EEXIST — and rename + content
+verify elsewhere; see ``_commit_manifest``). ``snapshot_commit``
+retries a lost race optimistically —
 re-read the new head, re-point the parent, restage ONLY the manifest
 (the data files are already immutable) — so concurrent APPENDS both
 land. Rewriting ops (merge/delete/compact) do not retry: their file
@@ -270,6 +273,7 @@ def _stage_files(
     With ``partition_by`` the staging write is Hive-partitioned and the
     ``col=value`` directory structure is preserved under ``data/`` so
     scans keep directory pruning."""
+    import time
     import uuid
 
     spark = df.sparkSession
@@ -311,6 +315,13 @@ def _stage_files(
         dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
         if not fs.rename(src, dst):
             raise IOError(f"snapshot commit: rename {src} -> {dst} failed")
+        # rename preserves the mtime of the staging WRITE, but
+        # snapshot_expire's staging_grace_s measures file age by mtime —
+        # a commit whose staging write outlasts the grace would publish
+        # files that are instantly "old enough" to sweep during the
+        # move-to-manifest window. Stamp publication time so age is
+        # measured from when the file became sweep-visible.
+        fs.setTimes(dst, int(time.time() * 1000), -1)
         new_files.append(rel)
     fs.delete(spath, True)
     return new_files
@@ -327,14 +338,34 @@ def _commit_manifest(
     stats: dict | None = None,
     partition_by: list[str] | None = None,
 ) -> None:
-    """Write + atomically rename the version manifest — the commit point
-    shared by every snapshot operation. A rename that fails because the
-    destination already exists raises ``SnapshotConflict`` (another
-    writer committed this version first); any other rename failure is a
-    plain IOError."""
+    """Write + atomically PUBLISH the version manifest — the commit point
+    shared by every snapshot operation. Publication must be EXCLUSIVE
+    (exactly one writer per version can ever succeed), and a bare
+    rename is not: POSIX rename(2) — what Hadoop LocalFileSystem and
+    most object-store shims use — silently REPLACES an existing
+    destination, so two writers that both pass an exists() pre-check
+    would both "win" and the later manifest would clobber the earlier
+    acknowledged commit. Per filesystem:
+
+    - ``file``: publish with ``java.nio.file.Files.createLink`` —
+      link(2) fails atomically with EEXIST, the content is fully
+      durable in the attempt-unique tmp before the link, and there is
+      no window in which a torn or clobbered manifest can exist.
+    - everything else: rename (HDFS rename DOES fail on an existing
+      destination), then re-read the published manifest and compare
+      the attempt-unique ``writer`` token — a mismatch means a racer's
+      rename replaced ours, so raise ``SnapshotConflict`` instead of
+      acknowledging a commit whose manifest is gone. On eventually-
+      consistent object stores true exclusivity needs a conditional
+      put (Delta's LogStore approach); the verify-after-rename bounds
+      the damage to "loser detects and retries" for stores whose
+      read-after-write is consistent.
+    """
     fs, _, jvm = _fs_and_path(spark, base)
     import time
+    import uuid
 
+    token = uuid.uuid4().hex
     manifest = {
         "version": version,
         "op": op,
@@ -343,6 +374,8 @@ def _commit_manifest(
         # wall-clock commit time: serves snapshot_history and the
         # timestamp as-of read; never part of any oracle hash
         "committed_at": time.time(),
+        # arbitration witness for the verify-after-rename path
+        "writer": token,
     }
     if batch_id is not None:
         manifest["batch_id"] = int(batch_id)
@@ -353,30 +386,53 @@ def _commit_manifest(
     sdir = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
     if not fs.exists(sdir):
         fs.mkdirs(sdir)
-    final = jvm.org.apache.hadoop.fs.Path(_manifest_path(base, version))
+    final_str = _manifest_path(base, version)
+    final = jvm.org.apache.hadoop.fs.Path(final_str)
     if fs.exists(final):
         raise SnapshotConflict(
-            f"snapshot commit: manifest rename failed for v{version} "
+            f"snapshot commit: manifest publish failed for v{version} "
             "(already committed by a concurrent writer)"
         )
     # tmp name is attempt-unique: two racing writers must not clobber
-    # each other's staged manifest before the rename arbitrates
-    import uuid
-
-    tmp = jvm.org.apache.hadoop.fs.Path(
-        _manifest_path(base, version) + f".tmp-{uuid.uuid4().hex[:8]}"
-    )
+    # each other's staged manifest before publication arbitrates
+    tmp_str = final_str + f".tmp-{token[:8]}"
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_str)
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(manifest).encode()))
     out.close()
+    if fs.makeQualified(final).toUri().getScheme() == "file":
+        nio = jvm.java.nio.file
+        try:
+            # java.io.File(...).toPath(): py4j can't bind Paths.get's varargs
+            nio.Files.createLink(
+                jvm.java.io.File(_uri_path(final_str)).toPath(),
+                jvm.java.io.File(_uri_path(tmp_str)).toPath(),
+            )
+        except Exception as e:  # py4j surfaces the java class in the message
+            fs.delete(tmp, False)
+            if "FileAlreadyExistsException" in str(e):
+                raise SnapshotConflict(
+                    f"snapshot commit: manifest publish failed for v{version} "
+                    "(already committed by a concurrent writer)"
+                ) from None
+            raise
+        fs.delete(tmp, False)
+        return
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
         if fs.exists(final):
             raise SnapshotConflict(
-                f"snapshot commit: manifest rename failed for v{version} "
+                f"snapshot commit: manifest publish failed for v{version} "
                 "(already committed by a concurrent writer)"
             )
         raise IOError(f"snapshot commit: manifest rename failed for v{version}")
+    published = _read_manifest(spark, base, version)
+    if published.get("writer") != token:
+        raise SnapshotConflict(
+            f"snapshot commit: manifest for v{version} was replaced by a "
+            "concurrent writer after our rename (non-exclusive rename "
+            "filesystem) — this writer's commit did not land"
+        )
 
 
 def _file_stats(base: str, rels: list[str]) -> dict:
@@ -697,9 +753,16 @@ def snapshot_read(
 
     ``as_of_ts`` (unix seconds; mutually exclusive with ``version``)
     reads the newest version whose recorded ``committed_at`` is <= the
-    timestamp — versions lacking the field (pre-r11 manifests) are
-    treated as arbitrarily old, so they are eligible but never shadow a
-    stamped one."""
+    timestamp. Versions lacking the field (pre-r11 manifests) are
+    treated as arbitrarily old ONLY while no stamped version precedes
+    them — an unstamped manifest at a higher version than a stamped one
+    has an unknown commit time that is at least the stamped
+    predecessor's, so letting it win at every timestamp would shadow
+    the stamped version; such manifests are excluded from timestamp
+    travel (still readable by explicit ``version``). The assumption
+    this encodes: stamping is monotone — once a table has one stamped
+    commit, every later commit is stamped too (true for any table this
+    code writes; only hand-edited lineages can violate it)."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
     if not versions:
@@ -707,11 +770,19 @@ def snapshot_read(
     if as_of_ts is not None:
         if version is not None:
             raise ValueError("pass either version or as_of_ts, not both")
-        eligible = [
-            v
-            for v in versions
-            if _read_manifest(spark, base, v).get("committed_at", 0.0) <= as_of_ts
-        ]
+        eligible = []
+        stamped_seen = False
+        for v in versions:
+            ts = _read_manifest(spark, base, v).get("committed_at")
+            if ts is None:
+                # legacy manifest: arbitrarily old, but only while no
+                # stamped version precedes it (see docstring)
+                if not stamped_seen:
+                    eligible.append(v)
+                continue
+            stamped_seen = True
+            if ts <= as_of_ts:
+                eligible.append(v)
         if not eligible:
             raise ValueError(
                 f"no version committed at or before {as_of_ts} in {base}"

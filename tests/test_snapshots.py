@@ -357,7 +357,7 @@ def test_concurrent_commit_loser_aborts_cleanly(spark, table):
     version = head + 1
     files = sn._stage_files(df, table, version)
     sn._commit_manifest(spark, table, version, "append", files, df.schema)
-    with pytest.raises(IOError, match="manifest rename failed"):
+    with pytest.raises(IOError, match="manifest publish failed"):
         sn._commit_manifest(spark, table, version, "append", files, df.schema)
     # the winner's view is intact and the loser changed nothing
     assert sn.snapshot_versions(spark, table)[-1] == version
@@ -848,3 +848,120 @@ def test_append_after_restore_and_legacy_manifest_asof(spark, table):
     assert sorted(
         r.k for r in sn.snapshot_read(spark, table, as_of_ts=time.time()).collect()
     ) == list(range(15)) + [500, 501]
+
+
+def test_manifest_publish_is_exclusive_under_real_race(spark, table):
+    """ADVICE r11 (high): POSIX rename REPLACES an existing destination,
+    so the exists() pre-check alone cannot arbitrate — two writers that
+    both pass it would both 'succeed' and the later manifest would
+    silently clobber the earlier ACKNOWLEDGED commit. Publication now
+    goes through an atomic hard-link (link(2) fails with EEXIST), so
+    under a barrier-aligned two-thread race on the SAME version exactly
+    one _commit_manifest returns and the published manifest is provably
+    the winner's (its writer token matches). Repeated to make the
+    both-passed-the-precheck window overwhelmingly likely at least once."""
+    import json
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("k", LongType())])
+    next_version = sn.snapshot_versions(spark, table)[-1] + 1
+    for version in range(next_version, next_version + 5):
+        barrier = threading.Barrier(2)
+        outcomes = {}
+
+        def attempt(tag, version=version, barrier=barrier, outcomes=outcomes):
+            barrier.wait()
+            try:
+                sn._commit_manifest(
+                    spark, table, version, op="append",
+                    files=[f"data/race-{tag}.parquet"], schema=schema,
+                )
+                outcomes[tag] = "committed"
+            except sn.SnapshotConflict:
+                outcomes[tag] = "conflict"
+
+        with ThreadPoolExecutor(2) as ex:
+            list(ex.map(attempt, ["a", "b"]))
+        assert sorted(outcomes.values()) == ["committed", "conflict"], outcomes
+        winner = next(t for t, o in outcomes.items() if o == "committed")
+        published = sn._read_manifest(spark, table, version)
+        # the acknowledged writer's manifest is the one on disk — a
+        # clobbering rename would leave the LOSER's content here
+        assert published["files"] == [f"data/race-{winner}.parquet"]
+        # no torn/partial tmp debris leaks into the manifest dir listing
+        assert version in sn.snapshot_versions(spark, table)
+
+
+def test_expire_grace_measures_age_from_publication(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): rename preserves the staging write's mtime,
+    so a commit whose staging WRITE outlasted the grace window used to
+    publish files that were instantly sweepable by a concurrent expire
+    during the move-to-manifest window. _stage_files now stamps
+    publication time: files from an arbitrarily slow staging write are
+    young at publication and survive the grace."""
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(spark.range(3).withColumnRenamed("id", "k"), base, "append")
+
+    orig = DataFrameWriter.parquet
+
+    def ancient_staging_write(self, path, **kw):
+        orig(self, path, **kw)
+        local = sn._uri_path(path)
+        for root, _, files in os.walk(local):
+            for f in files:
+                os.utime(os.path.join(root, f), (0, 0))  # epoch-old write
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", ancient_staging_write)
+
+    # crash this commit between data-file publication and the manifest
+    # publish — exactly the window the grace exists to protect
+    def no_manifest(*a, **kw):
+        raise RuntimeError("crash before manifest")
+
+    monkeypatch.setattr(sn, "_commit_manifest", no_manifest)
+    with _pytest.raises(RuntimeError, match="crash before manifest"):
+        sn.snapshot_commit(
+            spark.range(10, 14).withColumnRenamed("id", "k"), base, "append"
+        )
+    # in-flight (unreferenced) files with an epoch-old WRITE mtime: the
+    # grace must still protect them, because age is now stamped at move
+    # time, not inherited from the write
+    assert sn.snapshot_expire(spark, base, keep_last=1, staging_grace_s=600.0) == (
+        0,
+        0,
+    )
+    # sanity: they really are unreferenced — a zero-grace sweep takes them
+    assert sn.snapshot_expire(spark, base, keep_last=1, staging_grace_s=0.0)[1] > 0
+
+
+def test_legacy_manifest_after_stamped_excluded_from_ts_travel(spark, table):
+    """ADVICE r11 (low): an unstamped (legacy) manifest at a HIGHER
+    version than a stamped one has an unknown commit time >= the stamped
+    predecessor's — treating it as arbitrarily old would make it shadow
+    the stamped version at EVERY timestamp. It is now excluded from
+    as_of_ts eligibility (still readable by explicit version)."""
+    import json
+    import time
+
+    # strip committed_at from the HEAD manifest (v3, follows stamped v1/v2)
+    p3 = table + "/_snapshots/v00000003.json"
+    m3 = json.load(open(p3))
+    del m3["committed_at"]
+    with open(p3, "w") as f:
+        json.dump(m3, f)
+    crc = table + "/_snapshots/.v00000003.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    # as-of "now" resolves to the newest STAMPED version (v2), never the
+    # legacy head
+    assert sorted(
+        r.k for r in sn.snapshot_read(spark, table, as_of_ts=time.time()).collect()
+    ) == list(range(15))
+    # explicit version access to the legacy manifest is untouched
+    assert _keys(spark, table, 3) == [100, 101, 102]
