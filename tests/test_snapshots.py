@@ -965,3 +965,104 @@ def test_legacy_manifest_after_stamped_excluded_from_ts_travel(spark, table):
     ) == list(range(15))
     # explicit version access to the legacy manifest is untouched
     assert _keys(spark, table, 3) == [100, 101, 102]
+
+
+def test_snapshot_scan_derives_pruning_from_plain_filters(spark, tmp_path):
+    """snapshot_scan extracts conjunctive range/equality/IN predicates
+    from a PLAIN filter (Column or SQL string) and file-prunes by the
+    manifest stats — no explicit prune argument — while every
+    non-extractable shape (OR, non-monotone cast, NaN, missing stats)
+    falls back to scanning everything and stays answer-correct."""
+    import json
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 800)
+        .withColumnRenamed("id", "k")
+        .withColumn("x", F.col("k") / 10.0)
+    )
+    sn.snapshot_commit(df.repartitionByRange(8, "k"), base, "append")
+    total = len(sn._read_manifest(spark, base, 1)["files"])
+    assert total == 8
+
+    def files(d):
+        return len(d.inputFiles())
+
+    # range: prunes, correct
+    r = sn.snapshot_scan(spark, base, filter=F.col("k").between(100, 199))
+    assert files(r) < total and r.count() == 100
+    # SQL string + extra non-prunable conjunct: still prunes on the range
+    r = sn.snapshot_scan(spark, base, filter="k >= 700 AND k % 2 = 0")
+    assert files(r) < total and r.count() == 50
+    # IN list: one file
+    r = sn.snapshot_scan(spark, base, filter=F.col("k").isin(5, 17, 23))
+    assert files(r) == 1 and r.count() == 3
+    # strict inequality relaxes to closed bounds: k > 100 prunes the
+    # [0..99] file but keeps the boundary file holding 100, answer exact
+    r = sn.snapshot_scan(spark, base, filter=F.col("k") > 100)
+    assert files(r) < total and r.count() == 699
+    r = sn.snapshot_scan(spark, base, filter=F.col("k") > 99)
+    assert r.count() == 700  # boundary-exact strict compare stays correct
+    # OR: nothing extractable -> full scan, correct
+    r = sn.snapshot_scan(spark, base, filter=(F.col("k") < 5) | (F.col("k") > 795))
+    assert files(r) == total and r.count() == 9
+    # integral->double coercion prunes (padded outward, still sound)
+    r = sn.snapshot_scan(spark, base, filter=F.col("k") > 699.5)
+    assert files(r) < total and r.count() == 100
+    # non-monotone cast (double->int truncation): no pruning, correct
+    r = sn.snapshot_scan(spark, base, filter=F.col("x").cast("int") == 3)
+    assert files(r) == total and r.count() == 10
+    # NaN literal: no pruning, no rows, no error
+    r = sn.snapshot_scan(spark, base, filter=F.col("x") > float("nan"))
+    assert files(r) == total and r.count() == 0
+    # filter referencing an unknown column fails analysis like a real scan
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="nope"):
+        sn.snapshot_scan(spark, base, filter="nope > 3")
+
+    # missing stats (hand-stripped manifest): conservative full scan
+    p1 = base + "/_snapshots/v00000001.json"
+    m = json.load(open(p1))
+    del m["stats"]
+    with open(p1, "w") as f:
+        json.dump(m, f)
+    crc = base + "/_snapshots/.v00000001.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    r = sn.snapshot_scan(spark, base, filter=F.col("k").between(100, 199))
+    assert files(r) == total and r.count() == 100
+
+
+def test_snapshot_scan_prunes_partition_dirs_and_time_travel(spark, tmp_path):
+    """snapshot_scan's extraction composes with partition-directory
+    pruning and as-of reads: an equality on the partition column scans
+    only that value's directory, at the historical version."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "k")
+        .withColumn("grp", (F.col("k") % 3).cast("string"))
+    )
+    sn.snapshot_commit(df, base, "append", partition_by=["grp"])
+    sn.snapshot_commit(
+        spark.range(300, 600)
+        .withColumnRenamed("id", "k")
+        .withColumn("grp", (F.col("k") % 3).cast("string")),
+        base,
+        "append",
+    )
+    m2 = sn._read_manifest(spark, base, 2)
+    r = sn.snapshot_scan(spark, base, filter="grp = '1' AND k < 450")
+    scanned = r.inputFiles()
+    assert 0 < len(scanned) < len(m2["files"])
+    assert all("grp=1" in f for f in scanned)
+    assert r.count() == 150
+    # as-of version 1 through the same path
+    r1 = sn.snapshot_scan(spark, base, filter=F.col("grp") == "2", version=1)
+    assert all("grp=2" in f for f in r1.inputFiles())
+    assert r1.count() == 100
