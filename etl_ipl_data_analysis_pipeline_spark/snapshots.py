@@ -31,9 +31,13 @@ verify elsewhere; see ``_commit_manifest``). ``snapshot_commit``
 retries a lost race optimistically —
 re-read the new head, re-point the parent, restage ONLY the manifest
 (the data files are already immutable) — so concurrent APPENDS both
-land. Rewriting ops (merge/delete/compact) do not retry: their file
-lists are derived from the head they read, so a lost race raises
-``SnapshotConflict`` and the caller re-runs against the new head.
+land. Rewriting ops (merge/delete/compact) rebase-retry with
+file-disjointness validation (``_commit_rewrite``): iff every file the
+op rewrote is still live in the new head (and, for merge, the racer's
+new files carry none of the merge keys), the new manifest is recomputed
+against the new head — one manifest write, no data restaged — so an
+append racing a merge/delete/compact BOTH land; a genuine overlap
+raises ``SnapshotConflict`` and the caller re-runs on the new head.
 
 Scale: the manifest is one JSON line per version holding relative file
 paths — for a 100 TB table at 1 GB files that's ~10⁵ names per
@@ -58,10 +62,11 @@ _BROADCAST_KEYS_MAX = 1_000_000
 
 
 class SnapshotConflict(IOError):
-    """A commit lost the manifest-rename race: the target version was
-    committed by another writer between head read and rename. Appends
+    """A commit lost the manifest-publish race: the target version was
+    committed by another writer between head read and publish. Appends
     recover automatically (snapshot_commit retries against the new
-    head); rewriting ops surface this to the caller."""
+    head); rewriting ops rebase-retry when their inputs are untouched
+    (_commit_rewrite) and surface this only on a genuine overlap."""
 
 
 def _snap_dir(path: str) -> str:
@@ -1019,17 +1024,13 @@ def snapshot_compact(
     version = versions[-1] + 1
     part = head.get("partition_by")
     files = _stage_files(cur.coalesce(n_target), base, version, part)
-    _commit_manifest(
-        spark, base, version, op="replace", files=files, schema=cur.schema,
-        batch_id=(
-            head.get("batch_id")
-            if head.get("batch_id") is not None
-            else snapshot_latest_batch_id(spark, base)
-        ),
-        stats=_file_stats(base, files),
-        partition_by=part,
+    # touched = every file this compaction read: a concurrent APPEND
+    # rebases cleanly (its files ride the new manifest verbatim next to
+    # the compacted ones); any concurrent REWRITE of those files raises.
+    return _commit_rewrite(
+        spark, base, head, versions[-1], op="replace",
+        touched=list(head["files"]), new_files=files, new_schema=cur.schema,
     )
-    return version
 
 
 def _live_files(spark: SparkSession, path: str, versions: list[int]):
@@ -1172,6 +1173,86 @@ def _uri_path(uri: str) -> str:
     return unquote(urlparse(uri).path) if "://" in uri or uri.startswith("file:") else uri
 
 
+def _commit_rewrite(
+    spark: SparkSession,
+    base: str,
+    head: dict,
+    head_version: int,
+    op: str,
+    touched: list[str],
+    new_files: list[str],
+    new_schema,
+    batch_id: int | None = None,
+    validate_delta=None,
+    max_retries: int = 5,
+) -> int:
+    """Commit a REWRITING op's manifest with optimistic rebase-retry
+    (Iceberg's validate-no-conflicting-files): the op rewrote
+    ``touched`` (as read from ``head``) into ``new_files``. If the
+    manifest publish loses a race, re-read the new head and rebase iff
+    every file this op rewrote is STILL LIVE there — a concurrent
+    APPEND (or a rewrite of disjoint files) composes: the rebased
+    manifest is the new head's file list minus ``touched`` plus
+    ``new_files``, so the racer's delta is referenced verbatim. A
+    concurrent op that removed any of our inputs is a true conflict and
+    raises. ``validate_delta(delta_added_rels, head_manifest)`` lets the
+    op veto semantically-conflicting concurrent additions (merge uses
+    it to reject appends that carry its update keys — rebasing past
+    those would leave duplicate keys); raise SnapshotConflict inside it
+    to abort. Data files are never restaged on retry — only the
+    manifest is recomputed, so a rebase costs one manifest write."""
+    touched_set = set(touched)
+    for attempt in range(max_retries + 1):
+        files = [f for f in head["files"] if f not in touched_set] + new_files
+        schema = _merge_schemas(head["schema"], new_schema)
+        old_stats = head.get("stats") or {}
+        stats = {
+            **{rel: old_stats[rel] for rel in files if rel in old_stats},
+            **_file_stats(base, new_files),
+        }
+        bid = batch_id
+        if bid is None:
+            bid = (
+                head.get("batch_id")
+                if head.get("batch_id") is not None
+                # legacy tables (written before markers propagated) may
+                # carry the marker only on an older manifest — walk once
+                else snapshot_latest_batch_id(spark, base)
+            )
+        try:
+            _commit_manifest(
+                spark, base, head_version + 1, op=op, files=files,
+                schema=schema, partition_by=head.get("partition_by"),
+                batch_id=bid, stats=stats,
+            )
+            return head_version + 1
+        except SnapshotConflict:
+            if attempt >= max_retries:
+                raise
+            versions = snapshot_versions(spark, base)
+            new_head = _read_manifest(spark, base, versions[-1])
+            if (new_head.get("partition_by") or []) != (
+                head.get("partition_by") or []
+            ):
+                raise SnapshotConflict(
+                    f"snapshot {op}: table layout changed concurrently"
+                )
+            old_files = set(head["files"])
+            new_files_set = set(new_head["files"])
+            removed = old_files - new_files_set
+            if removed & touched_set:
+                raise SnapshotConflict(
+                    f"snapshot {op}: a concurrent commit removed "
+                    f"{len(removed & touched_set)} file(s) this op rewrote — "
+                    "re-run against the new head"
+                )
+            delta_added = [f for f in new_head["files"] if f not in old_files]
+            if validate_delta is not None and delta_added:
+                validate_delta(delta_added, new_head)
+            head, head_version = new_head, versions[-1]
+    raise AssertionError("unreachable")
+
+
 def snapshot_merge(
     updates: DataFrame, path: str, key_cols: list[str], batch_id: int | None = None
 ) -> int:
@@ -1240,8 +1321,6 @@ def snapshot_merge(
         )
     else:
         touched = []
-    touched_set = set(touched)
-    untouched = [rel for rel in manifest["files"] if rel not in touched_set]
     version = versions[-1] + 1
 
     # align both sides to the merged schema (absent columns -> NULL)
@@ -1266,28 +1345,38 @@ def snapshot_merge(
         rewrite = _align(updates)
     part = manifest.get("partition_by")
     new_files = _stage_files(rewrite, base, version, part)
-    old_stats = manifest.get("stats") or {}
-    stats = {
-        **{rel: old_stats[rel] for rel in untouched if rel in old_stats},
-        **_file_stats(base, new_files),
-    }
-    _commit_manifest(
-        spark, base, version, op="merge",
-        files=untouched + new_files, schema=schema, partition_by=part,
-        batch_id=(
-            batch_id
-            if batch_id is not None
-            else (
-                manifest.get("batch_id")
-                if manifest.get("batch_id") is not None
-                # legacy tables (written before markers propagated) may
-                # carry the marker only on an older manifest — walk once
-                else snapshot_latest_batch_id(spark, base)
+
+    def _no_key_overlap(delta_added: list[str], head_m: dict) -> None:
+        """Rebase veto: a concurrent commit's NEW files must not carry
+        any of this merge's keys — the COW didn't rewrite them, so
+        rebasing past them would leave the table with both the stale
+        row and the updated one (duplicate key). Cost: one pruned probe
+        over ONLY the delta files."""
+        from pyspark.sql.types import StructType
+
+        head_schema = StructType.fromJson(json.loads(head_m["schema"]))
+        probe_rels = _prune_by_key_stats(
+            {**head_m, "files": delta_added}, key_cols, keys, n_updates
+        )
+        if not probe_rels:
+            return
+        hit = (
+            _read_data(spark, base, head_m, probe_rels, schema=head_schema)
+            .join(bkeys, key_cols, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if hit:
+            raise SnapshotConflict(
+                "snapshot merge: a concurrent commit added rows matching "
+                "this merge's keys — re-run against the new head"
             )
-        ),
-        stats=stats,
+
+    return _commit_rewrite(
+        spark, base, manifest, versions[-1], op="merge",
+        touched=touched, new_files=new_files, new_schema=updates.schema,
+        batch_id=batch_id, validate_delta=_no_key_overlap,
     )
-    return version
 
 
 def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
@@ -1313,8 +1402,6 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
         spark, base, manifest, manifest["files"], schema=schema
     ).withColumn("__file", F.input_file_name())
     touched = _touched_files(cur, base, manifest["files"], None, condition=condition)
-    touched_set = set(touched)
-    untouched = [rel for rel in manifest["files"] if rel not in touched_set]
     version = versions[-1] + 1
     part = manifest.get("partition_by")
     if touched:
@@ -1324,19 +1411,13 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
         new_files = _stage_files(survivors, base, version, part)
     else:
         new_files = []
-    old_stats = manifest.get("stats") or {}
-    stats = {
-        **{rel: old_stats[rel] for rel in untouched if rel in old_stats},
-        **_file_stats(base, new_files),
-    }
-    _commit_manifest(
-        spark, base, version, op="delete",
-        files=untouched + new_files, schema=schema, partition_by=part,
-        batch_id=(
-            manifest.get("batch_id")
-            if manifest.get("batch_id") is not None
-            else snapshot_latest_batch_id(spark, base)
-        ),
-        stats=stats,
+    # SNAPSHOT-ISOLATION rebase (no validate_delta): rows a concurrent
+    # append added were never part of the state this delete read, so
+    # they survive even when they match the condition — the delete
+    # serializes BEFORE the append it rebases onto, exactly Iceberg's
+    # snapshot-isolation DELETE. Only removal of a file this op rewrote
+    # is a true conflict.
+    return _commit_rewrite(
+        spark, base, manifest, versions[-1], op="delete",
+        touched=touched, new_files=new_files, new_schema=schema,
     )
-    return version

@@ -1066,3 +1066,191 @@ def test_snapshot_scan_prunes_partition_dirs_and_time_travel(spark, tmp_path):
     r1 = sn.snapshot_scan(spark, base, filter=F.col("grp") == "2", version=1)
     assert all("grp=2" in f for f in r1.inputFiles())
     assert r1.count() == 100
+
+
+def _kv(spark, lo, hi, v=0):
+    import pyspark.sql.functions as F
+
+    return (
+        spark.range(lo, hi)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.lit(v).cast("long"))
+    )
+
+
+def test_merge_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """VERDICT r11 directive 3: an append racing a merge BOTH land. The
+    merge reads the head, stages its rewrite, loses the publish race to
+    an append with DISJOINT keys, validates file-disjointness + no key
+    overlap in the appended delta, and rebases — the final manifest
+    carries the appended files verbatim next to the merge's rewrite."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).repartitionByRange(4, "k"), base, "append")
+
+    # make the merge read a stale head: an append lands AFTER the merge's
+    # head read but BEFORE its manifest publish
+    real_versions = sn.snapshot_versions
+    state = {"raced": False}
+
+    def versions_with_race(spark_, path_):
+        out = real_versions(spark_, path_)
+        if not state["raced"]:
+            state["raced"] = True
+            sn.snapshot_versions = real_versions
+            try:
+                sn.snapshot_commit(_kv(spark, 500, 510, v=9), base, "append")
+            finally:
+                sn.snapshot_versions = versions_with_race
+            return out  # stale list: the racer's version is invisible
+        return out
+
+    monkeypatch.setattr(sn, "snapshot_versions", versions_with_race)
+    v = sn.snapshot_merge(_kv(spark, 50, 60, v=1), base, ["k"])
+    monkeypatch.setattr(sn, "snapshot_versions", real_versions)
+    assert v == 3  # append took v2, merge rebased onto it at v3
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert len(rows) == 110  # 100 original + 10 appended, no duplicates
+    assert all(rows[k] == 1 for k in range(50, 60))  # merge applied
+    assert all(rows[k] == 9 for k in range(500, 510))  # append survived
+    m3 = sn._read_manifest(spark, base, 3)
+    m2 = sn._read_manifest(spark, base, 2)
+    appended = set(m2["files"]) - set(sn._read_manifest(spark, base, 1)["files"])
+    assert appended <= set(m3["files"])  # racer's files referenced verbatim
+
+
+def test_merge_raises_when_concurrent_append_carries_its_keys(
+    spark, tmp_path, monkeypatch
+):
+    """True conflict: the racing append adds rows with keys the merge is
+    updating — rebasing would leave duplicate keys, so the merge raises
+    instead, and the table is exactly the append's state."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).repartitionByRange(4, "k"), base, "append")
+
+    real_versions = sn.snapshot_versions
+    state = {"raced": False}
+
+    def versions_with_race(spark_, path_):
+        out = real_versions(spark_, path_)
+        if not state["raced"]:
+            state["raced"] = True
+            sn.snapshot_versions = real_versions
+            try:
+                sn.snapshot_commit(_kv(spark, 55, 58, v=9), base, "append")
+            finally:
+                sn.snapshot_versions = versions_with_race
+            return out
+        return out
+
+    monkeypatch.setattr(sn, "snapshot_versions", versions_with_race)
+    with pytest.raises(sn.SnapshotConflict, match="matching this merge's keys"):
+        sn.snapshot_merge(_kv(spark, 50, 60, v=1), base, ["k"])
+    monkeypatch.setattr(sn, "snapshot_versions", real_versions)
+    assert sn.snapshot_versions(spark, base) == [1, 2]
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert all(rows[k] == 9 for k in range(55, 58))  # append intact
+
+
+def test_rewrite_conflict_on_overlapping_files_raises(spark, tmp_path, monkeypatch):
+    """Two rewrites of the SAME file cannot both land: the loser's
+    touched files were removed by the winner, so it raises."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).coalesce(1), base, "append")
+
+    real_versions = sn.snapshot_versions
+    state = {"raced": False}
+
+    def versions_with_race(spark_, path_):
+        out = real_versions(spark_, path_)
+        if not state["raced"]:
+            state["raced"] = True
+            sn.snapshot_versions = real_versions
+            try:
+                # winner rewrites the single file (disjoint KEYS, same file)
+                sn.snapshot_merge(_kv(spark, 90, 95, v=7), base, ["k"])
+            finally:
+                sn.snapshot_versions = versions_with_race
+            return out
+        return out
+
+    monkeypatch.setattr(sn, "snapshot_versions", versions_with_race)
+    with pytest.raises(sn.SnapshotConflict, match="removed.*file"):
+        sn.snapshot_merge(_kv(spark, 10, 15, v=1), base, ["k"])
+    monkeypatch.setattr(sn, "snapshot_versions", real_versions)
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert all(rows[k] == 7 for k in range(90, 95))  # winner intact
+    assert all(rows[k] == 0 for k in range(10, 15))  # loser left no trace
+
+
+def test_compact_and_delete_rebase_over_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """Compact keeps a racing append's files verbatim next to the
+    compacted ones; delete under snapshot isolation lets appended rows
+    survive even when they match the condition (the delete read a
+    snapshot that never contained them)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 50).repartitionByRange(4, "k"), base, "append")
+
+    real_versions = sn.snapshot_versions
+
+    def race_once_with(append_lo, append_hi, v):
+        state = {"raced": False}
+
+        def fn(spark_, path_):
+            out = real_versions(spark_, path_)
+            if not state["raced"]:
+                state["raced"] = True
+                sn.snapshot_versions = real_versions
+                try:
+                    sn.snapshot_commit(
+                        _kv(spark, append_lo, append_hi, v=v), base, "append"
+                    )
+                finally:
+                    sn.snapshot_versions = fn
+                return out
+            return out
+
+        return fn
+
+    monkeypatch.setattr(sn, "snapshot_versions", race_once_with(100, 105, 9))
+    v = sn.snapshot_compact(spark, base)
+    monkeypatch.setattr(sn, "snapshot_versions", real_versions)
+    assert v == 3
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert len(rows) == 55 and all(rows[k] == 9 for k in range(100, 105))
+
+    # delete k >= 100 racing an append of MATCHING rows (k=200..204):
+    # snapshot isolation — appended rows survive
+    monkeypatch.setattr(sn, "snapshot_versions", race_once_with(200, 205, 9))
+    v = sn.snapshot_delete(spark, base, F.col("k") >= 100)
+    monkeypatch.setattr(sn, "snapshot_versions", real_versions)
+    assert v == 5
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert set(rows) == set(range(50)) | set(range(200, 205))
+
+
+def test_threaded_append_races_merge_both_land(spark, tmp_path):
+    """REAL two-thread race (the directive's done-criterion): an append
+    and a key-disjoint merge run simultaneously; BOTH land regardless of
+    publish order, and the final state is their serial composition."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).repartitionByRange(4, "k"), base, "append")
+
+    def do_append():
+        return ("append", sn.snapshot_commit(_kv(spark, 500, 510, v=9), base, "append"))
+
+    def do_merge():
+        return ("merge", sn.snapshot_merge(_kv(spark, 50, 60, v=1), base, ["k"]))
+
+    with ThreadPoolExecutor(2) as ex:
+        results = dict(f for f in ex.map(lambda g: g(), [do_append, do_merge]))
+    assert sorted(results.values()) == [2, 3]
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert len(rows) == 110
+    assert all(rows[k] == 1 for k in range(50, 60))
+    assert all(rows[k] == 9 for k in range(500, 510))
