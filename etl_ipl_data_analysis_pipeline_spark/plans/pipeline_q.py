@@ -1199,6 +1199,71 @@ def snapshot_filter_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_widened_append",
+    oracle="""
+    SELECT 1 AS version, 'int' AS key_type,
+           count(*) AS n_rows, min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 2 AS version, 'bigint' AS key_type,
+           count(*) AS n_rows, min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders
+    """,
+    tags=("SNK3", "L3", "SE4", "F3"),
+)
+def snapshot_widened_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING schema evolution (VERDICT r11 next-5): v1 commits
+    orders keys as INT; v2 appends the odd keys as LONG, which widens
+    the table's column to bigint in the manifest — no file rewritten,
+    Spark's parquet reader serves the v1 int files under the widened
+    schema directly. The query reads BOTH versions and emits each one's
+    observed column type alongside its aggregates, so the oracle gates
+    (a) the as-of pre-widen read staying pinned to the ORIGINAL narrow
+    schema ('int') and (b) the head read serving old+new files under
+    'bigint' with exact values. The type strings are Spark's
+    simpleString names; the oracle hardcodes the expected ones —
+    that IS the assertion."""
+    import shutil
+
+    from .. import snapshots as sn
+
+    base = _scratch_dir(sf_dir, "snapshot_widen_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select(F.col("o_orderkey").cast("int").alias("o_orderkey")),
+        base,
+        "append",
+    )
+    v2 = sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey")),
+        base,
+        "append",
+    )
+    out = None
+    for v in (1, v2):
+        df = sn.snapshot_read(spark, base, v)
+        row = (
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(F.col("o_orderkey").cast("long")).alias("min_key"),
+                F.max(F.col("o_orderkey").cast("long")).alias("max_key"),
+            )
+            .withColumn("version", F.lit(v).cast("int"))
+            .withColumn(
+                "key_type",
+                F.lit(df.schema["o_orderkey"].dataType.simpleString()),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
     "snapshot_partitioned_roundtrip",
     oracle="""
     SELECT CAST(o_orderkey % 2 AS INT) AS parity, count(*) AS n_rows,

@@ -475,7 +475,15 @@ def _file_stats(base: str, rels: list[str]) -> dict:
                 if st is None or not st.has_min_max:
                     cols[name] = None
                     continue
-                mn, mx = st.min, st.max
+                try:
+                    mn, mx = st.min, st.max
+                except Exception:
+                    # pyarrow can't DECODE stats for every physical type
+                    # (e.g. ArrowNotImplementedError on some decimals) —
+                    # best-effort means "no stats, no pruning", never a
+                    # failed commit
+                    cols[name] = None
+                    continue
                 if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
                     cols[name] = None
                     continue
@@ -643,23 +651,81 @@ def _read_data(
     return reader.parquet(*[f"{base}/{rel}" for rel in rels])
 
 
+def _widened_type(a, b):
+    """The LOSSLESS common type of two column types, or None when there
+    isn't one. Whitelisted widenings (Delta's type-widening set, minus
+    the lossy ones): the integral chain byte<short<int<long,
+    float->double, {byte,short,int}->double (int is exact in a double;
+    long is NOT — above 2^53 it would silently round, so long<->double
+    refuses), and same-scale decimal precision growth. Symmetric: the
+    wider side wins regardless of which schema carries it."""
+    if a == b:
+        return a
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ints = (ByteType, ShortType, IntegerType, LongType)
+
+    def irank(t):
+        for i, c in enumerate(ints):
+            if isinstance(t, c):
+                return i
+        return None
+
+    ra, rb = irank(a), irank(b)
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    for wide, narrow, rnarrow in ((a, b, rb), (b, a, ra)):
+        if isinstance(wide, DoubleType) and (
+            isinstance(narrow, FloatType) or (rnarrow is not None and rnarrow <= 2)
+        ):
+            return wide
+    if (
+        isinstance(a, DecimalType)
+        and isinstance(b, DecimalType)
+        and a.scale == b.scale
+    ):
+        return a if a.precision >= b.precision else b
+    return None
+
+
 def _merge_schemas(parent_json: str, child):
-    """Additive schema evolution for append commits: the version's schema
-    is the parent's fields plus any NEW child fields (order: parent
-    first). A same-name field with a different type raises — silent
+    """Schema evolution for append/merge commits: the version's schema is
+    the parent's fields plus any NEW child fields (order: parent first),
+    and a same-name field whose types differ resolves to their LOSSLESS
+    widened type (_widened_type — int->long, float->double, ...): the
+    manifest records the widened schema and every read pins it, which
+    Spark's parquet reader serves directly over the narrow files (no
+    rewrite), while as-of reads of pre-widen versions keep their original
+    narrow schema. Types with no lossless common type raise — silent
     coercion is how a 100 TB table rots."""
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     parent = StructType.fromJson(json.loads(parent_json))
-    by_name = {f.name: f for f in parent.fields}
+    by_name = {f.name: i for i, f in enumerate(parent.fields)}
     merged = list(parent.fields)
     for f in child.fields:
         if f.name not in by_name:
             merged.append(f)
-        elif by_name[f.name].dataType != f.dataType:
-            raise ValueError(
-                f"snapshot append changes type of {f.name!r}: "
-                f"{by_name[f.name].dataType} -> {f.dataType}"
+            continue
+        i = by_name[f.name]
+        old = merged[i]
+        if old.dataType != f.dataType:
+            wide = _widened_type(old.dataType, f.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"snapshot append changes type of {f.name!r}: "
+                    f"{old.dataType} -> {f.dataType} (no lossless widening)"
+                )
+            merged[i] = StructField(
+                f.name, wide, nullable=old.nullable or f.nullable
             )
     return StructType(merged)
 
@@ -1323,10 +1389,15 @@ def snapshot_merge(
         touched = []
     version = versions[-1] + 1
 
-    # align both sides to the merged schema (absent columns -> NULL)
+    # align both sides to the merged schema: absent columns -> NULL,
+    # present columns CAST to the merged type (a no-op unless this merge
+    # widened the column — the cast is lossless by _widened_type's
+    # construction, and without it the kept/updates union would carry
+    # mismatched int/long sides)
     def _align(df):
         cols = [
-            F.col(f.name) if f.name in df.columns
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in df.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in schema.fields
         ]

@@ -1254,3 +1254,88 @@ def test_threaded_append_races_merge_both_land(spark, tmp_path):
     assert len(rows) == 110
     assert all(rows[k] == 1 for k in range(50, 60))
     assert all(rows[k] == 9 for k in range(500, 510))
+
+
+def test_type_widening_schema_evolution(spark, tmp_path):
+    """Widening appends evolve the column type manifest-only (int->long,
+    float->double, decimal precision growth); narrow batches ride a wide
+    table unchanged; lossy pairs (long<->double, string vs int) refuse."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    narrow = spark.range(0, 5).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("float").alias("x"),
+        F.col("id").cast("decimal(5,2)").alias("d"),
+    )
+    sn.snapshot_commit(narrow, base, "append")
+    wide = spark.range(5, 8).select(
+        F.col("id").cast("long").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("decimal(12,2)").alias("d"),
+    )
+    v2 = sn.snapshot_commit(wide, base, "append")
+    head = sn.snapshot_read(spark, base, v2)
+    assert [f.dataType.simpleString() for f in head.schema.fields] == [
+        "bigint",
+        "double",
+        "decimal(12,2)",
+    ]
+    assert sorted(r.k for r in head.collect()) == list(range(8))
+    # as-of pre-widen stays pinned to the narrow schema
+    v1 = sn.snapshot_read(spark, base, 1)
+    assert [f.dataType.simpleString() for f in v1.schema.fields] == [
+        "int",
+        "float",
+        "decimal(5,2)",
+    ]
+    # a NARROW batch appended to the widened table: schema stays wide
+    v3 = sn.snapshot_commit(
+        spark.range(8, 10).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("x"),
+            F.col("id").cast("decimal(5,2)").alias("d"),
+        ),
+        base,
+        "append",
+    )
+    out = sn.snapshot_read(spark, base, v3)
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert sorted(r.k for r in out.collect()) == list(range(10))
+
+    # lossy/incompatible changes refuse
+    for bad in (
+        spark.range(1).select(F.col("id").cast("double").alias("k")),  # long<->dbl
+        spark.range(1).select(F.col("id").cast("string").alias("k")),
+        spark.range(1).select(F.col("id").cast("decimal(12,4)").alias("d")),  # scale
+    ):
+        with pytest.raises(ValueError, match="changes type"):
+            sn.snapshot_commit(bad, base, "append")
+
+
+def test_merge_widens_key_and_value_types(spark, tmp_path):
+    """snapshot_merge through a widening update batch: the kept rows cast
+    up to the merged type so the COW union is type-consistent, and the
+    result values are exact."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(
+        spark.range(0, 20).select(
+            F.col("id").cast("int").alias("k"),
+            F.col("id").cast("float").alias("v"),
+        ),
+        base,
+        "append",
+    )
+    updates = spark.range(5, 8).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    sn.snapshot_merge(updates, base, ["k"])
+    out = sn.snapshot_read(spark, base)
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert out.schema["v"].dataType.simpleString() == "double"
+    rows = {r.k: r.v for r in out.collect()}
+    assert len(rows) == 20
+    assert rows[6] == 60.0 and rows[4] == 4.0
