@@ -130,19 +130,34 @@ def run_snapshot_cdc_stream(
         incoming = latest_per_key(batch, keys, order_cols)
         if incoming.limit(1).count() == 0:
             return
-        if sn.snapshot_versions(sess, table_path):
+        versions = sn.snapshot_versions(sess, table_path)
+        if versions:
             # the winner-resolution read needs only rows whose key the
             # batch touches: prune the scan by the incoming key range
             # (manifest footer stats / partition dirs), so a clustered
-            # table reads a handful of files, not the state
-            prune = None
-            if len(keys) == 1:
-                r = incoming.agg(
-                    F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-                ).collect()[0]
-                if r["lo"] is not None:
-                    prune = (keys[0], r["lo"], r["hi"])
-            current = sn.snapshot_read(sess, table_path, prune=prune)
+            # table reads a handful of files, not the state. Composite
+            # keys prune on the LEADING column (the necessary-condition
+            # rule _prune_by_key_stats uses: a file whose leading-column
+            # range misses every incoming value can't hold a full-key
+            # match), and when the table is Hive-partitioned on any key
+            # column, that column's incoming min/max prunes DIRECTORIES
+            # too — triples compose conjunctively.
+            head_m = sn._read_manifest(sess, table_path, versions[-1])
+            prune_cols = [keys[0]] + [
+                c
+                for c in (head_m.get("partition_by") or [])
+                if c in keys and c != keys[0]
+            ]
+            aggs = []
+            for i, c in enumerate(prune_cols):
+                aggs += [F.min(c).alias(f"lo{i}"), F.max(c).alias(f"hi{i}")]
+            r = incoming.agg(*aggs).collect()[0]
+            prune = [
+                (c, r[f"lo{i}"], r[f"hi{i}"])
+                for i, c in enumerate(prune_cols)
+                if r[f"lo{i}"] is not None
+            ]
+            current = sn.snapshot_read(sess, table_path, prune=prune or None)
             existing = current.join(
                 incoming.select(*keys).distinct(), keys, "left_semi"
             )
