@@ -106,6 +106,12 @@ HEADLINE = [
     # snapshot lifecycle (2 partitioned commits + directory-pruned read)
     "snapshot_pruned_read",
     "snapshot_partitioned_roundtrip",
+    # round-12: the remaining untracked table-layer machinery (VERDICT
+    # r11 next-8) — streaming CDC landing micro-batches as pruned COW
+    # MERGE versions, and the z-order clustered commit with a
+    # conjunctive auto-pruned (bare-filter snapshot_scan) read-back
+    "stream_snapshot_cdc",
+    "snapshot_zorder_pruned_read",
 ]
 
 

@@ -1199,6 +1199,71 @@ def snapshot_filter_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_zorder_pruned_read",
+    oracle="""
+    WITH b AS (
+      SELECT max(o_orderkey) // 4 AS k_hi, max(o_custkey) // 4 AS c_hi
+      FROM orders
+    )
+    SELECT count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders, b WHERE o_orderkey <= b.k_hi AND o_custkey <= b.c_hi
+    """,
+    tags=("SNK3", "SNK1", "L3", "P6", "A4"),
+)
+def snapshot_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered snapshot commit + CONJUNCTIVE auto-pruned read
+    (benches the r11 z-order layout machinery end-to-end, VERDICT r11
+    next-8): orders commits with cluster_method='zorder' on
+    (o_custkey, o_orderkey) — equal-frequency bucket ranks interleaved
+    into a Z-key, so EVERY cluster column's per-file min/max is bounded
+    — and the read is a bare snapshot_scan(filter=...) whose two range
+    conjuncts BOTH prune: a lexicographic sort on (custkey, orderkey)
+    would bound only the leading column. The inline assert pins that
+    the conjunction really skipped files; the oracle replays the filter
+    relationally over orders."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_zorder_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    sn.snapshot_commit(
+        o,
+        base,
+        "append",
+        cluster_by=["o_custkey", "o_orderkey"],
+        cluster_files=16,
+        cluster_method="zorder",
+        cluster_tiebreak="o_orderkey",
+    )
+    mx = o.agg(
+        F.max("o_orderkey").alias("k"), F.max("o_custkey").alias("c")
+    ).collect()[0]
+    k_hi, c_hi = mx["k"] // 4, mx["c"] // 4
+    scanned = sn.snapshot_scan(
+        spark,
+        base,
+        filter=(F.col("o_orderkey") <= k_hi) & (F.col("o_custkey") <= c_hi),
+    )
+    m = sn._read_manifest(spark, base, 1)
+    n_scanned = len(scanned.inputFiles())
+    assert 0 < n_scanned < len(m["files"]), (n_scanned, len(m["files"]))
+    return scanned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
     "snapshot_widened_append",
     oracle="""
     SELECT 1 AS version, 'int' AS key_type,

@@ -90,6 +90,63 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[int]:
     return sorted(out)
 
 
+def _head_hint_path(path: str) -> str:
+    return f"{_snap_dir(path)}/HEAD"
+
+
+def _write_head_hint(spark: SparkSession, path: str, version: int) -> None:
+    """Best-effort head pointer: a tiny ``_snapshots/HEAD`` file holding
+    the newest version number, overwritten in place after every
+    successful publish. Strictly a HINT — readers re-validate by
+    probing forward from it (_head_version), so a stale, torn, or
+    missing HEAD costs extra probes or one directory listing, never a
+    wrong answer. This is what keeps head reads O(1) at 10^4+ versions
+    (the many-versions smoke measures the listing alternative)."""
+    try:
+        fs, p, jvm = _fs_and_path(spark, _head_hint_path(path))
+        out = fs.create(p, True)
+        out.write(bytearray(str(int(version)).encode()))
+        out.close()
+    except Exception:
+        pass  # a hint writer must never fail a committed transaction
+
+
+def _head_version(spark: SparkSession, path: str) -> int | None:
+    """Newest committed version WITHOUT listing the manifest directory:
+    read the HEAD hint, validate it, then probe forward (versions are
+    contiguous by construction — each commit is parent+1 and expiry only
+    drops the oldest) until the first missing manifest. A fresh hint
+    costs 2 exists-checks; a hint stale by k commits costs k+2; a
+    missing/garbage/expired hint falls back to one full listing. Returns
+    None when the table has no committed version."""
+    fs, root, jvm = _fs_and_path(spark, _snap_dir(path))
+    hint = None
+    try:
+        p = jvm.org.apache.hadoop.fs.Path(_head_hint_path(path))
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            hint = int(data.decode("ascii").strip())
+    except Exception:
+        hint = None  # torn/garbage hint: fall through to the listing
+    if hint is not None and hint > 0 and fs.exists(
+        jvm.org.apache.hadoop.fs.Path(_manifest_path(path, hint))
+    ):
+        v = hint
+        while fs.exists(
+            jvm.org.apache.hadoop.fs.Path(_manifest_path(path, v + 1))
+        ):
+            v += 1
+        return v
+    versions = snapshot_versions(spark, path)
+    return versions[-1] if versions else None
+
+
 def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
     """Read a (one-line JSON) manifest DRIVER-SIDE through the Hadoop FS
     stream — a manifest is a few KB, and launching a spark.read.text
@@ -114,7 +171,13 @@ def snapshot_latest_batch_id(spark: SparkSession, path: str) -> int | None:
     (including maintenance) inherits the parent's marker, so the HEAD
     manifest answers in one read; the backward walk only remains for
     tables written before markers propagated."""
-    for v in reversed(snapshot_versions(spark, path)):
+    head = _head_version(spark, path)
+    if head is None:
+        return None
+    bid = _read_manifest(spark, path, head).get("batch_id")
+    if bid is not None:
+        return bid
+    for v in reversed(snapshot_versions(spark, path)[:-1]):
         bid = _read_manifest(spark, path, v).get("batch_id")
         if bid is not None:
             return bid
@@ -422,6 +485,7 @@ def _commit_manifest(
                 ) from None
             raise
         fs.delete(tmp, False)
+        _write_head_hint(spark, base, version)
         return
     if not fs.rename(tmp, final):
         fs.delete(tmp, False)
@@ -438,6 +502,7 @@ def _commit_manifest(
             "concurrent writer after our rename (non-exclusive rename "
             "filesystem) — this writer's commit did not land"
         )
+    _write_head_hint(spark, base, version)
 
 
 def _file_stats(base: str, rels: list[str]) -> dict:
@@ -800,7 +865,16 @@ def _resolve_version(
 ) -> int:
     """Shared version resolution for the read paths: explicit version,
     timestamp as-of (with the legacy-manifest exclusion documented on
-    snapshot_read), or latest."""
+    snapshot_read), or latest. The LATEST path goes through the HEAD
+    hint (O(1) probes) instead of a directory listing — at 10^4 versions
+    the listing is the dominant cost of a head read (measured in the
+    many-versions smoke); explicit-version and as-of paths keep the
+    listing, which they need anyway."""
+    if version is None and as_of_ts is None:
+        head = _head_version(spark, base)
+        if head is None:
+            raise ValueError(f"no committed snapshot at {base}")
+        return head
     versions = snapshot_versions(spark, base)
     if not versions:
         raise ValueError(f"no committed snapshot at {base}")
@@ -1083,8 +1157,11 @@ def snapshot_compact(
     runs never re-opens the exactly-once window."""
     base = path.rstrip("/")
     versions = snapshot_versions(spark, base)
+    # read the data PINNED to the captured head manifest — a separate
+    # "read latest" here would race a concurrent commit landing between
+    # the two resolutions and compact rows the rebase then duplicates
     head = _read_manifest(spark, base, versions[-1])
-    cur = snapshot_read(spark, base)
+    cur = _read_data(spark, base, head, head["files"])
     total = sum(f[2] for f in _live_files(spark, base, [versions[-1]]))
     n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
     version = versions[-1] + 1

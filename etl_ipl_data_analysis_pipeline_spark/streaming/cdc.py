@@ -130,8 +130,12 @@ def run_snapshot_cdc_stream(
         incoming = latest_per_key(batch, keys, order_cols)
         if incoming.limit(1).count() == 0:
             return
-        versions = sn.snapshot_versions(sess, table_path)
-        if versions:
+        # O(1) head discovery (HEAD hint + probe): this runs EVERY
+        # micro-batch, and a long-lived maintained ingest accumulates
+        # thousands of versions — a directory listing per batch would
+        # grow linearly with table age
+        head_v = sn._head_version(sess, table_path)
+        if head_v is not None:
             # the winner-resolution read needs only rows whose key the
             # batch touches: prune the scan by the incoming key range
             # (manifest footer stats / partition dirs), so a clustered
@@ -142,7 +146,7 @@ def run_snapshot_cdc_stream(
             # match), and when the table is Hive-partitioned on any key
             # column, that column's incoming min/max prunes DIRECTORIES
             # too — triples compose conjunctively.
-            head_m = sn._read_manifest(sess, table_path, versions[-1])
+            head_m = sn._read_manifest(sess, table_path, head_v)
             prune_cols = [keys[0]] + [
                 c
                 for c in (head_m.get("partition_by") or [])

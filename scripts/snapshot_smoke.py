@@ -17,6 +17,13 @@ Round 11 additions:
 6. streaming ingest maintenance (compact_every/expire_retain): 20
    micro-batches end with a BOUNDED live file set and version history,
    data intact — the unbounded-accumulation gap closed.
+
+Round 12 addition:
+7. many-versions axis (VERDICT r11 next-4): 10^4 committed versions —
+   the shape a year of maintained streaming ingest produces — with
+   listing, head resolution (HEAD hint vs directory listing), head
+   read, history, and expiry sweep each timed. The HEAD hint keeps
+   head reads O(1) regardless of version count.
 """
 
 from __future__ import annotations
@@ -215,6 +222,54 @@ def main() -> int:
     out["stream_maint_rows"] = sn.snapshot_read(spark, tbl).count()
     assert out["stream_maint_rows"] == 2_000_000
     assert out["stream_maint_disk_files"] <= 12, out["stream_maint_disk_files"]
+
+    # --- 7: many-versions axis (r12) --------------------------------------
+    # a maintained streaming ingest produces one manifest per batch, so a
+    # year-old table holds O(10^4) versions. Drive exactly that shape
+    # (manifest-plane synthesis: each version appends the parent's file
+    # list verbatim — the data plane is irrelevant to these costs) and
+    # measure the operations whose cost scales with VERSION COUNT:
+    # listing, head resolution (HEAD hint vs listing), history, expiry.
+    from pyspark.sql.types import StructType
+
+    many = root + "/tbl_many"
+    sn.snapshot_commit(
+        spark.range(0, 1000).withColumnRenamed("id", "k"), many, "append"
+    )
+    m1 = sn._read_manifest(spark, many, 1)
+    schema = StructType.fromJson(json.loads(m1["schema"]))
+    n_versions = 10_000
+    t0 = time.monotonic()
+    for v in range(2, n_versions + 1):
+        sn._commit_manifest(
+            spark, many, v, op="append", files=m1["files"], schema=schema
+        )
+    out["many_versions_n"] = n_versions
+    out["many_versions_synthesize_secs"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    assert len(sn.snapshot_versions(spark, many)) == n_versions
+    out["many_versions_listing_secs"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    for _ in range(20):
+        assert sn._head_version(spark, many) == n_versions
+    out["many_versions_head_hint_secs_x20"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    for _ in range(20):
+        assert sn.snapshot_versions(spark, many)[-1] == n_versions
+    out["many_versions_head_listing_secs_x20"] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    assert sn.snapshot_read(spark, many).count() == 1000
+    out["many_versions_head_read_secs"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    assert sn.snapshot_history(spark, many).count() == n_versions
+    out["many_versions_history_secs"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    dropped, removed = sn.snapshot_expire(
+        spark, many, keep_last=2, staging_grace_s=0
+    )
+    out["many_versions_expire_secs"] = round(time.monotonic() - t0, 2)
+    assert dropped == n_versions - 2 and removed == 0
+    assert sn.snapshot_read(spark, many).count() == 1000  # shared files live
 
     print(json.dumps({"metric": "snapshot_smoke", "timings": out}))
     return 0

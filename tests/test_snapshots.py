@@ -1339,3 +1339,43 @@ def test_merge_widens_key_and_value_types(spark, tmp_path):
     rows = {r.k: r.v for r in out.collect()}
     assert len(rows) == 20
     assert rows[6] == 60.0 and rows[4] == 4.0
+
+
+def test_head_hint_probe_and_fallbacks(spark, table):
+    """_head_version resolves the newest version in O(1) via the HEAD
+    hint and stays CORRECT under every hint failure mode: stale (probe
+    forward), missing, garbage, and pointing past reality (fallback to
+    the listing). The hint is advisory only — no failure mode changes
+    the answer."""
+    head_path = table + "/_snapshots/HEAD"
+    assert os.path.exists(head_path)  # every commit refreshes it
+    assert sn._head_version(spark, table) == 3
+    # stale hint: probe forward finds the true head
+    with open(head_path, "w") as f:
+        f.write("1")
+    assert sn._head_version(spark, table) == 3
+    # garbage hint: listing fallback
+    with open(head_path, "w") as f:
+        f.write("not-a-number")
+    assert sn._head_version(spark, table) == 3
+    # hint past reality (table recreated shorter): listing fallback
+    with open(head_path, "w") as f:
+        f.write("99")
+    assert sn._head_version(spark, table) == 3
+    # missing hint entirely
+    os.remove(head_path)
+    crc = table + "/_snapshots/.HEAD.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert sn._head_version(spark, table) == 3
+    # reads and commits repair it
+    assert sorted(r.k for r in sn.snapshot_read(spark, table).collect()) == [
+        100,
+        101,
+        102,
+    ]
+    v = sn.snapshot_commit(
+        spark.range(1).withColumnRenamed("id", "k"), table, "append"
+    )
+    assert int(open(head_path).read()) == v
+    assert sn._head_version(spark, table) == v
