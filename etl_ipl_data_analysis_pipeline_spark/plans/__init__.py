@@ -96,9 +96,9 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # EXPLICITLY so the queries whose evidence is most valuable come first.
 # Round-12 rotation (VERDICT r11 directive 2 — retire the evidence
 # tail):
-# (1) the 3 round-12-new queries (auto-derived filter pruning via
+# (1) the 4 round-12-new queries (auto-derived filter pruning via
 # snapshot_scan; type-widening schema evolution; z-order commit with a
-# conjunctive bare-filter pruned read-back);
+# conjunctive bare-filter pruned read-back; CDC tombstone deletes);
 # (2) the 9-query evidence tail at r11 positions 51-59 — the ONLY
 # queries whose latest driver evidence predates round 6
 # (window_tumbling_late_data r5; the 8 others r4/r5 but hand-re-verified
@@ -109,9 +109,9 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # rewriting-op rebase-retry, type-widening _merge_schemas + merge
 # _align casts, HEAD-hint head resolution, publication-time mtimes,
 # and CDC composite-key/partition-dir pruned reads sit under all 7;
-# (4) 31 of the 38-query r6-evidence cohort, alphabetical — the
-# next-oldest tranche. The 7 leftover r6 queries sit at positions
-# 51-57 to lead the round-13 window. Exactly 50.
+# (4) 30 of the 38-query r6-evidence cohort, alphabetical — the
+# next-oldest tranche. The 8 leftover r6 queries sit at positions
+# 51-58 to lead the round-13 window. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history
 # (EVIDENCE.md) justifying this ordering — regenerated at round-12
 # start with CORRECTNESS_r11 folded in (50/50 hash-green).
@@ -120,6 +120,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "snapshot_filter_pruned_read",  # NEW r12: bare-filter auto pruning
     "snapshot_widened_append",  # NEW r12: int->long widening evolution
     "snapshot_zorder_pruned_read",  # NEW r12: z-order + conjunctive prune
+    "stream_cdc_tombstones",  # NEW r12: tombstone-aware CDC merge
     # -- the final evidence tail (last driver verdicts r4/r5) --
     "window_tumbling_late_data",
     "scd2_user_value",
@@ -169,8 +170,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ngram_lm_counts",
     "retain_versions",
     "schema_drift",
+    # -- positions 51-58: the r6 leftover, leading the round-13 window --
     "set_except",
-    # -- positions 51-57: the r6 leftover, leading the round-13 window --
     "source_term_drift",
     "split_group_weighted",
     "stream_bloom_custkeys",

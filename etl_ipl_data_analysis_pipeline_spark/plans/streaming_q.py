@@ -1156,3 +1156,56 @@ def stream_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
     )
     return out.select("user_id", "event_type", "ts", "value")
+
+
+@register(
+    "stream_cdc_tombstones",
+    oracle="""
+    SELECT user_id, event_type, ts, value
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("L6", "L2", "L3", "SNK3", "W2", "F6"),
+)
+def stream_cdc_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CDC apply with DELETES (r12 — snapshot_merge delete_col):
+    the event stream folds into the latest-row-per-user snapshot table,
+    treating 'error' events as delete ops — a user whose ARG-MAX event
+    is an error is REMOVED from the table (tombstone-aware MERGE: the
+    upserts and deletes of each micro-batch share one atomic manifest
+    rename), while an error that loses to a newer live event deletes
+    nothing, exactly like any stale row. The oracle is the relational
+    arg-max with tombstoned winners filtered out (30 of 150 users at
+    sf0.01). Hard-delete ordering contract: a delete only wins keys
+    whose newer events are in its own or earlier batches — per-key
+    cross-batch regressions re-insert (the documented CDC trade;
+    retain a soft-delete column instead when feeds are unordered) —
+    deterministic here because the fixture drains as one
+    availableNow batch."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from ..streaming import cdc, incremental
+    from .pipeline_q import _scratch_dir
+
+    base = _scratch_dir(sf_dir, "snapshot_cdc_tomb_events")
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(base + "__checkpoint", ignore_errors=True)
+    stream = incremental.read_events_stream(spark, sf_dir).withColumn(
+        "__del", F.col("event_type") == "error"
+    )
+    out = cdc.run_snapshot_cdc_stream(
+        stream,
+        base,
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        delete_col="__del",
+    )
+    return out.select("user_id", "event_type", "ts", "value")

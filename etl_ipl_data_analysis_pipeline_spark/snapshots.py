@@ -1397,7 +1397,11 @@ def _commit_rewrite(
 
 
 def snapshot_merge(
-    updates: DataFrame, path: str, key_cols: list[str], batch_id: int | None = None
+    updates: DataFrame,
+    path: str,
+    key_cols: list[str],
+    batch_id: int | None = None,
+    delete_col: str | None = None,
 ) -> int:
     """MERGE (upsert) into a snapshot table with FILE-GRANULAR
     copy-on-write: only the files that actually contain a matched key
@@ -1418,7 +1422,19 @@ def snapshot_merge(
     MERGE with multiple source matches is ambiguous, so it raises
     rather than silently writing duplicate keys. The parent's streaming
     batch-id marker is carried forward so maintenance never breaks
-    exactly-once ingest."""
+    exactly-once ingest.
+
+    ``delete_col`` names a BOOLEAN marker column on ``updates`` making
+    the batch a full CDC changeset in ONE atomic commit: rows where it
+    is true are TOMBSTONES — their keys are removed from the table —
+    and every other row upserts as usual (SQL MERGE's WHEN MATCHED
+    THEN DELETE, at the same file-granular COW cost: a tombstone only
+    forces the rewrite of files that held its key). The marker is an
+    op-code, not data: it is dropped from what lands and excluded from
+    schema evolution, a NULL marker means upsert, and a tombstone whose
+    key matches nothing is a no-op (WHEN NOT MATCHED AND delete →
+    ignore). Key-uniqueness applies across the WHOLE changeset — one
+    operation per key per batch."""
     import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
 
@@ -1430,6 +1446,18 @@ def snapshot_merge(
     # one evaluation of the updates plan: everything downstream (counts,
     # key collect, probe and rewrite joins) reads the checkpointed blocks
     updates = updates.localCheckpoint(eager=True)
+    if delete_col is not None:
+        if delete_col not in updates.columns:
+            raise ValueError(
+                f"snapshot_merge: delete_col {delete_col!r} not in updates"
+            )
+        # tombstones participate in the probe/anti joins (their keys must
+        # locate and then vanish from the rewrite) but never land
+        upserts = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    else:
+        upserts = updates
     keys = updates.select(*key_cols).distinct()
     n_updates = updates.count()
     if n_updates == 0:
@@ -1449,7 +1477,7 @@ def snapshot_merge(
     bcast = n_updates <= _BROADCAST_KEYS_MAX
     bkeys = F.broadcast(keys) if bcast else keys
     manifest = _read_manifest(spark, base, versions[-1])
-    schema = _merge_schemas(manifest["schema"], updates.schema)
+    schema = _merge_schemas(manifest["schema"], upserts.schema)
     cur_schema = StructType.fromJson(json.loads(manifest["schema"]))
     # key-range pruning: the locate probe scans only the files whose
     # manifest min/max could hold an update key — on a key-clustered
@@ -1488,9 +1516,9 @@ def snapshot_merge(
         kept = _read_data(
             spark, base, manifest, touched, schema=cur_schema
         ).join(bkeys, key_cols, "left_anti")
-        rewrite = _align(kept).unionByName(_align(updates))
+        rewrite = _align(kept).unionByName(_align(upserts))
     else:
-        rewrite = _align(updates)
+        rewrite = _align(upserts)
     part = manifest.get("partition_by")
     new_files = _stage_files(rewrite, base, version, part)
 
@@ -1522,7 +1550,7 @@ def snapshot_merge(
 
     return _commit_rewrite(
         spark, base, manifest, versions[-1], op="merge",
-        touched=touched, new_files=new_files, new_schema=updates.schema,
+        touched=touched, new_files=new_files, new_schema=upserts.schema,
         batch_id=batch_id, validate_delta=_no_key_overlap,
     )
 

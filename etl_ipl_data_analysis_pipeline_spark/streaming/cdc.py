@@ -94,6 +94,7 @@ def run_snapshot_cdc_stream(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     expire_retain: int | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """CDC-apply INTO a versioned snapshot table: each micro-batch
     reduces to its arg-max per key, resolves winners against the rows
@@ -114,6 +115,16 @@ def run_snapshot_cdc_stream(
     micro-batch-boundary independence is pinned in tests against the
     one-shot arg-max. ``compact_every``/``expire_retain`` bound file and
     version counts exactly as in run_snapshot_ingest_stream.
+
+    ``delete_col`` (a boolean column on the stream) makes this a FULL
+    CDC apply: an event whose marker is true is a DELETE op — if it
+    wins its key's arg-max, the key is REMOVED from the table (one
+    tombstone-aware snapshot_merge, still one atomic rename per batch);
+    if a newer live event exists, the delete loses exactly like any
+    stale event. The marker never lands in the table, so existing rows
+    read as upserts (NULL marker) during winner resolution, and a
+    replayed or out-of-order delete cannot resurrect or re-delete
+    anything the arg-max already settled.
 
     Returns the final table state."""
     from .. import snapshots as sn
@@ -173,10 +184,23 @@ def run_snapshot_cdc_stream(
                 keys,
                 order_cols,
             )
-            sn.snapshot_merge(winners, table_path, keys, batch_id=int(batch_id))
+            sn.snapshot_merge(
+                winners,
+                table_path,
+                keys,
+                batch_id=int(batch_id),
+                delete_col=delete_col,
+            )
         else:
+            first = incoming
+            if delete_col is not None:
+                # no table yet: tombstones have nothing to delete; the
+                # marker is an op-code, never data
+                first = incoming.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
             sn.snapshot_commit(
-                incoming, table_path, "append", batch_id=int(batch_id)
+                first, table_path, "append", batch_id=int(batch_id)
             )
         committed += 1
         if compact_every and committed % compact_every == 0:

@@ -34,6 +34,17 @@ def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PLAN_AUDIT_r06.json"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
+    # Codegen-FALLBACK detection (VERDICT r11 directive 7): a generated
+    # method past the JVM's 64KB limit logs "ERROR CodeGenerator ...
+    # failed to compile" and silently runs interpreted — invisible in
+    # the plan string, visible only on the JVM's stderr. Redirect fd 2
+    # to a file BEFORE the JVM launches (it inherits the fd), write a
+    # per-query marker into the same fd, and attribute each compile
+    # failure to the query running when it was logged.
+    codegen_log = out_path + ".stderr"
+    _logf = open(codegen_log, "w")
+    os.dup2(_logf.fileno(), 2)
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -53,12 +64,17 @@ def main() -> int:
     report: dict[str, dict] = {}
     totals = {"cartesian": 0, "bnlj": 0, "py_udf_row": 0, "single_part_ex": 0}
     for name, spec in registry.items():
+        os.write(2, f"\n===AUDIT-MARKER {name}===\n".encode())
         t0 = time.time()
         try:
             df = spec.fn(spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
+            # EXECUTE the plan (noop sink): whole-stage codegen compiles
+            # at execution, not at explain — a fallback can only be
+            # observed by running the query
+            df.write.format("noop").mode("overwrite").save()
             entry = {
                 "cartesian": plan.count("CartesianProduct"),
                 "bnlj": plan.count("BroadcastNestedLoopJoin"),
@@ -74,9 +90,28 @@ def main() -> int:
         flagged = {k: v for k, v in entry.items() if k in totals and v}
         print(
             f"audit {name}: {flagged if flagged else 'clean'}",
-            file=sys.stderr,
+            file=sys.stdout,  # stderr is the codegen capture file now
             flush=True,
         )
+
+    # attribute JVM codegen compile failures (silent interpreted-mode
+    # fallbacks) to the query running when each was logged
+    os.fsync(2)
+    cg_counts: dict[str, int] = {}
+    cur = None
+    with open(codegen_log, errors="replace") as f:
+        for line in f:
+            if line.startswith("===AUDIT-MARKER "):
+                cur = line.strip().removeprefix("===AUDIT-MARKER ").removesuffix(
+                    "==="
+                )
+            elif "failed to compile" in line.lower() and "CodeGenerator" in line:
+                if cur is not None:
+                    cg_counts[cur] = cg_counts.get(cur, 0) + 1
+    totals["codegen_fallback"] = sum(cg_counts.values())
+    for n, c in cg_counts.items():
+        if n in report:
+            report[n]["codegen_fallback"] = c
 
     flagged = {
         n: {k: v for k, v in e.items() if k in totals and v}

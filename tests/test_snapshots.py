@@ -1379,3 +1379,63 @@ def test_head_hint_probe_and_fallbacks(spark, table):
     )
     assert int(open(head_path).read()) == v
     assert sn._head_version(spark, table) == v
+
+
+def test_merge_tombstones_delete_keys_atomically(spark, tmp_path):
+    """delete_col makes a merge batch a full CDC changeset: tombstoned
+    keys are removed, live rows upsert, unmatched tombstones are no-ops,
+    the marker never lands in the table, and the whole changeset is ONE
+    version (time travel shows the pre-changeset state intact)."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(
+        spark.range(0, 20)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 10),
+        base,
+        "append",
+    )
+    updates = spark.createDataFrame(
+        [
+            (5, 555, False),   # update
+            (6, None, True),   # delete existing
+            (99, None, True),  # tombstone for a key that never existed
+            (20, 200, False),  # insert
+        ],
+        "k long, v long, __del boolean",
+    )
+    v2 = sn.snapshot_merge(updates, base, ["k"], delete_col="__del")
+    out = sn.snapshot_read(spark, base, v2)
+    assert "__del" not in out.columns  # op-code, not data
+    rows = {r.k: r.v for r in out.collect()}
+    assert len(rows) == 20  # 20 - 1 deleted + 1 inserted
+    assert rows[5] == 555 and rows[20] == 200
+    assert 6 not in rows and 99 not in rows
+    # pre-changeset version intact (deletes are COW, not destructive)
+    assert sn.snapshot_read(spark, base, 1).count() == 20
+    assert {r.k for r in sn.snapshot_read(spark, base, 1).collect()} == set(
+        range(20)
+    )
+    # one op per key per changeset: an update AND a delete for one key
+    # is ambiguous and refuses
+    dup = spark.createDataFrame(
+        [(7, 70, False), (7, None, True)], "k long, v long, __del boolean"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sn.snapshot_merge(dup, base, ["k"], delete_col="__del")
+    # NULL marker means upsert; missing marker column refuses
+    with pytest.raises(ValueError, match="not in updates"):
+        sn.snapshot_merge(
+            spark.createDataFrame([(1, 1)], "k long, v long"),
+            base,
+            ["k"],
+            delete_col="__nope",
+        )
+    nulls = spark.createDataFrame(
+        [(3, 33, None)], "k long, v long, __del boolean"
+    )
+    v3 = sn.snapshot_merge(nulls, base, ["k"], delete_col="__del")
+    assert {r.v for r in sn.snapshot_read(spark, base, v3).filter(
+        F.col("k") == 3
+    ).collect()} == {33}

@@ -949,3 +949,73 @@ def test_snapshot_cdc_composite_key_prunes_files_and_partitions(
     rows = {(r.k, r.grp): (r.ts, r.value) for r in out.collect()}
     assert len(rows) == 400
     assert rows[(100, "0")] == (5, 9.9) and rows[(101, "1")] == (0, 0.0)
+
+
+def test_snapshot_cdc_tombstones_across_batches(spark, tmp_path):
+    """CDC deletes through the snapshot table: a delete event that wins
+    its key's arg-max removes the key (even when the live row landed
+    batches earlier); a STALE delete — older than the key's live row in
+    the SAME resolution — loses like any stale event; a checkpoint-wiped
+    replay changes nothing (batch-id marker)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+    from etl_ipl_data_analysis_pipeline_spark.streaming import cdc
+
+    rows = [
+        # file 0: initial live rows
+        (0, 1, 10, "set", 1.0),
+        (1, 2, 10, "set", 2.0),
+        (2, 3, 10, "set", 3.0),
+        # file 1: delete user 1 (newer), stale-delete user 2 (older ts)
+        (3, 1, 20, "del", 0.0),
+        (4, 2, 5, "del", 0.0),
+        # file 2: user 3 updates; user 4 appears and is deleted in-batch
+        (5, 3, 30, "set", 33.0),
+        (6, 4, 10, "set", 4.0),
+        (7, 4, 20, "del", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts long, op string, value double",
+    )
+    src = str(tmp_path / "src")
+    for k in range(3):
+        df.filter(
+            (F.col("event_id") >= [0, 3, 5][k])
+            & (F.col("event_id") < [3, 5, 8][k])
+        ).coalesce(1).write.parquet(f"{src}/f{k}")
+
+    def stream():
+        return (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .withColumn("__del", F.col("op") == "del")
+        )
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    out = cdc.run_snapshot_cdc_stream(
+        stream(), table, ["user_id"], ["ts", "event_id"],
+        checkpoint=ckpt, delete_col="__del",
+    )
+    got = {r.user_id: (r.ts, r.value) for r in out.collect()}
+    assert 1 not in got           # deleted by a newer event across batches
+    assert got[2] == (10, 2.0)    # stale delete lost
+    assert got[3] == (30, 33.0)   # plain update
+    assert 4 not in got           # insert+delete resolved within one batch
+    assert "__del" not in out.columns
+
+    # replay: wiped checkpoint, batch ids restart -> marker skips all
+    versions = sn.snapshot_versions(spark, table)
+    shutil.rmtree(ckpt)
+    out2 = cdc.run_snapshot_cdc_stream(
+        stream(), table, ["user_id"], ["ts", "event_id"],
+        checkpoint=ckpt, delete_col="__del",
+    )
+    assert sn.snapshot_versions(spark, table) == versions
+    assert {r.user_id: (r.ts, r.value) for r in out2.collect()} == got
