@@ -266,7 +266,19 @@ def grouped_exact_quantiles(
             )
         )
     )
-    bucketed = vals.withColumn("__b", range_bucket(F.col("__v"), cuts))
+    # coalesce makes __b NON-NULLABLE (it can't be null anyway: __v is
+    # filtered non-null above). Without it, the equi/semi joins on __b
+    # below make InferFiltersFromConstraints add `isnotnull(__b)`, which
+    # PushDownPredicate then pushes BELOW this projection by SUBSTITUTING
+    # __b's definition — inlining the caller's full value expression into
+    # every one of the ~31 bucket comparisons inside one Filter. With an
+    # expensive value expression (quality_median_gate's regex composite)
+    # that single filter's generated processNext() grows past the JVM's
+    # 64KB method limit and the whole stage silently falls back to
+    # interpreted execution (the r11 sweep's one codegen fallback).
+    bucketed = vals.withColumn(
+        "__b", F.coalesce(range_bucket(F.col("__v"), cuts), F.lit(-1))
+    )
     wl = Window.partitionBy("__g", "__b").orderBy("__v")
     if broadcast_groups:
         # Bounded-group fast path: the (group, bucket) count table is
