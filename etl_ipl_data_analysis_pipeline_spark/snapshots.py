@@ -795,24 +795,67 @@ def _merge_schemas(parent_json: str, child):
     return StructType(merged)
 
 
+# Above this many versions, whole-lineage scans (history, timestamp
+# as-of eligibility) switch from one driver-side manifest read per
+# version (~4-6ms of py4j/FS RPC each — 60s at 10^4 versions, measured
+# in the many-versions smoke) to ONE distributed spark.read.json job
+# over the manifest directory. Below it, the driver loop wins: a Spark
+# job costs ~0.3s of fixed overhead.
+_LINEAGE_BATCH_THRESHOLD = 64
+
+
+def _manifest_meta_rows(spark: SparkSession, base: str) -> list:
+    """(version, op, n_files, batch_id, committed_at, partitioned) for
+    every committed manifest, ascending, read DISTRIBUTED in one job —
+    the whole-lineage scan path for tables with long histories. The
+    glob matches exactly the committed ``v*.json`` names (HEAD and
+    ``.json.tmp-*`` staging never match)."""
+    import pyspark.sql.functions as F
+
+    meta = (
+        spark.read.schema(
+            "version long, op string, batch_id long, committed_at double, "
+            "partition_by array<string>, files array<string>"
+        )
+        .json(_snap_dir(base) + "/v*.json")
+        .select(
+            F.col("version").cast("int").alias("version"),
+            "op",
+            F.size("files").alias("n_files"),
+            "batch_id",
+            "committed_at",
+            F.col("partition_by").isNotNull().alias("partitioned"),
+        )
+        .orderBy("version")
+    )
+    return [tuple(r) for r in meta.collect()]
+
+
 def snapshot_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY: one row per committed version (manifest-only —
     never touches the data plane). ``committed_at`` is the writer's
-    wall clock at manifest staging; pre-r11 manifests lack it (NULL)."""
+    wall clock at manifest staging; pre-r11 manifests lack it (NULL).
+    Long lineages (> _LINEAGE_BATCH_THRESHOLD versions) scan the
+    manifest directory in ONE distributed job instead of a driver read
+    per version."""
     base = path.rstrip("/")
-    rows = []
-    for v in snapshot_versions(spark, base):
-        m = _read_manifest(spark, base, v)
-        rows.append(
-            (
-                v,
-                m.get("op"),
-                len(m["files"]),
-                m.get("batch_id"),
-                float(m["committed_at"]) if "committed_at" in m else None,
-                bool(m.get("partition_by")),
+    versions = snapshot_versions(spark, base)
+    if len(versions) > _LINEAGE_BATCH_THRESHOLD:
+        rows = _manifest_meta_rows(spark, base)
+    else:
+        rows = []
+        for v in versions:
+            m = _read_manifest(spark, base, v)
+            rows.append(
+                (
+                    v,
+                    m.get("op"),
+                    len(m["files"]),
+                    m.get("batch_id"),
+                    float(m["committed_at"]) if "committed_at" in m else None,
+                    bool(m.get("partition_by")),
+                )
             )
-        )
     return spark.createDataFrame(
         rows,
         "version int, op string, n_files int, batch_id long, "
@@ -881,10 +924,18 @@ def _resolve_version(
     if as_of_ts is not None:
         if version is not None:
             raise ValueError("pass either version or as_of_ts, not both")
+        if len(versions) > _LINEAGE_BATCH_THRESHOLD:
+            # long lineage: one distributed scan instead of a driver
+            # manifest read per version
+            metas = [(r[0], r[4]) for r in _manifest_meta_rows(spark, base)]
+        else:
+            metas = [
+                (v, _read_manifest(spark, base, v).get("committed_at"))
+                for v in versions
+            ]
         eligible = []
         stamped_seen = False
-        for v in versions:
-            ts = _read_manifest(spark, base, v).get("committed_at")
+        for v, ts in metas:
             if ts is None:
                 # legacy manifest: arbitrarily old, but only while no
                 # stamped version precedes it (see snapshot_read)
@@ -1191,6 +1242,23 @@ def _live_files(spark: SparkSession, path: str, versions: list[int]):
     return out
 
 
+def _parallel_fs_delete(fs, paths: list, recursive: bool = False) -> None:
+    """Issue independent fs.delete RPCs from a bounded thread pool.
+    py4j allocates one gateway connection per Python thread, so calls
+    proceed concurrently; failures propagate (an expire that couldn't
+    delete must not report success)."""
+    if not paths:
+        return
+    if len(paths) <= 4:
+        for p in paths:
+            fs.delete(p, recursive)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(min(16, len(paths))) as ex:
+        list(ex.map(lambda p: fs.delete(p, recursive), paths))
+
+
 def snapshot_expire(
     spark: SparkSession,
     path: str,
@@ -1240,7 +1308,7 @@ def snapshot_expire(
         retained.update(_read_manifest(spark, base, v)["files"])
     cutoff_ms = (time.time() - staging_grace_s) * 1000.0
     data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
-    removed_files = 0
+    sweep_paths = []
     if fs.exists(data_dir):
         qual = fs.makeQualified(data_dir).toString().rstrip("/")
         stack = [data_dir]
@@ -1253,13 +1321,24 @@ def snapshot_expire(
                 full = st.getPath().toString()
                 rel = "data/" + full[len(qual) + 1:]
                 if rel not in retained and st.getModificationTime() < cutoff_ms:
-                    if not dry_run:
-                        fs.delete(st.getPath(), False)
-                    removed_files += 1
+                    sweep_paths.append(st.getPath())
+    removed_files = len(sweep_paths)
     if dry_run:
         return (len(drop), removed_files)
-    for v in drop:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(base, v)), False)
+    # deletes are one FS RPC each (~4-6ms of py4j/metadata latency); a
+    # long-retention sweep or a 10^4-version expiry issues thousands, so
+    # fan them over a thread pool — py4j gives each Python thread its own
+    # gateway connection, and HDFS/object-store delete RPCs are
+    # independent. Measured in the many-versions smoke.
+    _parallel_fs_delete(fs, sweep_paths, recursive=False)
+    _parallel_fs_delete(
+        fs,
+        [
+            jvm.org.apache.hadoop.fs.Path(_manifest_path(base, v))
+            for v in drop
+        ],
+        recursive=False,
+    )
     # crashed-commit staging debris (past the grace window) too, and
     # manifest .tmp-* orphans a crash between create and rename leaves
     broot = jvm.org.apache.hadoop.fs.Path(base)

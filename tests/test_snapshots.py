@@ -1439,3 +1439,27 @@ def test_merge_tombstones_delete_keys_atomically(spark, tmp_path):
     assert {r.v for r in sn.snapshot_read(spark, base, v3).filter(
         F.col("k") == 3
     ).collect()} == {33}
+
+
+def test_batch_lineage_scan_matches_driver_scan(spark, table, monkeypatch):
+    """Long-lineage scans (history, timestamp as-of) switch to ONE
+    distributed spark.read.json over the manifest dir past
+    _LINEAGE_BATCH_THRESHOLD; forcing the batch path on a small table
+    must give row-identical history and identical as-of resolution."""
+    import time
+
+    driver_hist = sorted(
+        tuple(r) for r in sn.snapshot_history(spark, table).collect()
+    )
+    t_now = time.time()
+    driver_asof = sn._resolve_version(spark, table, None, t_now)
+    hist2 = {r.version: r for r in sn.snapshot_history(spark, table).collect()}
+    t_mid = (hist2[2].committed_at + hist2[3].committed_at) / 2
+
+    monkeypatch.setattr(sn, "_LINEAGE_BATCH_THRESHOLD", 0)
+    batch_hist = sorted(
+        tuple(r) for r in sn.snapshot_history(spark, table).collect()
+    )
+    assert batch_hist == driver_hist
+    assert sn._resolve_version(spark, table, None, t_now) == driver_asof
+    assert sn._resolve_version(spark, table, None, t_mid) == 2
