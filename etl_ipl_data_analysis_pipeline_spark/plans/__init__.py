@@ -109,14 +109,16 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # rewriting-op rebase-retry, type-widening _merge_schemas + merge
 # _align casts, HEAD-hint head resolution, publication-time mtimes,
 # and CDC composite-key/partition-dir pruned reads sit under all 7;
-# (4) 30 of the 38-query r6-evidence cohort, alphabetical — the
-# next-oldest tranche. The 8 leftover r6 queries sit at positions
-# 51-58 to lead the round-13 window. Exactly 50.
+# (4) 28 of the 38-query r6-evidence cohort, alphabetical — the
+# next-oldest tranche. The 10 leftover r6 queries sit at positions
+# 51-60 to lead the round-13 window. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history
 # (EVIDENCE.md) justifying this ordering — regenerated at round-12
 # start with CORRECTNESS_r11 folded in (50/50 hash-green).
 _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # -- never driver-sampled (new this round) --
+    "snapshot_mor_delete",  # NEW r12: merge-on-read equality delete
+    "snapshot_change_feed",  # NEW r12: manifest-diff change data feed
     "snapshot_filter_pruned_read",  # NEW r12: bare-filter auto pruning
     "snapshot_widened_append",  # NEW r12: int->long widening evolution
     "snapshot_zorder_pruned_read",  # NEW r12: z-order + conjunctive prune
@@ -168,9 +170,9 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "mixture_temperature_lang",
     "multimodal_decode_ppm",
     "ngram_lm_counts",
+    # -- positions 51-60: the r6 leftover, leading the round-13 window --
     "retain_versions",
     "schema_drift",
-    # -- positions 51-58: the r6 leftover, leading the round-13 window --
     "set_except",
     "source_term_drift",
     "split_group_weighted",

@@ -1388,3 +1388,130 @@ def snapshot_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "snapshot_mor_delete",
+    oracle="""
+    SELECT CAST(o_orderkey % 5 AS INT) AS grp, count(*) AS n_rows,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey % 19 <> 0
+    GROUP BY 1
+    """,
+    tags=("SNK3", "L3", "SE1", "P6", "A4"),
+)
+def snapshot_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ equality delete (NEW r12, the 100 TB small-delete
+    path): orders lands key-clustered, then the keys ≡0 mod 19 are
+    removed via ``snapshot_delete_keys`` — the commit writes ONLY the
+    key set as parquet plus a manifest whose ``deletes`` entry points
+    at it; ZERO data files are read or rewritten (asserted inline: the
+    new manifest's file list is byte-identical to the parent's), where
+    copy-on-write would rewrite every one of the 8 files (mod-19 keys
+    hit all ranges). The read path anti-joins the entry against exactly
+    the files it applies to; time travel to the pre-delete version is
+    untouched. The oracle replays the key filter relationally."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_mor_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = sn.snapshot_commit(o.repartitionByRange(8, "o_orderkey"), base, "append")
+    keys = o.filter(F.col("o_orderkey") % 19 == 0).select("o_orderkey")
+    v2 = sn.snapshot_delete_keys(keys, base)
+    m1 = sn._read_manifest(spark, base, v1)
+    m2 = sn._read_manifest(spark, base, v2)
+    assert m2["files"] == m1["files"], "MOR delete must rewrite no data file"
+    assert len(m2["deletes"]) >= 1
+    assert sn.snapshot_read(spark, base, v1).count() == o.count()  # time travel
+    return (
+        sn.snapshot_read(spark, base, v2)
+        .groupBy((F.col("o_orderkey") % 5).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("o_totalprice", 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+@register(
+    "snapshot_change_feed",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    merged AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p FROM v1
+      UNION ALL
+      SELECT k + 10000000, p FROM v1 WHERE k % 11 = 0
+    ),
+    final AS (SELECT * FROM merged WHERE k % 13 <> 0 AND k % 17 <> 0),
+    ins_side AS (SELECT k, p FROM final EXCEPT ALL SELECT k, p FROM v1),
+    del_side AS (SELECT k, p FROM v1 EXCEPT ALL SELECT k, p FROM final),
+    upd_keys AS (SELECT k FROM ins_side INTERSECT SELECT k FROM del_side),
+    ch AS (
+      SELECT k, p,
+             CASE WHEN k IN (SELECT k FROM upd_keys)
+                  THEN 'update_postimage' ELSE 'insert' END AS _change_type
+      FROM ins_side
+      UNION ALL
+      SELECT k, p,
+             CASE WHEN k IN (SELECT k FROM upd_keys)
+                  THEN 'update_preimage' ELSE 'delete' END
+      FROM del_side
+    )
+    SELECT _change_type, count(*) AS n_rows,
+           min(k) AS min_key, max(k) AS max_key,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price
+    FROM ch GROUP BY 1
+    """,
+    tags=("SNK3", "L2", "L3", "SE1", "A4"),
+)
+def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED over the snapshot table (NEW r12): v1 commits
+    orders key-clustered; a MERGE doubles the price of keys ≡0 mod 7
+    and inserts +10M mirrors of keys ≡0 mod 11; a COW DELETE drops
+    keys ≡0 mod 13; a MERGE-ON-READ equality delete drops the
+    surviving keys ≡0 mod 17. ``snapshot_changes(v1, head,
+    key_cols)`` then reconstructs the row-level net diff purely from
+    the manifests' file/delete-entry diff — carried COW rows cancel in
+    the multiset difference, updates pair into pre/postimages, and the
+    MOR entry contributes deletes with no data-file churn at all. The
+    oracle replays all four operations relationally and derives the
+    same classification with EXCEPT ALL / INTERSECT."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_cdf_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = sn.snapshot_commit(o.repartitionByRange(8, "o_orderkey"), base, "append")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    sn.snapshot_merge(upd.unionByName(ins), base, ["o_orderkey"])
+    sn.snapshot_delete(spark, base, F.col("o_orderkey") % 13 == 0)
+    mor_keys = (
+        sn.snapshot_read(spark, base)
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey")
+    )
+    vh = sn.snapshot_delete_keys(mor_keys, base)
+    ch = sn.snapshot_changes(spark, base, v1, vh, key_cols=["o_orderkey"])
+    return ch.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+    )

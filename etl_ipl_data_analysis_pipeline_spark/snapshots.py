@@ -298,11 +298,19 @@ def snapshot_commit(
         files = list(new_files)
         schema = df.schema
         stats = dict(new_stats)
+        adds = {rel: version for rel in new_files}
+        deletes = None
         bid = batch_id
         if mode == "append" and parent:
             files = parent["files"] + files
             schema = _merge_schemas(parent["schema"], schema)
             stats = {**(parent.get("stats") or {}), **stats}
+            adds = {**(parent.get("adds") or {}), **adds}
+            # equality-delete entries ride forward: they keep masking the
+            # parent files they applied to; the appended files' add-version
+            # (this version) postdates every entry, so a re-inserted key
+            # is visible — exactly the MERGE-on-read contract
+            deletes = parent.get("deletes")
         if bid is None and parent:
             # EVERY commit inherits the streaming marker, so the head
             # manifest always carries it and snapshot_latest_batch_id never
@@ -313,6 +321,7 @@ def snapshot_commit(
             _commit_manifest(
                 spark, base, version, op=mode, files=files, schema=schema,
                 batch_id=bid, stats=stats, partition_by=partition_by,
+                adds=adds, deletes=deletes,
             )
             return version
         except SnapshotConflict:
@@ -405,6 +414,9 @@ def _commit_manifest(
     batch_id: int | None = None,
     stats: dict | None = None,
     partition_by: list[str] | None = None,
+    adds: dict | None = None,
+    deletes: list | None = None,
+    field_meta: dict | None = None,
 ) -> None:
     """Write + atomically PUBLISH the version manifest — the commit point
     shared by every snapshot operation. Publication must be EXCLUSIVE
@@ -451,6 +463,29 @@ def _commit_manifest(
         manifest["stats"] = stats
     if partition_by:
         manifest["partition_by"] = list(partition_by)
+    if adds:
+        # per-file ADD VERSION: the version at which each live data file
+        # first entered the table. ~1 small int per file, carried forward
+        # like stats; what scopes equality-delete entries (a delete masks
+        # only files added at or before its ``applies`` version, so a
+        # later re-insert of a deleted key is visible) AND resolves each
+        # file's per-epoch physical column names under rename/drop
+        # evolution. Absent for a legacy file means "added at version 0"
+        # — every delete and every rename postdates it, which is exactly
+        # right: legacy files predate both features.
+        manifest["adds"] = {rel: int(v) for rel, v in adds.items()}
+    if deletes:
+        manifest["deletes"] = list(deletes)
+    if field_meta:
+        # field-id machinery (Iceberg-shaped): ``field_ids`` maps each
+        # CURRENT logical column name to a stable integer id;
+        # ``field_added`` records the version each id entered the schema;
+        # ``renames``/``drops`` are the chronological evolution log that
+        # lets a read reconstruct the PHYSICAL column name any id had
+        # when any given data file was written. Materialized lazily — the
+        # first rename/drop initializes it; tables that never rename keep
+        # byte-identical manifests and the single-scan read fast path.
+        manifest.update(field_meta)
     sdir = jvm.org.apache.hadoop.fs.Path(_snap_dir(base))
     if not fs.exists(sdir):
         fs.mkdirs(sdir)
@@ -697,23 +732,89 @@ def _prune_files_by_range(
     return keep
 
 
+# Below this many bytes an equality-delete key file ships to every
+# executor as a broadcast anti-join build side; above it the anti-join
+# shuffles instead of risking the broadcast size limit.
+_DELETE_BROADCAST_BYTES_MAX = 32 * 1024 * 1024
+
+
+def _applicable_deletes(manifest: dict, rel: str) -> tuple:
+    """Indices (into the manifest's ``deletes`` list) of the equality-
+    delete entries that mask rows of data file ``rel``: exactly those
+    whose ``applies`` version is >= the file's add-version. A file
+    absent from ``adds`` is a legacy file (add-version 0 — every entry
+    applies); a file added AFTER an entry's snapshot is untouched by
+    it, which is what lets a deleted key be re-inserted."""
+    deletes = manifest.get("deletes") or []
+    if not deletes:
+        return ()
+    av = (manifest.get("adds") or {}).get(rel, 0)
+    return tuple(i for i, d in enumerate(deletes) if av <= d["applies"])
+
+
 def _read_data(
-    spark: SparkSession, base: str, manifest: dict, rels: list[str], schema=None
+    spark: SparkSession,
+    base: str,
+    manifest: dict,
+    rels: list[str],
+    schema=None,
+    with_file: str | None = None,
 ) -> DataFrame:
     """Scan exactly ``rels`` pinned to ``schema`` (default: the
     manifest's). Partitioned tables read with basePath=data/ so the
     Hive ``col=value`` directories materialize the partition columns
-    the data files deliberately omit."""
+    the data files deliberately omit.
+
+    Equality-delete entries (``snapshot_delete_keys`` — merge-on-read)
+    are applied here, so EVERY consumer of table state — reads, scans,
+    merge probes, compaction, CDC — sees them: rels are grouped by
+    which entries apply (per the add-version scoping rule), each group
+    anti-joins the applicable key files, and the groups union back. A
+    manifest without entries keeps the single-scan fast path
+    bit-identical to before. ``with_file`` names a column to carry
+    ``input_file_name()`` — attached at the SCAN, before any delete
+    anti-join, because the function returns '' once a shuffle boundary
+    separates it from the scan."""
+    import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
 
     if schema is None:
         schema = StructType.fromJson(json.loads(manifest["schema"]))
     if not rels:
-        return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
-    if manifest.get("partition_by"):
-        reader = reader.option("basePath", base + "/data")
-    return reader.parquet(*[f"{base}/{rel}" for rel in rels])
+        out = spark.createDataFrame([], schema)
+        if with_file is not None:
+            out = out.withColumn(with_file, F.lit(""))
+        return out
+
+    def scan(group: list[str]) -> DataFrame:
+        reader = spark.read.schema(schema)
+        if manifest.get("partition_by"):
+            reader = reader.option("basePath", base + "/data")
+        df = reader.parquet(*[f"{base}/{rel}" for rel in group])
+        if with_file is not None:
+            df = df.withColumn(with_file, F.input_file_name())
+        return df
+
+    deletes = manifest.get("deletes") or []
+    if not deletes:
+        return scan(rels)
+    groups: dict[tuple, list[str]] = {}
+    for rel in rels:
+        groups.setdefault(_applicable_deletes(manifest, rel), []).append(rel)
+    out = None
+    for sig, group in sorted(groups.items()):
+        df = scan(group)
+        for i in sig:
+            d = deletes[i]
+            keys = spark.read.parquet(f"{base}/{d['file']}")
+            if d.get("bytes", 0) <= _DELETE_BROADCAST_BYTES_MAX:
+                keys = F.broadcast(keys)
+            # an equality anti-join: a NULL in a delete-key row matches
+            # nothing (SQL equality), so NULL-keyed rows are undeletable
+            # by this path — snapshot_delete_keys refuses NULL keys
+            df = df.join(keys, list(d["cols"]), "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def _widened_type(a, b):
@@ -896,6 +997,8 @@ def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
         ),
         stats=target.get("stats"),
         partition_by=target.get("partition_by"),
+        adds=target.get("adds"),
+        deletes=target.get("deletes"),
     )
     return new_version
 
@@ -1305,7 +1408,11 @@ def snapshot_expire(
     # listStatus entries the sweep already walks
     retained: set[str] = set()
     for v in keep:
-        retained.update(_read_manifest(spark, base, v)["files"])
+        m = _read_manifest(spark, base, v)
+        retained.update(m["files"])
+        # equality-delete key files are live references too: sweeping one
+        # would resurrect its deleted rows in every retained version
+        retained.update(d["file"] for d in m.get("deletes") or [])
     cutoff_ms = (time.time() - staging_grace_s) * 1000.0
     data_dir = jvm.org.apache.hadoop.fs.Path(base + "/data")
     sweep_paths = []
@@ -1425,13 +1532,30 @@ def _commit_rewrite(
     manifest is recomputed, so a rebase costs one manifest write."""
     touched_set = set(touched)
     for attempt in range(max_retries + 1):
-        files = [f for f in head["files"] if f not in touched_set] + new_files
+        survivors = [f for f in head["files"] if f not in touched_set]
+        files = survivors + new_files
         schema = _merge_schemas(head["schema"], new_schema)
         old_stats = head.get("stats") or {}
         stats = {
             **{rel: old_stats[rel] for rel in files if rel in old_stats},
             **_file_stats(base, new_files),
         }
+        old_adds = head.get("adds") or {}
+        adds = {
+            **{rel: old_adds.get(rel, 0) for rel in survivors},
+            **{rel: head_version + 1 for rel in new_files},
+        }
+        # equality-delete entries survive iff they still mask at least one
+        # surviving file; the REWRITTEN files read their state WITH the
+        # entries applied (_read_data), so an entry masking only touched
+        # files is fully absorbed by the rewrite — dropping it lets expiry
+        # reclaim the key file. New files postdate every entry by
+        # construction (their add-version is this commit).
+        kept_deletes = [
+            d
+            for d in (head.get("deletes") or [])
+            if any(adds[rel] <= d["applies"] for rel in survivors)
+        ]
         bid = batch_id
         if bid is None:
             bid = (
@@ -1445,7 +1569,8 @@ def _commit_rewrite(
             _commit_manifest(
                 spark, base, head_version + 1, op=op, files=files,
                 schema=schema, partition_by=head.get("partition_by"),
-                batch_id=bid, stats=stats,
+                batch_id=bid, stats=stats, adds=adds,
+                deletes=kept_deletes or None,
             )
             return head_version + 1
         except SnapshotConflict:
@@ -1466,6 +1591,18 @@ def _commit_rewrite(
                 raise SnapshotConflict(
                     f"snapshot {op}: a concurrent commit removed "
                     f"{len(removed & touched_set)} file(s) this op rewrote — "
+                    "re-run against the new head"
+                )
+            # a racer's NEW equality-delete entry is a true conflict: this
+            # op read state WITHOUT it, so its rewritten files may carry
+            # rows the racer deleted — and they'd escape the entry (their
+            # add-version postdates it). Rebasing would resurrect them.
+            known = {d["file"] for d in (head.get("deletes") or [])}
+            if any(
+                d["file"] not in known for d in (new_head.get("deletes") or [])
+            ):
+                raise SnapshotConflict(
+                    f"snapshot {op}: a concurrent equality delete landed — "
                     "re-run against the new head"
                 )
             delta_added = [f for f in new_head["files"] if f not in old_files]
@@ -1564,8 +1701,9 @@ def snapshot_merge(
     candidates = _prune_by_key_stats(manifest, key_cols, keys, n_updates)
     if candidates:
         cur = _read_data(
-            spark, base, manifest, candidates, schema=cur_schema
-        ).withColumn("__file", F.input_file_name())
+            spark, base, manifest, candidates, schema=cur_schema,
+            with_file="__file",
+        )
         touched = _touched_files(
             cur, base, candidates, keys, key_cols=key_cols, broadcast=bcast
         )
@@ -1654,8 +1792,9 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     manifest = _read_manifest(spark, base, versions[-1])
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     cur = _read_data(
-        spark, base, manifest, manifest["files"], schema=schema
-    ).withColumn("__file", F.input_file_name())
+        spark, base, manifest, manifest["files"], schema=schema,
+        with_file="__file",
+    )
     touched = _touched_files(cur, base, manifest["files"], None, condition=condition)
     version = versions[-1] + 1
     part = manifest.get("partition_by")
@@ -1675,4 +1814,237 @@ def snapshot_delete(spark: SparkSession, path: str, condition) -> int:
     return _commit_rewrite(
         spark, base, manifest, versions[-1], op="delete",
         touched=touched, new_files=new_files, new_schema=schema,
+    )
+
+
+def snapshot_delete_keys(
+    keys: DataFrame, path: str, batch_id: int | None = None,
+    max_retries: int = 5,
+) -> int:
+    """MERGE-ON-READ equality delete: remove every row whose key columns
+    (= ``keys``'s columns) match a row of ``keys`` — WITHOUT reading or
+    rewriting ANY data file. The commit writes only the (small) key set
+    as parquet and a manifest whose ``deletes`` entry points at it;
+    every read path (_read_data — reads, scans, merge probes,
+    compaction, CDC) anti-joins the entry against exactly the data
+    files it applies to. This is the 100 TB small-delete path: a
+    GDPR-style purge of 10^3 users on a 10^5-file table is one tiny
+    parquet write + one manifest rename, where copy-on-write
+    ``snapshot_delete`` would read-and-rewrite every file holding a
+    matched row (use COW for bulk deletes — MOR entries tax every
+    subsequent read until compaction absorbs them).
+
+    Scoping: the entry applies to files added AT OR BEFORE the head
+    version it committed against (per-file add-versions ride the
+    manifest's ``adds`` map), so a later re-insert of a deleted key is
+    visible — exactly SQL DELETE-then-INSERT. ``snapshot_compact``
+    absorbs entries physically (its rewrite reads state with deletes
+    applied and drops fully-absorbed entries), after which expiry
+    reclaims the key files.
+
+    Key rows must be NULL-free (equality never matches NULL, so a NULL
+    key could not delete anything — refused loudly rather than silently
+    ignored); duplicates are collapsed. Time travel is untouched:
+    pre-delete versions read pre-delete state. Returns the new version
+    (or the head unchanged for an empty key set)."""
+    import functools
+    import operator
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    spark = keys.sparkSession
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {base}")
+    head_version = versions[-1]
+    head = _read_manifest(spark, base, head_version)
+    schema = StructType.fromJson(json.loads(head["schema"]))
+    cols = list(keys.columns)
+    missing = [c for c in cols if c not in {f.name for f in schema.fields}]
+    if not cols or missing:
+        raise ValueError(
+            f"snapshot_delete_keys: key columns {missing or cols} not in "
+            f"table schema {[f.name for f in schema.fields]}"
+        )
+    keys = keys.distinct().localCheckpoint(eager=True)
+    n = keys.count()
+    if n == 0:
+        return head_version
+    null_pred = functools.reduce(
+        operator.or_, [F.col(c).isNull() for c in cols]
+    )
+    if keys.filter(null_pred).limit(1).count():
+        raise ValueError(
+            "snapshot_delete_keys: NULL in a key row — equality deletes "
+            "can never match NULL (SQL equality); filter or use "
+            "snapshot_delete with an IS NULL condition"
+        )
+    fs, _, jvm = _fs_and_path(spark, base)
+    staged = _stage_files(keys.coalesce(1), base, head_version + 1, None)
+    sizes = {
+        rel: int(
+            fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+            ).getLen()
+        )
+        for rel in staged
+    }
+    for attempt in range(max_retries + 1):
+        entries = [
+            {
+                "file": rel,
+                "cols": cols,
+                "applies": head_version,
+                "rows": n,
+                "bytes": sizes[rel],
+            }
+            for rel in staged
+        ]
+        bid = batch_id
+        if bid is None:
+            bid = (
+                head.get("batch_id")
+                if head.get("batch_id") is not None
+                else snapshot_latest_batch_id(spark, base)
+            )
+        try:
+            _commit_manifest(
+                spark, base, head_version + 1, op="delete_keys",
+                files=head["files"],
+                schema=StructType.fromJson(json.loads(head["schema"])),
+                partition_by=head.get("partition_by"), batch_id=bid,
+                stats=head.get("stats"), adds=head.get("adds"),
+                deletes=(head.get("deletes") or []) + entries,
+            )
+            return head_version + 1
+        except SnapshotConflict:
+            if attempt >= max_retries:
+                raise
+            # ANY concurrent commit composes: an equality delete
+            # serializes after it by re-pointing ``applies`` at the new
+            # head — "delete these keys as of now" is the contract, so
+            # rows a racing append/merge just added are deleted too
+            # (data files are untouched either way; only the manifest
+            # is recomputed).
+            versions = snapshot_versions(spark, base)
+            head_version = versions[-1]
+            head = _read_manifest(spark, base, head_version)
+    raise AssertionError("unreachable")
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED: the row-level NET difference between two
+    committed versions, computed from the manifests' file diff — the
+    incremental-consumption primitive a downstream pipeline polls
+    instead of re-reading a 100 TB table. Returns the ``to`` version's
+    columns plus ``_change_type`` ('insert' / 'delete', and with
+    ``key_cols`` given, 'update_preimage' / 'update_postimage' for keys
+    present on both sides).
+
+    Because data files are IMMUTABLE, only files added, removed, or
+    re-scoped by an equality-delete entry between the two versions can
+    contribute changes — everything shared is skipped unread, so the
+    scan cost is O(churn), not O(table): a day of appends + point
+    merges on a 10^5-file table reads the appended/rewritten files
+    only. Copy-on-write rewrites carry unmatched rows into new files;
+    the multiset difference (group by ALL columns, net count) cancels
+    those carried rows exactly, leaving true row-level changes — and
+    net semantics also mean a row inserted then deleted WITHIN the
+    range reports nothing (this is the endpoint diff, not a per-commit
+    event log). Both sides read pinned to the ``to`` schema, so
+    widened/added columns compare soundly (old files serve NULL /
+    up-cast values — lossless by the evolution contract).
+
+    ``key_cols`` classification is per net-changed key: a key with both
+    a delete and an insert emits pre/postimage pairs. NULL-keyed rows
+    never pair (SQL equality) — they stay plain insert/delete."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if to_version is None:
+        to_version = versions[-1] if versions else 0
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    m1 = _read_manifest(spark, base, from_version)
+    m2 = _read_manifest(spark, base, to_version)
+    schema2 = StructType.fromJson(json.loads(m2["schema"]))
+    cols = [f.name for f in schema2.fields]
+    s1, s2 = set(m1["files"]), set(m2["files"])
+
+    def delete_sig(m: dict, rel: str) -> tuple:
+        dels = m.get("deletes") or []
+        av = (m.get("adds") or {}).get(rel, 0)
+        return tuple(
+            sorted(d["file"] for d in dels if av <= d["applies"])
+        )
+
+    # shared files whose APPLICABLE equality-delete set changed still
+    # contribute (their visible rows differ); _read_data applies each
+    # side's entries, so the multiset diff yields exactly those rows
+    changed = [
+        rel
+        for rel in m1["files"]
+        if rel in s2 and delete_sig(m1, rel) != delete_sig(m2, rel)
+    ]
+    old_rels = [rel for rel in m1["files"] if rel not in s2] + changed
+    new_rels = [rel for rel in m2["files"] if rel not in s1] + changed
+    old = _read_data(spark, base, m1, old_rels, schema=schema2)
+    new = _read_data(spark, base, m2, new_rels, schema=schema2)
+    weighted = (
+        old.select(*cols).withColumn("__w", F.lit(-1))
+        .unionByName(new.select(*cols).withColumn("__w", F.lit(1)))
+    )
+    net = (
+        weighted.groupBy(*cols)
+        .agg(F.sum("__w").alias("__n"))
+        .filter(F.col("__n") != 0)
+        # a row appearing k times on one side nets |k| change rows —
+        # exact multiset semantics, distributed (no driver materialization)
+        .withColumn(
+            "__i",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), F.abs(F.col("__n")).cast("long")
+                )
+            ),
+        )
+    )
+    typed = net.withColumn(
+        "_change_type",
+        F.when(F.col("__n") > 0, F.lit("insert")).otherwise(F.lit("delete")),
+    ).select(*cols, "_change_type")
+    if not key_cols:
+        return typed
+    ins = typed.filter(F.col("_change_type") == "insert")
+    dels = typed.filter(F.col("_change_type") == "delete")
+    upd = (
+        ins.select(*key_cols).intersect(dels.select(*key_cols))
+    )
+    relabel = lambda df, t: df.select(  # noqa: E731
+        *cols, F.lit(t).alias("_change_type")
+    )
+    return (
+        relabel(ins.join(upd, key_cols, "left_anti"), "insert")
+        .unionByName(
+            relabel(ins.join(upd, key_cols, "left_semi"), "update_postimage")
+        )
+        .unionByName(
+            relabel(dels.join(upd, key_cols, "left_semi"), "update_preimage")
+        )
+        .unionByName(relabel(dels.join(upd, key_cols, "left_anti"), "delete"))
     )

@@ -1463,3 +1463,214 @@ def test_batch_lineage_scan_matches_driver_scan(spark, table, monkeypatch):
     assert batch_hist == driver_hist
     assert sn._resolve_version(spark, table, None, t_now) == driver_asof
     assert sn._resolve_version(spark, table, None, t_mid) == 2
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (snapshot_delete_keys) + change data feed
+
+
+def _k(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "k long")
+
+
+def test_mor_delete_rewrites_nothing_and_time_travels(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).repartition(4), base, "append")
+    v2 = sn.snapshot_delete_keys(_k(spark, *range(10)), base)
+    m1, m2 = sn._read_manifest(spark, base, 1), sn._read_manifest(spark, base, v2)
+    assert m2["files"] == m1["files"]  # zero data files rewritten
+    assert len(m2["deletes"]) >= 1 and m2["deletes"][0]["cols"] == ["k"]
+    assert _keys(spark, base) == list(range(10, 100))
+    assert _keys(spark, base, 1) == list(range(100))  # pre-delete intact
+    assert sn.snapshot_history(spark, base).filter(
+        "op = 'delete_keys'"
+    ).count() == 1
+
+
+def test_mor_delete_scoping_reinsert_visible(spark, tmp_path):
+    """A key re-inserted AFTER the equality delete must be visible: the
+    entry applies only to files added at or before its snapshot."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 20), base, "append")
+    sn.snapshot_delete_keys(_k(spark, 5, 6), base)
+    sn.snapshot_commit(_kv(spark, 5, 6, v=7), base, "append")
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert 6 not in rows and rows[5] == 7
+    # and a SECOND delete masks both old and re-inserted generations
+    sn.snapshot_delete_keys(_k(spark, 5), base)
+    assert 5 not in _keys(spark, base)
+
+
+def test_mor_delete_validates(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 5), base, "append")
+    head = sn.snapshot_versions(spark, base)[-1]
+    # empty key set: no-op, head unchanged
+    assert sn.snapshot_delete_keys(_k(spark), base) == head
+    with pytest.raises(ValueError, match="not in"):
+        sn.snapshot_delete_keys(
+            spark.createDataFrame([(1,)], "nope long"), base
+        )
+    with pytest.raises(ValueError, match="NULL"):
+        sn.snapshot_delete_keys(
+            spark.createDataFrame([(None,)], "k long"), base
+        )
+    assert sn.snapshot_versions(spark, base)[-1] == head
+
+
+def test_merge_and_cow_delete_never_resurrect_mor_deleted_rows(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 50).repartition(2), base, "append")
+    sn.snapshot_delete_keys(_k(spark, *range(10)), base)
+    # merge updating OTHER keys must not carry masked rows into rewrites
+    sn.snapshot_merge(_kv(spark, 20, 25, v=1), base, ["k"])
+    assert _keys(spark, base) == list(range(10, 50))
+    # COW delete over the MOR table: survivors exclude masked rows
+    sn.snapshot_delete(spark, base, F.col("k") >= 40)
+    assert _keys(spark, base) == list(range(10, 40))
+
+
+def test_compact_absorbs_entries_and_expire_reclaims_key_files(spark, tmp_path):
+    import glob
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 30).repartition(3), base, "append")
+    v2 = sn.snapshot_delete_keys(_k(spark, 1, 2, 3), base)
+    key_file = sn._read_manifest(spark, base, v2)["deletes"][0]["file"]
+    # retained manifests reference the key file: expire must keep it
+    sn.snapshot_expire(spark, base, keep_last=2, staging_grace_s=0)
+    assert os.path.exists(f"{base}/{key_file}")
+    assert _keys(spark, base) == sorted(set(range(30)) - {1, 2, 3})
+    v3 = sn.snapshot_compact(spark, base)
+    assert not sn._read_manifest(spark, base, v3).get("deletes")
+    assert _keys(spark, base) == sorted(set(range(30)) - {1, 2, 3})
+    # entries absorbed: once pre-compact versions expire, the key file goes
+    sn.snapshot_expire(spark, base, keep_last=1, staging_grace_s=0)
+    assert not os.path.exists(f"{base}/{key_file}")
+    assert _keys(spark, base) == sorted(set(range(30)) - {1, 2, 3})
+    assert glob.glob(base + "/data/*.parquet")
+
+
+def test_rewrite_racing_mor_delete_is_true_conflict(spark, tmp_path):
+    """A rewrite that read state BEFORE an equality delete landed must NOT
+    rebase past it — its new files would resurrect the deleted rows."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 20), base, "append")
+    head = sn._read_manifest(spark, base, 1)
+    # the rewrite stages its files against v1...
+    staged = sn._stage_files(
+        sn._read_data(spark, base, head, head["files"]).limit(15), base, 2
+    )
+    # ...then an equality delete wins the race to v2
+    sn.snapshot_delete_keys(_k(spark, 7), base)
+    with pytest.raises(sn.SnapshotConflict, match="equality delete"):
+        sn._commit_rewrite(
+            spark, base, head, 1, op="replace",
+            touched=list(head["files"]), new_files=staged,
+            new_schema=sn._read_data(spark, base, head, head["files"]).schema,
+        )
+    assert 7 not in _keys(spark, base)  # the delete stands
+
+
+def test_mor_delete_races_append_both_land(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 50), base, "append")
+
+    def do_append():
+        return sn.snapshot_commit(_kv(spark, 100, 105), base, "append")
+
+    def do_delete():
+        return sn.snapshot_delete_keys(_k(spark, 3, 4), base)
+
+    with ThreadPoolExecutor(2) as ex:
+        got = sorted(ex.map(lambda g: g(), [do_append, do_delete]))
+    assert got == [2, 3]
+    ks = _keys(spark, base)
+    assert 3 not in ks and 4 not in ks
+    assert all(k in ks for k in range(100, 105))
+
+
+def test_mor_delete_on_partitioned_table(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = _kv(spark, 0, 40).withColumn("p", (F.col("k") % 2).cast("int"))
+    sn.snapshot_commit(df, base, "append", partition_by=["p"])
+    sn.snapshot_delete_keys(_k(spark, 0, 1, 2, 3), base)
+    assert _keys(spark, base) == list(range(4, 40))
+    # partition columns still materialize through the grouped read
+    assert sn.snapshot_read(spark, base).filter("p = 0").count() == 18
+
+
+def test_changes_append_only(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    v1 = sn.snapshot_commit(_kv(spark, 0, 10), base, "append")
+    v2 = sn.snapshot_commit(_kv(spark, 10, 13, v=1), base, "append")
+    ch = sn.snapshot_changes(spark, base, v1, v2)
+    got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
+    assert got == [(10, 1, "insert"), (11, 1, "insert"), (12, 1, "insert")]
+    assert sn.snapshot_changes(spark, base, v2, v2).count() == 0
+
+
+def test_changes_classifies_updates_deletes_inserts(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    v1 = sn.snapshot_commit(_kv(spark, 0, 20).repartition(2), base, "append")
+    sn.snapshot_merge(_kv(spark, 5, 7, v=9), base, ["k"])       # update 5,6
+    sn.snapshot_merge(_kv(spark, 100, 102, v=1), base, ["k"])   # insert 100,101
+    vh = sn.snapshot_delete(spark, base, F.col("k") == 15)      # delete 15
+    ch = sn.snapshot_changes(spark, base, v1, vh, key_cols=["k"])
+    by_type = {
+        t: sorted(r.k for r in rows)
+        for t, rows in __import__("itertools").groupby(
+            sorted(ch.collect(), key=lambda r: r._change_type),
+            key=lambda r: r._change_type,
+        )
+    }
+    assert by_type == {
+        "delete": [15],
+        "insert": [100, 101],
+        "update_postimage": [5, 6],
+        "update_preimage": [5, 6],
+    }
+    post = {r.k: r.v for r in ch.filter("_change_type = 'update_postimage'").collect()}
+    assert post == {5: 9, 6: 9}
+
+
+def test_changes_nets_out_within_range_and_sees_mor_deletes(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    v1 = sn.snapshot_commit(_kv(spark, 0, 10), base, "append")
+    sn.snapshot_commit(_kv(spark, 50, 55), base, "append")      # transient
+    sn.snapshot_delete(spark, base, F.col("k") >= 50)           # gone again
+    vm = sn.snapshot_delete_keys(_k(spark, 2), base)            # MOR delete
+    ch = sn.snapshot_changes(spark, base, v1, vm)
+    got = sorted((r.k, r._change_type) for r in ch.collect())
+    # transient 50..54 cancel exactly; the MOR delete of 2 IS a change
+    # even though no data file differs (the entry re-scoped a shared file)
+    assert got == [(2, "delete")]
+
+
+def test_changes_validates_and_reads_under_to_schema(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    v1 = sn.snapshot_commit(
+        spark.range(0, 4).select(F.col("id").cast("int").alias("k")), base, "append"
+    )
+    v2 = sn.snapshot_commit(
+        spark.range(4, 6).select(F.col("id").cast("long").alias("k")), base, "append"
+    )
+    with pytest.raises(ValueError, match="not in"):
+        sn.snapshot_changes(spark, base, 99)
+    with pytest.raises(ValueError, match=">"):
+        sn.snapshot_changes(spark, base, v2, v1)
+    ch = sn.snapshot_changes(spark, base, v1, v2)
+    assert dict(ch.dtypes)["k"] == "bigint"  # widened `to` schema
+    assert sorted(r.k for r in ch.collect()) == [4, 5]
