@@ -1515,3 +1515,103 @@ def snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         stable_sum("o_totalprice", 2).alias("sum_price"),
     )
+
+
+@register(
+    "snapshot_column_evolution",
+    oracle="""
+    WITH evens AS (
+      SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 2 = 0
+    ),
+    alls AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    mir AS (
+      SELECT o_orderkey + 10000000 AS k, o_totalprice AS p FROM orders
+      WHERE o_orderkey % 11 = 0
+    )
+    SELECT 1 AS version, 'o_totalprice' AS col2, count(*) AS n_rows,
+           count(p) AS n_vals,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price
+    FROM evens
+    UNION ALL
+    SELECT 3, 'price', count(*), count(p),
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE), 2)
+    FROM alls
+    UNION ALL
+    SELECT 4, 'none', count(*), 0, 0.0 FROM alls
+    UNION ALL
+    SELECT 5, 'price', count(*),
+           count(CASE WHEN k >= 10000000 THEN p END),
+           round(CAST(sum(CAST(CASE WHEN k >= 10000000 THEN p END
+                 AS DECIMAL(38,10))) AS DOUBLE), 2)
+    FROM (SELECT k, p FROM alls UNION ALL SELECT k, p FROM mir)
+    """,
+    tags=("SNK3", "L3", "P5", "F6", "A4"),
+)
+def snapshot_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIELD-ID column RENAME + DROP evolution (NEW r12, metadata-only):
+    v1 commits even orders keys as (o_orderkey, o_totalprice); v2
+    RENAMES o_totalprice -> price (zero files rewritten — asserted
+    inline); v3 appends the odd keys under the NEW name (old files'
+    physical 'o_totalprice' serves the renamed field through the
+    per-file epoch mapping); v4 DROPS price; v5 re-adds a column NAMED
+    price via a +10M-mirror append — a brand-new field id, so every
+    pre-v5 file must read it as NULL rather than resurrecting the
+    dropped bytes (n_vals counts non-NULLs: exactly the mirrors). One
+    row per interesting version pins the column NAME, row count,
+    non-NULL count, and sum; the oracle replays the lineage
+    relationally with the drop/re-add modeled as CASE on the mirror
+    range. Time travel keeps each version's own schema."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_colevo_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 2 == 0).repartition(4), base, "append"
+    )
+    v2 = sn.snapshot_rename_column(spark, base, "o_totalprice", "price")
+    assert (
+        sn._read_manifest(spark, base, v2)["files"]
+        == sn._read_manifest(spark, base, v1)["files"]
+    ), "rename must rewrite no data file"
+    v3 = sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumnRenamed("o_totalprice", "price"),
+        base,
+        "append",
+    )
+    v4 = sn.snapshot_drop_column(spark, base, "price")
+    v5 = sn.snapshot_commit(
+        o.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            F.col("o_totalprice").alias("price"),
+        ),
+        base,
+        "append",
+    )
+    out = None
+    for v in (v1, v3, v4, v5):
+        df = sn.snapshot_read(spark, base, v)
+        col2 = df.columns[1] if len(df.columns) > 1 else None
+        row = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count(F.col(col2)) if col2 else F.lit(0).cast("long")
+            ).alias("n_vals"),
+            (
+                stable_sum(col2, 2) if col2 else F.lit(0.0)
+            ).alias("sum_price"),
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(col2 or "none").alias("col2"),
+            "n_rows",
+            "n_vals",
+            "sum_price",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -300,6 +300,7 @@ def snapshot_commit(
         stats = dict(new_stats)
         adds = {rel: version for rel in new_files}
         deletes = None
+        field_meta = None
         bid = batch_id
         if mode == "append" and parent:
             files = parent["files"] + files
@@ -311,6 +312,9 @@ def snapshot_commit(
             # (this version) postdates every entry, so a re-inserted key
             # is visible — exactly the MERGE-on-read contract
             deletes = parent.get("deletes")
+            # rename/drop machinery rides forward too (overwrite resets it:
+            # the table is replaced, so names are fresh by definition)
+            field_meta = _evolve_field_meta(parent, schema, version)
         if bid is None and parent:
             # EVERY commit inherits the streaming marker, so the head
             # manifest always carries it and snapshot_latest_batch_id never
@@ -321,7 +325,7 @@ def snapshot_commit(
             _commit_manifest(
                 spark, base, version, op=mode, files=files, schema=schema,
                 batch_id=bid, stats=stats, partition_by=partition_by,
-                adds=adds, deletes=deletes,
+                adds=adds, deletes=deletes, field_meta=field_meta,
             )
             return version
         except SnapshotConflict:
@@ -540,6 +544,49 @@ def _commit_manifest(
     _write_head_hint(spark, base, version)
 
 
+def _field_meta_of(manifest: dict | None) -> dict | None:
+    """The field-id machinery a manifest carries, or None when it was
+    never materialized (tables that never rename/drop)."""
+    if not manifest or "field_ids" not in manifest:
+        return None
+    return {
+        "field_ids": manifest["field_ids"],
+        "next_field_id": manifest.get("next_field_id")
+        or max(manifest["field_ids"].values(), default=0) + 1,
+        "field_added": manifest.get("field_added") or {},
+        "renames": manifest.get("renames") or [],
+        "drops": manifest.get("drops") or [],
+    }
+
+
+def _evolve_field_meta(parent: dict | None, schema, version: int) -> dict | None:
+    """Carry the parent's field-id machinery into a child commit at
+    ``version``, assigning FRESH ids to schema fields the parent doesn't
+    know — a re-added name after a drop (or after a rename freed the
+    name) is a NEW field whose id postdates every old file, so old
+    files' same-named physical columns can never serve it. Returns None
+    when the parent never materialized ids (nothing to maintain — the
+    manifest stays byte-identical to the pre-feature format)."""
+    meta = _field_meta_of(parent)
+    if meta is None:
+        return None
+    fids = dict(meta["field_ids"])
+    nxt = int(meta["next_field_id"])
+    fadd = dict(meta["field_added"])
+    for f in schema.fields:
+        if f.name not in fids:
+            fids[f.name] = nxt
+            fadd[str(nxt)] = int(version)
+            nxt += 1
+    return {
+        "field_ids": fids,
+        "next_field_id": nxt,
+        "field_added": fadd,
+        "renames": meta["renames"],
+        "drops": meta["drops"],
+    }
+
+
 def _file_stats(base: str, rels: list[str]) -> dict:
     """Per-file column min/max from the parquet FOOTERS of newly staged
     files (driver-side, one footer read per NEW file — never the data
@@ -650,11 +697,17 @@ def _prune_by_key_stats(
             i = bisect.bisect_left(kvals, rng[0])
             return i < len(kvals) and kvals[i] <= rng[1]
 
-        return [
-            rel
-            for rel in files
-            if kc not in stats.get(rel, {}) or overlaps(stats[rel][kc])
-        ]
+        out = []
+        for rel in files:
+            # stats are keyed by the column name AT WRITE TIME — resolve
+            # through the rename log; a file written before the key
+            # column existed holds only NULLs for it (never a match)
+            pk = _phys_name(manifest, rel, kc)
+            if pk is None:
+                continue
+            if pk not in stats.get(rel, {}) or overlaps(stats[rel][pk]):
+                out.append(rel)
+        return out
     except TypeError:
         return files
 
@@ -714,7 +767,13 @@ def _prune_files_by_range(
             if v is not None:
                 rng = (v, v)
         if rng is None:
-            rng = (stats.get(rel) or {}).get(col)
+            # stats ride under the column's WRITE-TIME name; a file that
+            # predates the column serves only NULLs, which no range
+            # predicate matches — prune it outright
+            pc = _phys_name(manifest, rel, col)
+            if pc is None:
+                continue
+            rng = (stats.get(rel) or {}).get(pc)
         if rng is None:
             keep.append(rel)
             continue
@@ -736,6 +795,61 @@ def _prune_files_by_range(
 # executor as a broadcast anti-join build side; above it the anti-join
 # shuffles instead of risking the broadcast size limit.
 _DELETE_BROADCAST_BYTES_MAX = 32 * 1024 * 1024
+
+
+def _phys_fields(manifest: dict, rel: str, schema) -> tuple | None:
+    """Physical column mapping of data file ``rel`` for every field of
+    ``schema``: a tuple aligned with schema.fields where each slot is the
+    column name the field had WHEN THE FILE WAS WRITTEN, or None when the
+    field did not exist yet (the read serves NULL — and never a stale
+    same-named physical column left behind by a drop or rename, because a
+    re-added name carries a FRESH field id whose add-version postdates
+    the file). Returns None when the table has no rename/drop history —
+    the single-scan fast path needs no mapping."""
+    renames = manifest.get("renames") or []
+    if not renames and not (manifest.get("drops") or []):
+        return None
+    fids = manifest.get("field_ids") or {}
+    fadd = manifest.get("field_added") or {}
+    av = (manifest.get("adds") or {}).get(rel, 0)
+    out = []
+    for f in schema.fields:
+        fid = fids.get(f.name)
+        if fid is None:
+            # caller-supplied column outside the tracked schema (e.g. a
+            # probe projection): read it by its literal name
+            out.append(f.name)
+            continue
+        if int(fadd.get(str(fid), 0)) > av:
+            out.append(None)
+            continue
+        name = f.name
+        # undo renames NEWER than the file, newest first, to recover the
+        # name the id had at write time (each id's entries form a chain)
+        for r in reversed(renames):
+            if r["id"] == fid and r["version"] > av:
+                name = r["from"]
+        out.append(name)
+    return tuple(out)
+
+
+def _phys_name(manifest: dict, rel: str, col: str) -> str | None:
+    """The physical name ``col`` had when ``rel`` was written (for stats
+    lookups), or None when the column did not exist in that file yet."""
+    renames = manifest.get("renames") or []
+    if not renames:
+        return col
+    fid = (manifest.get("field_ids") or {}).get(col)
+    if fid is None:
+        return col
+    av = (manifest.get("adds") or {}).get(rel, 0)
+    if int((manifest.get("field_added") or {}).get(str(fid), 0)) > av:
+        return None
+    name = col
+    for r in reversed(renames):
+        if r["id"] == fid and r["version"] > av:
+            name = r["from"]
+    return name
 
 
 def _applicable_deletes(manifest: dict, rel: str) -> tuple:
@@ -786,24 +900,59 @@ def _read_data(
             out = out.withColumn(with_file, F.lit(""))
         return out
 
-    def scan(group: list[str]) -> DataFrame:
-        reader = spark.read.schema(schema)
+    def scan(group: list[str], phys: tuple | None = None) -> DataFrame:
+        if phys is None:
+            read_schema = schema
+        else:
+            from pyspark.sql.types import StructField as SF
+            from pyspark.sql.types import StructType as ST
+
+            # read ONLY the columns that physically existed at the file's
+            # epoch, under their then-names (types pinned to the current
+            # — possibly widened — schema, which parquet serves directly)
+            read_schema = ST(
+                [
+                    SF(p, f.dataType, True)
+                    for f, p in zip(schema.fields, phys)
+                    if p is not None
+                ]
+            )
+        reader = spark.read.schema(read_schema)
         if manifest.get("partition_by"):
             reader = reader.option("basePath", base + "/data")
         df = reader.parquet(*[f"{base}/{rel}" for rel in group])
         if with_file is not None:
             df = df.withColumn(with_file, F.input_file_name())
+        if phys is not None:
+            cols = [
+                F.col(p).alias(f.name)
+                if p is not None
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f, p in zip(schema.fields, phys)
+            ]
+            if with_file is not None:
+                cols.append(F.col(with_file))
+            df = df.select(*cols)
         return df
 
     deletes = manifest.get("deletes") or []
-    if not deletes:
+    evolved = bool(manifest.get("renames") or manifest.get("drops"))
+    if not deletes and not evolved:
         return scan(rels)
     groups: dict[tuple, list[str]] = {}
     for rel in rels:
-        groups.setdefault(_applicable_deletes(manifest, rel), []).append(rel)
+        key = (
+            _applicable_deletes(manifest, rel),
+            _phys_fields(manifest, rel, schema) if evolved else None,
+        )
+        groups.setdefault(key, []).append(rel)
     out = None
-    for sig, group in sorted(groups.items()):
-        df = scan(group)
+    def _gkey(kv):  # deterministic group order; phys may hold Nones
+        sig, phys = kv[0]
+        return (sig, tuple("" if p is None else p for p in (phys or ())))
+
+    for (sig, phys), group in sorted(groups.items(), key=_gkey):
+        df = scan(group, phys)
         for i in sig:
             d = deletes[i]
             keys = spark.read.parquet(f"{base}/{d['file']}")
@@ -999,6 +1148,7 @@ def snapshot_restore(spark: SparkSession, path: str, version: int) -> int:
         partition_by=target.get("partition_by"),
         adds=target.get("adds"),
         deletes=target.get("deletes"),
+        field_meta=_field_meta_of(target),
     )
     return new_version
 
@@ -1556,6 +1706,7 @@ def _commit_rewrite(
             for d in (head.get("deletes") or [])
             if any(adds[rel] <= d["applies"] for rel in survivors)
         ]
+        field_meta = _evolve_field_meta(head, schema, head_version + 1)
         bid = batch_id
         if bid is None:
             bid = (
@@ -1570,7 +1721,7 @@ def _commit_rewrite(
                 spark, base, head_version + 1, op=op, files=files,
                 schema=schema, partition_by=head.get("partition_by"),
                 batch_id=bid, stats=stats, adds=adds,
-                deletes=kept_deletes or None,
+                deletes=kept_deletes or None, field_meta=field_meta,
             )
             return head_version + 1
         except SnapshotConflict:
@@ -1917,6 +2068,7 @@ def snapshot_delete_keys(
                 partition_by=head.get("partition_by"), batch_id=bid,
                 stats=head.get("stats"), adds=head.get("adds"),
                 deletes=(head.get("deletes") or []) + entries,
+                field_meta=_field_meta_of(head),
             )
             return head_version + 1
         except SnapshotConflict:
@@ -2003,7 +2155,28 @@ def snapshot_changes(
     ]
     old_rels = [rel for rel in m1["files"] if rel not in s2] + changed
     new_rels = [rel for rel in m2["files"] if rel not in s1] + changed
-    old = _read_data(spark, base, m1, old_rels, schema=schema2)
+    # rename/drop-aware old side: when the `to` version's field-id lineage
+    # extends the `from` version's (its rename/drop logs are a prefix —
+    # always true unless an overwrite reset the table in between), read
+    # the old files under the CURRENT names by grafting the newer
+    # machinery onto the old manifest: each old file's add-version then
+    # resolves its write-time physical names against the full log, so a
+    # renamed column diffs as one field instead of a drop+add. Across an
+    # overwrite there is no id lineage — columns match by literal name.
+    old_m = m1
+    if "field_ids" in m2:
+        r1, d1 = m1.get("renames") or [], m1.get("drops") or []
+        r2, d2 = m2.get("renames") or [], m2.get("drops") or []
+        if r2[: len(r1)] == r1 and d2[: len(d1)] == d1:
+            old_m = {
+                **m1,
+                "field_ids": m2["field_ids"],
+                "field_added": m2.get("field_added") or {},
+                "renames": r2,
+                "drops": d2,
+                "adds": {**(m2.get("adds") or {}), **(m1.get("adds") or {})},
+            }
+    old = _read_data(spark, base, old_m, old_rels, schema=schema2)
     new = _read_data(spark, base, m2, new_rels, schema=schema2)
     weighted = (
         old.select(*cols).withColumn("__w", F.lit(-1))
@@ -2048,3 +2221,161 @@ def snapshot_changes(
         )
         .unionByName(relabel(dels.join(upd, key_cols, "left_anti"), "delete"))
     )
+
+
+def _init_field_meta(head: dict) -> dict:
+    """Materialize field-id machinery for a table that never had it:
+    every current field gets id 1..n with add-version 0 ('existed from
+    the start' — matching every existing file's implicit add-version)."""
+    meta = _field_meta_of(head)
+    if meta is not None:
+        return {
+            "field_ids": dict(meta["field_ids"]),
+            "next_field_id": int(meta["next_field_id"]),
+            "field_added": dict(meta["field_added"]),
+            "renames": list(meta["renames"]),
+            "drops": list(meta["drops"]),
+        }
+    names = [f["name"] for f in json.loads(head["schema"])["fields"]]
+    return {
+        "field_ids": {n: i + 1 for i, n in enumerate(names)},
+        "next_field_id": len(names) + 1,
+        "field_added": {str(i + 1): 0 for i in range(len(names))},
+        "renames": [],
+        "drops": [],
+    }
+
+
+def _check_schema_change_ok(head: dict, col: str, op: str) -> None:
+    if col in (head.get("partition_by") or []):
+        raise ValueError(
+            f"snapshot {op}: {col!r} is a partition column — its name is "
+            "baked into the Hive directory layout (overwrite to relayout)"
+        )
+    for d in head.get("deletes") or []:
+        if col in d["cols"]:
+            raise ValueError(
+                f"snapshot {op}: {col!r} is a key column of a live "
+                "equality-delete entry — run snapshot_compact first to "
+                "absorb the entry"
+            )
+
+
+def snapshot_rename_column(
+    spark: SparkSession, path: str, old: str, new: str, max_retries: int = 5
+) -> int:
+    """RENAME a column, metadata-only (Iceberg-style field ids): the
+    commit rewrites ZERO data files — the manifest maps the column's
+    stable field id to the new name and appends to the rename log, and
+    reads reconstruct each data file's write-time physical name from
+    the log + the file's add-version, projecting it back to the current
+    name. Time travel is untouched (old versions' manifests keep the
+    old name); a LATER column re-using the freed name gets a fresh id,
+    so old files' physical columns can never leak into it. Partition
+    columns (name baked into the directory layout) and live
+    equality-delete key columns refuse — compact first. Returns the new
+    version."""
+    from pyspark.sql.types import StructField, StructType
+
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {base}")
+    head_version = versions[-1]
+    head = _read_manifest(spark, base, head_version)
+    for attempt in range(max_retries + 1):
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"snapshot rename: no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"snapshot rename: column {new!r} already exists")
+        if not new or new == old:
+            raise ValueError(f"snapshot rename: invalid target name {new!r}")
+        _check_schema_change_ok(head, old, "rename")
+        meta = _init_field_meta(head)
+        fid = meta["field_ids"].pop(old)
+        meta["field_ids"][new] = fid
+        meta["renames"] = meta["renames"] + [
+            {"id": fid, "version": head_version + 1, "from": old, "to": new}
+        ]
+        new_schema = StructType(
+            [
+                StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old
+                else f
+                for f in schema.fields
+            ]
+        )
+        try:
+            _commit_manifest(
+                spark, base, head_version + 1, op="rename_column",
+                files=head["files"], schema=new_schema,
+                partition_by=head.get("partition_by"),
+                batch_id=head.get("batch_id"), stats=head.get("stats"),
+                adds=head.get("adds"), deletes=head.get("deletes"),
+                field_meta=meta,
+            )
+            return head_version + 1
+        except SnapshotConflict:
+            if attempt >= max_retries:
+                raise
+            # a metadata-only op composes with ANY concurrent commit:
+            # re-derive against the new head (re-validating — the racer
+            # may itself have renamed or dropped)
+            versions = snapshot_versions(spark, base)
+            head_version = versions[-1]
+            head = _read_manifest(spark, base, head_version)
+    raise AssertionError("unreachable")
+
+
+def snapshot_drop_column(
+    spark: SparkSession, path: str, name: str, max_retries: int = 5
+) -> int:
+    """DROP a column, metadata-only: zero data rewritten — the manifest's
+    schema loses the field and the drop log records its id, so reads
+    simply never project the physical column. Time travel still serves
+    it in pre-drop versions; a later re-ADD of the same name is a brand
+    new field (fresh id) that reads as NULL from every pre-re-add file
+    rather than resurrecting dropped bytes. Partition columns and live
+    equality-delete key columns refuse; so does dropping the last
+    column. Returns the new version."""
+    from pyspark.sql.types import StructType
+
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if not versions:
+        raise ValueError(f"no committed snapshot at {base}")
+    head_version = versions[-1]
+    head = _read_manifest(spark, base, head_version)
+    for attempt in range(max_retries + 1):
+        schema = StructType.fromJson(json.loads(head["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"snapshot drop: no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("snapshot drop: cannot drop the last column")
+        _check_schema_change_ok(head, name, "drop")
+        meta = _init_field_meta(head)
+        fid = meta["field_ids"].pop(name)
+        meta["drops"] = meta["drops"] + [
+            {"id": fid, "version": head_version + 1, "name": name}
+        ]
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        try:
+            _commit_manifest(
+                spark, base, head_version + 1, op="drop_column",
+                files=head["files"], schema=new_schema,
+                partition_by=head.get("partition_by"),
+                batch_id=head.get("batch_id"), stats=head.get("stats"),
+                adds=head.get("adds"), deletes=head.get("deletes"),
+                field_meta=meta,
+            )
+            return head_version + 1
+        except SnapshotConflict:
+            if attempt >= max_retries:
+                raise
+            versions = snapshot_versions(spark, base)
+            head_version = versions[-1]
+            head = _read_manifest(spark, base, head_version)
+    raise AssertionError("unreachable")

@@ -1674,3 +1674,119 @@ def test_changes_validates_and_reads_under_to_schema(spark, tmp_path):
     ch = sn.snapshot_changes(spark, base, v1, v2)
     assert dict(ch.dtypes)["k"] == "bigint"  # widened `to` schema
     assert sorted(r.k for r in ch.collect()) == [4, 5]
+
+
+# ---------------------------------------------------------------------------
+# field-id column rename / drop (metadata-only schema evolution)
+
+
+def test_rename_is_metadata_only_and_time_travels(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 10), base, "append")
+    v2 = sn.snapshot_rename_column(spark, base, "v", "w")
+    assert (
+        sn._read_manifest(spark, base, v2)["files"]
+        == sn._read_manifest(spark, base, 1)["files"]
+    )
+    head = sn.snapshot_read(spark, base)
+    assert head.columns == ["k", "w"]
+    assert {r.k: r.w for r in head.collect()} == {k: 0 for k in range(10)}
+    assert sn.snapshot_read(spark, base, 1).columns == ["k", "v"]
+    assert sn.snapshot_history(spark, base).filter(
+        "op = 'rename_column'"
+    ).count() == 1
+
+
+def test_rename_mixed_epochs_merge_and_chain(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 10), base, "append")
+    sn.snapshot_rename_column(spark, base, "v", "w")
+    # append under the NEW name: both epochs serve the same logical field
+    sn.snapshot_commit(
+        spark.createDataFrame([(100, 5)], "k long, w long"), base, "append"
+    )
+    # merge across the rename updates an OLD-epoch row
+    sn.snapshot_merge(
+        spark.createDataFrame([(3, 33)], "k long, w long"), base, ["k"]
+    )
+    rows = {r.k: r.w for r in sn.snapshot_read(spark, base).collect()}
+    assert rows[3] == 33 and rows[100] == 5 and rows[0] == 0 and len(rows) == 11
+    # second rename: the per-file log chains
+    sn.snapshot_rename_column(spark, base, "w", "x")
+    rows = {r.k: r.x for r in sn.snapshot_read(spark, base).collect()}
+    assert rows[3] == 33 and rows[100] == 5
+
+
+def test_drop_then_readd_never_resurrects(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 5, v=9), base, "append")
+    sn.snapshot_drop_column(spark, base, "v")
+    assert sn.snapshot_read(spark, base).columns == ["k"]
+    # re-added name = NEW field id: old files must serve NULL, not old bytes
+    sn.snapshot_commit(
+        spark.createDataFrame([(50, 7)], "k long, v long"), base, "append"
+    )
+    rows = {r.k: r.v for r in sn.snapshot_read(spark, base).collect()}
+    assert rows[50] == 7
+    assert all(rows[k] is None for k in range(5))
+    # time travel: v1 still serves the dropped column's bytes
+    assert {r.k: r.v for r in sn.snapshot_read(spark, base, 1).collect()} == {
+        k: 9 for k in range(5)
+    }
+
+
+def test_rename_drop_refusals(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = _kv(spark, 0, 10).withColumn("p", (F.col("k") % 2).cast("int"))
+    sn.snapshot_commit(df, base, "append", partition_by=["p"])
+    with pytest.raises(ValueError, match="partition"):
+        sn.snapshot_rename_column(spark, base, "p", "q")
+    with pytest.raises(ValueError, match="partition"):
+        sn.snapshot_drop_column(spark, base, "p")
+    with pytest.raises(ValueError, match="already exists"):
+        sn.snapshot_rename_column(spark, base, "k", "v")
+    with pytest.raises(ValueError, match="no column"):
+        sn.snapshot_drop_column(spark, base, "nope")
+    sn.snapshot_delete_keys(_k(spark, 1), base)
+    with pytest.raises(ValueError, match="equality-delete"):
+        sn.snapshot_rename_column(spark, base, "k", "kk")
+    # absorbing the entry unblocks the rename
+    sn.snapshot_compact(spark, base)
+    sn.snapshot_rename_column(spark, base, "k", "kk")
+    assert "kk" in sn.snapshot_read(spark, base).columns
+
+
+def test_stats_pruning_resolves_physical_names(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(
+        _kv(spark, 0, 100).repartitionByRange(4, "k"), base, "append"
+    )
+    sn.snapshot_rename_column(spark, base, "k", "kk")
+    scanned = sn.snapshot_scan(spark, base, filter=F.col("kk") <= 10)
+    assert 0 < len(scanned.inputFiles()) < 4  # footer stats still prune
+    assert sorted(r.kk for r in scanned.collect()) == list(range(11))
+    # the merge locate probe prunes through the rename too
+    v = sn.snapshot_merge(
+        spark.createDataFrame([(5, 55)], "kk long, v long"), base, ["kk"]
+    )
+    m = sn._read_manifest(spark, base, v)
+    parent = sn._read_manifest(spark, base, v - 1)
+    assert len(set(parent["files"]) & set(m["files"])) >= 3  # COW held
+
+
+def test_changes_across_rename_pairs_fields_by_id(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    v1 = sn.snapshot_commit(_kv(spark, 0, 10), base, "append")
+    v2 = sn.snapshot_rename_column(spark, base, "v", "w")
+    # metadata-only rename: NO row-level change
+    assert sn.snapshot_changes(spark, base, v1, v2).count() == 0
+    sn.snapshot_merge(
+        spark.createDataFrame([(3, 99)], "k long, w long"), base, ["k"]
+    )
+    ch = sn.snapshot_changes(spark, base, v1, key_cols=["k"])
+    got = sorted((r.k, r.w, r._change_type) for r in ch.collect())
+    assert got == [(3, 0, "update_preimage"), (3, 99, "update_postimage")]
