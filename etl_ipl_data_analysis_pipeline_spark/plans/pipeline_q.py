@@ -1615,3 +1615,75 @@ def snapshot_column_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "snapshot_incremental_mirror",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    merged AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p FROM v1
+      UNION ALL
+      SELECT k + 10000000, p FROM v1 WHERE k % 11 = 0
+    ),
+    final AS (SELECT * FROM merged WHERE k % 13 <> 0 AND k % 17 <> 0)
+    SELECT CAST(k % 5 AS INT) AS grp, count(*) AS n_rows,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price,
+           min(k) AS min_key, max(k) AS max_key
+    FROM final GROUP BY 1
+    """,
+    tags=("SNK3", "L2", "L3", "SE1", "A4"),
+)
+def snapshot_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-table replication off the change feed (NEW r12):
+    a destination snapshot table bootstraps as a full copy of the
+    orders source, then the source evolves through a MERGE (prices
+    doubled for keys ≡0 mod 7, +10M mirrors inserted for keys ≡0 mod
+    11), a COW DELETE (keys ≡0 mod 13) and a MERGE-ON-READ equality
+    delete (keys ≡0 mod 17) — and ONE ``mirror_snapshot_changes`` call
+    re-synchronizes the destination by applying only the O(churn)
+    change feed as a single atomic merge whose batch-id marker IS the
+    consumer cursor (exactly-once: the asserted second call consumes 0
+    versions). The returned aggregate reads the DESTINATION; the oracle
+    replays the source lineage relationally — they can only match if
+    the delta application reproduced the source state exactly."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+    from ..streaming.changefeed import mirror_snapshot_changes
+
+    src = _scratch_dir(sf_dir, "snapshot_mirror_src")
+    dst = _scratch_dir(sf_dir, "snapshot_mirror_dst")
+    for p in (src, dst):
+        shutil.rmtree(p, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sn.snapshot_commit(o.repartitionByRange(8, "o_orderkey"), src, "append")
+    assert mirror_snapshot_changes(spark, src, dst, ["o_orderkey"]) == 1
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    sn.snapshot_merge(upd.unionByName(ins), src, ["o_orderkey"])
+    sn.snapshot_delete(spark, src, F.col("o_orderkey") % 13 == 0)
+    mor = (
+        sn.snapshot_read(spark, src)
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey")
+    )
+    sn.snapshot_delete_keys(mor, src)
+    assert mirror_snapshot_changes(spark, src, dst, ["o_orderkey"]) == 3
+    assert mirror_snapshot_changes(spark, src, dst, ["o_orderkey"]) == 0
+    return (
+        sn.snapshot_read(spark, dst)
+        .groupBy((F.col("o_orderkey") % 5).cast("int").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_sum("o_totalprice", 2).alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

@@ -1019,3 +1019,82 @@ def test_snapshot_cdc_tombstones_across_batches(spark, tmp_path):
     )
     assert sn.snapshot_versions(spark, table) == versions
     assert {r.user_id: (r.ts, r.value) for r in out2.collect()} == got
+
+
+# ---------------------------------------------------------------------------
+# change-feed mirror (incremental cross-table replication)
+
+
+def test_mirror_bootstrap_sync_and_cursor(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+    from etl_ipl_data_analysis_pipeline_spark.streaming.changefeed import (
+        mirror_snapshot_changes,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    sn.snapshot_commit(df, src, "append")
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) == 1
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) == 0  # current
+    # merge + COW delete + MOR delete, one sync applies all three
+    sn.snapshot_merge(
+        spark.createDataFrame([(3, 33), (100, 1)], "k long, v long"), src, ["k"]
+    )
+    sn.snapshot_delete(spark, src, F.col("k").between(20, 24))
+    sn.snapshot_delete_keys(spark.createDataFrame([(7,)], "k long"), src)
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) == 3
+    s = {(r.k, r.v) for r in sn.snapshot_read(spark, src).collect()}
+    d = {(r.k, r.v) for r in sn.snapshot_read(spark, dst).collect()}
+    assert s == d and (3, 33) in d and (7, 14) not in d
+    # compaction-only source change still advances the cursor
+    sn.snapshot_compact(spark, src)
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) >= 1
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) == 0
+    assert {(r.k, r.v) for r in sn.snapshot_read(spark, dst).collect()} == s
+
+
+def test_mirror_expired_cursor_full_reconcile(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+    from etl_ipl_data_analysis_pipeline_spark.streaming.changefeed import (
+        mirror_snapshot_changes,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    sn.snapshot_commit(df, src, "append")
+    mirror_snapshot_changes(spark, src, dst, ["k"])
+    sn.snapshot_merge(
+        spark.createDataFrame([(1, 11)], "k long, v long"), src, ["k"]
+    )
+    sn.snapshot_delete(spark, src, F.col("k") == 19)
+    # expire the consumed version out of the source lineage
+    sn.snapshot_expire(spark, src, keep_last=1, staging_grace_s=0)
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) >= 1
+    s = {(r.k, r.v) for r in sn.snapshot_read(spark, src).collect()}
+    d = {(r.k, r.v) for r in sn.snapshot_read(spark, dst).collect()}
+    assert s == d and (1, 11) in d and len(d) == 19
+    assert mirror_snapshot_changes(spark, src, dst, ["k"]) == 0
+
+
+def test_mirror_refuses_foreign_destination(spark, tmp_path):
+    import pytest
+
+    from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+    from etl_ipl_data_analysis_pipeline_spark.streaming.changefeed import (
+        mirror_snapshot_changes,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 5).withColumnRenamed("id", "k")
+    sn.snapshot_commit(df, src, "append")
+    sn.snapshot_commit(df, dst, "append")  # no cursor lineage
+    with pytest.raises(ValueError, match="cursor"):
+        mirror_snapshot_changes(spark, src, dst, ["k"])
