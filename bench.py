@@ -112,6 +112,13 @@ HEADLINE = [
     # conjunctive auto-pruned (bare-filter snapshot_scan) read-back
     "stream_snapshot_cdc",
     "snapshot_zorder_pruned_read",
+    # round-12b: the merge-on-read / change-feed family — equality
+    # delete (manifest-only small-delete path), manifest-diff CDF over a
+    # merge+COW+MOR lineage, and the incremental cross-table mirror
+    # (bootstrap copy + one delta sync, cursor in the batch-id marker)
+    "snapshot_mor_delete",
+    "snapshot_change_feed",
+    "snapshot_incremental_mirror",
 ]
 
 

@@ -259,31 +259,9 @@ def snapshot_commit(
                 "(overwrite to change it)"
             )
     if cluster_by:
-        if cluster_method == "zorder":
-            if cluster_tiebreak is None:
-                raise ValueError(
-                    "cluster_method='zorder' needs cluster_tiebreak "
-                    "(a unique non-null row key)"
-                )
-            from .operators.layout import interleave_bits, zorder_ranks
-
-            helper = [f"__r{i}" for i in range(len(cluster_by))]
-            keyed = zorder_ranks(
-                df, list(cluster_by), cluster_tiebreak
-            ).withColumn("__z", interleave_bits(helper))
-            parts = [cluster_files] if cluster_files else []
-            df = (
-                keyed.repartitionByRange(*parts, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z", *helper)
-            )
-        elif cluster_method == "range":
-            parts = [cluster_files] if cluster_files else []
-            df = df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
-                *cluster_by
-            )
-        else:
-            raise ValueError(f"unknown cluster_method {cluster_method!r}")
+        df = _cluster_df(
+            df, list(cluster_by), cluster_files, cluster_method, cluster_tiebreak
+        )
     new_files = _stage_files(df, base, version, partition_by)
     new_stats = _file_stats(base, new_files)
     for attempt in range(max_retries + 1):
@@ -337,6 +315,45 @@ def snapshot_commit(
                 _read_manifest(spark, base, versions[-1]) if versions else None
             )
     raise AssertionError("unreachable")
+
+
+def _cluster_df(
+    df: DataFrame,
+    cluster_by: list[str],
+    cluster_files: int | None,
+    method: str,
+    tiebreak: str | None,
+) -> DataFrame:
+    """Physically cluster a batch before staging: ``range`` =
+    repartitionByRange + sortWithinPartitions (tight per-file intervals
+    on the LEADING column), ``zorder`` = equal-frequency bucket ranks
+    interleaved into a Z-key (EVERY column's per-file min/max bounded —
+    needs ``tiebreak``, a unique non-null row key, per the zorder_ranks
+    contract)."""
+    if method == "zorder":
+        if tiebreak is None:
+            raise ValueError(
+                "cluster_method='zorder' needs cluster_tiebreak "
+                "(a unique non-null row key)"
+            )
+        from .operators.layout import interleave_bits, zorder_ranks
+
+        helper = [f"__r{i}" for i in range(len(cluster_by))]
+        keyed = zorder_ranks(df, cluster_by, tiebreak).withColumn(
+            "__z", interleave_bits(helper)
+        )
+        parts = [cluster_files] if cluster_files else []
+        return (
+            keyed.repartitionByRange(*parts, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", *helper)
+        )
+    if method == "range":
+        parts = [cluster_files] if cluster_files else []
+        return df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    raise ValueError(f"unknown cluster_method {method!r}")
 
 
 def _stage_files(
@@ -1474,6 +1491,48 @@ def snapshot_compact(
     # touched = every file this compaction read: a concurrent APPEND
     # rebases cleanly (its files ride the new manifest verbatim next to
     # the compacted ones); any concurrent REWRITE of those files raises.
+    return _commit_rewrite(
+        spark, base, head, versions[-1], op="replace",
+        touched=list(head["files"]), new_files=files, new_schema=cur.schema,
+    )
+
+
+def snapshot_optimize(
+    spark: SparkSession,
+    path: str,
+    cluster_by: list[str],
+    cluster_method: str = "range",
+    cluster_tiebreak: str | None = None,
+    target_mb: int = 128,
+    target_files: int | None = None,
+) -> int:
+    """RE-CLUSTER the latest version in place (the OPTIMIZE ZORDER
+    equivalent): rewrite its files ~target_mb-sized, range- or
+    z-order-clustered on ``cluster_by``, as a NEW 'replace' version —
+    so footer min/max stats become tight and every downstream prune
+    (snapshot_scan filters, merge locate probes, CDC winner reads)
+    bites on a table whose original commits arrived unclustered (the
+    usual shape after months of streaming ingest). Semantics are
+    exactly snapshot_compact's: no rows change, old versions keep
+    reading the original files until expiry, equality-delete entries
+    are absorbed physically, the batch-id marker carries forward, and
+    a concurrent append rebases cleanly (its files ride the new
+    manifest verbatim) while a concurrent rewrite conflicts."""
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    head = _read_manifest(spark, base, versions[-1])
+    cur = _read_data(spark, base, head, head["files"])
+    if target_files is not None:
+        n_target = max(1, int(target_files))
+    else:
+        total = sum(f[2] for f in _live_files(spark, base, [versions[-1]]))
+        n_target = max(1, -(-total // (target_mb * 1024 * 1024)))
+    clustered = _cluster_df(
+        cur, list(cluster_by), n_target, cluster_method, cluster_tiebreak
+    )
+    version = versions[-1] + 1
+    part = head.get("partition_by")
+    files = _stage_files(clustered, base, version, part)
     return _commit_rewrite(
         spark, base, head, versions[-1], op="replace",
         touched=list(head["files"]), new_files=files, new_schema=cur.schema,

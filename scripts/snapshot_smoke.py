@@ -271,6 +271,90 @@ def main() -> int:
     assert dropped == n_versions - 2 and removed == 0
     assert sn.snapshot_read(spark, many).count() == 1000  # shared files live
 
+    # --- 8: merge-on-read delete / change feed / mirror (r12b) -----------
+    # cost-shape claims for the round-12b table features, all on a fresh
+    # 8M-row, 32-file key-clustered table:
+    # (a) snapshot_delete_keys of 100 keys spread across EVERY file costs
+    #     ~a manifest write (no data read/rewritten), where COW delete of
+    #     an equally-spread key set rewrites all 32 files;
+    # (b) the post-MOR read pays one broadcast anti-join over the scan;
+    # (c) snapshot_changes after a small merge reads only the churned
+    #     files (O(churn)), not the table;
+    # (d) mirror sync applies that churn incrementally vs the bootstrap
+    #     full copy.
+    mor = root + "/tbl_mor"
+    big = (
+        spark.range(0, 8_000_000)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") * 7919) % 104729)
+    )
+    sn.snapshot_commit(big.repartitionByRange(32, "k"), mor, "append")
+    t0 = time.monotonic()
+    assert sn.snapshot_read(spark, mor).count() == 8_000_000
+    out["mor_read_pre_delete_secs"] = round(time.monotonic() - t0, 2)
+    keys100 = spark.range(0, 8_000_000, 80_000).withColumnRenamed("id", "k")
+    t0 = time.monotonic()
+    v_mor = sn.snapshot_delete_keys(keys100, mor)
+    out["mor_delete_100keys_secs"] = round(time.monotonic() - t0, 2)
+    m_before = sn._read_manifest(spark, mor, v_mor - 1)
+    m_after = sn._read_manifest(spark, mor, v_mor)
+    assert m_after["files"] == m_before["files"]  # zero data files touched
+    out["mor_delete_files_rewritten"] = 0
+    t0 = time.monotonic()
+    assert sn.snapshot_read(spark, mor).count() == 8_000_000 - 100
+    out["mor_read_after_delete_secs"] = round(time.monotonic() - t0, 2)
+    # COW contrast: 100 DIFFERENT keys, equally spread over all 32 files
+    t0 = time.monotonic()
+    v_cow = sn.snapshot_delete(spark, mor, (F.col("k") % 80_000) == 1)
+    out["cow_delete_100keys_secs"] = round(time.monotonic() - t0, 2)
+    m_cow = sn._read_manifest(spark, mor, v_cow)
+    out["cow_delete_files_rewritten"] = len(
+        set(m_after["files"]) - set(m_cow["files"])
+    )
+    assert out["cow_delete_files_rewritten"] == 32  # every file held a key
+    # (c) change feed after a CLUSTERED 100-key merge (a point update on
+    # a key-clustered table touches ~1 of the 32 files): the CDF reads
+    # only the churned files, not the table
+    upd = (
+        spark.range(1_000_003, 1_000_103)
+        .select(F.col("id").alias("k"))
+        .withColumn("v", F.lit(-1).cast("long"))
+    )
+    v_merge = sn.snapshot_merge(upd, mor, ["k"])
+    t0 = time.monotonic()
+    ch = sn.snapshot_changes(spark, mor, v_merge - 1, v_merge, key_cols=["k"])
+    n_ch = ch.count()
+    out["cdf_small_merge_secs"] = round(time.monotonic() - t0, 2)
+    assert n_ch == 200, n_ch  # 100 preimages + 100 postimages
+    mm1 = sn._read_manifest(spark, mor, v_merge - 1)
+    mm2 = sn._read_manifest(spark, mor, v_merge)
+    out["cdf_files_read"] = len(
+        set(mm1["files"]) ^ set(mm2["files"])
+    )  # churned files only, of:
+    out["cdf_files_total"] = len(mm2["files"])
+    # (d) mirror: bootstrap full copy, then one incremental sync of churn
+    dst = root + "/tbl_mor_dst"
+    from etl_ipl_data_analysis_pipeline_spark.streaming.changefeed import (
+        mirror_snapshot_changes,
+    )
+
+    t0 = time.monotonic()
+    mirror_snapshot_changes(spark, mor, dst, ["k"])
+    out["mirror_bootstrap_secs"] = round(time.monotonic() - t0, 2)
+    upd2 = (
+        spark.range(2_000_003, 2_000_103)
+        .select(F.col("id").alias("k"))
+        .withColumn("v", F.lit(-2).cast("long"))
+    )
+    sn.snapshot_merge(upd2, mor, ["k"])
+    t0 = time.monotonic()
+    assert mirror_snapshot_changes(spark, mor, dst, ["k"]) == 1
+    out["mirror_incremental_secs"] = round(time.monotonic() - t0, 2)
+    assert (
+        sn.snapshot_read(spark, dst).count()
+        == sn.snapshot_read(spark, mor).count()
+    )
+
     print(json.dumps({"metric": "snapshot_smoke", "timings": out}))
     return 0
 

@@ -1790,3 +1790,46 @@ def test_changes_across_rename_pairs_fields_by_id(spark, tmp_path):
     ch = sn.snapshot_changes(spark, base, v1, key_cols=["k"])
     got = sorted((r.k, r.w, r._change_type) for r in ch.collect())
     assert got == [(3, 0, "update_preimage"), (3, 99, "update_postimage")]
+
+
+def test_optimize_reclusters_and_prunes(spark, tmp_path):
+    """snapshot_optimize rewrites an UNCLUSTERED table into tight key
+    ranges: the same filter that scanned every file before prunes to a
+    strict subset after, with rows and time travel unchanged."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    # round-robin repartition: every file spans the whole key range
+    sn.snapshot_commit(_kv(spark, 0, 2000).repartition(4), base, "append")
+    before = sn.snapshot_scan(spark, base, filter=F.col("k") < 100)
+    assert len(before.inputFiles()) == 4  # nothing prunable
+    v2 = sn.snapshot_optimize(spark, base, ["k"], target_files=4)
+    after = sn.snapshot_scan(spark, base, filter=F.col("k") < 100)
+    m2 = sn._read_manifest(spark, base, v2)
+    assert 0 < len(after.inputFiles()) < len(m2["files"])
+    assert sorted(r.k for r in after.collect()) == list(range(100))
+    assert sn.snapshot_read(spark, base).count() == 2000
+    assert sn.snapshot_read(spark, base, 1).count() == 2000  # time travel
+    assert m2["op"] == "replace"
+
+
+def test_optimize_zorder_absorbs_mor_entries(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = _kv(spark, 0, 1000).withColumn("c", (F.col("k") * 7) % 1000)
+    sn.snapshot_commit(df.repartition(4), base, "append")
+    sn.snapshot_delete_keys(_k(spark, 1, 2, 3), base)
+    v = sn.snapshot_optimize(
+        spark, base, ["c", "k"], cluster_method="zorder",
+        cluster_tiebreak="k", target_files=8
+    )
+    m = sn._read_manifest(spark, base, v)
+    assert not m.get("deletes")  # entries absorbed by the rewrite
+    ks = _keys(spark, base)
+    assert ks == sorted(set(range(1000)) - {1, 2, 3})
+    # both z-order dimensions prune on the optimized layout
+    sc = sn.snapshot_scan(
+        spark, base, filter=(F.col("c") <= 50) & (F.col("k") <= 50)
+    )
+    assert 0 < len(sc.inputFiles()) < len(m["files"])
