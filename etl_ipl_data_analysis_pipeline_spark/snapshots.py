@@ -2262,23 +2262,37 @@ def snapshot_changes(
     ).select(*cols, "_change_type")
     if not key_cols:
         return typed
-    ins = typed.filter(F.col("_change_type") == "insert")
-    dels = typed.filter(F.col("_change_type") == "delete")
-    upd = (
-        ins.select(*key_cols).intersect(dels.select(*key_cols))
+    # classify updates with ONE window over the key instead of an
+    # intersect + four semi/anti joins: the join form re-evaluates the
+    # whole multiset-diff subtree once per branch (plan-dump showed the
+    # shuffle running 4-8x); the window adds a single key-partitioned
+    # exchange over the (churn-sized) net-change set and keeps the diff
+    # computed once. NULL-keyed rows never pair (SQL equality), so they
+    # keep their plain insert/delete label.
+    import functools
+    import operator
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    has = lambda t: (  # noqa: E731
+        F.max(F.when(F.col("_change_type") == t, 1).otherwise(0)).over(w) == 1
     )
-    relabel = lambda df, t: df.select(  # noqa: E731
-        *cols, F.lit(t).alias("_change_type")
+    keys_nonnull = functools.reduce(
+        operator.and_, [F.col(k).isNotNull() for k in key_cols]
     )
-    return (
-        relabel(ins.join(upd, key_cols, "left_anti"), "insert")
-        .unionByName(
-            relabel(ins.join(upd, key_cols, "left_semi"), "update_postimage")
+    both = has("insert") & has("delete") & keys_nonnull
+    return typed.withColumn(
+        "_change_type",
+        F.when(
+            both & (F.col("_change_type") == "insert"),
+            F.lit("update_postimage"),
         )
-        .unionByName(
-            relabel(dels.join(upd, key_cols, "left_semi"), "update_preimage")
+        .when(
+            both & (F.col("_change_type") == "delete"),
+            F.lit("update_preimage"),
         )
-        .unionByName(relabel(dels.join(upd, key_cols, "left_anti"), "delete"))
+        .otherwise(F.col("_change_type")),
     )
 
 
