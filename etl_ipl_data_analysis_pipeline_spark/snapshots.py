@@ -2452,3 +2452,54 @@ def snapshot_drop_column(
             head_version = versions[-1]
             head = _read_manifest(spark, base, head_version)
     raise AssertionError("unreachable")
+
+
+def snapshot_changes_by_version(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """PER-COMMIT change log: one `snapshot_changes` diff per adjacent
+    version pair in (from, to], each stamped with `_commit_version` —
+    the Delta-CDF-shaped event stream, where `snapshot_changes` alone
+    is the endpoint NET diff. The difference matters exactly when a row
+    was inserted and deleted (or updated repeatedly) WITHIN the range:
+    the endpoint diff nets it to nothing, the per-commit log shows
+    every step. Cost is the sum of the per-pair O(churn) diffs — each
+    pair reads only its own churned files, so a day of commits costs a
+    day of churn, never rescans of the table. Metadata-only commits
+    (rename/drop/restore-to-same-files) contribute zero rows but still
+    appear as empty steps in the scan loop."""
+    import pyspark.sql.functions as F
+
+    base = path.rstrip("/")
+    versions = snapshot_versions(spark, base)
+    if to_version is None:
+        to_version = versions[-1] if versions else 0
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    if from_version > to_version:
+        raise ValueError(
+            f"from_version {from_version} > to_version {to_version}"
+        )
+    span = [v for v in versions if from_version <= v <= to_version]
+    out = None
+    for lo, hi in zip(span, span[1:]):
+        step = snapshot_changes(
+            spark, base, lo, hi, key_cols=key_cols
+        ).withColumn("_commit_version", F.lit(hi).cast("int"))
+        out = step if out is None else out.unionByName(step)
+    if out is None:
+        m = _read_manifest(spark, base, to_version)
+        from pyspark.sql.types import StructType
+
+        empty = spark.createDataFrame(
+            [], StructType.fromJson(json.loads(m["schema"]))
+        )
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_version", F.lit(0).cast("int")
+        ).limit(0)
+    return out

@@ -1833,3 +1833,78 @@ def test_optimize_zorder_absorbs_mor_entries(spark, tmp_path):
         spark, base, filter=(F.col("c") <= 50) & (F.col("k") <= 50)
     )
     assert 0 < len(sc.inputFiles()) < len(m["files"])
+
+
+def test_changes_by_version_shows_transients_endpoint_diff_nets(spark, tmp_path):
+    """Per-commit log vs endpoint diff: a row inserted then deleted
+    WITHIN the range appears (twice) in the per-commit log and not at
+    all in the net diff; _commit_version stamps each step."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    v1 = sn.snapshot_commit(_kv(spark, 0, 5), base, "append")
+    v2 = sn.snapshot_commit(_kv(spark, 50, 52, v=1), base, "append")
+    v3 = sn.snapshot_delete(spark, base, F.col("k") >= 50)
+    assert sn.snapshot_changes(spark, base, v1, v3).count() == 0  # nets out
+    log = sn.snapshot_changes_by_version(spark, base, v1, v3, key_cols=["k"])
+    got = sorted((r.k, r._change_type, r._commit_version) for r in log.collect())
+    assert got == [
+        (50, "delete", v3), (50, "insert", v2),
+        (51, "delete", v3), (51, "insert", v2),
+    ]
+    # degenerate range: empty frame with the log schema
+    assert sn.snapshot_changes_by_version(spark, base, v3, v3).count() == 0
+
+
+def test_changes_on_partitioned_table(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df = _kv(spark, 0, 20).withColumn("p", (F.col("k") % 2).cast("int"))
+    v1 = sn.snapshot_commit(df, base, "append", partition_by=["p"])
+    sn.snapshot_merge(
+        spark.createDataFrame([(3, 33, 1)], "k long, v long, p int"),
+        base,
+        ["k"],
+    )
+    vh = sn.snapshot_delete_keys(
+        spark.createDataFrame([(4,)], "k long"), base
+    )
+    ch = sn.snapshot_changes(spark, base, v1, vh, key_cols=["k"])
+    got = sorted((r.k, r.p, r._change_type) for r in ch.collect())
+    assert got == [
+        (3, 1, "update_postimage"), (3, 1, "update_preimage"),
+        (4, 0, "delete"),
+    ]
+
+
+def test_two_mor_deletes_race_both_land(spark, tmp_path):
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 30), base, "append")
+
+    def d1():
+        return sn.snapshot_delete_keys(_k(spark, 1, 2), base)
+
+    def d2():
+        return sn.snapshot_delete_keys(_k(spark, 3, 4), base)
+
+    with ThreadPoolExecutor(2) as ex:
+        got = sorted(ex.map(lambda g: g(), [d1, d2]))
+    assert got == [2, 3]
+    assert _keys(spark, base) == sorted(set(range(30)) - {1, 2, 3, 4})
+
+
+def test_read_fast_path_without_deletes_or_renames(spark, tmp_path):
+    """Plan-shape pin: a table with no equality-delete entries and no
+    rename/drop history reads as ONE parquet scan — no join, no union —
+    so every pre-r12b table keeps its exact old plan."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).repartition(4), base, "append")
+    plan = sn.snapshot_read(spark, base)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Union" not in plan
+    # with an entry, exactly one anti-join appears
+    sn.snapshot_delete_keys(_k(spark, 1), base)
+    plan2 = sn.snapshot_read(spark, base)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("LeftAnti") == 1
