@@ -96,12 +96,12 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # EXPLICITLY so the queries whose evidence is most valuable come first.
 # Round-12 rotation (VERDICT r11 directive 2 — retire the evidence
 # tail):
-# (1) the 8 round-12-new queries (merge-on-read equality delete;
-# manifest-diff change data feed; field-id rename/drop evolution;
-# change-feed incremental cross-table mirror; auto-derived filter
-# pruning via snapshot_scan; type-widening schema evolution; z-order
-# commit with a conjunctive bare-filter pruned read-back; CDC
-# tombstone deletes);
+# (1) the 9 round-12-new queries (merge-on-read equality delete;
+# manifest-diff change data feed; per-commit change log; field-id
+# rename/drop evolution; change-feed incremental cross-table mirror;
+# auto-derived filter pruning via snapshot_scan; type-widening schema
+# evolution; z-order commit with a conjunctive bare-filter pruned
+# read-back; CDC tombstone deletes);
 # (2) the 9-query evidence tail at r11 positions 51-59 — the ONLY
 # queries whose latest driver evidence predates round 6
 # (window_tumbling_late_data r5; the 8 others r4/r5 but hand-re-verified
@@ -112,9 +112,9 @@ def normalize_nanos_ts(df: DataFrame) -> DataFrame:
 # rewriting-op rebase-retry, type-widening _merge_schemas + merge
 # _align casts, HEAD-hint head resolution, publication-time mtimes,
 # and CDC composite-key/partition-dir pruned reads sit under all 7;
-# (4) 26 of the 38-query r6-evidence cohort, alphabetical — the
-# next-oldest tranche. The 12 leftover r6 queries sit at positions
-# 51-62 to lead the round-13 window. Exactly 50.
+# (4) 25 of the 38-query r6-evidence cohort, alphabetical — the
+# next-oldest tranche. The 13 leftover r6 queries sit at positions
+# 51-63 to lead the round-13 window. Exactly 50.
 # scripts/evidence_map.py regenerates the per-query history
 # (EVIDENCE.md) justifying this ordering — regenerated at round-12
 # start with CORRECTNESS_r11 folded in (50/50 hash-green).
@@ -124,6 +124,7 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "snapshot_change_feed",  # NEW r12: manifest-diff change data feed
     "snapshot_column_evolution",  # NEW r12: field-id rename/drop
     "snapshot_incremental_mirror",  # NEW r12: change-feed replication
+    "snapshot_change_log",  # NEW r12: per-commit change event stream
     "snapshot_filter_pruned_read",  # NEW r12: bare-filter auto pruning
     "snapshot_widened_append",  # NEW r12: int->long widening evolution
     "snapshot_zorder_pruned_read",  # NEW r12: z-order + conjunctive prune
@@ -172,8 +173,8 @@ _DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ledger_mark_stage",
     "ledger_new_files",
     "ledger_pending",
+    # -- positions 51-63: the r6 leftover, leading the round-13 window --
     "mixture_temperature_lang",
-    # -- positions 51-62: the r6 leftover, leading the round-13 window --
     "multimodal_decode_ppm",
     "ngram_lm_counts",
     "retain_versions",

@@ -1687,3 +1687,77 @@ def snapshot_incremental_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@register(
+    "snapshot_change_log",
+    oracle="""
+    WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    upd AS (SELECT k, p AS old_p, p * 2 AS new_p FROM v1 WHERE k % 7 = 0),
+    ins AS (SELECT k + 10000000 AS k, p FROM v1 WHERE k % 11 = 0),
+    merged AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN p * 2 ELSE p END AS p FROM v1
+      UNION ALL SELECT k, p FROM ins
+    ),
+    v3del AS (SELECT k, p FROM merged WHERE k % 13 = 0),
+    v4del AS (SELECT k, p FROM merged WHERE k % 13 <> 0 AND k % 17 = 0),
+    log AS (
+      SELECT 2 AS _commit_version, 'update_preimage' AS _change_type,
+             k, old_p AS p FROM upd
+      UNION ALL
+      SELECT 2, 'update_postimage', k, new_p FROM upd
+      UNION ALL SELECT 2, 'insert', k, p FROM ins
+      UNION ALL SELECT 3, 'delete', k, p FROM v3del
+      UNION ALL SELECT 4, 'delete', k, p FROM v4del
+    )
+    SELECT _commit_version, _change_type, count(*) AS n_rows,
+           min(k) AS min_key, max(k) AS max_key,
+           round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE), 2)
+               AS sum_price
+    FROM log GROUP BY 1, 2
+    """,
+    tags=("SNK3", "L2", "L3", "SE1", "A4"),
+)
+def snapshot_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-COMMIT change log (NEW r12b): the same merge -> COW delete ->
+    MOR delete lineage as ``snapshot_change_feed``, but consumed through
+    ``snapshot_changes_by_version`` — one O(churn) diff per adjacent
+    version pair stamped with ``_commit_version``, the Delta-CDF event
+    stream where the endpoint diff is the net. The oracle replays every
+    STEP separately (the v3 deletes carry the already-doubled prices,
+    the v4 equality deletes apply only to mod-13 survivors), so the
+    hashes only match if each step's pre-state is exactly the prior
+    commit's — per-version attribution, not just the net."""
+    import shutil
+
+    from .. import snapshots as sn
+    from ..functions import stable_sum
+
+    base = _scratch_dir(sf_dir, "snapshot_chlog_orders")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    v1 = sn.snapshot_commit(o.repartitionByRange(8, "o_orderkey"), base, "append")
+    upd = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = o.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    v2 = sn.snapshot_merge(upd.unionByName(ins), base, ["o_orderkey"])
+    v3 = sn.snapshot_delete(spark, base, F.col("o_orderkey") % 13 == 0)
+    mor = (
+        sn.snapshot_read(spark, base)
+        .filter(F.col("o_orderkey") % 17 == 0)
+        .select("o_orderkey")
+    )
+    v4 = sn.snapshot_delete_keys(mor, base)
+    assert (v1, v2, v3, v4) == (1, 2, 3, 4)  # oracle hardcodes the stamps
+    log = sn.snapshot_changes_by_version(
+        spark, base, v1, v4, key_cols=["o_orderkey"]
+    )
+    return log.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        stable_sum("o_totalprice", 2).alias("sum_price"),
+    )
