@@ -1908,3 +1908,37 @@ def test_read_fast_path_without_deletes_or_renames(spark, tmp_path):
     sn.snapshot_delete_keys(_k(spark, 1), base)
     plan2 = sn.snapshot_read(spark, base)._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("LeftAnti") == 1
+
+
+def test_row_count_manifest_only_and_fallbacks(spark, tmp_path, monkeypatch):
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 100).repartition(4), base, "append")
+    sn.snapshot_commit(_kv(spark, 100, 130), base, "append")
+    # manifest-plane count: correct WITHOUT any Spark scan (reads poisoned)
+    real_read_data = sn._read_data
+
+    def boom(*a, **k):
+        raise AssertionError("manifest-only count must not scan")
+
+    monkeypatch.setattr(sn, "_read_data", boom)
+    assert sn.snapshot_row_count(spark, base) == 130
+    assert sn.snapshot_row_count(spark, base, version=1) == 100
+    monkeypatch.setattr(sn, "_read_data", real_read_data)
+    # COW ops keep the map exact
+    sn.snapshot_merge(
+        spark.createDataFrame([(5, 1), (500, 1)], "k long, v long"), base, ["k"]
+    )
+    sn.snapshot_delete(spark, base, F.col("k") >= 120)  # drops 120-129 AND 500
+    assert sn.snapshot_row_count(spark, base) == 120
+    assert sn.snapshot_row_count(spark, base) == sn.snapshot_read(
+        spark, base
+    ).count()
+    # a live equality-delete entry masks unknown rows: falls back to a scan
+    sn.snapshot_delete_keys(_k(spark, 1, 2), base)
+    assert sn.snapshot_row_count(spark, base) == 118
+    # compaction absorbs the entry: manifest-only again
+    sn.snapshot_compact(spark, base)
+    monkeypatch.setattr(sn, "_read_data", boom)
+    assert sn.snapshot_row_count(spark, base) == 118
