@@ -1098,3 +1098,61 @@ def test_mirror_refuses_foreign_destination(spark, tmp_path):
     sn.snapshot_commit(df, dst, "append")  # no cursor lineage
     with pytest.raises(ValueError, match="cursor"):
         mirror_snapshot_changes(spark, src, dst, ["k"])
+
+
+def test_cdc_table_feeds_change_feed_and_mirror(spark, tmp_path):
+    """Composition: a streaming-CDC-maintained snapshot table serves the
+    change feed per micro-batch version AND replicates through the
+    mirror — the full upstream-CDC -> versioned table -> incremental
+    downstream pipeline in one test."""
+    import pyspark.sql.functions as F
+
+    from etl_ipl_data_analysis_pipeline_spark import snapshots as sn
+    from etl_ipl_data_analysis_pipeline_spark.streaming import cdc
+    from etl_ipl_data_analysis_pipeline_spark.streaming.changefeed import (
+        mirror_snapshot_changes,
+    )
+
+    rows = [
+        # batch 0: users 1,2 arrive
+        (0, 1, 10, "a", 1.0), (1, 2, 10, "a", 2.0),
+        # batch 1: user 1 updates, user 3 arrives
+        (2, 1, 20, "b", 3.0), (3, 3, 20, "a", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts long, event_type string, value double",
+    )
+    src = str(tmp_path / "src")
+    for k in range(2):
+        df.filter(
+            (F.col("event_id") >= 2 * k) & (F.col("event_id") < 2 * k + 2)
+        ).coalesce(1).write.parquet(f"{src}/f{k}")
+    table = str(tmp_path / "tbl")
+    cdc.run_snapshot_cdc_stream(
+        (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        ),
+        table,
+        ["user_id"],
+        ["ts", "event_id"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    assert sn.snapshot_versions(spark, table) == [1, 2]
+    # per-commit change feed over the CDC lineage
+    log = sn.snapshot_changes_by_version(spark, table, 1, 2, key_cols=["user_id"])
+    got = sorted((r.user_id, r.ts, r._change_type) for r in log.collect())
+    assert got == [
+        (1, 10, "update_preimage"), (1, 20, "update_postimage"),
+        (3, 20, "insert"),
+    ]
+    # incremental mirror of the CDC table
+    dst = str(tmp_path / "dst")
+    assert mirror_snapshot_changes(spark, table, dst, ["user_id"]) >= 1
+    assert mirror_snapshot_changes(spark, table, dst, ["user_id"]) == 0
+    s = {(r.user_id, r.ts) for r in sn.snapshot_read(spark, table).collect()}
+    d = {(r.user_id, r.ts) for r in sn.snapshot_read(spark, dst).collect()}
+    assert s == d == {(1, 20), (2, 10), (3, 20)}
