@@ -763,26 +763,42 @@ def connected_components(
             .distinct()
         )
         new_edges = small.localCheckpoint(eager=True)
-        # converged when every edge points directly at a component root
-        # (no u appears as a v of another edge): one anti-join probe
-        non_root = (
+        # converged only when the edge set is a VALID star forest. Two
+        # invariants, both required (checking only the first split
+        # components on multi-star merge graphs — e.g. edges
+        # (0,3),(4,1),(2,3),(2,4) reduce after one round to
+        # {(2,0),(2,1),(3,0),(4,1)}: no v appears as a u, yet node 2
+        # still holds edges to TWO roots that the next large-star round
+        # would merge into one component):
+        #   (a) every edge points directly at a root — no v is also a u;
+        #   (b) every node points at exactly ONE root — a node with
+        #       edges to two distinct roots means those roots are in the
+        #       same component and still need merging.
+        # One Spark action: union both violation probes and count.
+        chained = (
             new_edges.alias("x")
             .join(new_edges.alias("y"), F.col("x.v") == F.col("y.u"), "left_semi")
-            .count()
+            .select(F.lit(1).alias("one"))
         )
+        split_roots = (
+            new_edges.groupBy("u")
+            .agg(F.countDistinct("v").alias("nroots"))
+            .filter(F.col("nroots") > 1)
+            .select(F.lit(1).alias("one"))
+        )
+        pending = chained.unionByName(split_roots).count()
         edges = new_edges
-        if non_root == 0:
+        if pending == 0:
             break
     else:
-        # max_iter exhausted without convergence: the edge set still has
-        # chains, so downstream keep-one would silently under-merge
-        import warnings
-
-        warnings.warn(
+        # max_iter exhausted without reaching a valid star forest: the
+        # edge set still has chains or split roots, so downstream
+        # keep-one would silently under-merge. This is a correctness
+        # failure, not a degraded answer — refuse to return it.
+        raise RuntimeError(
             f"connected_components: not converged after {max_iter} rounds "
-            f"({non_root} non-root edges remain); components are partial",
-            RuntimeWarning,
-            stacklevel=2,
+            f"({pending} forest-invariant violations remain); raise "
+            f"max_iter — rounds needed grow with component diameter"
         )
     return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
 

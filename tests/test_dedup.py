@@ -121,6 +121,27 @@ def test_connected_components_merges_via_shared_node(spark):
     assert comp == {2: 1, 3: 1}
 
 
+def test_connected_components_multistar_merge_shapes(spark):
+    # r12 regression: the old convergence probe ("no v appears as a u")
+    # broke one round early on multi-star graphs where a node holds edges
+    # to TWO roots that still need merging. Both shapes below falsified it.
+    # Shape 1: (0,3),(4,1),(2,3),(2,4) — one component rooted at 0; after
+    # round 1 the edge set was {(2,0),(2,1),(3,0),(4,1)} and the old probe
+    # read converged, splitting {0,2,3} from {1,4}.
+    pairs = spark.createDataFrame(
+        [(0, 3), (4, 1), (2, 3), (2, 4)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 0, 2: 0, 3: 0, 4: 0}
+    # Shape 2 (node-drop variant): every non-root node must appear exactly
+    # once with the true minimum as its component.
+    pairs2 = spark.createDataFrame(
+        [(10, 12), (11, 13), (14, 12), (14, 13), (0, 10)], "id_a long, id_b long"
+    )
+    comp2 = {r["node"]: r["component"] for r in dedup.connected_components(pairs2).collect()}
+    assert comp2 == {10: 0, 11: 0, 12: 0, 13: 0, 14: 0}
+
+
 def test_minhash_dedup_cc_collapses_transitive_cluster(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
     drift1 = base.replace("tonight", "today")

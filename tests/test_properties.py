@@ -52,7 +52,7 @@ def test_minhash_estimates_bounded_and_ordered(spark, texts):
         assert 0.0 <= r["est_jaccard"] <= 1.0
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=50, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=50), min_size=2, max_size=12))
 def test_connected_components_roots_are_minima(spark, edges_flat):
     # build arbitrary edge list by pairing consecutive ints
