@@ -870,7 +870,12 @@ def _phys_name(manifest: dict, rel: str, col: str) -> str | None:
     """The physical name ``col`` had when ``rel`` was written (for stats
     lookups), or None when the column did not exist in that file yet."""
     renames = manifest.get("renames") or []
-    if not renames:
+    # drops matter even with no renames: a dropped-then-re-added column
+    # is a FRESH field whose add-version postdates old files, so their
+    # stale same-named footer stats must not serve it (the field_added
+    # check below returns None). Early-return only when neither history
+    # exists — matching _phys_fields.
+    if not renames and not (manifest.get("drops") or []):
         return col
     fid = (manifest.get("field_ids") or {}).get(col)
     if fid is None:
@@ -1827,6 +1832,41 @@ def _commit_rewrite(
                     f"{len(removed & touched_set)} file(s) this op rewrote — "
                     "re-run against the new head"
                 )
+            # a racer's metadata-only rename/drop is a true conflict the
+            # file checks can't see (it changes no files): this op's
+            # rewritten files were written under the OLD column names but
+            # get stamped with an add-version that POSTDATES the rename,
+            # so the renamed field resolves to its current physical name
+            # — which they don't contain — and _merge_schemas resurrects
+            # the old name as a zombie fresh field. Abort the rebase when
+            # the racer touched the field-id history or removed/renamed
+            # any schema name; a purely ADDITIVE concurrent evolution
+            # (new column appended, existing ids untouched) still
+            # composes — rewritten files simply serve NULL for the new
+            # column, same as the old files their rows came from.
+            _empty_meta = {"field_ids": {}, "renames": [], "drops": []}
+            old_meta = _field_meta_of(head) or _empty_meta
+            new_meta = _field_meta_of(new_head) or _empty_meta
+            old_names = {
+                f["name"] for f in json.loads(head["schema"])["fields"]
+            }
+            new_names = {
+                f["name"] for f in json.loads(new_head["schema"])["fields"]
+            }
+            if (
+                old_names - new_names
+                or new_meta["renames"] != old_meta["renames"]
+                or new_meta["drops"] != old_meta["drops"]
+                or any(
+                    new_meta["field_ids"].get(n, i) != i
+                    for n, i in old_meta["field_ids"].items()
+                )
+            ):
+                raise SnapshotConflict(
+                    f"snapshot {op}: a concurrent schema rename/drop "
+                    "landed — the rewrite read old column names; re-run "
+                    "against the new head"
+                )
             # a racer's NEW equality-delete entry is a true conflict: this
             # op read state WITHOUT it, so its rewritten files may carry
             # rows the racer deleted — and they'd escape the entry (their
@@ -2167,6 +2207,22 @@ def snapshot_delete_keys(
             versions = snapshot_versions(spark, base)
             head_version = versions[-1]
             head = _read_manifest(spark, base, head_version)
+            # re-validate the key columns against the NEW head: a
+            # concurrent rename/drop of a key column composes with
+            # nothing — committing the entry anyway would put cols in
+            # the manifest that no longer exist in the schema, and
+            # every subsequent _read_data anti-join would throw,
+            # bricking all reads until manual manifest repair.
+            live = {
+                f["name"] for f in json.loads(head["schema"])["fields"]
+            }
+            gone = [c for c in cols if c not in live]
+            if gone:
+                raise SnapshotConflict(
+                    f"snapshot_delete_keys: key column(s) {gone} were "
+                    "renamed or dropped concurrently — re-run with the "
+                    "current schema's key names"
+                )
     raise AssertionError("unreachable")
 
 
@@ -2266,9 +2322,45 @@ def snapshot_changes(
         old.select(*cols).withColumn("__w", F.lit(-1))
         .unionByName(new.select(*cols).withColumn("__w", F.lit(1)))
     )
+    # MapType columns can't be group-by keys (Spark defines no equality
+    # for maps in aggregation): group on a canonical serialization
+    # instead — entries sorted by key when the entry struct is orderable,
+    # raw to_json otherwise (consistent within one table's files) — and
+    # carry one representative map value through the aggregate. Commits
+    # and reads of map-typed tables always worked; this keeps the CDF,
+    # per-version change log, and mirror from cliffing at consumption
+    # time. ``key_cols`` themselves must remain groupable types.
+    from pyspark.sql.types import ArrayType, MapType
+
+    def _sortable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _sortable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_sortable(f.dataType) for f in dt.fields)
+        return True
+
+    map_cols = [
+        f.name for f in schema2.fields if isinstance(f.dataType, MapType)
+    ]
+    group_cols = list(cols)
+    map_aggs = []
+    for c in map_cols:
+        dt = schema2[c].dataType
+        canon = (
+            F.to_json(
+                F.map_from_entries(F.array_sort(F.map_entries(F.col(c))))
+            )
+            if _sortable(dt.keyType) and _sortable(dt.valueType)
+            else F.to_json(F.col(c))
+        )
+        weighted = weighted.withColumn(f"__g_{c}", canon)
+        group_cols[group_cols.index(c)] = f"__g_{c}"
+        map_aggs.append(F.first(F.col(c)).alias(c))
     net = (
-        weighted.groupBy(*cols)
-        .agg(F.sum("__w").alias("__n"))
+        weighted.groupBy(*group_cols)
+        .agg(F.sum("__w").alias("__n"), *map_aggs)
         .filter(F.col("__n") != 0)
         # a row appearing k times on one side nets |k| change rows —
         # exact multiset semantics, distributed (no driver materialization)

@@ -40,7 +40,10 @@ def mirror_snapshot_changes(
     """Bring ``dst_path`` up to date with ``src_path`` (both snapshot
     tables; the source must be key-unique on ``key_cols``, e.g.
     merge/CDC-maintained). Returns the number of SOURCE versions
-    consumed this call (0 = already current — calling again is free).
+    consumed this call (0 = already current — calling again is free);
+    expired versions inside the consumed range don't count, so the
+    return is the count of manifests that actually existed in
+    (last_cursor, source_head], not the cursor delta.
 
     First call bootstraps the destination with a full copy; afterwards
     each call diffs source head against the last-consumed version via
@@ -69,9 +72,13 @@ def mirror_snapshot_changes(
             "append",
             batch_id=src_head,
         )
-        return src_head
+        return len(src_versions)
     if src_head <= last:
         return 0
+    # count LIVE source versions in the consumed range — versions expired
+    # from the source lineage were never consumable, so "src_head - last"
+    # would overcount on any non-contiguous lineage
+    consumed = len([v for v in src_versions if last < v <= src_head])
     if last in src_versions:
         ch = sn.snapshot_changes(spark, src, last, src_head, key_cols=key_cols)
         upserts = ch.filter(
@@ -113,8 +120,8 @@ def mirror_snapshot_changes(
             [], StructType.fromJson(_json.loads(dst_head["schema"]))
         )
         sn.snapshot_commit(empty, dst, "append", batch_id=src_head)
-        return src_head - last
+        return consumed
     sn.snapshot_merge(
         changeset, dst, key_cols, batch_id=src_head, delete_col=_DEL
     )
-    return src_head - last
+    return consumed

@@ -1574,6 +1574,85 @@ def test_rewrite_racing_mor_delete_is_true_conflict(spark, tmp_path):
     assert 7 not in _keys(spark, base)  # the delete stands
 
 
+def test_rewrite_racing_rename_is_true_conflict(spark, tmp_path):
+    """A rewrite that staged files under the OLD column names must NOT
+    rebase past a concurrent rename/drop: its files get stamped with an
+    add-version postdating the rename, so the renamed field would
+    resolve to a physical name they don't contain (NULLs) and the schema
+    merge would resurrect the old name as a zombie column."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 20), base, "append")
+    head = sn._read_manifest(spark, base, 1)
+    stale_df = sn._read_data(spark, base, head, head["files"])
+    staged = sn._stage_files(stale_df, base, 2)
+    # ...then a metadata-only rename wins the race to v2 (changes no
+    # files, so the file-overlap and delete-entry checks can't fire)
+    sn.snapshot_rename_column(spark, base, "v", "w")
+    with pytest.raises(sn.SnapshotConflict, match="rename/drop"):
+        sn._commit_rewrite(
+            spark, base, head, 1, op="replace",
+            touched=list(head["files"]), new_files=staged,
+            new_schema=stale_df.schema,
+        )
+    # the rename stands and the table reads clean: no zombie column,
+    # renamed column serves the data
+    got = sn.snapshot_read(spark, base)
+    assert got.columns == ["k", "w"]
+    assert {(r.k, r.w) for r in got.collect()} == {(i, 0) for i in range(20)}
+
+
+def test_rewrite_racing_drop_is_true_conflict(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 10), base, "append")
+    head = sn._read_manifest(spark, base, 1)
+    stale_df = sn._read_data(spark, base, head, head["files"])
+    staged = sn._stage_files(stale_df, base, 2)
+    sn.snapshot_drop_column(spark, base, "v")
+    with pytest.raises(sn.SnapshotConflict, match="rename/drop"):
+        sn._commit_rewrite(
+            spark, base, head, 1, op="replace",
+            touched=list(head["files"]), new_files=staged,
+            new_schema=stale_df.schema,
+        )
+    assert sn.snapshot_read(spark, base).columns == ["k"]
+
+
+def test_delete_keys_retry_revalidates_renamed_key(spark, tmp_path, monkeypatch):
+    """A rename of a key column racing snapshot_delete_keys must abort
+    the retry: committing the stale entry would put cols in the manifest
+    that no longer exist in the schema, and every subsequent read's
+    anti-join would throw — bricking the table."""
+    base = str(tmp_path / "tbl")
+    sn.snapshot_commit(_kv(spark, 0, 30), base, "append")
+
+    real_versions = sn.snapshot_versions
+    state = {"raced": False}
+
+    def versions_with_race(spark_, path_):
+        out = real_versions(spark_, path_)
+        if not state["raced"]:
+            state["raced"] = True
+            sn.snapshot_versions = real_versions
+            try:
+                # the rename validates against a head with no live
+                # delete entry yet, so IT succeeds — the delete's retry
+                # must then notice its key column is gone
+                sn.snapshot_rename_column(spark, base, "k", "kk")
+            finally:
+                sn.snapshot_versions = versions_with_race
+            return out  # stale list: the rename's version is invisible
+        return out
+
+    monkeypatch.setattr(sn, "snapshot_versions", versions_with_race)
+    with pytest.raises(sn.SnapshotConflict, match="renamed or dropped"):
+        sn.snapshot_delete_keys(_k(spark, 3, 4), base)
+    monkeypatch.setattr(sn, "snapshot_versions", real_versions)
+    # the table still reads (no orphaned delete entry landed)
+    got = sn.snapshot_read(spark, base)
+    assert got.columns == ["kk", "v"]
+    assert got.count() == 30
+
+
 def test_mor_delete_races_append_both_land(spark, tmp_path):
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1614,6 +1693,36 @@ def test_changes_append_only(spark, tmp_path):
     got = sorted((r.k, r.v, r._change_type) for r in ch.collect())
     assert got == [(10, 1, "insert"), (11, 1, "insert"), (12, 1, "insert")]
     assert sn.snapshot_changes(spark, base, v2, v2).count() == 0
+
+
+def test_changes_on_map_typed_table(spark, tmp_path):
+    # MapType columns aren't group-by-able; the CDF must canonicalize
+    # them for the multiset diff instead of cliffing with an
+    # AnalysisException at consumption time
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (2, {"x": 9})],
+        "k long, props map<string,int>",
+    )
+    v1 = sn.snapshot_commit(df1, base, "append")
+    df2 = spark.createDataFrame(
+        [(3, {"b": 2, "a": 1})], "k long, props map<string,int>"
+    )
+    v2 = sn.snapshot_commit(df2, base, "append")
+    ch = sn.snapshot_changes(spark, base, v1, v2)
+    rows = ch.collect()
+    assert [(r.k, dict(r.props), r._change_type) for r in rows] == [
+        (3, {"a": 1, "b": 2}, "insert")
+    ]
+    # carried rows with key-order-permuted but EQUAL maps net-cancel:
+    # rewrite k=1's file via a COW delete of k=2 and diff across it
+    v3 = sn.snapshot_delete(spark, base, F.col("k") == 2)
+    got = sorted(
+        (r.k, r._change_type) for r in sn.snapshot_changes(spark, base, v2, v3).collect()
+    )
+    assert got == [(2, "delete")]
 
 
 def test_changes_classifies_updates_deletes_inserts(spark, tmp_path):
