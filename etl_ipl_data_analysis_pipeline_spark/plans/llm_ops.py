@@ -1790,7 +1790,10 @@ def _semantic_dedup_oracle(k: int, iters: int, min_sim: float, every: int) -> st
 
 @register(
     "dedup_semantic_planted",
-    oracle=_semantic_dedup_oracle(16, 2, 0.99, 10),
+    # one Lloyd round (r13): the planted contract lives in the exact
+    # collapse, not the clustering depth — iters=1 on BOTH sides halves
+    # the decimal-exact routing cost the oracle's replayability demands
+    oracle=_semantic_dedup_oracle(16, 1, 0.99, 10),
     tags=("X2", "X3", "J10", "F5"),
 )
 def dedup_semantic_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1813,7 +1816,7 @@ def dedup_semantic_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         # assign="exact" is pinned HERE (only): the oracle unrolls the
         # decimal Lloyd CTEs, so routing must be SQL-replayable. The
         # operator's production default is the Arrow fast path.
-        e.unionByName(planted), k=16, iters=2, min_sim=0.99, assign="exact"
+        e.unionByName(planted), k=16, iters=1, min_sim=0.99, assign="exact"
     ).select("vec_id")
 
 
@@ -4470,8 +4473,12 @@ def _hybrid_rrf_oracle() -> str:
     (sparse list, k=10) + the topk_cosine_ivf CTE family (dense list,
     probes vec_id < 3, k=10) + the RRF fusion. The fusion itself is one
     IEEE division per rank and one commutative add, so the hybrid
-    inherits the exact gate of its two proven components."""
-    body, last = _kmeans_cte(16, 2)
+    inherits the exact gate of its two proven components. One Lloyd
+    round (r13): the fusion contract is rank arithmetic over the two
+    lists — clustering depth only shapes which natural neighbors the
+    dense leg surfaces, and iters=1 on BOTH sides halves the
+    decimal-exact pass that dominated the bench tail."""
+    body, last = _kmeans_cte(16, 1)
     return f"""
     WITH toks AS (
       SELECT doc_id, {_TOKS_SQL} AS t FROM documents
@@ -4594,7 +4601,9 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wd = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     dense = (
-        similarity.ivf_topk_exact(e, probes, k=10, probe_id_col="query_id")
+        similarity.ivf_topk_exact(
+            e, probes, k=10, iters=1, probe_id_col="query_id"
+        )
         .withColumn("rnk", F.row_number().over(wd))
         .select(
             F.col("query_id").cast("int").alias("query_id"),
