@@ -86,6 +86,105 @@ def test_connected_components_roots_are_minima(spark, edges_flat):
             assert got[n] == root, (pairs, got, expected)
 
 
+# Adversarial graph shapes for the CC consumers (VERDICT r12 directive 5):
+# chains, stars, two stars cross-linked via a high-id node (the r12
+# falsifier), two cliques joined by one bridge — plus hypothesis noise.
+_GRAPH_SHAPES = [
+    [(i, i + 1) for i in range(8)],                        # chain
+    [(0, i) for i in range(1, 9)],                         # star at 0
+    [(0, 3), (4, 1), (2, 3), (2, 4)],                      # multi-star merge
+    [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    + [(3, 10)]
+    + [(a, b) for a in range(10, 14) for b in range(a + 1, 14)],  # cliques+bridge
+    [(7, 3), (3, 9), (9, 1), (20, 21), (21, 1)],           # zigzag + tail
+]
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=10))
+def test_cc_keep_min_survivors_forest_valid(spark, noise_flat):
+    """The keep-min-per-component composition every CC consumer runs
+    (minhash_dedup_cc, stream_dedup_survivors_cc, cluster_safe_split):
+    survivors from the anti-join against (node != component) must equal
+    union-find min-roots, and the returned mapping must be a VALID star
+    forest — each non-root node exactly once, components are true
+    minima, no component id ever appears as a node."""
+    noise = [
+        (a, b) for a, b in zip(noise_flat[::2], noise_flat[1::2]) if a != b
+    ]
+    for shape in _GRAPH_SHAPES:
+        pairs = shape + noise
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        comp = dedup.connected_components(df).collect()
+        nodes = [r["node"] for r in comp]
+        mapping = {r["node"]: r["component"] for r in comp}
+        expected = _uf_components(pairs)
+        # forest validity: one row per non-root node, roots never nodes
+        assert len(nodes) == len(set(nodes))
+        assert not (set(mapping) & set(mapping.values()))
+        # exact min-root equality (losers AND roots)
+        assert mapping == {
+            n: r for n, r in expected.items() if n != r
+        }, (pairs, mapping)
+        # the survivor set the consumers derive
+        all_ids = {x for p in pairs for x in p}
+        survivors = all_ids - set(mapping)
+        assert survivors == {r for r in expected.values()} | (
+            all_ids - set(expected)
+        )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=4), min_size=1, max_size=5),
+)
+def test_semantic_dedup_collapse_keeps_class_minima(spark, class_sizes):
+    """semantic_dedup's exact-collapse identity as a property: ids are
+    dealt round-robin across duplicate classes of one-hot vectors
+    (mutually orthogonal, cosine 0 < min_sim, so ONLY exact duplicates
+    die), and the survivor set must be exactly the min id of every
+    class — one survivor per class, closed under the keep-first
+    contract, independent of partitioning or cell routing."""
+    rows = []
+    nid = 0
+    expected = {}
+    dim = len(class_sizes)
+    for order in range(max(class_sizes)):
+        for ci, size in enumerate(class_sizes):
+            if order < size:
+                vec = [0.0] * dim
+                vec[ci] = 1.0
+                rows.append((nid, vec))
+                if ci not in expected:
+                    expected[ci] = nid
+                nid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]
+        for r in dedup.semantic_dedup(
+            emb, k=2, iters=1, min_sim=0.95, assign="exact"
+        ).select("vec_id").collect()
+    }
+    assert got == set(expected.values()), (rows, got, expected)
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
