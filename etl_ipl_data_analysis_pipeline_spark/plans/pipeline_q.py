@@ -1761,3 +1761,59 @@ def snapshot_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").alias("max_key"),
         stable_sum("o_totalprice", 2).alias("sum_price"),
     )
+
+
+@register(
+    "zip_ingest_members",
+    oracle="""
+    SELECT 'doc_' || doc_id || '.json' AS member,
+           '{"doc_id": ' || doc_id || ', "lang": "' || lang || '"}' AS content
+    FROM documents WHERE doc_id < 20
+    """,
+    tags=("SRC1", "SRC2", "U4"),
+)
+def zip_ingest_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRC1 + SRC2 under the exact gate (VERDICT r12 item 8): two zip
+    archives are synthesized from ``documents`` rows (JSON members named
+    doc_<id>.json plus a non-.json decoy per archive), STREAMED into the
+    landing dir through io.fetch_url over file:// URLs (the SRC1 chunked
+    fetch loop — reference data_ingestion_func.py:19-21), then fanned out
+    to rows ON EXECUTORS via io.expand_zip_distributed (reference
+    lambda_unzip_function.py:18-22's member filter, distributed through
+    mapInPandas). Member names and byte-exact contents are pure functions
+    of the rows, so the whole fetch -> unzip -> fanout pipeline sits
+    under a DuckDB oracle rebuilding the same strings; the .txt decoys
+    prove the suffix filter drops non-matching members."""
+    import os
+    import shutil
+    import zipfile
+
+    from .. import io as gio
+
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "lang")
+        .collect()  # 20 rows — archive synthesis is driver-side by design
+    )
+    src = _scratch_dir(sf_dir, "zip_ingest_src")
+    landing = _scratch_dir(sf_dir, "zip_ingest_landing")
+    for p in (src, landing):
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+    for part in (0, 1):
+        zp = os.path.join(src, f"batch_{part}.zip")
+        with zipfile.ZipFile(zp, "w", zipfile.ZIP_STORED) as zf:
+            for r in rows:
+                if r["doc_id"] % 2 == part:
+                    zf.writestr(
+                        f"doc_{r['doc_id']}.json",
+                        f'{{"doc_id": {r["doc_id"]}, "lang": "{r["lang"]}"}}',
+                    )
+            zf.writestr(f"skip_{part}.txt", "not json")
+        gio.fetch_url(
+            "file://" + zp, os.path.join(landing, os.path.basename(zp))
+        )
+    return gio.expand_zip_distributed(spark, landing, suffix=".json").select(
+        "member", F.col("content").cast("string").alias("content")
+    )

@@ -355,6 +355,91 @@ def main() -> int:
         == sn.snapshot_read(spark, mor).count()
     )
 
+    # --- 9: maintenance-depth axis (r13, VERDICT r12 directive 7) ---------
+    # A table that keeps TAKING maintenance without compaction: equality-
+    # delete entries and rename epochs accumulate, and every read pays
+    # their anti-joins / projection epochs until a compact absorbs them.
+    # Measure (a) read cost as delete-entry depth grows, (b) the rename-
+    # epoch surcharge, (c) compact cost and the post-compact read, and
+    # derive the crossover: how many reads at max depth amortize one
+    # compaction. Plus (d) change-feed cost as the version range spans
+    # growing churn — the O(churn) claim measured, not asserted.
+    dep = root + "/tbl_depth"
+    dep_rows = 2_000_000
+    sn.snapshot_commit(
+        spark.range(0, dep_rows)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") * 7919) % 104729)
+        .repartitionByRange(16, "k"),
+        dep,
+        "append",
+    )
+    depth_read = {}
+    n_del = 0
+    prev = 0
+    for d_target in (0, 4, 16, 64):
+        for i in range(prev, d_target):
+            ks = (
+                spark.range(i * 1000, i * 1000 + 10)
+                .withColumnRenamed("id", "k")
+            )
+            sn.snapshot_delete_keys(ks, dep)
+            n_del += 10
+        prev = d_target
+        t0 = time.monotonic()
+        assert sn.snapshot_read(spark, dep).count() == dep_rows - n_del
+        depth_read[str(d_target)] = round(time.monotonic() - t0, 2)
+    out["depth_read_secs_by_delete_entries"] = depth_read
+    # rename epochs on top (v is not a delete-key column, so it renames)
+    sn.snapshot_rename_column(spark, dep, "v", "v2")
+    sn.snapshot_rename_column(spark, dep, "v2", "v3")
+    t0 = time.monotonic()
+    assert sn.snapshot_read(spark, dep).count() == dep_rows - n_del
+    out["depth_read_secs_64del_2renames"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    sn.snapshot_compact(spark, dep)
+    out["depth_compact_secs"] = round(time.monotonic() - t0, 2)
+    t0 = time.monotonic()
+    assert sn.snapshot_read(spark, dep).count() == dep_rows - n_del
+    out["depth_read_secs_compacted"] = round(time.monotonic() - t0, 2)
+    overhead = max(
+        0.001,
+        out["depth_read_secs_64del_2renames"] - out["depth_read_secs_compacted"],
+    )
+    out["depth_compact_crossover_reads"] = round(
+        out["depth_compact_secs"] / overhead, 1
+    )
+    # (d) change-feed cost vs churn: 32 clustered point merges, then CDF
+    # over version ranges spanning 1 / 8 / 32 merges
+    churn = root + "/tbl_churn"
+    sn.snapshot_commit(
+        spark.range(0, dep_rows)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") * 7919) % 104729)
+        .repartitionByRange(16, "k"),
+        churn,
+        "append",
+    )
+    heads = [1]
+    for i in range(32):
+        u = (
+            spark.range(i * 50_000 + 3, i * 50_000 + 103)
+            .select(F.col("id").alias("k"))
+            .withColumn("v", F.lit(-(i + 1)).cast("long"))
+        )
+        heads.append(sn.snapshot_merge(u, churn, ["k"]))
+    cdf_by_churn = {}
+    for span in (1, 8, 32):
+        t0 = time.monotonic()
+        n = sn.snapshot_changes(
+            spark, churn, heads[-1 - span], heads[-1], key_cols=["k"]
+        ).count()
+        cdf_by_churn[str(span)] = {
+            "secs": round(time.monotonic() - t0, 2),
+            "rows": n,
+        }
+    out["cdf_secs_by_churn_merges"] = cdf_by_churn
+
     print(json.dumps({"metric": "snapshot_smoke", "timings": out}))
     return 0
 
