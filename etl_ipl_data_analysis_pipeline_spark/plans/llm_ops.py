@@ -500,7 +500,7 @@ def _kmeans_cte(
         parts.append(
             f""", {p}d{i} AS (
       SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM {p}ex e JOIN {prev} c USING (pos) GROUP BY 1, 2
     ), {p}a{i} AS (
       SELECT vid, cid FROM (
@@ -529,7 +529,7 @@ _COS6_SQL = (
 def _ivf_exact_oracle(k: int, n_centroids: int, nprobe: int, iters: int) -> str:
     """Oracle twin of similarity.ivf_topk_exact: the unrolled-Lloyd CTE
     chain (shared with the kmeans oracle), 6dp-floored centroids, the
-    same DECIMAL(38,12) distance argmin for assignment and routing, then
+    same fixed-point 12dp bigint distance argmin for assignment and routing, then
     in-cell cosine scoring and the (sim DESC, vec_id) top-k."""
     body, last = _kmeans_cte(n_centroids, iters)
     return f"""
@@ -537,7 +537,7 @@ def _ivf_exact_oracle(k: int, n_centroids: int, nprobe: int, iters: int) -> str:
       SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
     ), dists AS (
       SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
     ), ranked AS (
       SELECT vid, cid,
@@ -586,7 +586,7 @@ def topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_exact_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
     """Oracle twin of similarity.lsh_topk_exact: the identical hyperplane
     literals (same _plane_matrix PRNG stream, repr-interpolated so the
-    doubles round-trip bit-exactly), DECIMAL(38,12) dot sums for the
+    doubles round-trip bit-exactly), fixed-point 12dp bigint dot sums for the
     sign decision, bucket equi-join, cosine scoring, per-query top-k."""
     mat = similarity._plane_matrix(n_planes, dim, seed)
     vals = ", ".join(
@@ -600,7 +600,7 @@ def _lsh_exact_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
     ), dots AS (
-      SELECT vec_id, plane, sum(CAST(v * wt AS DECIMAL(38,12))) AS dot
+      SELECT vec_id, plane, sum(CAST(floor(v * wt * 1e12 + 0.5) AS BIGINT)) AS dot
       FROM ex JOIN w USING (pos) GROUP BY 1, 2
     ), bkt AS (
       SELECT vec_id,
@@ -766,7 +766,7 @@ def _ivf_appended_exact_oracle(k: int, nprobe: int) -> str:
       FROM embeddings
     ), dists AS (
       SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
     ), ranked AS (
       SELECT vid, cid,
@@ -907,7 +907,7 @@ def _ivf_recall_oracle(k: int, nprobe: int) -> str:
       SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
     ), dists AS (
       SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
     ), ranked AS (
       SELECT vid, cid,
@@ -965,7 +965,7 @@ def _lsh_recall_oracle(k: int, n_planes: int, dim: int, seed: int) -> str:
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
     ), dots AS (
-      SELECT vec_id, plane, sum(CAST(v * wt AS DECIMAL(38,12))) AS dot
+      SELECT vec_id, plane, sum(CAST(floor(v * wt * 1e12 + 0.5) AS BIGINT)) AS dot
       FROM ex JOIN w USING (pos) GROUP BY 1, 2
     ), bkt AS (
       SELECT vec_id,
@@ -1716,7 +1716,7 @@ def _kmeans_oracle(k: int, iters: int) -> str:
     """Oracle twin of operators/similarity.kmeans_exact with the rounds
     unrolled as chained CTEs (like _pagerank_oracle: SQL recursion can't
     aggregate in the recursive term). Every term mirrors the Spark side
-    exactly: double subtraction/square, DECIMAL(38,12) distance sums,
+    exactly: double subtraction/square, fixed-point 12dp bigint distance sums,
     (dist, cid) argmin tie-break, DECIMAL(38,10) coordinate sums, one
     double division."""
     body, last = _kmeans_cte(k, iters)
@@ -1768,7 +1768,7 @@ def _semantic_dedup_oracle(k: int, iters: int, min_sim: float, every: int) -> st
       SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
     ), dists AS (
       SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
     ), acell AS (
       SELECT vid, cid FROM (
@@ -3617,7 +3617,7 @@ def _pq_oracle(
 ) -> str:
     """Oracle twin of similarity.pq_topk_exact: one prefixed unrolled-
     Lloyd chain per subspace over sliced embeddings, 6dp-floored
-    codebooks, the same DECIMAL(38,12) argmin coding, probe distance
+    codebooks, the same fixed-point 12dp argmin coding, probe distance
     tables, and the (adc ASC, vec_id ASC) top-k. ``planted`` unions the
     probe mirrors into the pool and keeps only the mirror rows, turning
     the query into a deterministic recall gate."""
@@ -3649,7 +3649,7 @@ def _pq_oracle(
                row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
         FROM (
           SELECT e.vid, c.cid,
-                 sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+                 sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
           FROM s{j}_ex e JOIN s{j}cm c USING (pos) GROUP BY 1, 2
         )) WHERE rn = 1
     )"""
@@ -3675,7 +3675,7 @@ def _pq_oracle(
       )
     ), dtab AS (
       SELECT p.query_id, p.subspace, c.cid AS code,
-             sum(CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(38,12))) AS dd
+             sum(CAST(floor((p.v - c.c) * (p.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dd
       FROM pex p JOIN cents c ON c.subspace = p.subspace AND c.pos = p.pos
       GROUP BY 1, 2, 3
     ), adcs AS (
@@ -3686,7 +3686,7 @@ def _pq_oracle(
     )
     guard = f" AND vec_id - query_id = 200000" if planted else ""
     final = f"""SELECT query_id, vec_id,
-           floor(CAST(adc AS DOUBLE) * 1e6 + 0.5) / 1e6 AS adc
+           floor(CAST(adc AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS adc
     FROM (
       SELECT *, row_number() OVER (
                     PARTITION BY query_id ORDER BY adc, vec_id) AS rn
@@ -3789,7 +3789,7 @@ def _cluster_top_terms_oracle(k: int, iters: int) -> str:
                row_number() OVER (PARTITION BY vid ORDER BY dist, cid) AS rn
         FROM (
           SELECT e.vid, c.cid,
-                 sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+                 sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
           FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
         )) WHERE rn = 1
     ), toks AS (
@@ -3838,7 +3838,7 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = (
         ex.join(F.broadcast(cm), "pos")
         .groupBy("vec_id", "cid")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("__dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("__dist"))
     )
     w = Window.partitionBy("vec_id").orderBy("__dist", "cid")
     asg = (
@@ -4523,7 +4523,7 @@ def _hybrid_rrf_oracle() -> str:
       SELECT cid, pos, floor(c * 1e6 + 0.5) / 1e6 AS c FROM {last}
     ), ivfd AS (
       SELECT e.vid, c.cid,
-             sum(CAST((e.v - c.c) * (e.v - c.c) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((e.v - c.c) * (e.v - c.c) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM ex e JOIN cm c USING (pos) GROUP BY 1, 2
     ), ivfr AS (
       SELECT vid, cid,
@@ -5167,7 +5167,7 @@ def dim_covariance_jl16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_recall_oracle(topk: int = 5, n_probes: int = 3) -> str:
     """Oracle of pq_recall_audit: the full PQ CTE chain exposed as the
     ``pqtop`` CTE (cte_only), a brute-force EXACT-L2 truth panel over
-    the same pool (DECIMAL(38,12) summed squared diffs — ADC
+    the same pool (fixed-point 12dp summed squared diffs — ADC
     approximates L2, so L2 is the honest truth metric, unlike the
     cosine panels of the IVF/LSH audits), intersected per probe. Both
     rankers are decimal-deterministic with (dist, vec_id) tie-breaks,
@@ -5180,7 +5180,7 @@ def _pq_recall_oracle(topk: int = 5, n_probes: int = 3) -> str:
       FROM embeddings WHERE len(embedding) = 64
     ), bfd AS (
       SELECT p.vec_id AS query_id, c.vec_id,
-             sum(CAST((p.v - c.v) * (p.v - c.v) AS DECIMAL(38,12))) AS dist
+             sum(CAST(floor((p.v - c.v) * (p.v - c.v) * 1e12 + 0.5) AS BIGINT)) AS dist
       FROM bfex p
       JOIN bfex c ON c.pos = p.pos AND c.vec_id != p.vec_id
       WHERE p.vec_id < {n_probes}
@@ -5215,7 +5215,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact codebooks is compared against the brute-force EXACT
     L2 top-k (ADC approximates L2; a cosine panel would conflate metric
     mismatch with quantization loss). The truth leg's squared distances
-    are DECIMAL(38,12) sums of per-element products — partitioning-
+    are fixed-point 12dp bigint sums of per-element products — partitioning-
     independent and replayed verbatim by the oracle — so a codebook
     drift or tie-break slip flips the hash, not just a plausible
     number. Same fixed-probe-PANEL scale shape as the other audits:
@@ -5234,7 +5234,7 @@ def pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pex.join(cex, "pos")
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
-        .agg(F.sum((term * term).cast("decimal(38,12)")).alias("dist"))
+        .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     truth = (
