@@ -119,6 +119,12 @@ HEADLINE = [
     "snapshot_mor_delete",
     "snapshot_change_feed",
     "snapshot_incremental_mirror",
+    # round-13: the two new plan shapes — iterative star-contraction
+    # closure on an adversarial planted multi-star graph (the shape the
+    # r12 convergence probe broke on), and the fetch -> zip-fanout
+    # ingest path (SRC1/SRC2) landing archive members as rows
+    "dedup_cc_multistar",
+    "zip_ingest_members",
 ]
 
 
