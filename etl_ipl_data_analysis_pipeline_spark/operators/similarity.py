@@ -71,7 +71,7 @@ def embedding_dim_covariance_jl(
     arrays (jl_k elements per vector — bounded collect_list, not a
     corpus buffer), and run the exact covariance at jl_k²/2 cells
     instead of d²/2. The whole composition stays inside the exact
-    cross-engine gate: both stages' arithmetic is decimal-summed
+    cross-engine gate: both stages' arithmetic is exactly-summed 12dp
     fixed-point on engine-recomputable inputs.
 
     The answer is the covariance OF THE PROJECTION — a diagnostics
@@ -927,12 +927,14 @@ def embedding_dim_covariance(
 
     Exact-gate discipline: per-row products x_i*x_j are one IEEE double
     multiply (float32 inputs widen exactly), floor-quantized to 12dp
-    (far below float32's ~7 significant digits, so the quantization is
-    noise-free in practice but makes the value a fixed-point number BOTH
-    engines cast to DECIMAL(20,12) identically — a raw double->decimal
-    cast at scale 18 diverges between shortest-repr and exact-expansion
-    engines), then summed as decimals: partitioning- and
-    order-independent. cov = (SP - S_i*S_j/n)/n in mirrored double
+    fixed-point BIGINTs (far below float32's ~7 significant digits, so
+    the quantization is noise-free in practice but makes the value an
+    integer BOTH engines compute identically), then summed with exact
+    integer addition: partitioning- and order-independent. Because the
+    sums run over the CORPUS (unbounded n, unlike the dim-bounded
+    distance sums), each term splits into (div 2^20, mod 2^20) halves
+    whose two long sums recombine into the exact integer — see the
+    in-code note. cov = (SP - S_i*S_j/n)/n in mirrored double
     arithmetic, floor-rounded 8dp; corr divides by IEEE-exact sqrts of
     the (rounded) diagonal variances, floor-rounded 6dp, NULL when
     either variance is 0.
@@ -995,24 +997,47 @@ def embedding_dim_covariance(
     ).select(
         F.col("__c.i").alias("i"),
         F.col("__c.j").alias("j"),
-        (F.floor(F.col("__c.p") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
-        .cast("decimal(20,12)")
-        .alias("__p"),
+        F.floor(F.col("__c.p") * F.lit(1e12) + F.lit(0.5)).alias("__p"),
     )
+
+    # Exact corpus-sized sums of 12dp fixed-point terms WITHOUT boxed
+    # decimals: a single BIGINT sum of floor(t*1e12+0.5) could overflow
+    # at n ~ 1e5-1e9 rows (terms carry up to ~1e13 each), so each term
+    # splits into (t div 2^20, t % 2^20) — truncating div/mod satisfy
+    # q*2^20 + r == t for either sign — and the two LONG sums (both
+    # codegen fast-path, both exactly associative) recombine into the
+    # exact integer in DECIMAL arithmetic at the d² group rows. Headroom:
+    # the lo sum is < n*2^20 and the hi sum < n*|t|max*1e12/2^20, good
+    # past 1e11 rows; the oracle's HUGEINT sum equals the recombined
+    # integer, and both engines then take the identical
+    # cast-to-double / 1e12 path.
+    def _split_sum(col: str, hi: str, lo: str):
+        return [
+            F.sum(F.expr(f"{col} div 1048576")).alias(hi),
+            F.sum(F.expr(f"{col} % 1048576")).alias(lo),
+        ]
+
+    def _split_dbl(hi: str, lo: str):
+        return (
+            (
+                F.col(hi).cast("decimal(38,0)") * F.lit(1048576) + F.col(lo)
+            ).cast("double")
+            / F.lit(1e12)
+        )
+
     sums = base.select(
         F.posexplode("__v").alias("i", "__x")
     ).select(
         "i",
-        (F.floor(F.col("__x").cast("double") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12))
-        .cast("decimal(20,12)")
-        .alias("__x12"),
-    ).groupBy("i").agg(F.sum("__x12").alias("__s"))
-    sp = cells.groupBy("i", "j").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("__p").alias("__sp")
+        F.floor(F.col("__x").cast("double") * F.lit(1e12) + F.lit(0.5)).alias("__x12"),
+    ).groupBy("i").agg(*_split_sum("__x12", "__shi", "__slo")).select(
+        "i", _split_dbl("__shi", "__slo").alias("__s")
     )
+    sp = cells.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"), *_split_sum("__p", "__phi", "__plo")
+    ).select("i", "j", "n", _split_dbl("__phi", "__plo").alias("__sp"))
     cov = (
-        F.col("__sp").cast("double")
-        - F.col("__si").cast("double") * F.col("__sj").cast("double") / F.col("n")
+        F.col("__sp") - F.col("__si") * F.col("__sj") / F.col("n")
     ) / F.col("n")
     m = (
         sp.join(F.broadcast(sums.select("i", F.col("__s").alias("__si"))), "i")
@@ -1916,8 +1941,9 @@ def jl_project_signs(
     is exact anyway, but the integer guard keeps the contract obvious).
 
     Exact-gate discipline: per-term products are 12dp floor-quantized
-    DECIMAL(20,12) and summed (order-independent); the output is 6dp
-    floor-rounded after the exact scale division.
+    to fixed-point BIGINTs and summed with exact integer addition
+    (order-independent); the output is 6dp floor-rounded after the
+    exact scale division.
 
     Scale: one posexplode, a broadcast d x k sign relation (built from
     the DISTINCT dimension ids — 1024 md5 calls for d=64, k=16, never
@@ -1949,9 +1975,10 @@ def jl_project_signs(
         F.lit(1),
     ).otherwise(F.lit(-1))
     signs = dims.crossJoin(js).select("i", "j", sign.alias("__s"))
-    term = (
-        F.floor(F.col("__x") * F.col("__s") * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
-    ).cast("decimal(20,12)")
+    # dim-bounded sum (d terms per (vec, j)): the 12dp fixed-point BIGINT
+    # term sums directly on the long fast path — no decimal boxing, no
+    # overflow headroom needed beyond d * |x|max * 1e12
+    term = F.floor(F.col("__x") * F.col("__s") * F.lit(1e12) + F.lit(0.5))
     return (
         ex.join(F.broadcast(signs), "i")
         .select(F.col(id_col), "j", term.alias("__t"))
@@ -1962,7 +1989,8 @@ def jl_project_signs(
             "j",
             (
                 F.floor(
-                    F.col("__sum").cast("double") / F.lit(float(r)) * F.lit(1e6)
+                    F.col("__sum").cast("double") / F.lit(1e12) / F.lit(float(r))
+                    * F.lit(1e6)
                     + F.lit(0.5)
                 )
                 / F.lit(1e6)

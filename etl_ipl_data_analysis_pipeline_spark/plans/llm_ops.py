@@ -2556,20 +2556,20 @@ def source_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     ), cells AS (
       SELECT a.i AS i, b.i AS j,
-             CAST(floor(a.x * b.x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS p
+             CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT) AS p
       FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
     ), sums AS (
       SELECT i,
-             sum(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS s
+             CAST(sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS s
       FROM xs GROUP BY i
     ), sp AS (
-      SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(p) AS spv
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) / 1e12 AS spv
       FROM cells GROUP BY i, j
     ), m AS (
       SELECT sp.i, sp.j, sp.n,
              floor(
-               (CAST(spv AS DOUBLE)
-                - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / sp.n)
+               (spv - si.s * sj.s / sp.n)
                / sp.n * 1e8 + 0.5
              ) / 1e8 AS cov
       FROM sp
@@ -2590,8 +2590,8 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle covariance + correlation of the 64 embedding
     dimensions (similarity.embedding_dim_covariance) — the whitening /
     dead-dimension / redundancy diagnostic. Products are 12dp-quantized
-    then decimal-summed (order-independent; a raw double->decimal cast
-    at high scale is the shortest-repr-vs-exact-expansion trap), the
+    to fixed-point bigints and summed as split (div/mod 2^20) long
+    pairs recombined exactly (order-independent, codegen fast-path), the
     covariance arithmetic is mirrored double IEEE, and correlation uses
     IEEE-exact sqrt — the whole matrix sits under the exact gate. The
     d^2 cell fanout is codegen CPU, not shuffle: map-side combine ships
@@ -5070,11 +5070,11 @@ def lm_backoff_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT i FROM ex) d CROSS JOIN js
     ), terms AS (
       SELECT vec_id, j,
-             CAST(floor(x * s * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS t
+             CAST(floor(x * s * 1e12 + 0.5) AS BIGINT) AS t
       FROM ex JOIN signs USING (i)
     )
     SELECT vec_id, j,
-           floor(CAST(sum(t) AS DOUBLE) / 4.0 * 1e6 + 0.5) / 1e6 AS proj
+           floor(CAST(sum(t) AS DOUBLE) / 1e12 / 4.0 * 1e6 + 0.5) / 1e6 AS proj
     FROM terms GROUP BY 1, 2
     """,
     tags=("X3", "A8", "F7", "F3"),
@@ -5082,7 +5082,8 @@ def lm_backoff_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jl_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss reduction of the embeddings to 16 dimensions
     (similarity.jl_project_signs): deterministic md5 ±1 sign matrix, 12dp
-    decimal-summed terms, one exact 1/sqrt(16) division — the modelless
+    fixed-point bigint term sums, one exact 1/sqrt(16) division — the
+    modelless
     pre-reduction in front of distance-heavy ANN stages, fully under the
     exact gate because the projection matrix is recomputed identically
     from the dimension/component ids in both engines."""
@@ -5110,28 +5111,28 @@ def jl_projection_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT DISTINCT i FROM ex) d CROSS JOIN js
     ), terms AS (
       SELECT vec_id, j,
-             CAST(floor(x * s * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS t
+             CAST(floor(x * s * 1e12 + 0.5) AS BIGINT) AS t
       FROM ex JOIN signs USING (i)
     ), xs AS (
       SELECT vec_id, j AS i,
-             floor(CAST(sum(t) AS DOUBLE) / 4.0 * 1e6 + 0.5) / 1e6 AS x
+             floor(CAST(sum(t) AS DOUBLE) / 1e12 / 4.0 * 1e6 + 0.5) / 1e6 AS x
       FROM terms GROUP BY 1, 2
     ), cells AS (
       SELECT a.i AS i, b.i AS j,
-             CAST(floor(a.x * b.x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12)) AS p
+             CAST(floor(a.x * b.x * 1e12 + 0.5) AS BIGINT) AS p
       FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
     ), sums AS (
       SELECT i,
-             sum(CAST(floor(x * 1e12 + 0.5) / 1e12 AS DECIMAL(20,12))) AS s
+             CAST(sum(CAST(floor(x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS s
       FROM xs GROUP BY i
     ), sp AS (
-      SELECT i, j, CAST(count(*) AS BIGINT) AS n, sum(p) AS spv
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(p) AS DOUBLE) / 1e12 AS spv
       FROM cells GROUP BY i, j
     ), m AS (
       SELECT sp.i, sp.j, sp.n,
              floor(
-               (CAST(spv AS DOUBLE)
-                - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / sp.n)
+               (spv - si.s * sj.s / sp.n)
                / sp.n * 1e8 + 0.5
              ) / 1e8 AS cov
       FROM sp
