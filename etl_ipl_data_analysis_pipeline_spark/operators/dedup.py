@@ -762,7 +762,13 @@ def connected_components(
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
-        new_edges = small.localCheckpoint(eager=True)
+        # LAZY checkpoint: the probe's count() below is the round's ONE
+        # Spark action — it computes this RDD (the probe's two union
+        # branches share small's final distinct-exchange via exchange
+        # reuse) and the checkpoint materializes as that job completes,
+        # so lineage still truncates every round without the second
+        # eager-checkpoint job the r12 loop paid per iteration.
+        new_edges = small.localCheckpoint(eager=False)
         # converged only when the edge set is a VALID star forest. Two
         # invariants, both required (checking only the first split
         # components on multi-star merge graphs — e.g. edges
@@ -774,19 +780,32 @@ def connected_components(
         #   (b) every node points at exactly ONE root — a node with
         #       edges to two distinct roots means those roots are in the
         #       same component and still need merging.
-        # One Spark action: union both violation probes and count.
-        chained = (
-            new_edges.alias("x")
-            .join(new_edges.alias("y"), F.col("x.v") == F.col("y.u"), "left_semi")
-            .select(F.lit(1).alias("one"))
+        # Both probes fold into ONE hash aggregation over the exploded
+        # endpoints (guide §2.3/§2.4: the r12 semi-join + countDistinct
+        # pair cost two extra shuffles per round): per node n,
+        # rows-as-u carry the root r, rows-as-v carry NULL, so
+        #   (a) violated ⇔ n has both r rows and NULL rows (0 < cr < ct)
+        #   (b) violated ⇔ min(r) != max(r) (two distinct roots)
+        probe = (
+            new_edges.select(F.col("u").alias("n"), F.col("v").alias("r"))
+            .unionByName(
+                new_edges.select(
+                    F.col("v").alias("n"), F.lit(None).cast("long").alias("r")
+                )
+            )
+            .groupBy("n")
+            .agg(
+                F.min("r").alias("mn"),
+                F.max("r").alias("mx"),
+                F.count("r").alias("cr"),
+                F.count(F.lit(1)).alias("ct"),
+            )
+            .filter(
+                (F.col("mn") != F.col("mx"))
+                | ((F.col("cr") > 0) & (F.col("cr") < F.col("ct")))
+            )
         )
-        split_roots = (
-            new_edges.groupBy("u")
-            .agg(F.countDistinct("v").alias("nroots"))
-            .filter(F.col("nroots") > 1)
-            .select(F.lit(1).alias("one"))
-        )
-        pending = chained.unionByName(split_roots).count()
+        pending = probe.count()
         edges = new_edges
         if pending == 0:
             break

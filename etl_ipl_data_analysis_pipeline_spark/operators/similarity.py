@@ -777,9 +777,9 @@ def ivf_topk_exact(
         .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
     )
     w = Window.partitionBy("vid").orderBy("dist", "cid")
-    ranked = dists.withColumn("rn", F.row_number().over(w))
     assigned = (
-        ranked.filter(F.col("rn") == 1)
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
         .select("vid", F.col("cid").alias("cell"))
         .join(
             corpus.select(
@@ -794,10 +794,17 @@ def ivf_topk_exact(
         F.col(probe_id_col).alias("query_id"),
         _as_double_array(F.col(vec_col)).alias("__pvec"),
     )
+    # route AFTER restricting the dist relation to the probe ids: the
+    # shared `ranked` relation used to rank ALL n vids' dist rows and
+    # keep only the probes' top-nprobe — joining the (broadcast-sized)
+    # probe set below the window confines the rank to #probes × k rows
+    # (guide §2.3; per-vid ranking is unchanged by the join, so
+    # rn <= nprobe selects exactly the same cells)
     routed = (
-        ranked.join(
+        dists.join(
             probe_ids.select(F.col("query_id").alias("vid"), "__pvec"), "vid"
         )
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .select(F.col("vid").alias("query_id"), F.col("cid").alias("cell"), "__pvec")
     )

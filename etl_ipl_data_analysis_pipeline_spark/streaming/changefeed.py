@@ -105,6 +105,12 @@ def mirror_snapshot_changes(
             .withColumn(_DEL, F.lit(True))
         )
         changeset = upserts.unionByName(dels)
+    # ONE evaluation of the (O(churn)) change-feed diff: the emptiness
+    # probe below and snapshot_merge's own locate/rewrite passes all read
+    # these checkpointed blocks — without the barrier the multiset diff
+    # executed twice per sync (once for the probe, once inside the merge's
+    # checkpoint), measured as the dominant cost of a mirror sync.
+    changeset = changeset.localCheckpoint(eager=True)
     if changeset.limit(1).count() == 0:
         # nothing changed between the versions (e.g. pure compaction on
         # the source) — advance the cursor with an empty append so the
