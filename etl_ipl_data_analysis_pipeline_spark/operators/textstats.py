@@ -591,20 +591,45 @@ def nb_classify(
     1-row corpus aggregates (V, D) ride broadcast nested loops — the
     accepted k-row shape.
     """
-    base = _gram_base(df, id_col, text_col)
-    toked = df.select(F.col(id_col), F.col(class_col)).join(
-        base.select(
-            F.col(id_col), F.explode("__t").alias("term")
-        ),
-        id_col,
+    from .dedup import tokens as _tokens
+
+    # ONE tokenization pass with the class label carried through the
+    # select (guide §2.3/§2.4): the r12 shape tokenized the corpus THREE
+    # times (the occurrence relation, a separate vocab explode, and the
+    # probe's re-derivation) and attached the class by joining documents
+    # onto their own exploded occurrences — an occurrence-sized shuffle
+    # that a projection does for free.
+    base = df.select(
+        F.col(id_col), F.col(class_col), _tokens(text_col).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.col(class_col),
+        F.filter("__t", lambda t: t != F.lit("")).alias("__t"),
     )
-    # model: class x term counts, class token totals, vocab size, priors
-    cls_term = toked.groupBy(class_col, "term").agg(
-        F.count(F.lit(1)).alias("__ncw")
+    occ = base.select(
+        F.col(id_col), F.col(class_col), F.explode("__t").alias("term")
+    )
+    # (doc, term, multiplicity) — the class rides the grouping for free
+    # (id determines it), so every model table DERIVES from this one
+    # aggregate instead of re-tokenizing: cls_term = sum of multiplicities,
+    # vocab = distinct terms of the (class x term) relation (every corpus
+    # term appears in >= 1 class) — identical values, vocabulary-bounded.
+    dt_c = occ.groupBy(id_col, class_col, "term").agg(
+        F.count(F.lit(1)).alias("__m")
+    )
+    cls_term = dt_c.groupBy(class_col, "term").agg(
+        F.sum("__m").alias("__ncw")
     )
     cls_tot = cls_term.groupBy(class_col).agg(F.sum("__ncw").alias("__nc"))
-    vstats = base.select(F.explode("__t").alias("__tok")).agg(
-        F.countDistinct("__tok").alias("__v")
+    # the filter is vacuously true (occurrence counts are >= 1) but it
+    # references the aggregate's OUTPUT, which stops Catalyst's
+    # RemoveRedundantAggregates from collapsing this into a fresh
+    # countDistinct over the raw occurrences — i.e. a third scan +
+    # tokenize of the corpus (observed in the plan dump); kept as a
+    # consumer of cls_term, the vocab count reuses the (class, term)
+    # exchange at runtime instead
+    vstats = cls_term.filter(F.col("__ncw") >= 1).agg(
+        F.countDistinct("term").alias("__v")
     )
     doc_counts = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("__dc"))
     dstats = df.agg(F.count(F.lit(1)).alias("__d"))
@@ -621,7 +646,7 @@ def nb_classify(
         F.col(class_col).alias("__cls"), F.col("__nc")
     )
     # probe: distinct (doc, term, multiplicity) x classes
-    dt = toked.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__m"))
+    dt = dt_c.select(F.col(id_col), F.col("term"), F.col("__m"))
     wt = (
         F.length(F.bin(F.expr("(__nc + __v) div (coalesce(__ncw, 0) + 1)")))
         - F.lit(1)
