@@ -60,6 +60,14 @@ from .io import _fs_and_path
 # and fail the job, while a shuffle join merely costs one exchange.
 _BROADCAST_KEYS_MAX = 1_000_000
 
+# Below this many live files the merge skips the manifest-stats key-range
+# prune: pruning exists to avoid SCHEDULING scan tasks for files a
+# point-update can't touch (decisive at 10^4-10^5 files), but it costs one
+# driver collect of the update keys — on a table this small the locate
+# probe already scans every file in one tiny stage, so the collect job is
+# pure overhead. Strictly conservative either way (candidates = all files).
+_PRUNE_MIN_FILES = 64
+
 
 class SnapshotConflict(IOError):
     """A commit lost the manifest-publish race: the target version was
@@ -401,6 +409,7 @@ def _stage_files(
         staged.append((subdir, name))
     staged.sort()
     new_files = []
+    moves = []
     made_dirs: set[str] = set()
     for i, (subdir, name) in enumerate(staged):
         dest_dir = f"data/{subdir}".rstrip("/")
@@ -410,10 +419,17 @@ def _stage_files(
                 fs.mkdirs(dd)
             made_dirs.add(dest_dir)
         rel = f"{dest_dir}/v{version:08d}-{token}-{i:05d}.parquet"
-        src = jvm.org.apache.hadoop.fs.Path(
-            f"{staging}/{subdir}/{name}" if subdir else f"{staging}/{name}"
+        moves.append(
+            (
+                f"{staging}/{subdir}/{name}" if subdir else f"{staging}/{name}",
+                f"{base}/{rel}",
+            )
         )
-        dst = jvm.org.apache.hadoop.fs.Path(f"{base}/{rel}")
+        new_files.append(rel)
+
+    def _move(pair: tuple) -> None:
+        src = jvm.org.apache.hadoop.fs.Path(pair[0])
+        dst = jvm.org.apache.hadoop.fs.Path(pair[1])
         if not fs.rename(src, dst):
             raise IOError(f"snapshot commit: rename {src} -> {dst} failed")
         # rename preserves the mtime of the staging WRITE, but
@@ -423,7 +439,19 @@ def _stage_files(
         # move-to-manifest window. Stamp publication time so age is
         # measured from when the file became sweep-visible.
         fs.setTimes(dst, int(time.time() * 1000), -1)
-        new_files.append(rel)
+
+    # the per-file rename+setTimes RPCs are independent; fan them over a
+    # bounded thread pool (py4j gives each Python thread its own gateway
+    # connection — the _parallel_fs_delete pattern). Failures propagate:
+    # a commit that couldn't move a staged file must not publish.
+    if len(moves) <= 4:
+        for pair in moves:
+            _move(pair)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(16, len(moves))) as ex:
+            list(ex.map(_move, moves))
     fs.delete(spath, True)
     return new_files
 
@@ -1892,6 +1920,7 @@ def snapshot_merge(
     key_cols: list[str],
     batch_id: int | None = None,
     delete_col: str | None = None,
+    _materialized: bool = False,
 ) -> int:
     """MERGE (upsert) into a snapshot table with FILE-GRANULAR
     copy-on-write: only the files that actually contain a matched key
@@ -1934,8 +1963,12 @@ def snapshot_merge(
     if not versions:
         raise ValueError(f"no committed snapshot at {base}")
     # one evaluation of the updates plan: everything downstream (counts,
-    # key collect, probe and rewrite joins) reads the checkpointed blocks
-    updates = updates.localCheckpoint(eager=True)
+    # key collect, probe and rewrite joins) reads the checkpointed blocks.
+    # ``_materialized=True`` (internal; mirror_snapshot_changes) promises
+    # the caller ALREADY eagerly checkpointed ``updates`` — re-checkpointing
+    # would copy every block once more, a full extra pass per sync.
+    if not _materialized:
+        updates = updates.localCheckpoint(eager=True)
     if delete_col is not None:
         if delete_col not in updates.columns:
             raise ValueError(
@@ -1949,13 +1982,24 @@ def snapshot_merge(
     else:
         upserts = updates
     keys = updates.select(*key_cols).distinct()
-    n_updates = updates.count()
+    # ONE validation job instead of two (count + distinct-count): both
+    # reads run over the checkpointed blocks, and count_distinct over the
+    # key STRUCT dedups exactly like .distinct().count() (a struct is
+    # never NULL, and struct equality matches GROUP BY's null-safe field
+    # semantics), so the duplicate-key check is value-identical.
+    counts = updates.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count_distinct(F.struct(*[F.col(c) for c in key_cols])).alias(
+            "__k"
+        ),
+    ).collect()[0]
+    n_updates = counts["__n"]
     if n_updates == 0:
         # a no-op merge commits nothing: the head version is returned
         # unchanged (an explicit batch_id marker, if any, is NOT
         # recorded — streaming callers skip empty batches upstream)
         return versions[-1]
-    if keys.count() != n_updates:
+    if counts["__k"] != n_updates:
         raise ValueError(
             "snapshot_merge: updates carry duplicate keys on "
             f"{key_cols} — multiple source matches per key are ambiguous; "
@@ -1971,8 +2015,13 @@ def snapshot_merge(
     cur_schema = StructType.fromJson(json.loads(manifest["schema"]))
     # key-range pruning: the locate probe scans only the files whose
     # manifest min/max could hold an update key — on a key-clustered
-    # table a point-update batch probes a handful of files, not 10^5
-    candidates = _prune_by_key_stats(manifest, key_cols, keys, n_updates)
+    # table a point-update batch probes a handful of files, not 10^5.
+    # Below _PRUNE_MIN_FILES the probe already scans everything in one
+    # tiny stage, so skip the prune's driver key-collect job outright.
+    if len(manifest["files"]) >= _PRUNE_MIN_FILES:
+        candidates = _prune_by_key_stats(manifest, key_cols, keys, n_updates)
+    else:
+        candidates = manifest["files"]
     if candidates:
         cur = _read_data(
             spark, base, manifest, candidates, schema=cur_schema,
@@ -2143,13 +2192,19 @@ def snapshot_delete_keys(
             f"table schema {[f.name for f in schema.fields]}"
         )
     keys = keys.distinct().localCheckpoint(eager=True)
-    n = keys.count()
-    if n == 0:
-        return head_version
+    # ONE validation job over the checkpointed keys instead of a count()
+    # plus a limit(1).count() NULL probe — same two answers
     null_pred = functools.reduce(
         operator.or_, [F.col(c).isNull() for c in cols]
     )
-    if keys.filter(null_pred).limit(1).count():
+    counts = keys.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(F.when(null_pred, 1).otherwise(0)).alias("__has_null"),
+    ).collect()[0]
+    n = counts["__n"]
+    if n == 0:
+        return head_version
+    if counts["__has_null"]:
         raise ValueError(
             "snapshot_delete_keys: NULL in a key row — equality deletes "
             "can never match NULL (SQL equality); filter or use "

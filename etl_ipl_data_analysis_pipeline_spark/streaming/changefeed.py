@@ -127,7 +127,11 @@ def mirror_snapshot_changes(
         )
         sn.snapshot_commit(empty, dst, "append", batch_id=src_head)
         return consumed
+    # _materialized: the eager checkpoint above IS the merge's one-eval
+    # barrier — re-checkpointing inside snapshot_merge would copy every
+    # changeset block a second time (one full extra pass per sync)
     sn.snapshot_merge(
-        changeset, dst, key_cols, batch_id=src_head, delete_col=_DEL
+        changeset, dst, key_cols, batch_id=src_head, delete_col=_DEL,
+        _materialized=True,
     )
     return consumed
