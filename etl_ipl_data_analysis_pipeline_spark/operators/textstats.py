@@ -982,9 +982,6 @@ def bm25_build_index(
         ).alias("__t"),
     ).withColumn("__dl", F.size("__t"))
     docs = toked.filter(F.col("__dl") > 0)
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("__n_docs"), F.sum("__dl").alias("__sum_dl")
-    )
     postings = (
         docs.select(id_col, "__dl", F.explode("__t").alias("term"))
         .groupBy(id_col, "term")
@@ -999,22 +996,59 @@ def bm25_build_index(
     # taxes every later partition-pruned search); with it each bucket is
     # ONE file. The extra shuffle moves the index relation once, at build
     # time — the side that is paid once by construction.
+    keyed = postings.withColumn("term_bucket", bucket)
     (
-        postings.withColumn("term_bucket", bucket)
-        .repartition(num_buckets, "term_bucket")
+        keyed.repartition(num_buckets, "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(path.rstrip("/") + "/postings")
     )
-    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    (
-        dfreq.withColumn("term_bucket", bucket)
-        .repartition(num_buckets, "term_bucket")
-        .write.mode("overwrite")
-        .partitionBy("term_bucket")
-        .parquet(path.rstrip("/") + "/dfreq")
+    # ONE corpus tokenize pass, not three: dfreq and stats are exact
+    # integer re-aggregations of the postings relation, so derive them
+    # from the just-written postings files (index-sized reads) instead of
+    # re-running the tokenize+explode+groupBy pipeline per output. The
+    # read is schema-pinned so an empty postings directory (all-empty
+    # corpus) still resolves. Values are identical: every (doc, term) row
+    # carries the doc's __dl, each term lives in exactly one bucket, and
+    # df/stats are plain sums over those rows.
+    spark = df.sparkSession
+    pread = spark.read.schema(keyed.schema).parquet(
+        path.rstrip("/") + "/postings"
     )
-    stats.write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+    dfreq = pread.groupBy("term", "term_bucket").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    stats = (
+        pread.groupBy(id_col)
+        .agg(F.first("__dl").alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("__n_docs"),
+            F.sum("__dl").alias("__sum_dl"),
+        )
+    )
+
+    def _write_dfreq() -> None:
+        (
+            dfreq.select("term", "__df", "term_bucket")
+            .repartition(num_buckets, "term_bucket")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(path.rstrip("/") + "/dfreq")
+        )
+
+    def _write_stats() -> None:
+        stats.write.mode("overwrite").parquet(path.rstrip("/") + "/stats")
+
+    # the two derived writes read the same postings files and are
+    # independent — submit them concurrently so the small stats job
+    # back-fills executors the dfreq write's tail leaves idle (§2.6);
+    # exceptions propagate through result()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(_write_dfreq), ex.submit(_write_stats)]
+        for f in futs:
+            f.result()
 
 
 def bm25_search_index(
