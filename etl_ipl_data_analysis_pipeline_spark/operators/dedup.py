@@ -786,13 +786,26 @@ def connected_components(
         # rows-as-u carry the root r, rows-as-v carry NULL, so
         #   (a) violated ⇔ n has both r rows and NULL rows (0 < cr < ct)
         #   (b) violated ⇔ min(r) != max(r) (two distinct roots)
+        # ONE reference to the lazily-checkpointed edges (not a 2-branch
+        # union): both union legs used to race to compute and store the
+        # same checkpoint blocks inside the probe job ("Block rdd_* already
+        # exists" warnings); exploding each edge into its two endpoint
+        # rows keeps the identical (n, r) multiset from a single scan.
         probe = (
-            new_edges.select(F.col("u").alias("n"), F.col("v").alias("r"))
-            .unionByName(
-                new_edges.select(
-                    F.col("v").alias("n"), F.lit(None).cast("long").alias("r")
-                )
+            new_edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("n"), F.col("v").alias("r")
+                        ),
+                        F.struct(
+                            F.col("v").alias("n"),
+                            F.lit(None).cast("long").alias("r"),
+                        ),
+                    )
+                ).alias("__e")
             )
+            .select(F.col("__e.n").alias("n"), F.col("__e.r").alias("r"))
             .groupBy("n")
             .agg(
                 F.min("r").alias("mn"),
