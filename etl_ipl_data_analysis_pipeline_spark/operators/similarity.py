@@ -218,7 +218,7 @@ def ivf_topk(
     )
     cents = kmeans_centroids(corpus, n_centroids, iters, id_col, vec_col, seed)
     cn = _normalize_rows(cents)
-    nearest_cells = _cell_router(cn, nprobe)
+    nearest_cells = _cell_router(cn, nprobe, pin_single_eval=True)
 
     assigned = c.withColumn("cell", F.element_at(nearest_cells("__cvec"), 1))
     p = probes.select(
@@ -818,9 +818,19 @@ def ivf_topk_exact(
     return topk_per_query(scored, k)
 
 
-def _cell_router(cn, nprobe: int):
+def _cell_router(cn, nprobe: int, pin_single_eval: bool = False):
     """Arrow UDF routing each vector to its ``nprobe`` nearest centroids
-    of the normalized k×dim matrix ``cn`` (ships by value)."""
+    of the normalized k×dim matrix ``cn`` (ships by value).
+
+    ``pin_single_eval`` marks the UDF non-deterministic (guide §4.4):
+    when the router's output feeds the cell equi-join key, the
+    optimizer's join-key isnotnull pushdown duplicates the
+    ArrowEvalPython node per corpus branch — every vector pays the
+    matmul twice (plan-verified on hybrid_rrf_fast: 5 Arrow nodes, two
+    of them re-evaluations; 2 after). The function is pure, so pinning
+    one evaluation changes nothing about the values. NOT the default:
+    ivf_search_index's partition-pruned scan needs a deterministic
+    probe-side key to plan its dynamicpruningexpression."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
@@ -830,7 +840,8 @@ def _cell_router(cn, nprobe: int):
         order = np.argsort(-(x @ cn.T), axis=1)[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
-    return F.pandas_udf(_nearest_cells, ArrayType(IntegerType()))
+    udf = F.pandas_udf(_nearest_cells, ArrayType(IntegerType()))
+    return udf.asNondeterministic() if pin_single_eval else udf
 
 
 def ivf_build_index(
