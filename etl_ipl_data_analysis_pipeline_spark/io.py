@@ -523,29 +523,50 @@ def _finish_compaction(spark: SparkSession, path: str) -> None:
     fs, root, jvm = _fs_and_path(spark, path)
     mpath = jvm.org.apache.hadoop.fs.Path(_compact_manifest_path(path))
     staging = _compact_staging_path(path)
-    # read the (one-line JSON) manifest through the DataFrame text
-    # source — same FS abstraction as everything else, no raw-stream
-    # juggling over py4j
-    manifest = json.loads(
-        "".join(
-            r[0]
-            for r in spark.read.text(_compact_manifest_path(path)).collect()
-        )
-    )
-    for rel in manifest["staged"]:
+    # read the (one-line JSON) manifest DRIVER-SIDE through the Hadoop FS
+    # stream: a Spark text job for a few-KB file costs a whole job's
+    # fixed overhead on every commit AND every recover probe
+    stream = fs.open(mpath)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    manifest = json.loads(data.decode("utf-8"))
+
+    def _move_in(rel: str) -> None:
         src = jvm.org.apache.hadoop.fs.Path(staging + "/" + rel)
         dst = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + rel)
         if not fs.exists(src):
-            continue  # moved by a previous (crashed) commit attempt
+            return  # moved by a previous (crashed) commit attempt
         parent = dst.getParent()
         if not fs.exists(parent):
             fs.mkdirs(parent)
         if not fs.rename(src, dst):
             raise IOError(f"compaction commit: rename {src} -> {dst} failed")
-    for full in manifest["delete"]:
-        fp = jvm.org.apache.hadoop.fs.Path(full)
-        if fs.exists(fp):
-            fs.delete(fp, False)
+
+    def _drop(full: str) -> None:
+        # delete() returns False when already gone — the idempotent-replay
+        # skip without a separate exists() RPC per file
+        fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
+
+    # the per-file move/delete RPCs are independent; a sliver-heavy
+    # commit issues hundreds — fan them over a bounded thread pool
+    # (py4j gives each Python thread its own gateway connection), same
+    # pattern as snapshots._parallel_fs_delete. Failures propagate.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(manifest["staged"]) <= 4:
+        for rel in manifest["staged"]:
+            _move_in(rel)
+    else:
+        with ThreadPoolExecutor(min(16, len(manifest["staged"]))) as ex:
+            list(ex.map(_move_in, manifest["staged"]))
+    if len(manifest["delete"]) <= 4:
+        for full in manifest["delete"]:
+            _drop(full)
+    elif manifest["delete"]:
+        with ThreadPoolExecutor(min(16, len(manifest["delete"]))) as ex:
+            list(ex.map(_drop, manifest["delete"]))
     fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
     fs.delete(mpath, False)
 
