@@ -8,7 +8,7 @@ round-tripping rows through Python.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 
 def dot(a, b) -> Column:
@@ -170,3 +170,27 @@ def range_bucket(col, cuts) -> Column:
     for c in cuts:
         bucket = bucket + (col > F.lit(c)).cast("int")
     return bucket
+
+
+def floor_parallelism(df: DataFrame, key) -> DataFrame:
+    """Parallelism floor for a CPU-heavy narrow stage (guide §2.5 "one
+    huge unsplittable file — repartition immediately after the read"):
+    when the input arrives in fewer partitions than the cluster has
+    slots (a couple of giant single-row-group files; the whole local
+    fixture is one), the tokenize/hash/explode work that follows would
+    run on those few cores while the rest idle. A deterministic
+    key-hash repartition lifts the stage to defaultParallelism — but
+    only when splits < slots, so at scale (splits >> slots) the branch
+    never fires and the pipeline stays shuffle-free. Deterministic key
+    (never round-robin): retried map tasks must reproduce the same
+    row-to-partition assignment (SPARK-38388), and a keyed exchange
+    skips round-robin's sort-before-repartition.
+
+    Result-neutral by construction: every consumer in this repo
+    aggregates by key afterwards, so row placement never reaches the
+    answer."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        key = F.col(key) if isinstance(key, str) else key
+        return df.repartition(par, key)
+    return df

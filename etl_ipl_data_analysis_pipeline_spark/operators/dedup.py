@@ -149,15 +149,12 @@ def minhash_signatures(
     """
     # Parallelism floor for the shingle+hash stage — the dominant CPU
     # term: a corpus that arrives in fewer input splits than the cluster
-    # has slots (a handful of small files; the whole fixture is ONE row
-    # group locally) would otherwise hash on those few cores while the
-    # rest idle (measured: 8 cores BEAT 32 at sf0.1, ratio 0.78). The
-    # deterministic id-hash repartition costs one (id, text) shuffle of a
-    # by-definition-small input; at scale splits >> slots and this branch
-    # never fires, so the scan->hash pipeline stays shuffle-free.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par, F.col(id_col))
+    # has slots (the whole local fixture is ONE row group) would hash on
+    # those few cores while the rest idle (measured 8-vs-32-core ratio
+    # 0.78 at sf0.1). No-op at scale — see functions.floor_parallelism.
+    from ..functions import floor_parallelism
+
+    df = floor_parallelism(df, id_col)
     sh = (
         df.select(F.col(id_col).alias("__id"), tokens(text_col).alias("__toks"))
         .filter(F.size(F.filter("__toks", lambda t: t != F.lit(""))) > 0)

@@ -149,9 +149,14 @@ def corpus_profile(df: DataFrame, text_col: str = "text", group_col: str | None 
 def _gram_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, non-empty normalized tokens) — materialized column first so the
     HOF gram lambda never re-runs the tokenizer per element (the measured
-    30x trap, README scale notes)."""
+    30x trap, README scale notes). Parallelism-floored: the tokenize +
+    gram explode that every consumer builds on is narrow, and a few-split
+    input would run it on a few cores while the rest idle (no-op at scale
+    — see functions.floor_parallelism)."""
+    from ..functions import floor_parallelism
     from .dedup import tokens
 
+    df = floor_parallelism(df, id_col)
     return df.select(
         F.col(id_col), tokens(text_col).alias("__t")
     ).select(
