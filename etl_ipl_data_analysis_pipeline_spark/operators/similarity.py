@@ -336,8 +336,15 @@ def multi_table_buckets_udf(n_planes: int, n_tables: int, dim: int, seed: int):
         return pd.Series(list(ids))
 
     # no type hints: the module's postponed annotations would leave them as
-    # unresolvable strings for pandas_udf's signature inference
-    return F.pandas_udf(_buckets, ArrayType(LongType()))
+    # unresolvable strings for pandas_udf's signature inference.
+    # Non-deterministic marking pins ONE evaluation per branch (guide
+    # §4.4): the bucket feeds LSH equi-join keys, and the join-key
+    # isnotnull pushdown otherwise duplicates the ArrowEvalPython node —
+    # measured 4 -> 2 Arrow nodes / ~1.25x on embedding_near_dup_pairs.
+    # The function is a pure function of the vector, so values are
+    # unchanged; no consumer joins it against a partitioned table (no
+    # dynamic-partition-pruning dependency, unlike the IVF cell router).
+    return F.pandas_udf(_buckets, ArrayType(LongType())).asNondeterministic()
 
 
 def lsh_topk_exact(
