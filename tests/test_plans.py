@@ -408,3 +408,17 @@ def test_no_buffering_percentile_in_grouped_stats(spark, sf_dir, qs):
     ):
         plan = _executed(qs[name](spark, sf_dir))
         assert "percentile" not in plan, name
+
+
+def test_nb_confusion_vocab_reuses_class_term_aggregate(spark, sf_dir, qs):
+    # nb_classify derives the vocab count from the (class x term)
+    # aggregate behind a vacuously-true __ncw >= 1 filter whose only job
+    # is to fence Catalyst's RemoveRedundantAggregates so the exchange is
+    # REUSED instead of the corpus re-tokenized (r13 rewrite: 16 -> 12
+    # scans). A Spark upgrade that sees through the fence would silently
+    # restore the extra scans with identical values — pin the scan count
+    # so the regression is loud. 7 documents scans at the executed plan
+    # (the r13 shape); the pre-rewrite shape was strictly higher.
+    plan = _executed(qs["nb_lang_confusion"](spark, sf_dir))
+    n = sum("documents" in l and "FileScan" in l for l in plan.split("\n"))
+    assert n <= 7, f"nb_lang_confusion documents scans grew to {n}"
