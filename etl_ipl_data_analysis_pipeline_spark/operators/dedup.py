@@ -1162,25 +1162,32 @@ def semantic_dedup(
             members = members.unionByName(big_assigned)
         members = members.localCheckpoint(eager=True)
     elif assign == "exact":
+        from .similarity import _exploded, _keyed_corpus
+
         cents = kmeans_exact(
             rep_emb, k=k, iters=iters, id_col=id_col, vec_col=vec_col
         )
         cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
-        ex = reps.select(
-            "__vid", F.posexplode("__vec").alias("pos0", "v")
-        ).select("__vid", (F.col("pos0") + 1).alias("pos"), "v")
+        # the SAME _keyed_corpus subtree kmeans_exact(rep_emb) builds
+        # internally — ReuseExchange serves the routing pass and the
+        # vector back-join from the one collapsed-reps materialization
+        base = _keyed_corpus(rep_emb, id_col, vec_col)
+        ex = _exploded(base)
         term = F.col("v") - F.col("c")
         dists = (
             ex.join(F.broadcast(cm), "pos")
-            .groupBy("__vid", "cid")
+            .groupBy("vid", "cid")
             .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("dist"))
         )
-        w = Window.partitionBy("__vid").orderBy("dist", "cid")
+        w = Window.partitionBy("vid").orderBy("dist", "cid")
         members = (
             dists.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("__vid", F.col("cid").alias("cell"))
-            .join(reps.select("__vid", "__vec"), "__vid")
+            .select("vid", F.col("cid").alias("cell"))
+            .join(base, "vid")
+            .select(
+                F.col("vid").alias("__vid"), "cell", F.col("__vec")
+            )
         )
     else:
         raise ValueError(

@@ -23,6 +23,37 @@ def _as_double_array(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _keyed_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """The exact vector family's ONE corpus materialization point: a
+    (vid, __vec) projection hash-partitioned by the vector id.
+
+    Every Lloyd round, assignment pass and back-join in kmeans_exact /
+    ivf_topk_exact (and their consumers) re-references the corpus, and
+    with nothing pinning a common partitioning each reference planned
+    its own parquet scan + explode + per-operator exchange — 22 corpus
+    scans in hybrid_rrf_topk's r13 plan. Building every reference over
+    this IDENTICAL subtree lets ReuseExchange collapse them to ONE scan
+    + ONE shuffle, and the vid-keyed partitioning satisfies every
+    downstream groupBy(vid, ·), Window(vid) and join(vid) distribution
+    requirement (subset rule), so those exchanges vanish outright
+    (guide §2.4/§6). Values are partitioning-independent by the
+    family's fixed-point construction, so results are unchanged. The
+    partition count is left to the session/AQE — scale-adaptive, not a
+    local constant."""
+    return df.select(
+        F.col(id_col).alias("vid"),
+        _as_double_array(F.col(vec_col)).alias("__vec"),
+    ).repartition(F.col("vid"))
+
+
+def _exploded(base: DataFrame) -> DataFrame:
+    """(vid, pos, v) long form of a _keyed_corpus relation — 1-based
+    positions, partitioning inherited (explode is narrow)."""
+    return base.select(
+        "vid", F.posexplode("__vec").alias("pos0", "v")
+    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+
+
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Per-query top-k of a (query_id, vec_id, sim) relation without reducer
     skew.
@@ -689,24 +720,25 @@ def kmeans_exact(
     sums coordinates in DECIMAL(38,10) and performs ONE double division.
     The oracle twin unrolls the same ``iters`` rounds as chained CTEs.
 
-    Scale shape: the exploded (id, pos, v) relation joins a BROADCAST
-    k*dim centroid relation (tiny at any corpus size), partial
-    aggregation reduces the distance terms map-side to n*k rows before
-    the one shuffle, and the argmin window partitions by vector id —
-    O(n*k) compute, O(n*k) shuffle per round, no collect anywhere (the
-    centroid state stays a DataFrame; AQE reuses the exploded scan's
-    stages across rounds within the single execution).
+    Scale shape: the corpus is projected to (vid, vec) and
+    hash-partitioned by id ONCE (_keyed_corpus — the identical subtree
+    every round references, so ReuseExchange collapses all corpus
+    passes to one scan + one shuffle); the exploded (id, pos, v)
+    relation joins a BROADCAST k*dim centroid relation (tiny at any
+    corpus size), and because explode/broadcast-join preserve the
+    vid partitioning, the per-(vector, centroid) aggregate, the argmin
+    window and the assignment back-join all run WITHOUT further
+    exchanges — O(n*k) compute per round, no per-round shuffle, no
+    collect anywhere (the centroid state stays a DataFrame).
 
     Returns (cid, pos, n, centroid): long-form centroids after ``iters``
     updates with member counts — scalar columns for the driver canon.
     """
     if iters < 1:
         raise ValueError("kmeans_exact needs at least one iteration")
-    ex = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
-    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
-    seeds = emb.select(F.col(id_col).alias("vid")).orderBy("vid").limit(k)
+    base = _keyed_corpus(emb, id_col, vec_col)
+    ex = _exploded(base)
+    seeds = base.select("vid").orderBy("vid").limit(k)
     cents = ex.join(F.broadcast(seeds), "vid").select(
         (
             F.row_number().over(Window.partitionBy("pos").orderBy("vid")) - 1
@@ -773,10 +805,11 @@ def ivf_topk_exact(
     """
     cents = kmeans_exact(corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col)
     cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
-    ex = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(_as_double_array(F.col(vec_col))).alias("pos0", "v"),
-    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+    # the SAME _keyed_corpus subtree kmeans_exact builds internally —
+    # ReuseExchange serves the assignment pass and the vector back-join
+    # from the one corpus materialization (guide §2.4/§6)
+    base = _keyed_corpus(corpus, id_col, vec_col)
+    ex = _exploded(base)
     term = F.col("v") - F.col("c")
     dists = (
         ex.join(F.broadcast(cm), "pos")
@@ -788,13 +821,7 @@ def ivf_topk_exact(
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vid", F.col("cid").alias("cell"))
-        .join(
-            corpus.select(
-                F.col(id_col).alias("vid"),
-                _as_double_array(F.col(vec_col)).alias("__cvec"),
-            ),
-            "vid",
-        )
+        .join(base.select("vid", F.col("__vec").alias("__cvec")), "vid")
         .select(F.col("vid").alias("vec_id"), "cell", "__cvec")
     )
     probe_ids = probes.select(
@@ -1313,10 +1340,20 @@ def pq_model_exact(
     set of shuffles instead of m, and wall-clock stops scaling with m
     (measured 6.6s -> ~3s at sf0.1, m=4). Nothing collected."""
     d = m * sub_dim
-    base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        _as_double_array(F.col(vec_col)).alias("__vec"),
-    ).filter(F.size("__vec") == d)
+    # hash-partition the filtered corpus by id once (the _keyed_corpus
+    # treatment): every Lloyd round, the coding pass and the seed scan
+    # reference this identical subtree, so ReuseExchange collapses them
+    # to one scan + one shuffle, and the (vec_id, subspace)-keyed
+    # aggregates/windows/joins downstream are satisfied by the vec_id
+    # partitioning — no per-round exchanges (guide §2.4/§6)
+    base = (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double_array(F.col(vec_col)).alias("__vec"),
+        )
+        .filter(F.size("__vec") == d)
+        .repartition(F.col("vec_id"))
+    )
     sub_ex = base.select(
         "vec_id", F.posexplode("__vec").alias("gpos0", "v")
     ).select(
@@ -1640,14 +1677,11 @@ def ivf_build_index_exact(
     )
     cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
     cm.coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        _as_double_array(F.col(vec_col)).alias("embedding"),
-    )
-    ex = c.select(
-        F.col("vec_id").alias("vid"),
-        F.posexplode("embedding").alias("pos0", "v"),
-    ).select("vid", (F.col("pos0") + 1).alias("pos"), "v")
+    # same shared-subtree treatment as ivf_topk_exact: the assignment
+    # pass and the vector back-join reuse kmeans_exact's one corpus
+    # scan + shuffle instead of re-scanning per reference
+    base = _keyed_corpus(corpus, id_col, vec_col)
+    ex = _exploded(base)
     term = F.col("v") - F.col("c")
     dists = (
         ex.join(F.broadcast(cm), "pos")
@@ -1659,8 +1693,12 @@ def ivf_build_index_exact(
         dists.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vid", F.col("cid").alias("cell"))
-        .join(c, F.col("vid") == F.col("vec_id"))
-        .select("vec_id", "embedding", "cell")
+        .join(base, "vid")
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("__vec").alias("embedding"),
+            "cell",
+        )
     )
     # cell-keyed write distribution (one file per inverted list; the
     # compaction operator stays the medicine for APPEND accumulation)

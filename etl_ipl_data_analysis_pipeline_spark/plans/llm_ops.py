@@ -3831,20 +3831,21 @@ def cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = similarity.kmeans_exact(e, k=4, iters=2)
     cm = cents.select("cid", "pos", F.col("centroid").alias("c"))
-    ex = e.select(
-        "vec_id", F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias("pos0", "v")
-    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    # assignment over the SAME _keyed_corpus subtree kmeans_exact(e)
+    # builds internally, so ReuseExchange serves it from kmeans' one
+    # corpus scan + shuffle instead of re-scanning the embeddings
+    ex = similarity._exploded(similarity._keyed_corpus(e, "vec_id", "embedding"))
     term = F.col("v") - F.col("c")
     dists = (
         ex.join(F.broadcast(cm), "pos")
-        .groupBy("vec_id", "cid")
+        .groupBy("vid", "cid")
         .agg(F.sum(F.floor(term * term * F.lit(1e12) + F.lit(0.5))).alias("__dist"))
     )
-    w = Window.partitionBy("vec_id").orderBy("__dist", "cid")
+    w = Window.partitionBy("vid").orderBy("__dist", "cid")
     asg = (
         dists.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("vec_id", "cid")
+        .select(F.col("vid").alias("vec_id"), "cid")
     )
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = (
