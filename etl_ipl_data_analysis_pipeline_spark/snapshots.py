@@ -1964,11 +1964,16 @@ def snapshot_merge(
         raise ValueError(f"no committed snapshot at {base}")
     # one evaluation of the updates plan: everything downstream (counts,
     # key collect, probe and rewrite joins) reads the checkpointed blocks.
+    # LAZY mark + the validation aggregate below as the materializing
+    # action (the CC-loop fusion, guide §1.2): the aggregate's single job
+    # computes EVERY partition, so the checkpoint finalizes with no
+    # missing-partition follow-up — one job where eager + validate was
+    # two, and still exactly one evaluation of the plan.
     # ``_materialized=True`` (internal; mirror_snapshot_changes) promises
-    # the caller ALREADY eagerly checkpointed ``updates`` — re-checkpointing
-    # would copy every block once more, a full extra pass per sync.
+    # the caller ALREADY checkpoint-marked ``updates`` — re-marking would
+    # copy every block once more, a full extra pass per sync.
     if not _materialized:
-        updates = updates.localCheckpoint(eager=True)
+        updates = updates.localCheckpoint(eager=False)
     if delete_col is not None:
         if delete_col not in updates.columns:
             raise ValueError(
@@ -2191,7 +2196,10 @@ def snapshot_delete_keys(
             f"snapshot_delete_keys: key columns {missing or cols} not in "
             f"table schema {[f.name for f in schema.fields]}"
         )
-    keys = keys.distinct().localCheckpoint(eager=True)
+    # LAZY mark + the validation aggregate as the materializing action
+    # (one job; the aggregate covers every partition, so the checkpoint
+    # finalizes inside it — the snapshot_merge fusion)
+    keys = keys.distinct().localCheckpoint(eager=False)
     # ONE validation job over the checkpointed keys instead of a count()
     # plus a limit(1).count() NULL probe — same two answers
     null_pred = functools.reduce(

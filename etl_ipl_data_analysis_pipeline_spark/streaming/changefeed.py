@@ -105,19 +105,35 @@ def mirror_snapshot_changes(
             .withColumn(_DEL, F.lit(True))
         )
         changeset = upserts.unionByName(dels)
-    # ONE evaluation of the (O(churn)) change-feed diff: the emptiness
-    # probe below and snapshot_merge's own locate/rewrite passes all read
-    # these checkpointed blocks — without the barrier the multiset diff
-    # executed twice per sync (once for the probe, once inside the merge's
-    # checkpoint), measured as the dominant cost of a mirror sync.
-    changeset = changeset.localCheckpoint(eager=True)
-    if changeset.limit(1).count() == 0:
+    # ONE evaluation of the (O(churn)) change-feed diff, and ONE Spark
+    # job for evaluation + emptiness + validation combined: the LAZY
+    # checkpoint mark makes snapshot_merge's validation aggregate the
+    # materializing action (its single job covers every partition), and
+    # the separate limit(1).count() emptiness probe is gone — an empty
+    # changeset comes back as the merge's no-op return (head version
+    # unchanged), which is when the cursor-advance append runs instead.
+    # Without the barrier the multiset diff executed twice per sync
+    # (measured as the dominant cost of a mirror sync); with the eager
+    # barrier + probe it cost two extra jobs per sync.
+    changeset = changeset.localCheckpoint(eager=False)
+    dst_head_version = sn.snapshot_versions(spark, dst)[-1]
+    # _materialized: the checkpoint mark above IS the merge's one-eval
+    # barrier — re-marking inside snapshot_merge would copy every
+    # changeset block a second time (one full extra pass per sync)
+    new_version = sn.snapshot_merge(
+        changeset, dst, key_cols, batch_id=src_head, delete_col=_DEL,
+        _materialized=True,
+    )
+    if new_version == dst_head_version:
         # nothing changed between the versions (e.g. pure compaction on
         # the source) — advance the cursor with an empty append so the
-        # next poll doesn't re-diff the same range
-        dst_head = sn._read_manifest(
-            spark, dst, sn.snapshot_versions(spark, dst)[-1]
-        )
+        # next poll doesn't re-diff the same range. (A concurrent dst
+        # writer racing this sync could also move the head past
+        # dst_head_version; mirrors have a single stream owner by the
+        # exactly-once contract, and even then the only effect is a
+        # skipped cursor advance — the next poll re-diffs the same
+        # range idempotently.)
+        dst_head = sn._read_manifest(spark, dst, dst_head_version)
         from pyspark.sql.types import StructType
 
         import json as _json
@@ -126,12 +142,4 @@ def mirror_snapshot_changes(
             [], StructType.fromJson(_json.loads(dst_head["schema"]))
         )
         sn.snapshot_commit(empty, dst, "append", batch_id=src_head)
-        return consumed
-    # _materialized: the eager checkpoint above IS the merge's one-eval
-    # barrier — re-checkpointing inside snapshot_merge would copy every
-    # changeset block a second time (one full extra pass per sync)
-    sn.snapshot_merge(
-        changeset, dst, key_cols, batch_id=src_head, delete_col=_DEL,
-        _materialized=True,
-    )
     return consumed
