@@ -622,6 +622,17 @@ def nb_classify(
     dt_c = occ.groupBy(id_col, class_col, "term").agg(
         F.count(F.lit(1)).alias("__m")
     )
+    # ONE physical evaluation of the (doc, term, multiplicity) relation.
+    # Its three consumers (probe, class-term model, vocab count) acquire
+    # DIFFERENT inferred isnotnull() pushdowns (the probe's final join
+    # infers isnotnull(id), the model joins infer isnotnull(class), the
+    # vocab branch infers nothing), so the canonicalized subtrees never
+    # match and ReuseExchange planned three separate corpus
+    # scan+tokenize pipelines (plan-verified). No declarative fix is
+    # value-preserving for NULL ids/labels (unlabeled docs must stay
+    # scorable — the routing contract), so pin the sharing physically:
+    # everything downstream reads these blocks, one tokenize pass total.
+    dt_c = dt_c.localCheckpoint(eager=False)
     cls_term = dt_c.groupBy(class_col, "term").agg(
         F.sum("__m").alias("__ncw")
     )

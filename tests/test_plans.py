@@ -413,12 +413,21 @@ def test_no_buffering_percentile_in_grouped_stats(spark, sf_dir, qs):
 def test_nb_confusion_vocab_reuses_class_term_aggregate(spark, sf_dir, qs):
     # nb_classify derives the vocab count from the (class x term)
     # aggregate behind a vacuously-true __ncw >= 1 filter whose only job
-    # is to fence Catalyst's RemoveRedundantAggregates so the exchange is
-    # REUSED instead of the corpus re-tokenized (r13 rewrite: 16 -> 12
-    # scans). A Spark upgrade that sees through the fence would silently
-    # restore the extra scans with identical values — pin the scan count
-    # so the regression is loud. 7 documents scans at the executed plan
-    # (the r13 shape); the pre-rewrite shape was strictly higher.
+    # is to fence Catalyst's RemoveRedundantAggregates (r13 rewrite:
+    # 16 -> 12 scans), and since r14 the (doc, term, multiplicity)
+    # relation is checkpoint-pinned so its three consumers (probe,
+    # model, vocab) share ONE tokenize pass — the per-branch inferred
+    # isnotnull() pushdowns otherwise break subtree reuse and re-plan
+    # the corpus scan per consumer. The executed plan must show only
+    # the three cheap column-pruned documents scans (class counts,
+    # corpus count, final confusion join); the text column is read
+    # solely inside the checkpointed lineage. A regression (optimizer
+    # seeing through the fence, or the checkpoint dropped) restores
+    # corpus-sized scans with identical values — pin the count so it
+    # is loud.
     plan = _executed(qs["nb_lang_confusion"](spark, sf_dir))
     n = sum("documents" in l and "FileScan" in l for l in plan.split("\n"))
-    assert n <= 7, f"nb_lang_confusion documents scans grew to {n}"
+    assert n <= 3, f"nb_lang_confusion documents scans grew to {n}"
+    assert "text" not in plan or "ReadSchema" not in plan or all(
+        "text" not in l for l in plan.split("\n") if "ReadSchema" in l
+    ), "nb_lang_confusion: a documents scan reads text outside the checkpoint"
