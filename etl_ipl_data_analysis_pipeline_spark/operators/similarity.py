@@ -39,11 +39,25 @@ def _keyed_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     (guide §2.4/§6). Values are partitioning-independent by the
     family's fixed-point construction, so results are unchanged. The
     partition count is left to the session/AQE — scale-adaptive, not a
-    local constant."""
-    return df.select(
-        F.col(id_col).alias("vid"),
-        _as_double_array(F.col(vec_col)).alias("__vec"),
-    ).repartition(F.col("vid"))
+    local constant.
+
+    The non-empty/non-null filter is carried EXPLICITLY because the
+    posexplode consumers acquire it by constraint inference while the
+    vector back-join consumers do not, and that asymmetry alone
+    de-canonicalizes the subtree — the back-join re-planned its own
+    full corpus scan + shuffle (plan-verified). It is value-neutral
+    for every legitimate consumer: a vid with an empty or NULL vector
+    emits no explode rows, so it can never appear on the probe side of
+    a back-join. Consumers that need the UNFILTERED id universe (e.g.
+    kmeans seed selection) must read the raw input, not this relation."""
+    return (
+        df.select(
+            F.col(id_col).alias("vid"),
+            _as_double_array(F.col(vec_col)).alias("__vec"),
+        )
+        .filter((F.size("__vec") > 0) & F.col("__vec").isNotNull())
+        .repartition(F.col("vid"))
+    )
 
 
 def _exploded(base: DataFrame) -> DataFrame:
@@ -738,7 +752,11 @@ def kmeans_exact(
         raise ValueError("kmeans_exact needs at least one iteration")
     base = _keyed_corpus(emb, id_col, vec_col)
     ex = _exploded(base)
-    seeds = base.select("vid").orderBy("vid").limit(k)
+    # seeds come from the RAW input, not the filtered keyed corpus: the
+    # first k ids must be the same universe as before the filter existed
+    # (an empty-vector id among them contributes no centroid rows either
+    # way, but its presence shifts which ids the limit admits)
+    seeds = emb.select(F.col(id_col).alias("vid")).orderBy("vid").limit(k)
     cents = ex.join(F.broadcast(seeds), "vid").select(
         (
             F.row_number().over(Window.partitionBy("pos").orderBy("vid")) - 1

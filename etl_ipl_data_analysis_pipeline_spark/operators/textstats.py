@@ -325,7 +325,17 @@ def bm25_top_docs(
     tf = hits.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    # vacuously-true fence (hit counts are >= 1, hit doc lengths are
+    # > 0 by construction) referencing BOTH aggregate outputs: stops
+    # column pruning from re-planning this branch's copy of the tf
+    # aggregate as a bare distinct — a rewrite that de-canonicalizes
+    # the subtree and costs a second corpus scan+tokenize for the
+    # document-frequency count (see bm25_batch_topk)
+    dfreq = (
+        tf.filter((F.col("__tf") >= 1) & F.col("__dl").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
 
     num = (
         F.lit(22) * F.col("__tf") * F.col("__sum_dl") * (2 * F.col("__n_docs") + 2)
@@ -903,7 +913,19 @@ def bm25_batch_topk(
     tf = hits.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl")
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    # the filter is vacuously true (a tf row exists only with >= 1 hit
+    # and a positive doc length) but it references BOTH aggregate
+    # outputs, which stops column pruning from rewriting this branch's
+    # copy of the tf aggregate without first(__dl) — a rewrite that
+    # de-canonicalizes the subtree and re-plans the whole corpus
+    # scan+tokenize+hits pipeline for the document-frequency count
+    # (plan-verified: 3 -> 2 corpus scans; the remaining second pass is
+    # the full-corpus dl stats, the documented ad-hoc cost)
+    dfreq = (
+        tf.filter((F.col("__tf") >= 1) & F.col("__dl").isNotNull())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
     return _bm25_rank(tf, dfreq, stats, qt, k, id_col)
 
 

@@ -431,3 +431,50 @@ def test_nb_confusion_vocab_reuses_class_term_aggregate(spark, sf_dir, qs):
     assert "text" not in plan or "ReadSchema" not in plan or all(
         "text" not in l for l in plan.split("\n") if "ReadSchema" in l
     ), "nb_lang_confusion: a documents scan reads text outside the checkpoint"
+
+
+def test_bm25_dfreq_reuses_tf_aggregate(spark, sf_dir, qs):
+    # bm25_top_docs/bm25_batch_topk derive the document-frequency count
+    # from the (doc, term) tf aggregate behind a vacuously-true fence
+    # referencing BOTH aggregate outputs (__tf >= 1 AND __dl non-null);
+    # without it column pruning re-plans the dfreq branch as a bare
+    # distinct over a SECOND corpus scan+tokenize (the r14 find). Two
+    # documents scans remain by contract: the hits pass and the
+    # full-corpus dl stats pass. AQE's stage printing repeats reused
+    # subtrees, so inspect the non-adaptive plan (reuse canonicalization
+    # is the same machinery either way — runtime stage reuse fires iff
+    # ReuseExchange fires here).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _executed(qs["bm25_top_docs_query"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n = sum("documents" in l and "FileScan" in l for l in plan.split("\n"))
+    assert n <= 2, f"bm25_top_docs_query documents scans grew to {n}"
+
+
+def test_exact_vector_family_shares_one_corpus_exchange(spark, sf_dir, qs):
+    # _keyed_corpus carries the posexplode-inferred non-empty/non-null
+    # vector filter EXPLICITLY so the back-join consumers canonicalize
+    # to the same subtree as the exploded ones — one full-width
+    # embeddings scan serves every Lloyd round, assignment pass and
+    # vector back-join. Allowed besides it: the pruned probe scans
+    # (vec_id < 3) and the id-only seed scan. AQE's stage printing
+    # repeats reused subtrees, so inspect the non-adaptive plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _executed(qs["hybrid_rrf_topk"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    full = [
+        l
+        for l in plan.split("\n")
+        if "embeddings" in l
+        and "ReadSchema" in l
+        and "embedding:array" in l
+        and "LessThan" not in l
+    ]
+    assert len(full) <= 1, (
+        f"exact vector family re-plans the corpus scan: {len(full)} "
+        "full-width embeddings scans in hybrid_rrf_topk"
+    )
