@@ -222,6 +222,13 @@ def gram_novelty(
     from .curation import _contiguous_grams
 
     base = _gram_base(df, id_col, text_col)
+    # ONE physical tokenize pass for the gram-frequency table and the
+    # per-doc probe: the probe copy acquires the final left join's
+    # inferred isnotnull(id) while the frequency copy has id pruned
+    # away, so the subtrees never canonicalize equal and each consumer
+    # re-planned its own corpus scan+tokenize (2 text scans,
+    # plan-verified) — the lm_surprisal sharing, pinned physically
+    base = base.localCheckpoint(eager=False)
     dg = base.select(
         F.col(id_col),
         F.explode(F.array_distinct(_contiguous_grams("__t", n))).alias("gram"),
@@ -523,6 +530,18 @@ def lm_surprisal(
     from .curation import _contiguous_grams
 
     base = _gram_base(df, id_col, text_col)
+    # ONE physical tokenize pass for the three corpus consumers (the
+    # bigram probe, the bigram count table, and the unigram vocab
+    # count). Declaratively they never share: the probe copy acquires
+    # the final left join's inferred isnotnull(id) and the w1 join key
+    # filter while the count copy has its id column pruned away, so the
+    # canonicalized subtrees differ and each consumer re-planned its
+    # own corpus scan+tokenize (3 text scans, plan-verified); the vocab
+    # pass explodes unigrams and can never share an explode anyway.
+    # NULL/short-doc semantics are untouched — same relation, shared
+    # physically (lazy: the shuffle-map stage runs once by RDD
+    # identity, no dedicated materialization job).
+    base = base.localCheckpoint(eager=False)
     grams = base.select(
         F.col(id_col), F.explode(_contiguous_grams("__t", 2)).alias("gram")
     )
@@ -1167,6 +1186,11 @@ def lm_backoff_surprisal(
     base = _gram_base(df, id_col, text_col).join(
         df.select(F.col(id_col), train.alias("__train")), id_col
     )
+    # ONE physical tokenize pass for the train-side trigram/bigram/
+    # unigram explodes and the held-out probe (each planned its own
+    # corpus scan+tokenize — 3 text scans, plan-verified): the
+    # lm_surprisal sharing, pinned physically
+    base = base.localCheckpoint(eager=False)
     tr = base.filter(F.col("__train"))
     ho = base.filter(~F.col("__train"))
 
