@@ -1122,6 +1122,17 @@ def embedding_dim_covariance(
             (F.floor(cov * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)).alias("cov"),
         )
     )
+    # ONE evaluation of the corpus for the whole diagnostic: the final
+    # output re-derives this d²-row relation four times (itself, the two
+    # diagonal broadcasts, the ragged guard), and column pruning gives
+    # each copy a different projection of the sp aggregate, so the
+    # subtrees never canonicalize equal and every copy re-planned BOTH
+    # corpus passes (cells + per-dim sums — 5 full-width scans,
+    # plan-verified). The relation is dimension-bounded (d(d+1)/2 rows
+    # at ANY corpus size), so pin it physically: every consumer reads
+    # these few-row blocks, and the two corpus-sized shuffle-map stages
+    # run once by RDD identity (guide §2.4/§6).
+    m = m.localCheckpoint(eager=False)
     diag = m.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("__k"), F.col("cov").alias("__var")
     )
