@@ -965,15 +965,19 @@ def semantic_dedup(
         .groupBy("__vec")
         .agg(F.min("__vid").alias("__vid"))
     )
+    # ONE evaluation of the collapse for every consumer. Exchange reuse
+    # does NOT cover it: the clustering branches and the seed/back-join
+    # branches give the collapse aggregate different pruned projections
+    # and pushed predicates, so the subtrees de-canonicalize and the
+    # exact path re-planned the collapse (and its corpus scan) twice
+    # (plan-verified: 2 hashpartitioning(__vec) exchanges, 4 full-width
+    # scans). LAZY mark: the first consumer stage materializes, no
+    # dedicated job — an EAGER checkpoint here measured ~10-20% slower
+    # on the sf0.1 planted query (the extra-job trap; comment history).
+    reps = reps.localCheckpoint(eager=False)
     if k is None:
-        # Deriving k needs the unique count — a separate job from the
-        # dedup itself, so checkpoint the collapsed relation first: the
-        # count job and every downstream stage then read one
-        # materialization. (With an explicit k there is no extra job and
-        # exchange reuse inside the single action covers the collapse —
-        # measured: an unconditional checkpoint was ~10-20% SLOWER on the
-        # sf0.1 planted query, the aqe-stage-reuse-vs-checkpoint trap.)
-        reps = reps.localCheckpoint(eager=True)
+        # Deriving k needs the unique count — the count job doubles as
+        # the checkpoint materializer; downstream stages read the blocks
         n_unique = reps.count()
         k = max(1, -(-n_unique // target_cell_size))  # ceil div
     rep_emb = reps.select(
