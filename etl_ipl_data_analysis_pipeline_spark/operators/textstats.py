@@ -453,6 +453,14 @@ def chi_square_from_counts(
     obs = obs.select(
         F.col(group_col), F.col(term_col).alias("term"), F.col(count_col).alias("__o")
     )
+    # ONE evaluation of the (group, term, count) relation for its two
+    # consumers (pooled vocabulary, kept cells): the totals join infers
+    # isnotnull(group) into the kept copy only, so the subtrees never
+    # canonicalize equal and the raw-text caller re-planned the whole
+    # corpus scan+tokenize per consumer (plan-verified on
+    # source_term_drift). The relation is group x vocabulary bounded —
+    # pin it physically; a lazy mark adds no job.
+    obs = obs.localCheckpoint(eager=False)
     pooled = (
         obs.groupBy("term")
         .agg(F.sum("__o").alias("__ct"))
